@@ -1,0 +1,348 @@
+"""Graph pattern-match queries (SURVEY.md §2.2-§2.7, SQL-expressible set).
+
+Each query mirrors a Cypher query from the reference's corpus
+(documentation/queries.md), re-expressed over the (vertices, edges)
+DataFrames and oracle-checked against DuckDB on the same derivation.
+
+Every top-k query carries a full deterministic ORDER BY (unique
+tiebreak key) so LIMIT semantics agree across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from github_miner_spark.graph.model import (
+    DEPENDS_ON,
+    DEV_DEPENDS_ON,
+    GIT_REPO,
+    GRAPH_ORACLE_CTES,
+    NODE_MODULE,
+    OWNS,
+    PEER_DEPENDS_ON,
+    build_edges,
+    build_graph,
+    build_vertices,
+)
+from github_miner_spark.registry import register
+
+
+# -- flagship -----------------------------------------------------------
+
+
+@register(
+    "top_dependants_modules",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT v.name AS module_name, d.module_id AS module_id,
+           d.dependants AS dependants
+    FROM (
+      SELECT dst AS module_id, count(*) AS dependants
+      FROM edges
+      WHERE rel_type = 'DEPENDS_ON' AND dst_label = 'NodeModule'
+      GROUP BY dst
+    ) d JOIN vertices v ON v.id = d.module_id
+    ORDER BY d.dependants DESC, d.module_id ASC
+    LIMIT 10
+    """,
+    description="Top 10 most depended-on modules — reference documentation/queries.md:212-217",
+    tags=("graph", "agg", "topk"),
+)
+def top_dependants_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    e = g.edges
+    counts = (
+        e.filter((e.rel_type == DEPENDS_ON) & (e.dst_label == NODE_MODULE))
+        .groupBy(e.dst.alias("module_id"))
+        .agg(F.count("*").alias("dependants"))
+    )
+    # modules dim is small relative to edges -> broadcast the name join
+    names = g.vertices.select("id", "name")
+    return (
+        counts.join(F.broadcast(names), counts.module_id == names.id)
+        .select(F.col("name").alias("module_name"), "module_id", "dependants")
+        .orderBy(F.desc("dependants"), F.asc("module_id"))
+        .limit(10)
+    )
+
+
+# -- degree views -------------------------------------------------------
+
+
+@register(
+    "degree_breakdown",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT dst AS module_id,
+           count(*) FILTER (WHERE rel_type = 'DEPENDS_ON') AS dependants,
+           count(*) FILTER (WHERE rel_type = 'DEV_DEPENDS_ON') AS dev_dependants,
+           count(*) FILTER (WHERE rel_type = 'PEER_DEPENDS_ON') AS peer_dependants
+    FROM edges
+    WHERE dst_label = 'NodeModule'
+    GROUP BY dst
+    """,
+    description="Per-module dependants split by dependency flavor — "
+    "reference analysis/degree-centrality-(dependencies-dependants).csv",
+    tags=("graph", "agg", "pivot"),
+)
+def degree_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = build_edges(spark, sf_dir)
+    # conditional aggregation instead of pivot: one shuffle, no second pass
+    return (
+        e.filter(e.dst_label == NODE_MODULE)
+        .groupBy(e.dst.alias("module_id"))
+        .agg(
+            F.count(F.when(e.rel_type == DEPENDS_ON, 1)).alias("dependants"),
+            F.count(F.when(e.rel_type == DEV_DEPENDS_ON, 1)).alias("dev_dependants"),
+            F.count(F.when(e.rel_type == PEER_DEPENDS_ON, 1)).alias("peer_dependants"),
+        )
+    )
+
+
+@register(
+    "dependants_by_endpoint_label",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT dst AS module_id,
+           count(*) FILTER (WHERE src_label = 'GitRepo') AS depended_on_by_repos,
+           count(*) FILTER (WHERE src_label = 'NodeModule') AS depended_on_by_modules
+    FROM edges
+    WHERE rel_type = 'DEPENDS_ON' AND dst_label = 'NodeModule'
+    GROUP BY dst
+    ORDER BY (count(*) FILTER (WHERE src_label = 'GitRepo'))
+             + (count(*) FILTER (WHERE src_label = 'NodeModule')) DESC,
+             module_id ASC
+    LIMIT 50
+    """,
+    description="Dependants split by endpoint label (repo vs module) — "
+    "reference documentation/queries.md:254-278",
+    tags=("graph", "agg"),
+)
+def dependants_by_endpoint_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = build_edges(spark, sf_dir)
+    return (
+        e.filter((e.rel_type == DEPENDS_ON) & (e.dst_label == NODE_MODULE))
+        .groupBy(e.dst.alias("module_id"))
+        .agg(
+            F.count(F.when(e.src_label == GIT_REPO, 1)).alias("depended_on_by_repos"),
+            F.count(F.when(e.src_label == NODE_MODULE, 1)).alias("depended_on_by_modules"),
+        )
+        .orderBy(
+            F.desc(F.col("depended_on_by_repos") + F.col("depended_on_by_modules")),
+            F.asc("module_id"),
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "self_loops",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT e.src AS module_id, v.name AS module_name, e.rel_type AS rel_type
+    FROM edges e JOIN vertices v ON v.id = e.src
+    WHERE e.src = e.dst
+    """,
+    description="Modules depending on themselves — reference documentation/queries.md:226-234",
+    tags=("graph", "filter"),
+)
+def self_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    e = g.edges
+    loops = e.filter(e.src == e.dst).select(e.src.alias("module_id"), "rel_type")
+    v = g.vertices.select("id", F.col("name").alias("module_name"))
+    return loops.join(F.broadcast(v), loops.module_id == v.id).select(
+        "module_id", "module_name", "rel_type"
+    )
+
+
+@register(
+    "meta_graph",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT src_label, rel_type, dst_label, count(*) AS edge_count
+    FROM edges GROUP BY src_label, rel_type, dst_label
+    """,
+    description="Schema meta-graph (label->rel->label histogram) — "
+    "reference apoc.meta.graph, documentation/queries.md:1-4",
+    tags=("graph", "agg"),
+)
+def meta_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = build_edges(spark, sf_dir)
+    return e.groupBy("src_label", "rel_type", "dst_label").agg(F.count("*").alias("edge_count"))
+
+
+@register(
+    "label_histogram",
+    oracle=GRAPH_ORACLE_CTES + "SELECT label, count(*) AS n FROM vertices GROUP BY label",
+    description="Node count per label — reference documentation/queries.md:236-239",
+    tags=("graph", "agg"),
+)
+def label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = build_vertices(spark, sf_dir)
+    return v.groupBy("label").agg(F.count("*").alias("n"))
+
+
+@register(
+    "rel_type_histogram",
+    oracle=GRAPH_ORACLE_CTES + "SELECT rel_type, count(*) AS n FROM edges GROUP BY rel_type",
+    description="Edge count per relationship type — reference documentation/queries.md:396-408",
+    tags=("graph", "agg"),
+)
+def rel_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = build_edges(spark, sf_dir)
+    return e.groupBy("rel_type").agg(F.count("*").alias("n"))
+
+
+# -- 1-hop pattern matches (joins) -------------------------------------
+
+
+@register(
+    "modules_used_by_repo",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT v.name AS module_name, e.rel_type AS rel_type, e.version AS version
+    FROM edges e JOIN vertices v ON v.id = e.dst
+    WHERE e.src = 421 AND e.dst_label = 'NodeModule'
+    ORDER BY module_name, rel_type
+    """,
+    description="1-hop expand: all modules a given repo depends on — "
+    "reference documentation/queries.md:12-15",
+    tags=("graph", "join"),
+)
+def modules_used_by_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    e = g.edges
+    # repo id 421 = orderkey 42; selective filter -> broadcast name join
+    hops = e.filter((e.src == 421) & (e.dst_label == NODE_MODULE))
+    names = g.vertices.select("id", F.col("name").alias("module_name"))
+    return (
+        hops.join(F.broadcast(names), hops.dst == names.id)
+        .select("module_name", "rel_type", "version")
+        .orderBy("module_name", "rel_type")
+    )
+
+
+@register(
+    "repos_depending_on_module",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT r.name AS repo_name, u.name AS owner_name
+    FROM edges e
+    JOIN vertices r ON r.id = e.src
+    JOIN edges o ON o.rel_type = 'OWNS' AND o.dst = e.src
+    JOIN vertices u ON u.id = o.src
+    WHERE e.dst = 72 AND e.rel_type = 'DEPENDS_ON' AND e.src_label = 'GitRepo'
+    ORDER BY repo_name
+    """,
+    description="Reverse 1-hop with owner: who depends on module X — "
+    "reference documentation/queries.md:18-21",
+    tags=("graph", "join"),
+)
+def repos_depending_on_module(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    e = g.edges
+    deps = e.filter((e.dst == 72) & (e.rel_type == DEPENDS_ON) & (e.src_label == GIT_REPO)).select(
+        e.src.alias("repo_id")
+    )
+    owns = e.filter(e.rel_type == OWNS).select(
+        e.src.alias("user_id"), e.dst.alias("owned_repo_id")
+    )
+    v = g.vertices.select("id", "name")
+    return (
+        deps.join(owns, deps.repo_id == owns.owned_repo_id)
+        .join(F.broadcast(v).alias("rv"), F.col("repo_id") == F.col("rv.id"))
+        .join(F.broadcast(v).alias("uv"), F.col("user_id") == F.col("uv.id"))
+        .select(F.col("rv.name").alias("repo_name"), F.col("uv.name").alias("owner_name"))
+        .orderBy("repo_name")
+    )
+
+
+@register(
+    "users_by_repos_owned",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT v.name AS username, count(*) AS repos_owned
+    FROM edges e JOIN vertices v ON v.id = e.src
+    WHERE e.rel_type = 'OWNS'
+    GROUP BY v.name
+    ORDER BY repos_owned DESC, username ASC
+    LIMIT 25
+    """,
+    description="Users ranked by repos owned — reference analysis/git-users-by-repos-owned.csv",
+    tags=("graph", "agg", "topk"),
+)
+def users_by_repos_owned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    e = g.edges
+    counts = e.filter(e.rel_type == OWNS).groupBy(e.src.alias("user_id")).agg(
+        F.count("*").alias("repos_owned")
+    )
+    v = g.vertices.select("id", F.col("name").alias("username"))
+    return (
+        counts.join(F.broadcast(v), counts.user_id == v.id)
+        .select("username", "repos_owned")
+        .orderBy(F.desc("repos_owned"), F.asc("username"))
+        .limit(25)
+    )
+
+
+@register(
+    "hosted_on_outer",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT r.id AS repo_id, r.name AS repo_name, h.src AS hosted_module_id
+    FROM vertices r
+    LEFT OUTER JOIN (SELECT src, dst FROM edges WHERE rel_type = 'HOSTED_ON') h
+      ON h.dst = r.id
+    WHERE r.label = 'GitRepo' AND r.id < 2001
+    ORDER BY repo_id
+    """,
+    description="OPTIONAL MATCH: repos with (possibly absent) hosting module — "
+    "reference documentation/queries.md:373-378",
+    tags=("graph", "outer-join"),
+)
+def hosted_on_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    e = g.edges
+    hosted = e.filter(e.rel_type == "HOSTED_ON").select(
+        e.src.alias("hosted_module_id"), e.dst.alias("hosted_repo_id")
+    )
+    repos = g.vertices.filter((F.col("label") == GIT_REPO) & (F.col("id") < 2001)).select(
+        F.col("id").alias("repo_id"), F.col("name").alias("repo_name")
+    )
+    return (
+        repos.join(hosted, repos.repo_id == hosted.hosted_repo_id, "left_outer")
+        .select("repo_id", "repo_name", "hosted_module_id")
+        .orderBy("repo_id")
+    )
+
+
+@register(
+    "preferential_attachment",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , touch AS (
+      SELECT src AS id FROM edges WHERE rel_type = 'DEPENDS_ON'
+      UNION ALL
+      SELECT dst FROM edges WHERE rel_type = 'DEPENDS_ON'
+    ),
+    deg AS (SELECT id, count(*) AS degree FROM touch GROUP BY id)
+    SELECT a.degree * b.degree AS score
+    FROM (SELECT degree FROM deg WHERE id = 2) a
+    CROSS JOIN (SELECT degree FROM deg WHERE id = 152) b
+    """,
+    description="Preferential-attachment link prediction: deg(a)*deg(b) — "
+    "reference documentation/queries.md:100-118",
+    tags=("graph", "algorithm"),
+)
+def preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = build_edges(spark, sf_dir)
+    dep = e.filter(e.rel_type == DEPENDS_ON)
+    # total degree (in+out) over DEPENDS_ON for the two probe nodes
+    touch = dep.select(F.col("src").alias("id")).unionAll(dep.select(F.col("dst").alias("id")))
+    deg = touch.groupBy("id").agg(F.count("*").alias("degree"))
+    a = deg.filter(F.col("id") == 2).select(F.col("degree").alias("deg_a"))
+    b = deg.filter(F.col("id") == 152).select(F.col("degree").alias("deg_b"))
+    return a.crossJoin(b).select((F.col("deg_a") * F.col("deg_b")).alias("score"))

@@ -1,0 +1,347 @@
+"""Relational operator core (SURVEY.md §2.2-§2.6, §2.9).
+
+TPC-H-flavored queries over the driver tables exercising every
+relational primitive the reference touches: projection, predicates,
+equi/outer/semi/anti/cross joins, hash aggregation, conditional
+aggregation, distinct, top-k, histogram binning, describe-style stats,
+and the scalar function surface (floor, date arithmetic, string split /
+concat, JSON extraction, nested access).
+
+All plans are pure Catalyst built-ins — zero Python UDFs — so filters
+and projections reach the parquet scan (PushedFilters / ReadSchema) and
+whole-stage codegen covers the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from github_miner_spark.io.tables import load_table
+from github_miner_spark.registry import register
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-style pricing summary: filter + wide hash agg "
+    "(map-side partial agg; filter pushed to parquet scan)",
+    tags=("relational", "agg"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS l_orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    description="TPC-H Q3-style: selective dim filter -> 3-way join -> agg -> top-k "
+    "(customer side broadcast after filter)",
+    tags=("relational", "join", "topk"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region_name, nation_name
+    """,
+    description="TPC-H Q5-style star join: fact x 3 broadcast dims, "
+    "revenue rollup per region/nation",
+    tags=("relational", "join", "agg"),
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@register(
+    "parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    ORDER BY p_partkey
+    """,
+    description="Anti join: parts with no lineitem (set-at-a-time NOT EXISTS — "
+    "the engine's replacement for the reference's per-row existence gates)",
+    tags=("relational", "anti-join"),
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY c.c_custkey
+    """,
+    description="Semi join: customers having at least one open order",
+    tags=("relational", "semi-join"),
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customer_order_stats_outer",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey,
+           count(o.o_orderkey) AS order_count,
+           coalesce(sum(o.o_totalprice), 0.0) AS total_spend
+    FROM customer c
+    LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    description="Left-outer join + agg: per-customer order count incl. zero-order customers",
+    tags=("relational", "outer-join", "agg"),
+)
+def customer_order_stats_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "distinct_order_profiles",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+    description="DISTINCT over a projection — reference documentation/queries.md:289-294",
+    tags=("relational", "distinct"),
+)
+def distinct_order_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+@register(
+    "quantity_histogram",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bucket, count(*) AS n
+    FROM lineitem GROUP BY 1 ORDER BY bucket
+    """,
+    description="Histogram binning (A11): groupBy floor(x/width) — "
+    "reference analysis/notebook.md hist(bins=250)",
+    tags=("relational", "agg", "histogram"),
+)
+def quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy(F.floor(F.col("l_quantity") / 5.0).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "lineitem_describe",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(l_quantity) AS n, avg(l_quantity) AS mean,
+           stddev_samp(l_quantity) AS std, min(l_quantity) AS min_v, max(l_quantity) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice), avg(l_extendedprice),
+           stddev_samp(l_extendedprice), min(l_extendedprice), max(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount), avg(l_discount),
+           stddev_samp(l_discount), min(l_discount), max(l_discount)
+    FROM lineitem
+    ORDER BY col
+    """,
+    description="describe()-style stats per numeric column (A10) — "
+    "reference analysis/notebook.md:5-12",
+    tags=("relational", "agg", "stats"),
+)
+def lineitem_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def stats(colname: str) -> DataFrame:
+        return li.agg(
+            F.lit(colname).alias("col"),
+            F.count(colname).alias("n"),
+            F.avg(colname).alias("mean"),
+            F.stddev_samp(colname).alias("std"),
+            F.min(colname).alias("min_v"),
+            F.max(colname).alias("max_v"),
+        )
+
+    return (
+        stats("l_quantity")
+        .unionByName(stats("l_extendedprice"))
+        .unionByName(stats("l_discount"))
+        .orderBy("col")
+    )
+
+
+@register(
+    "scalar_function_showcase",
+    oracle="""
+    SELECT o_orderkey AS o_orderkey,
+           CAST(floor(o_totalprice / 100.0) AS BIGINT) AS price_bucket,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           concat(o_orderpriority, '/', o_orderstatus) AS priority_status,
+           str_split(o_orderpriority, '-')[1] AS priority_code
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+    description="Scalar function surface (F1-F11): floor, date_format, "
+    "date arithmetic, concat, split — reference src/miner.ts:133-141, src/insertData.ts:28-31",
+    tags=("relational", "scalar"),
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") / 100.0).cast("bigint").alias("price_bucket"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+            F.concat_ws("/", "o_orderpriority", "o_orderstatus").alias("priority_status"),
+            F.split(F.col("o_orderpriority"), "-").getItem(0).alias("priority_code"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "orders_running_rank",
+    oracle="""
+    SELECT o_custkey AS o_custkey, o_orderkey AS o_orderkey,
+           o_totalprice AS o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+           sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                                   ROWS UNBOUNDED PRECEDING) AS running_spend
+    FROM orders
+    WHERE o_custkey < 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+    description="Window functions: per-customer rank + running total "
+    "(beyond-reference relational surface)",
+    tags=("relational", "window"),
+)
+def orders_running_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") < 50)
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.sum("o_totalprice").over(w_run).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

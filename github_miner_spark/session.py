@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-conscious defaults.
+
+Defaults are tuned so the same logical plans that pass correctness at
+sf0.01 locally would survive a 1000-executor cluster at 100 TB:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- ``spark.sql.shuffle.partitions`` sized for the local test harness via
+  env; on a real cluster this is superseded by AQE's coalescing given a
+  large initial number.
+- Arrow enabled so the few Pandas-UDF code paths (similarity search,
+  multimodal decode plumbing) batch-transfer instead of pickling rows.
+- Broadcast threshold left at default: dimension tables (region, nation,
+  supplier, the vertex-label dims) are broadcast automatically; big
+  fact-fact joins go sort-merge with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(
+    app_name: str = "github-miner-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # local-mode niceties; harmless on a cluster
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,37 @@
+"""Oracle-parity sweep: every registered query with an oracle must match
+DuckDB on the same parquet tables — the local twin of the driver's
+CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from github_miner_spark import registry
+from tests.oracle_utils import compare_query
+
+SPECS = registry.all_specs()
+ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, sf_dir, name):
+    spec = SPECS[name]
+    compare_query(spark, sf_dir, spec.spark, spec.oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["module_name", "module_id", "dependants"]
+
+
+def test_every_query_has_registry_entry():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) > 0
