@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is timed end-to-end (plan + execute + collect-to-count).
+The headline set is curated to cover every operator family: relational
+joins/aggs, graph degree/top-k, iterative closure, and the
+LLM-pipeline ops, so a regression anywhere shows up here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Curated headline queries (name must exist in the registry). Extended as
+# operator families land.
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "customer_order_stats_outer",
+    "orders_running_rank",
+    "top_dependants_modules",
+    "degree_breakdown",
+    "users_by_repos_owned",
+]
+
+
+def main() -> None:
+    from github_miner_spark import registry
+    from github_miner_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="github-miner-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")),
+    )
+    specs = registry.all_specs()
+    names = [n for n in HEADLINE if n in specs]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        requested = [n.strip() for n in extra.split(",") if n.strip()]
+        unknown = [n for n in requested if n not in specs]
+        if unknown:
+            raise SystemExit(
+                f"unknown bench queries {unknown}; known: {sorted(specs)}"
+            )
+        names = requested
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    specs[names[0]].spark(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].spark(spark, SF_DIR)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
