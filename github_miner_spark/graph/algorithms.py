@@ -1,0 +1,260 @@
+"""Iterative graph algorithms as DataFrame jobs (SURVEY.md §2.7).
+
+The reference invokes these as Neo4j plugin procedures
+(documentation/queries.md: PageRank :177-190, SCC :120-141, Louvain
+:82-98, degree :55-64, link prediction :100-118). Here each is a
+driver-orchestrated loop over (vertices, edges) DataFrames — the
+GraphFrames shapes, implemented directly so no external package is
+needed and every step stays in Catalyst-planned joins/aggregations.
+
+Scale notes:
+- All loops localCheckpoint per iteration to truncate lineage.
+- PageRank: contributions are one shuffle per iteration
+  (join on src + groupBy dst); out-degrees computed once and reused;
+  hub skew handled by AQE skew join.
+- SCC uses the forward-coloring + backward-pruning decomposition
+  (Orzan-style), which removes >= one SCC per color root per round —
+  set-at-a-time, no per-node recursion.
+- Connected components / label propagation are min-label propagation
+  loops, O(diameter) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _vertex_ids(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 20,
+    damping: float = 0.85,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank, OUTGOING direction, non-normalized
+    Brin-Page form: rank_v = (1-d) + d * sum(rank_u / outdeg_u) — the
+    formulation of the Neo4j 3.5 graph-algorithms plugin the reference
+    runs with {iterations: 100, dampingFactor: 0.85}
+    (documentation/queries.md:180-182). Dangling-node mass decays, as
+    in the plugin. Returns (id, rank)."""
+    e = edges.select("src", "dst")
+    verts = (vertices.select("id") if vertices is not None else _vertex_ids(e)).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # pre-join the per-edge weight once: src -> dst with 1/outdeg(src)
+    weighted = e.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    ).localCheckpoint(eager=True)
+
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            weighted.join(ranks, weighted.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("msg"))
+        )
+        ranks = (
+            verts.join(contribs, verts.id == contribs.dst, "left_outer")
+            .select(
+                "id",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+    """Weakly-connected components via min-id label propagation over the
+    symmetrized edge set. Returns (id, component) with component = the
+    smallest vertex id in the component."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = _vertex_ids(edges).select("id", F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.nid, "left_outer")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if stable:
+            break
+    return labels
+
+
+def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> DataFrame:
+    """SCC via iterative forward-coloring + backward pruning
+    (Orzan-style coloring, the set-at-a-time analog of the reference's
+    algo.scc 'huge' graph run, documentation/queries.md:120-141).
+
+    Two phases:
+      0. TRIM: iteratively peel vertices with zero in-degree or zero
+         out-degree in the remaining subgraph — such vertices can never
+         sit on a cycle, so they are singleton SCCs. On DAG-heavy
+         inputs (the common shape: dependency graphs are mostly
+         acyclic) this removes almost everything in O(depth) cheap
+         rounds, leaving only the cyclic cores.
+      1. Per round over the remainder: color(v) := min vertex id that
+         reaches v (forward min propagation to fixpoint); the SCC of
+         each color root r = nodes with color r that can reach r
+         through same-colored nodes (backward BFS); assign, drop,
+         repeat.
+    Returns (id, component) with component = min member id."""
+    remaining_edges = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    remaining_edges = remaining_edges.distinct().localCheckpoint(eager=True)
+    remaining_verts = _vertex_ids(edges).localCheckpoint(eager=True)
+    assigned_parts: list[DataFrame] = []
+
+    # phase 0: trim acyclic fringe as singleton SCCs
+    for _ in range(max_iter):
+        srcs = remaining_edges.select(F.col("src").alias("id")).distinct()
+        dsts = remaining_edges.select(F.col("dst").alias("id")).distinct()
+        on_cycle_candidates = srcs.join(dsts, "id")  # has in AND out edges
+        trimmed = remaining_verts.join(on_cycle_candidates, "id", "left_anti")
+        if trimmed.isEmpty():
+            break
+        assigned_parts.append(
+            trimmed.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+        )
+        remaining_verts = on_cycle_candidates.localCheckpoint(eager=True)
+        remaining_edges = (
+            remaining_edges.join(
+                remaining_verts.withColumnRenamed("id", "src"), ["src"], "left_semi"
+            )
+            .join(remaining_verts.withColumnRenamed("id", "dst"), ["dst"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+    for _round in range(max_iter):
+        if remaining_verts.isEmpty():
+            break
+        # 1. forward min-color propagation to fixpoint
+        colors = remaining_verts.select("id", F.col("id").alias("color"))
+        for _ in range(max_iter):
+            prop = (
+                remaining_edges.join(colors, remaining_edges.src == colors.id)
+                .groupBy(F.col("dst").alias("nid"))
+                .agg(F.min("color").alias("cmin"))
+            )
+            new_colors = (
+                colors.join(prop, colors.id == prop.nid, "left_outer")
+                .select(
+                    "id",
+                    F.least(F.col("color"), F.coalesce(F.col("cmin"), F.col("color"))).alias(
+                        "color"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            stable = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), "id")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .isEmpty()
+            )
+            colors = new_colors
+            if stable:
+                break
+        # 2. backward BFS from each color root within its color class
+        scc = colors.filter(F.col("id") == F.col("color")).select("id", "color")
+        frontier = scc
+        colored_edges = (
+            remaining_edges.join(colors.withColumnRenamed("id", "src"), "src")
+            .withColumnRenamed("color", "src_color")
+        )
+        while True:
+            preds = (
+                colored_edges.join(frontier, colored_edges.dst == frontier.id)
+                .filter(F.col("src_color") == F.col("color"))
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+                .join(scc, ["id"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if preds.isEmpty():
+                break
+            scc = scc.unionByName(preds).localCheckpoint(eager=True)
+            frontier = preds
+        assigned_parts.append(scc.select("id", F.col("color").alias("component")))
+        # 3. drop assigned vertices, keep going
+        remaining_verts = remaining_verts.join(scc, ["id"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        scc_ids = scc.select("id")
+        remaining_edges = (
+            remaining_edges.join(scc_ids.withColumnRenamed("id", "src"), ["src"], "left_anti")
+            .join(scc_ids.withColumnRenamed("id", "dst"), ["dst"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    if not assigned_parts:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id bigint, component bigint")
+    out = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
+    """Community detection via synchronous label propagation with a
+    deterministic tie-break (most frequent neighbor label, ties -> min
+    label) — the GraphFrames-style stand-in for the reference's Louvain
+    procedure (documentation/queries.md:82-98; SURVEY.md §7 notes the
+    deviation). Returns (id, community)."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = _vertex_ids(edges).select("id", F.col("id").alias("community"))
+    for _ in range(iterations):
+        neighbor_labels = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("nid"), "community"
+        )
+        counted = neighbor_labels.groupBy("nid", "community").agg(F.count("*").alias("votes"))
+        # max votes with min-label tie-break: order by (-votes, community)
+        best = (
+            counted.withColumn("ord", F.struct((-F.col("votes")).alias("nv"), F.col("community")))
+            .groupBy("nid")
+            .agg(F.min("ord").alias("b"))
+            .select(F.col("nid"), F.col("b.community").alias("new_community"))
+        )
+        labels = (
+            labels.join(best, labels.id == best.nid, "left_outer")
+            .select("id", F.coalesce(F.col("new_community"), F.col("community")).alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

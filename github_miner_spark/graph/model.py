@@ -271,6 +271,40 @@ def build_graph(spark: SparkSession, sf_dir: str, cache: bool = False) -> Proper
     return g
 
 
+def cyclic_module_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Module graph with REAL cycles for SCC/community algorithms: the
+    DEPENDS_ON DAG plus deterministic back edges (reverse of the
+    p -> 2p+1 tree edge when p % 32 == 0). Mirrors the reference's SCC
+    input, where cyclic npm dependencies yield small multi-node
+    components (setCount 56,291 / maxSetSize 9,
+    documentation/queries.md:133). Oracle twin: CYCLIC_EDGES_CTE."""
+    part = load_table(spark, "part", sf_dir)
+    mm = build_graph(spark, sf_dir).module_dep_edges()
+    p = part.select("p_partkey")
+    keys = p.withColumnRenamed("p_partkey", "k")
+    back = (
+        p.filter(F.col("p_partkey") % 32 == 0)
+        .join(keys, keys.k == p.p_partkey * 2 + 1)
+        .select(
+            _module_id(F.col("k")).alias("src"),
+            _module_id(F.col("p_partkey")).alias("dst"),
+        )
+    )
+    return mm.unionByName(back)
+
+
+# appended after GRAPH_ORACLE_CTES: the same cyclified edge set in SQL
+CYCLIC_EDGES_CTE = """
+, cyclic_edges AS (
+  SELECT src, dst FROM mm_edges
+  UNION ALL
+  SELECT c.p_partkey*10+2, p.p_partkey*10+2
+  FROM part p JOIN part c ON c.p_partkey = 2*p.p_partkey+1
+  WHERE p.p_partkey % 32 = 0
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Canonical oracle CTEs: the SAME derivation in ANSI SQL for DuckDB.
 # Oracle queries are written as f"{GRAPH_ORACLE_CTES} SELECT ... FROM edges".
@@ -279,7 +313,7 @@ def build_graph(spark: SparkSession, sf_dir: str, cache: bool = False) -> Proper
 # ---------------------------------------------------------------------------
 
 GRAPH_ORACLE_CTES = """
-WITH vertices AS (
+WITH RECURSIVE vertices AS (
   SELECT c_custkey*10 AS id, 'GitUser' AS label, c_name AS name,
          c_acctbal AS score, CAST(NULL AS TIMESTAMP) AS created_at
   FROM customer

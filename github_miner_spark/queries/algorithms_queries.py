@@ -1,1 +1,187 @@
-"""Placeholder — populated in later milestones."""
+"""Graph-algorithm queries (SURVEY.md §2.7 G1-G5): PageRank, SCC,
+connected components, label propagation over the derived module graph.
+
+SCC/CC carry full DuckDB oracles via mutual-reachability recursive CTEs
+on a deterministically-cyclified subgraph; PageRank and label
+propagation are iterative fixpoints with no tractable SQL twin, so they
+register rows-only (the driver records the weaker check) and are
+instead verified in tests/test_algorithms.py against numpy and
+hand-computed graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from github_miner_spark.graph.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    strongly_connected_components,
+)
+from github_miner_spark.graph.model import (
+    CYCLIC_EDGES_CTE,
+    GRAPH_ORACLE_CTES,
+    build_graph,
+    cyclic_module_edges,
+)
+from github_miner_spark.registry import register
+
+# Mutual-reachability oracle over the cyclified module graph:
+# reach uses UNION (distinct) recursion, so it terminates on cycles.
+_SCC_ORACLE_BASE = (
+    GRAPH_ORACLE_CTES
+    + CYCLIC_EDGES_CTE
+    + """
+    , reach(a, b) AS (
+        SELECT src, dst FROM cyclic_edges WHERE src <> dst
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN cyclic_edges e ON e.src = r.b
+        WHERE e.src <> e.dst
+    ),
+    mutual AS (
+        SELECT r1.a AS a, r1.b AS b
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    ),
+    verts AS (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM cyclic_edges UNION ALL SELECT dst FROM cyclic_edges
+        )
+    ),
+    comp AS (
+        SELECT v.v AS id, least(v.v, coalesce(min(m.b), v.v)) AS component
+        FROM verts v LEFT JOIN mutual m ON m.a = v.v
+        GROUP BY v.v
+    ),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+"""
+)
+
+
+@register(
+    "scc_summary",
+    oracle=_SCC_ORACLE_BASE
+    + """
+    SELECT count(*) AS set_count, max(sz) AS max_set_size, min(sz) AS min_set_size
+    FROM sizes
+    """,
+    description="SCC setCount/maxSetSize/minSetSize over the cyclified module "
+    "graph — the reference's algo.scc result row, documentation/queries.md:130-135",
+    tags=("graph", "algorithm", "iterative"),
+)
+def scc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = cyclic_module_edges(spark, sf_dir)
+    comp = strongly_connected_components(ce)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("set_count"),
+        F.max("sz").alias("max_set_size"),
+        F.min("sz").alias("min_set_size"),
+    )
+
+
+@register(
+    "scc_size_histogram",
+    oracle=_SCC_ORACLE_BASE
+    + """
+    SELECT sz AS component_size, count(*) AS n_components
+    FROM sizes GROUP BY sz ORDER BY sz
+    """,
+    description="SCC size histogram — the top-partition-sizes table of "
+    "reference documentation/queries.md:137-167",
+    tags=("graph", "algorithm", "iterative"),
+)
+def scc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ce = cyclic_module_edges(spark, sf_dir)
+    comp = strongly_connected_components(ce)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("component_size")
+    )
+
+
+@register(
+    "connected_components_summary",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , sub AS (
+        SELECT src, dst FROM mm_edges
+        WHERE src >= 10002 AND src < 12002 AND dst >= 10002 AND dst < 12002
+    ),
+    sym AS (SELECT src, dst FROM sub UNION SELECT dst, src FROM sub),
+    reach(a, b) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+    ),
+    verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM sub UNION ALL SELECT dst FROM sub)),
+    comp AS (
+        SELECT v.v AS id, least(v.v, coalesce(min(r.b), v.v)) AS component
+        FROM verts v LEFT JOIN reach r ON r.a = v.v
+        GROUP BY v.v
+    )
+    SELECT count(*) AS n_components, sum(sz) AS n_vertices, max(sz) AS largest
+    FROM (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+    """,
+    description="Weakly-connected components over an induced module subgraph "
+    "(forest slice): component count, vertex count, largest component",
+    tags=("graph", "algorithm", "iterative"),
+)
+def connected_components_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = build_graph(spark, sf_dir).module_dep_edges()
+    sub = mm.filter(
+        (F.col("src") >= 10002) & (F.col("src") < 12002)
+        & (F.col("dst") >= 10002) & (F.col("dst") < 12002)
+    )
+    comp = connected_components(sub)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return (
+        sizes.agg(
+            F.count("*").alias("n_components"),
+            F.sum("sz").alias("n_vertices"),
+            F.max("sz").alias("largest"),
+        )
+    )
+
+
+@register(
+    "pagerank_top20",
+    description="PageRank (20 iters, d=0.85, OUTGOING) over the module "
+    "DEPENDS_ON graph, top 20 — reference documentation/queries.md:177-190. "
+    "Iterative fixpoint: no SQL oracle; verified vs numpy in tests.",
+    tags=("graph", "algorithm", "iterative", "no-oracle"),
+)
+def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    ranks = pagerank(mm, iterations=20, damping=0.85)
+    names = g.vertices.select("id", "name")
+    return (
+        ranks.join(F.broadcast(names), "id")
+        .select("id", "name", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+@register(
+    "label_propagation_summary",
+    description="Community detection via deterministic label propagation over "
+    "the module graph (stand-in for reference Louvain, "
+    "documentation/queries.md:82-98; deviation documented in SURVEY.md §7). "
+    "Iterative fixpoint: no SQL oracle; verified on clique fixtures in tests.",
+    tags=("graph", "algorithm", "iterative", "no-oracle"),
+)
+def label_propagation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = build_graph(spark, sf_dir).module_dep_edges()
+    comm = label_propagation(mm, iterations=8)
+    sizes = comm.groupBy("community").agg(F.count("*").alias("sz"))
+    return sizes.agg(
+        F.count("*").alias("n_communities"),
+        F.max("sz").alias("largest"),
+        F.min("sz").alias("smallest"),
+    )

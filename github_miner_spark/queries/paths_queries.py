@@ -1,1 +1,209 @@
-"""Placeholder — populated in later milestones."""
+"""Variable-length path queries (SURVEY.md §2.3 J6-J8, §2.4 A4,
+§2.7 G6-G8) — the reference's ``-[:DEPENDS_ON*]->`` Cypher surface.
+
+Oracles use DuckDB ``WITH RECURSIVE`` over the same graph derivation;
+the Spark side runs the frontier-BFS operators in graph/paths.py. The
+module->module DEPENDS_ON relation is acyclic by construction
+(graph/model.py), so UNION ALL recursion terminates; cycle-safety of
+the engine itself is unit-tested on cyclic fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from github_miner_spark.graph.model import (
+    DEPENDS_ON,
+    DEV_DEPENDS_ON,
+    GRAPH_ORACLE_CTES,
+    NODE_MODULE,
+    build_edges,
+    build_graph,
+)
+from github_miner_spark.graph.paths import (
+    bfs_depths,
+    closure_path_counts,
+    k_hop,
+)
+from github_miner_spark.registry import register
+
+# module id 2 == p_partkey 0: the root of the binary-tree DAG — the
+# analog of the reference's "paths from rossanthony/github-miner" probe
+# (documentation/queries.md:280-339).
+ANCHOR_MODULE = 2
+
+
+@register(
+    "closure_counts_from_anchor",
+    oracle=GRAPH_ORACLE_CTES
+    + f"""
+    , walk(node) AS (
+        SELECT dst FROM mm_edges WHERE src = {ANCHOR_MODULE}
+        UNION ALL
+        SELECT e.dst FROM walk w JOIN mm_edges e ON e.src = w.node
+    )
+    SELECT count(*) AS paths, count(DISTINCT node) AS distinct_nodes FROM walk
+    """,
+    description="Unbounded closure from one module: total paths vs distinct "
+    "nodes — BOTH multiplicity semantics, reference documentation/queries.md:280-311",
+    tags=("graph", "paths", "iterative"),
+)
+def closure_counts_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    closure = closure_path_counts(g.module_dep_edges(), roots=[ANCHOR_MODULE])
+    return closure.agg(
+        F.sum("paths").alias("paths"),
+        F.count("node").alias("distinct_nodes"),
+    )
+
+
+@register(
+    "closure_per_root",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , roots AS (SELECT DISTINCT src FROM mm_edges WHERE src < 100),
+    walk(root, node) AS (
+        SELECT e.src, e.dst FROM mm_edges e JOIN roots r ON e.src = r.src
+        UNION ALL
+        SELECT w.root, e.dst FROM walk w JOIN mm_edges e ON e.src = w.node
+    )
+    SELECT root AS root, count(*) AS paths, count(DISTINCT node) AS distinct_nodes
+    FROM walk GROUP BY root ORDER BY root
+    """,
+    description="Per-root path/distinct counts over the closure — the per-module "
+    "breakdown table of reference documentation/queries.md:306-338",
+    tags=("graph", "paths", "iterative"),
+)
+def closure_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    roots = mm.filter(F.col("src") < 100).select(F.col("src").alias("root")).distinct()
+    closure = closure_path_counts(mm, roots=roots)
+    return (
+        closure.groupBy("root")
+        .agg(F.sum("paths").alias("paths"), F.count("node").alias("distinct_nodes"))
+        .orderBy("root")
+    )
+
+
+@register(
+    "bfs_depth_profile",
+    oracle=GRAPH_ORACLE_CTES
+    + f"""
+    , walk(node, depth) AS (
+        SELECT dst, 1 FROM mm_edges WHERE src = {ANCHOR_MODULE}
+        UNION ALL
+        SELECT e.dst, w.depth + 1 FROM walk w JOIN mm_edges e ON e.src = w.node
+    )
+    SELECT node AS node, min(depth) AS depth FROM walk GROUP BY node ORDER BY node
+    """,
+    description="BFS min-depth per reachable node from the anchor — depth "
+    "profile of reference analysis/export.csv (OutDepth)",
+    tags=("graph", "paths", "iterative"),
+)
+def bfs_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    depths = bfs_depths(g.module_dep_edges(), roots=[ANCHOR_MODULE])
+    return depths.select("node", "depth").orderBy("node")
+
+
+@register(
+    "depth_extremes_per_root",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , roots AS (SELECT DISTINCT src FROM mm_edges WHERE src < 200),
+    walk(root, node, depth) AS (
+        SELECT e.src, e.dst, 1 FROM mm_edges e JOIN roots r ON e.src = r.src
+        UNION ALL
+        SELECT w.root, e.dst, w.depth + 1 FROM walk w JOIN mm_edges e ON e.src = w.node
+    ),
+    mind AS (SELECT root, node, min(depth) AS d FROM walk GROUP BY root, node)
+    SELECT root AS root, min(d) AS min_out_depth, max(d) AS max_out_depth,
+           count(*) AS reachable
+    FROM mind GROUP BY root ORDER BY root
+    """,
+    description="Per-root min/max BFS out-depth + reachable count — "
+    "reference analysis/export.csv header (min/max In/OutDepth)",
+    tags=("graph", "paths", "iterative"),
+)
+def depth_extremes_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    roots = mm.filter(F.col("src") < 200).select(F.col("src").alias("root")).distinct()
+    depths = bfs_depths(mm, roots=roots)
+    return (
+        depths.groupBy("root")
+        .agg(
+            F.min("depth").alias("min_out_depth"),
+            F.max("depth").alias("max_out_depth"),
+            F.count("*").alias("reachable"),
+        )
+        .orderBy("root")
+    )
+
+
+@register(
+    "two_hop_dependencies",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , rels AS (
+        SELECT src, dst FROM edges
+        WHERE rel_type IN ('DEPENDS_ON', 'DEV_DEPENDS_ON')
+          AND src <> dst
+    ),
+    hop1 AS (SELECT src AS root, dst AS node, 1 AS depth FROM rels WHERE root = 421),
+    hop2 AS (SELECT h.root, r.dst AS node, 2 AS depth
+             FROM hop1 h JOIN rels r ON r.src = h.node)
+    SELECT node AS node, min(depth) AS depth
+    FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+    GROUP BY node ORDER BY node
+    """,
+    description="Bounded 2-hop expansion over DEPENDS_ON|DEV_DEPENDS_ON from a "
+    "repo — reference src/insertData.ts:60 ([*..2] multi-rel union)",
+    tags=("graph", "paths", "k-hop"),
+)
+def two_hop_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = build_edges(spark, sf_dir)
+    rels = e.filter(
+        e.rel_type.isin(DEPENDS_ON, DEV_DEPENDS_ON) & (e.src != e.dst)
+    ).select("src", "dst")
+    out = k_hop(rels, [421], k=2, distinct_nodes=True)
+    return out.select("node", "depth").orderBy("node")
+
+
+@register(
+    "dependency_chains",
+    oracle=GRAPH_ORACLE_CTES
+    + f"""
+    , walk(node, chain) AS (
+        SELECT dst, [CAST({ANCHOR_MODULE} AS BIGINT), dst] FROM mm_edges
+        WHERE src = {ANCHOR_MODULE}
+        UNION ALL
+        SELECT e.dst, list_append(w.chain, e.dst)
+        FROM walk w JOIN mm_edges e ON e.src = w.node
+        WHERE len(w.chain) <= 4
+    )
+    SELECT chain AS chain FROM walk WHERE len(chain) = 5 ORDER BY chain
+    """,
+    description="Path enumeration with node-id chains (bounded depth 4->5 "
+    "nodes) — reference documentation/queries.md:360-365 depsChain",
+    tags=("graph", "paths", "enumeration"),
+)
+def dependency_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    # accumulate the id chain as an array column over 4 expansion steps
+    frontier = (
+        mm.filter(F.col("src") == ANCHOR_MODULE)
+        .select(
+            F.col("dst").alias("node"),
+            F.array(F.lit(ANCHOR_MODULE).cast("bigint"), F.col("dst")).alias("chain"),
+        )
+    )
+    for _ in range(3):  # chains grow 2 -> 5 ids (4 hops)
+        frontier = frontier.join(mm, frontier.node == mm.src).select(
+            F.col("dst").alias("node"),
+            F.concat(F.col("chain"), F.array(F.col("dst"))).alias("chain"),
+        )
+    return frontier.filter(F.size("chain") == 5).select("chain").orderBy("chain")

@@ -1,0 +1,86 @@
+"""Unit tests for iterative graph algorithms on hand-computable graphs,
+plus a numpy cross-check for PageRank (the reference pins Neo4j's
+non-normalized Brin-Page form: rank = (1-d) + d*sum(rank_u/outdeg_u))."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from github_miner_spark.graph.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    strongly_connected_components,
+)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame([(int(a), int(b)) for a, b in pairs], "src bigint, dst bigint")
+
+
+def numpy_pagerank(pairs, n_ids, iterations, damping):
+    ids = sorted(n_ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    outdeg = np.zeros(n)
+    for a, _ in pairs:
+        outdeg[idx[a]] += 1
+    rank = np.ones(n)
+    for _ in range(iterations):
+        msg = np.zeros(n)
+        for a, b in pairs:
+            msg[idx[b]] += rank[idx[a]] / outdeg[idx[a]]
+        rank = (1 - damping) + damping * msg
+    return {v: rank[idx[v]] for v in ids}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (3, 1)],  # cycle
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 1), (6, 1)],  # mixed
+    ],
+)
+def test_pagerank_matches_numpy(spark, pairs):
+    e = edges_df(spark, pairs)
+    got = {r.id: r.rank for r in pagerank(e, iterations=15, damping=0.85).collect()}
+    ids = {a for a, _ in pairs} | {b for _, b in pairs}
+    want = numpy_pagerank(pairs, ids, 15, 0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), f"node {v}"
+
+
+def test_connected_components_two_islands(spark):
+    e = edges_df(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    got = {r.id: r.component for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_scc_textbook(spark):
+    # SCCs: {1,2,3} (cycle), {4,5} (2-cycle), {6} (sink)
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6)])
+    got = {r.id: r.component for r in strongly_connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_scc_dag_all_singletons(spark):
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+    got = {r.id: r.component for r in strongly_connected_components(e).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_scc_self_loop_singleton(spark):
+    e = edges_df(spark, [(1, 1), (1, 2), (2, 3), (3, 2)])
+    got = {r.id: r.component for r in strongly_connected_components(e).collect()}
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_label_propagation_two_cliques(spark):
+    clique1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    clique2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+    e = edges_df(spark, clique1 + clique2 + [(3, 10)])  # weak bridge
+    got = {r.id: r.community for r in label_propagation(e, iterations=10).collect()}
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1

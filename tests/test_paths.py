@@ -1,0 +1,85 @@
+"""Unit tests for the iterative path operators on hand-computable
+graphs — including the cyclic inputs the DuckDB oracle can't cover
+(reference cycle guard: src/Neo4jClient.ts:321-327)."""
+
+from __future__ import annotations
+
+import pytest
+
+from github_miner_spark.graph.paths import (
+    bfs_depths,
+    closure_path_counts,
+    k_hop,
+    reachable_set,
+    shortest_path_length,
+)
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame([(int(a), int(b)) for a, b in pairs], "src bigint, dst bigint")
+
+
+@pytest.fixture(scope="module")
+def diamond(spark):
+    # a=1 -> b=2, c=3; b,c -> d=4; d -> e=5  (two paths 1->4, two 1->5)
+    return edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)])
+
+
+@pytest.fixture(scope="module")
+def cycle(spark):
+    # 1 -> 2 -> 3 -> 1 plus exit 3 -> 4
+    return edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+
+
+def test_closure_multiplicity_diamond(diamond):
+    rows = {
+        (r.root, r.node): r.paths
+        for r in closure_path_counts(diamond, roots=[1]).collect()
+    }
+    assert rows == {(1, 2): 1, (1, 3): 1, (1, 4): 2, (1, 5): 2}
+
+
+def test_closure_all_roots_diamond(diamond):
+    rows = {(r.root, r.node): r.paths for r in closure_path_counts(diamond).collect()}
+    assert rows[(2, 4)] == 1 and rows[(2, 5)] == 1
+    assert rows[(4, 5)] == 1
+    assert rows[(1, 5)] == 2
+
+
+def test_closure_raises_on_cycle(cycle):
+    with pytest.raises(RuntimeError, match="cyclic"):
+        closure_path_counts(cycle, roots=[1], max_iter=10)
+
+
+def test_bfs_cycle_safe(cycle):
+    depths = {(r.root, r.node): r.depth for r in bfs_depths(cycle, roots=[1]).collect()}
+    assert depths == {(1, 2): 1, (1, 3): 2, (1, 1): 3, (1, 4): 3}
+
+
+def test_reachable_set_cycle(cycle):
+    nodes = {r.node for r in reachable_set(cycle, roots=[2]).collect()}
+    assert nodes == {1, 2, 3, 4}
+
+
+def test_k_hop_bounded(diamond):
+    got = {(r.node, r.depth) for r in k_hop(diamond, [1], k=2).collect()}
+    assert got == {(2, 1), (3, 1), (4, 2)}
+
+
+def test_k_hop_on_cycle_terminates(cycle):
+    got = {(r.node, r.depth) for r in k_hop(cycle, [1], k=3).collect()}
+    assert got == {(2, 1), (3, 2), (1, 3), (4, 3)}
+
+
+def test_shortest_path(diamond, cycle):
+    assert shortest_path_length(diamond, 1, 5) == 3
+    assert shortest_path_length(diamond, 5, 1) is None
+    assert shortest_path_length(cycle, 1, 1) == 3  # around the cycle
+
+
+def test_self_loop_reachability(spark):
+    e = edges_df(spark, [(1, 1), (1, 2)])
+    nodes = {r.node for r in reachable_set(e, roots=[1]).collect()}
+    assert nodes == {1, 2}
+    with pytest.raises(RuntimeError):
+        closure_path_counts(e, roots=[1], max_iter=5)
