@@ -91,10 +91,14 @@ TABLE_SCHEMAS: dict[str, StructType] = {
             StructField("l_shipdate", TimestampType()),
         ]
     ),
+    # ts is written as parquet TIMESTAMP(NANOS); Spark's vectorized reader
+    # has no ns timestamp type, so it is read as long (nanosAsLong) and
+    # converted to a microsecond TimestampType in load_table — matching
+    # DuckDB's ns -> us truncation so oracles agree.
     "events": StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", TimestampType()),
+            StructField("ts", LongType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -127,6 +131,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # ns-timestamp handling, see TABLE_SCHEMAS comment
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 

@@ -1,1 +1,134 @@
-"""Placeholder — populated in later milestones."""
+"""Event-stream analytics over the events table (SURVEY.md §2.10 — the
+reference itself is batch-only; these are the streaming-shaped
+capabilities expressed both as oracle-checked batch queries here and as
+Structured Streaming jobs in streaming/events.py, which tests prove
+equivalent to the batch forms via trigger(availableNow))."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from github_miner_spark.io.tables import load_table
+from github_miner_spark.registry import register
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type AS event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    description="Tumbling 1-hour window aggregation by event type — the batch "
+    "twin of the streaming windowed count",
+    tags=("events", "window-agg"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id AS user_id, session_seq AS session_seq,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    description="Gap-based sessionization (30-min inactivity) via lag + "
+    "running sum — the batch twin of streaming session windows",
+    tags=("events", "window", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.select(
+        "user_id", "ts", F.sum(new_session).over(run).alias("session_seq")
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "events_top_purchasers",
+    oracle="""
+    SELECT user_id, count(*) AS purchases, sum(value) AS total_spend
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY total_spend DESC, user_id ASC
+    LIMIT 10
+    """,
+    description="Top spenders on purchase events: filter -> agg -> top-k",
+    tags=("events", "agg", "topk"),
+)
+def events_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("purchases"), F.sum("value").alias("total_spend"))
+        .orderBy(F.desc("total_spend"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "events_daily_active_users",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(DISTINCT user_id) AS active_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+    description="Daily active users: exact distinct per day (at 100 TB, swap "
+    "count_distinct for approx_count_distinct / HLL sketch merge)",
+    tags=("events", "agg", "distinct"),
+)
+def events_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("day")
+    )

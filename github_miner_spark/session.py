@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the events table stores parquet TIMESTAMP(NANOS); read as long
+        # and convert (see io.tables) — Spark has no ns timestamp type
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # local-mode niceties; harmless on a cluster
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

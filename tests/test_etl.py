@@ -1,0 +1,126 @@
+"""Unit tests for the ETL layer: manifest parsing (incl. corrupt
+records and the has-dependencies filter), idempotent merge, and the
+mining partition planner / checkpoint-resume / backoff logic."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from github_miner_spark.etl.merge import merge_append, novel_rows
+from github_miner_spark.etl.mining import (
+    backoff_seconds,
+    fibonacci_date_windows,
+    partitions_df,
+    pending_partitions,
+    plan_partitions,
+)
+from github_miner_spark.etl.package_json import (
+    extract_dependency_edges,
+    filter_has_dependencies,
+    parse_manifests,
+    project_manifest,
+    with_dependency_totals,
+)
+
+GOOD_MANIFEST = {
+    "name": "left-pad",
+    "description": "pads left",
+    "maintainers": ["a", "b"],
+    "author": "someone",
+    "repository": {"type": "git", "url": "https://example.test/left-pad.git"},
+    "time": {"modified": "2019-09-20T23:46:58Z", "created": "2014-03-01T00:00:00Z"},
+    "dependencies": {"dep-a": "^1.0.0", "dep-b": "~2.1.0"},
+    "devDependencies": {"jest": "24.0.0"},
+    "peerDependencies": {},
+    "version": "1.3.0",
+    "homepage": "https://example.test",
+    "keywords": ["pad", "string"],
+    "engines": {"node": ">=6"},
+}
+
+NO_DEPS_MANIFEST = {"name": "empty-pkg", "dependencies": {}, "devDependencies": {}}
+SCOPED_MANIFEST = {"name": "@scope/pkg", "dependencies": {"@scope/core": "1.0.0"}}
+
+
+def raw_df(spark, payloads):
+    rows = [(p if isinstance(p, str) else json.dumps(p),) for p in payloads]
+    return spark.createDataFrame(rows, "raw_json string")
+
+
+def test_parse_project_golden(spark):
+    parsed = parse_manifests(raw_df(spark, [GOOD_MANIFEST]))
+    row = project_manifest(parsed).collect()[0]
+    assert row.name == "left-pad"
+    assert row.modified == "2019-09-20T23:46:58Z"
+    assert row.dependencies == {"dep-a": "^1.0.0", "dep-b": "~2.1.0"}
+    assert row.repository.type == "git"
+    assert row.keywords == ["pad", "string"]
+    totals = with_dependency_totals(project_manifest(parsed)).collect()[0]
+    assert (totals.dependenciesTotal, totals.devDependenciesTotal,
+            totals.peerDependenciesTotal) == (2, 1, 0)
+
+
+def test_corrupt_record_captured(spark):
+    parsed = parse_manifests(raw_df(spark, [GOOD_MANIFEST, "{not json!"]))
+    rows = parsed.collect()
+    corrupt = [r for r in rows if r.corrupt_record is not None]
+    assert len(corrupt) == 1 and corrupt[0].corrupt_record == "{not json!"
+    assert project_manifest(parsed).count() == 1
+
+
+def test_has_dependencies_filter(spark):
+    parsed = project_manifest(
+        parse_manifests(raw_df(spark, [GOOD_MANIFEST, NO_DEPS_MANIFEST, SCOPED_MANIFEST]))
+    )
+    kept = {r.name for r in filter_has_dependencies(parsed).collect()}
+    assert kept == {"left-pad", "@scope/pkg"}
+
+
+def test_extract_edges_flavors_and_scoped_names(spark):
+    parsed = project_manifest(parse_manifests(raw_df(spark, [GOOD_MANIFEST, SCOPED_MANIFEST])))
+    edges = {(r.src, r.dst, r.rel_type, r.version) for r in extract_dependency_edges(parsed).collect()}
+    assert ("left-pad", "dep-a", "DEPENDS_ON", "^1.0.0") in edges
+    assert ("left-pad", "jest", "DEV_DEPENDS_ON", "24.0.0") in edges
+    assert ("@scope/pkg", "@scope/core", "DEPENDS_ON", "1.0.0") in edges
+    assert not any(r[2] == "PEER_DEPENDS_ON" for r in edges)  # empty map -> no rows
+
+
+def test_merge_idempotent_and_novel(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    batch = spark.createDataFrame([(2, "b2"), (3, "c"), (3, "c-dup")], "k bigint, v string")
+    merged = merge_append(existing, batch, ["k"])
+    assert merged.count() == 3  # 1,2 kept; 3 added once
+    nov = novel_rows(existing, batch, ["k"]).collect()
+    assert len(nov) == 1 and nov[0].k == 3
+    # replay: merging the same batch again changes nothing
+    assert merge_append(merged, batch, ["k"]).count() == 3
+
+
+def test_fibonacci_windows_cover_lookback():
+    end = dt.date(2019, 12, 31)
+    wins = list(fibonacci_date_windows(end, 60))
+    assert wins[0][1] == end
+    widths = [(b - a).days + 1 for a, b in wins]
+    assert widths[:7] == [1, 2, 3, 5, 8, 13, 21]
+    # contiguous, non-overlapping, newest-first
+    for (a1, _), (_, b2) in zip(wins, wins[1:]):
+        assert a1 - dt.timedelta(days=1) == b2
+    covered = sum(widths)
+    assert covered == 60
+
+
+def test_plan_and_resume(spark):
+    parts = plan_partitions(dt.date(2019, 12, 31), lookback_days=30)
+    keys = [p.key for p in parts]
+    assert len(keys) == len(set(keys))  # unique partition keys
+    planned = partitions_df(spark, parts)
+    completed = planned.limit(5).select("partition_key")
+    pending = pending_partitions(planned, completed)
+    assert pending.count() == len(parts) - 5
+
+
+def test_backoff():
+    assert backoff_seconds(10, 2000, 1000) == 0
+    assert backoff_seconds(0, 2000, 1000) == 1000
+    assert backoff_seconds(0, 500, 1000) == 0

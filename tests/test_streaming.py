@@ -1,0 +1,53 @@
+"""Structured Streaming equivalence: the availableNow streaming drain
+must produce the same windowed aggregates as the batch twin."""
+
+from __future__ import annotations
+
+import tempfile
+
+from github_miner_spark.queries.events_queries import events_tumbling_hourly
+from github_miner_spark.streaming.events import (
+    run_available_now,
+    stream_events,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_matches_batch(spark):
+    stream = stream_events(spark, SF)
+    assert stream.isStreaming
+    result = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, ckpt, query_name="t_events_stream")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_events_stream").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in events_tumbling_hourly(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, tv) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - tv) < 1e-6
+
+
+def test_streaming_rate_limited_resume(spark):
+    # maxFilesPerTrigger=1: the whole table is one file, so one batch —
+    # the point is the option plumbs through and the drain still matches
+    stream = stream_events(spark, SF, max_files_per_trigger=1)
+    result = windowed_event_counts(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, ckpt, query_name="t_events_stream2")
+        n1 = spark.sql("SELECT count(*) c FROM t_events_stream2").collect()[0].c
+        # re-run on the same checkpoint: the source is exhausted, so no
+        # batch fires and the fresh memory table stays empty — the file
+        # was NOT reprocessed (exactly-once, the reference's
+        # processed-date-ranges skip semantics)
+        run_available_now(result, ckpt, query_name="t_events_stream2")
+        n2 = spark.sql("SELECT count(*) c FROM t_events_stream2").collect()[0].c
+    assert n1 > 0
+    assert n2 == 0
