@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, and a deterministic
+random-hyperplane LSH bucketing as the scale path.
+
+Pure Catalyst expressions: dot products via zip_with + aggregate (JVM
+codegen, no Python). Scores are rounded to 6dp before ranking so the
+top-k frontier is stable across engines (Spark computes in float32 ->
+double, DuckDB in double; unrounded near-ties would flip ranks).
+
+Scale notes: brute-force is O(|queries| x |corpus|) with the query side
+broadcast — right up to a few thousand probes over any corpus size
+(one scan, no shuffle). Past that, the LSH path buckets the corpus once
+(B hyperplane bits -> 2^B buckets) and only scans the probe's bucket;
+recall is tunable via B and multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from github_miner_spark.functions.text import token_hash
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the probe vectors against the full
+    corpus, rank by (rounded score desc, id). Excludes self-matches.
+    Returns (query_id, neighbor_id, score, rank)."""
+    from pyspark.sql.window import Window
+
+    q = embeddings.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def hyperplane_bit(vec: Column, plane: int, dims: int) -> Column:
+    """Sign bit of <vec, h_plane> where h_plane[i] = ±1 derived from the
+    portable md5 hash of 'plane_i' — deterministic pseudo-random
+    hyperplanes identical in Spark and DuckDB."""
+    signs = F.array(
+        *[
+            (token_hash(F.lit(f"{plane}_{i}")) % 2 * 2 - 1).cast("double")
+            for i in range(dims)
+        ]
+    )
+    d = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x * s), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return F.when(d > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: Column, n_planes: int, dims: int) -> Column:
+    """Pack n_planes hyperplane sign bits into a bucket id."""
+    acc = F.lit(0)
+    for p in range(n_planes):
+        acc = acc + hyperplane_bit(vec, p, dims) * F.lit(1 << p)
+    return acc
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket the corpus by hyperplane LSH, score
+    only neighbors in the probe's bucket. Returns (query_id,
+    neighbor_id, score, rank) — a subset of the brute-force result
+    (same scoring), with recall traded for a 2^n_planes scan reduction."""
+    from pyspark.sql.window import Window
+
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dims))
+    q = bucketed.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1,0 +1,158 @@
+"""Text-analysis operators for LLM-data pipelines: tokenization,
+quality scoring, language ID, fingerprinting, shingling.
+
+Everything here is pure Catalyst column expressions (higher-order array
+functions, no Python UDFs) so the hot path stays inside whole-stage
+codegen and scales to 100 TB of documents. Every primitive has an exact
+DuckDB twin (list_transform / list_filter / list_reduce) used by the
+query oracles — the portable token hash is the first 8 hex chars of
+md5, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# modulus for rolling-hash fingerprints: keeps list_reduce arithmetic
+# inside 2^45 so DuckDB BIGINT (which errors on overflow) and Spark long
+# (which wraps) behave identically
+FINGERPRINT_MOD = 1 << 40
+
+MINHASH_PRIME = (1 << 31) - 1
+
+STOPWORDS = {
+    "en": ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por", "con", "para"],
+    "de": ["der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit", "auf", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "en", "que", "pour", "dans"],
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, split on whitespace.
+    Oracle twin: list_filter(str_split(regexp_replace(lower(t),
+    '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")
+    return F.filter(F.split(cleaned, " "), lambda t: t != "")
+
+
+def token_hash(token: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 as BIGINT."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint")
+
+
+def token_hashes(tokens: Column) -> Column:
+    return F.transform(tokens, token_hash)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def stopword_ratio(tokens: Column, lang: str = "en") -> Column:
+    """Fraction of tokens (with multiplicity) that are stopwords."""
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.filter(tokens, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(tokens) > 0, hits / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def char_class_ratio(text: Column, pattern: str) -> Column:
+    """Fraction of characters matching a regex char class (punct,
+    digit, ...): 1 - len(strip(class)) / len(text)."""
+    total = F.length(text)
+    stripped = F.length(F.regexp_replace(text, pattern, ""))
+    return F.when(total > 0, (total - stripped) / total).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    return char_class_ratio(text, r"[.,;:!?'\"()\[\]{}-]")
+
+
+def digit_ratio(text: Column) -> Column:
+    return char_class_ratio(text, "[0-9]")
+
+
+def mean_token_length(tokens: Column) -> Column:
+    total = F.aggregate(
+        tokens, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(tokens) > 0, total / F.size(tokens)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards stopword presence
+    (natural prose) and moderate token length; penalizes punctuation
+    and digit noise. The exact formula is pinned by the oracle."""
+    toks = tokenize(text)
+    sw = stopword_ratio(toks)
+    mtl = mean_token_length(toks)
+    length_term = F.lit(1.0) - F.least(F.abs(mtl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * F.least(sw * F.lit(4.0), F.lit(1.0))
+        + F.lit(0.3) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - F.least((punct_ratio(text) + digit_ratio(text)) * F.lit(3.0), F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def language_id(text: Column) -> Column:
+    """N-gram-free language ID heuristic: the language whose stopword
+    list hits the most tokens (ties -> lexicographically first lang);
+    'und' (undetermined) when nothing hits."""
+    toks = tokenize(text)
+    pairs = []
+    for lang in sorted(STOPWORDS):
+        stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        pairs.append(F.struct((-hits).alias("neg_hits"), F.lit(lang).alias("lang"), hits.alias("hits")))
+    best = F.array_min(F.array(*pairs))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling-hash document fingerprint:
+    fold tokens with acc = (acc*31 + H(token)) mod 2^40."""
+    hashes = token_hashes(tokenize(text))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(FINGERPRINT_MOD),
+    )
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3'); empty array when
+    the document has fewer than n tokens."""
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    # guard short documents explicitly
+    idx = F.when(
+        F.size(tokens) >= n, F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct hashed word-n-gram shingles of a document."""
+    return F.array_distinct(F.transform(word_shingles(tokenize(text), n), token_hash))
+
+
+def minhash_signature(shingles_hashed: Column, k: int = 16) -> Column:
+    """k-perm MinHash signature over hashed shingles:
+    sig_i = min over s of ((2i+1)*H(s) + 7919*i) mod (2^31-1).
+    Empty shingle set -> sig of all MINHASH_PRIME (sentinel)."""
+    def perm(i: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                shingles_hashed,
+                lambda h: ((F.lit(2) * i + F.lit(1)) * h + F.lit(7919) * i) % F.lit(MINHASH_PRIME),
+            )
+        )
+
+    sig = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), lambda i: perm(i.cast("bigint")))
+    return F.transform(sig, lambda v: F.coalesce(v, F.lit(MINHASH_PRIME)))

@@ -1,1 +1,204 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication queries over the documents table (LLM-pipeline
+dedup: exact, n-gram Jaccard, MinHash+LSH, SimHash) — each with an
+exact DuckDB oracle built from the same portable primitives
+(md5-prefix hashes, identical permutation constants).
+
+The test corpus contains PLANTED near-duplicate pairs (Jaccard ≈ 0.99),
+so the near-dup queries return non-trivial results at every scale
+factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from github_miner_spark.functions.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from github_miner_spark.functions.text import FINGERPRINT_MOD, MINHASH_PRIME  # noqa: F401
+from github_miner_spark.io.tables import load_table
+from github_miner_spark.queries.text_queries import DUCK_HASH, DUCK_TOKENS
+from github_miner_spark.registry import register
+
+# shared oracle CTEs: tokens -> distinct hashed 3-gram shingles per doc
+DUCK_SHINGLES_CTE = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> {DUCK_HASH.format(v="concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}))
+              ELSE [] END AS shingles
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+jpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(inter * 1.0 / (sa.n_shingles + sb.n_shingles - inter), 6) AS jaccard
+  FROM jpairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+@register(
+    "exact_dedup_summary",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1
+    )
+    SELECT count(*) AS n_groups,
+           count(*) FILTER (WHERE n_docs > 1) AS dup_groups,
+           sum(n_docs) AS n_docs_total,
+           sum(n_docs - 1) AS removable
+    FROM g
+    """,
+    description="Exact dedup via hash-groupBy on md5(text): group counts and "
+    "removable-row tally (one shuffle at any scale)",
+    tags=("dedup", "exact"),
+)
+def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    g = exact_dup_groups(docs)
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(F.col("n_docs") > 1, 1)).alias("dup_groups"),
+        F.sum("n_docs").alias("n_docs_total"),
+        F.sum(F.col("n_docs") - 1).alias("removable"),
+    )
+
+
+@register(
+    "ngram_jaccard_dups",
+    oracle=DUCK_SHINGLES_CTE
+    + """
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    description="Near-dup pairs by exact word-3-gram Jaccard >= 0.8 via the "
+    "inverted shingle index (candidates bounded by co-occurrence, not n^2)",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return jaccard_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle() -> str:
+    perms = (
+        "list_transform(generate_series(0, 15), i -> "
+        "coalesce(list_min(list_transform(shingles, "
+        f"h -> ((2*i+1)*h + 7919*i) % {MINHASH_PRIME})), {MINHASH_PRIME}))"
+    )
+    band_selects = []
+    for bi in range(4):
+        elems = ", ".join(f"sig[{bi * 4 + j + 1}]::VARCHAR" for j in range(4))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', {elems})) AS bucket FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return (
+        DUCK_SHINGLES_CTE
+        + f"""
+    , sigs AS (SELECT doc_id, {perms} AS sig FROM sh),
+    buckets AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, j.jaccard
+    FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= 0.5
+    ORDER BY c.doc_a, c.doc_b
+    """
+    )
+
+
+@register(
+    "minhash_lsh_dups",
+    oracle=_minhash_oracle(),
+    description="MinHash(16 perms) + LSH(4 bands x 4 rows) candidate pairs, "
+    "verified with exact Jaccard >= 0.5 — the scale path for near-dedup",
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def _simhash_oracle_expr() -> str:
+    terms = []
+    for b in range(32):
+        terms.append(
+            "(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) % 2) * 2 - 1)) > 0 "
+            "THEN {p}::BIGINT ELSE 0 END)".format(b=b, p=1 << b)
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_CTE = f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(toks, t -> {DUCK_HASH.format(v='t')}) AS hs
+  FROM t
+),
+sims AS (SELECT doc_id, {_simhash_oracle_expr()} AS simhash FROM h)
+"""
+
+
+@register(
+    "simhash_values",
+    oracle=_SIMHASH_CTE + "SELECT doc_id, simhash FROM sims ORDER BY doc_id",
+    description="32-bit SimHash per document (bitwise majority of token "
+    "hashes with multiplicity)",
+    tags=("dedup", "simhash"),
+)
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash(docs).orderBy("doc_id")
+
+
+@register(
+    "simhash_near_dups",
+    oracle=_SIMHASH_CTE
+    + """
+    , bands AS (
+      SELECT doc_id, b AS band, (simhash >> (8 * b)) % 256 AS bucket
+      FROM sims, generate_series(0, 3) AS g(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+    FROM cand c
+    JOIN sims sa ON sa.doc_id = c.doc_a
+    JOIN sims sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+    ORDER BY c.doc_a, c.doc_b
+    """,
+    description="SimHash near-dup pairs: byte-banded candidates verified by "
+    "hamming distance <= 6",
+    tags=("dedup", "simhash", "lsh"),
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_near_pairs(docs, max_hamming=6).orderBy("doc_a", "doc_b")

@@ -1,1 +1,140 @@
-"""Placeholder — populated in later milestones."""
+"""Similarity-search and multimodal queries (LLM-pipeline operators).
+
+Embedding math is done in double precision with sequential folds on
+both engines (explicit dot/norm SQL in the oracle — never DuckDB's
+built-in cosine, whose accumulation order may differ), and scores are
+rounded to 6dp before ranking so top-k frontiers agree.
+
+The LSH top-k variant registers WITHOUT an oracle (rows-only driver
+check): its correctness contract — results are a subset of the
+brute-force scored pairs with bounded recall loss — is asserted in
+tests/test_similarity.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from github_miner_spark.functions.multimodal import (
+    documents_as_media,
+    extract_byte_features,
+)
+from github_miner_spark.functions.similarity import brute_force_topk, cosine, lsh_topk
+from github_miner_spark.io.tables import load_table
+from github_miner_spark.registry import register
+
+PROBE_IDS = [0, 1, 2, 3, 4]
+
+# doubles, sequential fold — matches Spark's aggregate() order
+_DUCK_EMB = "list_transform(embedding, x -> x::DOUBLE)"
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * ev[i]))"
+)
+_DUCK_NORM_Q = "sqrt(list_sum(list_transform(qv, x -> x * x)))"
+_DUCK_NORM_E = "sqrt(list_sum(list_transform(ev, x -> x * x)))"
+
+
+@register(
+    "embedding_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_DUCK_DOT} / ({_DUCK_NORM_Q} * {_DUCK_NORM_E}), 6) AS score
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    description="Exact cosine top-5 neighbors for 5 probe vectors: broadcast "
+    "probes x full corpus scan, JVM-side zip_with/aggregate dot products",
+    tags=("similarity", "ann", "topk"),
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return brute_force_topk(emb, PROBE_IDS, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "embedding_similarity_buckets",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    p AS (
+      SELECT round(
+               list_sum(list_transform(generate_series(1, len(a.ev)),
+                        i -> a.ev[i] * b.ev[i]))
+               / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.ev, x -> x * x)))), 6) AS c
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT count(*) FILTER (WHERE c >= 0.5) AS ge_05,
+           count(*) FILTER (WHERE c >= 0.4 AND c < 0.5) AS ge_04,
+           count(*) FILTER (WHERE c >= 0.3 AND c < 0.4) AS ge_03,
+           count(*) AS n_pairs
+    FROM p
+    """,
+    description="All-pairs cosine histogram (near-dup-by-embedding scan): "
+    "pair counts by similarity bucket",
+    tags=("similarity", "dedup"),
+)
+def embedding_similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    c = F.round(cosine(F.col("a.ev"), F.col("b.ev")), 6)
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(c.alias("c"))
+    return pairs.agg(
+        F.count(F.when(F.col("c") >= 0.5, 1)).alias("ge_05"),
+        F.count(F.when((F.col("c") >= 0.4) & (F.col("c") < 0.5), 1)).alias("ge_04"),
+        F.count(F.when((F.col("c") >= 0.3) & (F.col("c") < 0.4), 1)).alias("ge_03"),
+        F.count("*").alias("n_pairs"),
+    )
+
+
+@register(
+    "embedding_lsh_topk",
+    description="Approximate top-5 via 4-bit random-hyperplane LSH bucketing "
+    "(deterministic md5-derived hyperplanes). No SQL oracle: subset-of-"
+    "bruteforce + recall contract asserted in tests/test_similarity.py.",
+    tags=("similarity", "ann", "lsh", "no-oracle"),
+)
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return lsh_topk(emb, PROBE_IDS, k=5, n_planes=4, dims=64).orderBy("query_id", "rank")
+
+
+@register(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_bytes,
+           (list_sum(list_transform(generate_series(1, least(16, length(text))),
+                     i -> ascii(substr(text, i, 1)))) % 100000)::BIGINT AS prefix_checksum,
+           'text/plain' AS mime
+    FROM documents
+    ORDER BY doc_id
+    """,
+    description="Multimodal plumbing: binary media column + Arrow-batched "
+    "mapInPandas feature extraction (deterministic byte features standing in "
+    "for the stubbed decoder) — oracle recomputes from the source text",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    media = documents_as_media(docs)
+    return extract_byte_features(media).orderBy("doc_id")

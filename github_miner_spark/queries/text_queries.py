@@ -1,1 +1,198 @@
-"""Placeholder — populated in later milestones."""
+"""Text-analysis queries over the documents table (LLM-pipeline
+operators: token stats, quality scoring, language ID, fingerprints) —
+all pure column expressions with exact DuckDB oracles.
+
+The shared SQL fragments below mirror functions/text.py primitive for
+primitive (same regex, same md5-prefix hash, same fold) — the oracle
+equality at sf0.01 is what proves the two implementations agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from github_miner_spark.functions.text import (
+    FINGERPRINT_MOD,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    mean_token_length,
+    quality_score,
+    shingle_hashes,
+    token_count,
+    tokenize,
+)
+from github_miner_spark.io.tables import load_table
+from github_miner_spark.registry import register
+
+# DuckDB twins of the functions/text.py primitives
+DUCK_TOKENS = (
+    "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),"
+    " x -> x <> '')"
+)
+DUCK_HASH = "('0x' || substr(md5({v}), 1, 8))::BIGINT"
+
+
+def _duck_stop_hits(lang: str, toks: str = "toks") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6)
+             AS mean_token_len
+    FROM t WHERE len(toks) > 0
+    ORDER BY doc_id
+    """,
+    description="Per-document token statistics (token counting for LLM data "
+    "pipelines): counts, distinct counts, mean token length",
+    tags=("text", "tokens"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.round(mean_token_length(toks), 6).alias("mean_token_len"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) > 0
+             THEN {_duck_stop_hits('en')} * 1.0 / len(toks) ELSE 0.0 END AS sw,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+             ELSE 0.0 END AS mtl,
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text,
+                    '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0.0 END AS punct,
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  * 1.0 / length(text)
+             ELSE 0.0 END AS dig
+      FROM t
+    )
+    SELECT doc_id,
+           round(0.4 * least(sw * 4.0, 1.0)
+                 + 0.3 * (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0))
+                 + 0.3 * (1.0 - least((punct + dig) * 3.0, 1.0)), 6) AS quality
+    FROM m ORDER BY doc_id
+    """,
+    description="Heuristic quality score per document: stopword density, "
+    "token-length profile, punctuation/digit noise",
+    tags=("text", "quality"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+
+
+@register(
+    "language_id_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             {_duck_stop_hits('de')} AS h_de,
+             {_duck_stop_hits('en')} AS h_en,
+             {_duck_stop_hits('es')} AS h_es,
+             {_duck_stop_hits('fr')} AS h_fr
+      FROM t
+    ), pred AS (
+      SELECT doc_id, lang,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM hits
+    )
+    SELECT lang AS lang_label, lang_pred, count(*) AS n
+    FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """,
+    description="Language-ID heuristic (stopword voting, ties -> "
+    "lexicographically first language) cross-tabulated against the lang label",
+    tags=("text", "lang-id"),
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.col("lang").alias("lang_label"), language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(toks, t -> {DUCK_HASH.format(v='t')})),
+             (acc, h) -> (acc * 31 + h) % {FINGERPRINT_MOD}
+           ) AS fp
+    FROM t WHERE len(toks) > 0
+    ORDER BY doc_id
+    """,
+    description="Order-sensitive rolling-hash document fingerprint "
+    "(fold of md5-prefix token hashes)",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"), token_count(F.col("text")).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_shingle_profile",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> {DUCK_HASH.format(v="concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}))
+                  ELSE [] END AS shingles
+      FROM t
+    )
+    SELECT doc_id, len(shingles) AS n_shingles FROM sh ORDER BY doc_id
+    """,
+    description="Distinct hashed word-3-gram shingles per document — the "
+    "input relation for MinHash/Jaccard dedup",
+    tags=("text", "shingles"),
+)
+def doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", F.size(shingle_hashes(F.col("text"))).alias("n_shingles")
+    ).orderBy("doc_id")
