@@ -271,15 +271,21 @@ def build_graph(spark: SparkSession, sf_dir: str, cache: bool = False) -> Proper
     return g
 
 
-def cyclic_module_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cyclic_module_edges(
+    spark: SparkSession, sf_dir: str, mm: DataFrame | None = None
+) -> DataFrame:
     """Module graph with REAL cycles for SCC/community algorithms: the
     DEPENDS_ON DAG plus deterministic back edges (reverse of the
     p -> 2p+1 tree edge when p % 32 == 0). Mirrors the reference's SCC
     input, where cyclic npm dependencies yield small multi-node
     components (setCount 56,291 / maxSetSize 9,
-    documentation/queries.md:133). Oracle twin: CYCLIC_EDGES_CTE."""
+    documentation/queries.md:133). Oracle twin: CYCLIC_EDGES_CTE.
+
+    Pass ``mm`` (the module DEPENDS_ON edge set, e.g. from the
+    materialized store) to avoid re-deriving it."""
     part = load_table(spark, "part", sf_dir)
-    mm = build_graph(spark, sf_dir).module_dep_edges()
+    if mm is None:
+        mm = build_graph(spark, sf_dir).module_dep_edges()
     p = part.select("p_partkey")
     keys = p.withColumnRenamed("p_partkey", "k")
     back = (

@@ -23,9 +23,9 @@ from github_miner_spark.graph.algorithms import (
 from github_miner_spark.graph.model import (
     CYCLIC_EDGES_CTE,
     GRAPH_ORACLE_CTES,
-    build_graph,
     cyclic_module_edges,
 )
+from github_miner_spark.graph.store import load_graph
 from github_miner_spark.registry import register
 
 # Mutual-reachability oracle over the cyclified module graph:
@@ -71,7 +71,7 @@ _SCC_ORACLE_BASE = (
     tags=("graph", "algorithm", "iterative"),
 )
 def scc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ce = cyclic_module_edges(spark, sf_dir)
+    ce = cyclic_module_edges(spark, sf_dir, mm=load_graph(spark, sf_dir).module_dep_edges())
     comp = strongly_connected_components(ce)
     sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
     return sizes.agg(
@@ -93,7 +93,7 @@ def scc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "algorithm", "iterative"),
 )
 def scc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ce = cyclic_module_edges(spark, sf_dir)
+    ce = cyclic_module_edges(spark, sf_dir, mm=load_graph(spark, sf_dir).module_dep_edges())
     comp = strongly_connected_components(ce)
     return (
         comp.groupBy("component")
@@ -132,7 +132,7 @@ def scc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "algorithm", "iterative"),
 )
 def connected_components_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = build_graph(spark, sf_dir).module_dep_edges()
+    mm = load_graph(spark, sf_dir).module_dep_edges()
     sub = mm.filter(
         (F.col("src") >= 10002) & (F.col("src") < 12002)
         & (F.col("dst") >= 10002) & (F.col("dst") < 12002)
@@ -156,7 +156,7 @@ def connected_components_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "algorithm", "iterative", "no-oracle"),
 )
 def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
     ranks = pagerank(mm, iterations=20, damping=0.85)
     names = g.vertices.select("id", "name")
@@ -177,7 +177,7 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "algorithm", "iterative", "no-oracle"),
 )
 def label_propagation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = build_graph(spark, sf_dir).module_dep_edges()
+    mm = load_graph(spark, sf_dir).module_dep_edges()
     comm = label_propagation(mm, iterations=8)
     sizes = comm.groupBy("community").agg(F.count("*").alias("sz"))
     return sizes.agg(

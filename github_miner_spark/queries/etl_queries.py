@@ -19,8 +19,8 @@ from github_miner_spark.etl.package_json import extract_dependency_edges
 from github_miner_spark.graph.model import (
     GRAPH_ORACLE_CTES,
     NODE_MODULE,
-    build_edges,
 )
+from github_miner_spark.graph.store import load_graph
 from github_miner_spark.io.tables import load_table
 from github_miner_spark.registry import register
 
@@ -29,7 +29,7 @@ def _module_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize manifest rows (name, dependencies/devDependencies/
     peerDependencies maps) for every module from the module->module
     edges — the inverse of ingestion, used to exercise ingestion."""
-    e = build_edges(spark, sf_dir)
+    e = load_graph(spark, sf_dir).edges
     mm = e.filter((e.src_label == NODE_MODULE) & (e.dst_label == NODE_MODULE) & (e.src != e.dst))
     per_rel = (
         mm.groupBy("src", "rel_type")
@@ -145,7 +145,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("etl", "merge", "dedup"),
 )
 def idempotent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = build_edges(spark, sf_dir)
+    e = load_graph(spark, sf_dir).edges
     keys = ["src", "dst", "rel_type"]
     merged = merge_append(e, e, keys)  # replay the same batch
     return merged.agg(

@@ -21,10 +21,8 @@ from github_miner_spark.graph.model import (
     NODE_MODULE,
     OWNS,
     PEER_DEPENDS_ON,
-    build_edges,
-    build_graph,
-    build_vertices,
 )
+from github_miner_spark.graph.store import load_graph
 from github_miner_spark.registry import register
 
 
@@ -50,7 +48,7 @@ from github_miner_spark.registry import register
     tags=("graph", "agg", "topk"),
 )
 def top_dependants_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     e = g.edges
     counts = (
         e.filter((e.rel_type == DEPENDS_ON) & (e.dst_label == NODE_MODULE))
@@ -87,7 +85,7 @@ def top_dependants_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "agg", "pivot"),
 )
 def degree_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = build_edges(spark, sf_dir)
+    e = load_graph(spark, sf_dir).edges
     # conditional aggregation instead of pivot: one shuffle, no second pass
     return (
         e.filter(e.dst_label == NODE_MODULE)
@@ -120,7 +118,7 @@ def degree_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "agg"),
 )
 def dependants_by_endpoint_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = build_edges(spark, sf_dir)
+    e = load_graph(spark, sf_dir).edges
     return (
         e.filter((e.rel_type == DEPENDS_ON) & (e.dst_label == NODE_MODULE))
         .groupBy(e.dst.alias("module_id"))
@@ -148,7 +146,7 @@ def dependants_by_endpoint_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "filter"),
 )
 def self_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     e = g.edges
     loops = e.filter(e.src == e.dst).select(e.src.alias("module_id"), "rel_type")
     v = g.vertices.select("id", F.col("name").alias("module_name"))
@@ -169,7 +167,7 @@ def self_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "agg"),
 )
 def meta_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = build_edges(spark, sf_dir)
+    e = load_graph(spark, sf_dir).edges
     return e.groupBy("src_label", "rel_type", "dst_label").agg(F.count("*").alias("edge_count"))
 
 
@@ -180,7 +178,7 @@ def meta_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "agg"),
 )
 def label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = build_vertices(spark, sf_dir)
+    v = load_graph(spark, sf_dir).vertices
     return v.groupBy("label").agg(F.count("*").alias("n"))
 
 
@@ -191,7 +189,7 @@ def label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "agg"),
 )
 def rel_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = build_edges(spark, sf_dir)
+    e = load_graph(spark, sf_dir).edges
     return e.groupBy("rel_type").agg(F.count("*").alias("n"))
 
 
@@ -212,7 +210,7 @@ def rel_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join"),
 )
 def modules_used_by_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     e = g.edges
     # repo id 421 = orderkey 42; selective filter -> broadcast name join
     hops = e.filter((e.src == 421) & (e.dst_label == NODE_MODULE))
@@ -241,7 +239,7 @@ def modules_used_by_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "join"),
 )
 def repos_depending_on_module(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     e = g.edges
     deps = e.filter((e.dst == 72) & (e.rel_type == DEPENDS_ON) & (e.src_label == GIT_REPO)).select(
         e.src.alias("repo_id")
@@ -274,7 +272,7 @@ def repos_depending_on_module(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "agg", "topk"),
 )
 def users_by_repos_owned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     e = g.edges
     counts = e.filter(e.rel_type == OWNS).groupBy(e.src.alias("user_id")).agg(
         F.count("*").alias("repos_owned")
@@ -304,7 +302,7 @@ def users_by_repos_owned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "outer-join"),
 )
 def hosted_on_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     e = g.edges
     hosted = e.filter(e.rel_type == "HOSTED_ON").select(
         e.src.alias("hosted_module_id"), e.dst.alias("hosted_repo_id")
@@ -338,7 +336,7 @@ def hosted_on_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "algorithm"),
 )
 def preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = build_edges(spark, sf_dir)
+    e = load_graph(spark, sf_dir).edges
     dep = e.filter(e.rel_type == DEPENDS_ON)
     # total degree (in+out) over DEPENDS_ON for the two probe nodes
     touch = dep.select(F.col("src").alias("id")).unionAll(dep.select(F.col("dst").alias("id")))

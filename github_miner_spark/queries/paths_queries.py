@@ -18,9 +18,8 @@ from github_miner_spark.graph.model import (
     DEV_DEPENDS_ON,
     GRAPH_ORACLE_CTES,
     NODE_MODULE,
-    build_edges,
-    build_graph,
 )
+from github_miner_spark.graph.store import load_graph
 from github_miner_spark.graph.paths import (
     bfs_depths,
     closure_path_counts,
@@ -50,7 +49,7 @@ ANCHOR_MODULE = 2
     tags=("graph", "paths", "iterative"),
 )
 def closure_counts_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     closure = closure_path_counts(g.module_dep_edges(), roots=[ANCHOR_MODULE])
     return closure.agg(
         F.sum("paths").alias("paths"),
@@ -76,7 +75,7 @@ def closure_counts_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "paths", "iterative"),
 )
 def closure_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
     roots = mm.filter(F.col("src") < 100).select(F.col("src").alias("root")).distinct()
     closure = closure_path_counts(mm, roots=roots)
@@ -103,7 +102,7 @@ def closure_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "paths", "iterative"),
 )
 def bfs_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     depths = bfs_depths(g.module_dep_edges(), roots=[ANCHOR_MODULE])
     return depths.select("node", "depth").orderBy("node")
 
@@ -128,7 +127,7 @@ def bfs_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "paths", "iterative"),
 )
 def depth_extremes_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
     roots = mm.filter(F.col("src") < 200).select(F.col("src").alias("root")).distinct()
     depths = bfs_depths(mm, roots=roots)
@@ -164,7 +163,7 @@ def depth_extremes_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "paths", "k-hop"),
 )
 def two_hop_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = build_edges(spark, sf_dir)
+    e = load_graph(spark, sf_dir).edges
     rels = e.filter(
         e.rel_type.isin(DEPENDS_ON, DEV_DEPENDS_ON) & (e.src != e.dst)
     ).select("src", "dst")
@@ -191,7 +190,7 @@ def two_hop_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "paths", "enumeration"),
 )
 def dependency_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_graph(spark, sf_dir)
+    g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
     # accumulate the id chain as an array column over 4 expansion steps
     frontier = (
