@@ -226,6 +226,178 @@ def strongly_connected_components(edges: DataFrame, max_iter: int = 200) -> Data
     return out
 
 
+def _symmetrize_weighted(edges: DataFrame) -> DataFrame:
+    """Distinct directed pairs in both directions, weight 1.0 each,
+    self-loops dropped: the undirected-graph representation used by
+    louvain/modularity. (src, dst, w)."""
+    return (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _louvain_phase1(sym: DataFrame, m2: float, max_sweeps: int) -> DataFrame:
+    """Louvain local-moving phase over a weighted symmetric edge set
+    (src, dst, w); self-rows (src==dst) carry intra-node weight from
+    prior aggregation levels. Returns (id, community).
+
+    Semi-synchronous: each sweep moves even-id nodes then odd-id nodes
+    (two half-sweeps), which prevents the two-coloring oscillation that
+    plain synchronous moving exhibits, while staying set-at-a-time.
+    Ties break to the smallest community id, so runs are deterministic.
+    """
+    k = sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    k = k.localCheckpoint(eager=True)
+    comm = k.select("id", F.col("id").alias("community"))
+    for _ in range(max_sweeps):
+        moved_any = False
+        for parity in (0, 1):
+            sum_tot = (
+                comm.join(k, "id").groupBy("community").agg(F.sum("k").alias("tot"))
+            )
+            nbr_comm = comm.select(
+                F.col("id").alias("dst"), F.col("community").alias("opt")
+            )
+            # neighbour-community weights, self-rows excluded (edges to
+            # the moving node travel with it)
+            k_in = (
+                sym.filter(F.col("src") != F.col("dst"))
+                .join(nbr_comm, "dst")
+                .groupBy("src", "opt")
+                .agg(F.sum("w").alias("k_in"))
+            )
+            cur = comm.select(
+                F.col("id").alias("src"),
+                F.col("community").alias("cur"),
+                F.col("community").alias("opt"),
+                F.lit(0.0).alias("k_in"),
+            )
+            options = (
+                k_in.join(comm.select(F.col("id").alias("src"), F.col("community").alias("cur")), "src")
+                .select("src", "cur", "opt", "k_in")
+                .unionByName(cur)
+                .groupBy("src", "cur", "opt")
+                .agg(F.max("k_in").alias("k_in"))
+            )
+            scored = (
+                options.join(sum_tot, options.opt == sum_tot.community)
+                .join(k.select(F.col("id").alias("src"), "k"), "src")
+                .withColumn(
+                    "adj_tot",
+                    F.col("tot") - F.when(F.col("opt") == F.col("cur"), F.col("k")).otherwise(0.0),
+                )
+                .withColumn("score", F.col("k_in") - F.col("k") * F.col("adj_tot") / F.lit(m2))
+            )
+            best = (
+                scored.withColumn("ord", F.struct((-F.col("score")).alias("ns"), F.col("opt")))
+                .groupBy("src", "cur")
+                .agg(F.min("ord").alias("b"))
+                .select(
+                    F.col("src").alias("id"),
+                    F.col("cur"),
+                    F.col("b.opt").alias("choice"),
+                )
+            )
+            # hash parity, not id parity: real id spaces are often all
+            # even (ours: p*10+2), which would degenerate the half-sweep
+            # into fully-synchronous moving and oscillate on pair swaps
+            new_comm = best.select(
+                "id",
+                F.when(F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == parity, F.col("choice"))
+                .otherwise(F.col("cur"))
+                .alias("community"),
+            ).localCheckpoint(eager=True)
+            changed = not (
+                new_comm.alias("n")
+                .join(comm.alias("o"), "id")
+                .filter(F.col("n.community") != F.col("o.community"))
+                .isEmpty()
+            )
+            comm = new_comm
+            moved_any = moved_any or changed
+        if not moved_any:
+            break
+    return comm
+
+
+def louvain(edges: DataFrame, max_sweeps: int = 5, levels: int = 2) -> DataFrame:
+    """Louvain community detection as DataFrame iteration — the real
+    modularity-optimizing algorithm, not a label-propagation stand-in
+    (reference runs algo.louvain.stream per rel-type,
+    documentation/queries.md:82-98).
+
+    Level 1 runs local moving on the input graph; each further level
+    aggregates communities into super-nodes (edge weights summed,
+    intra-community weight becoming self-rows) and re-runs local moving,
+    then maps assignments back. Returns (id, community) with community =
+    min member id (canonical, deterministic)."""
+    sym = _symmetrize_weighted(edges)
+    m2 = sym.agg(F.sum("w")).collect()[0][0]  # scalar 2m, loop constant
+    if not m2:
+        return edges.sparkSession.createDataFrame([], "id bigint, community bigint")
+
+    assignment = _louvain_phase1(sym, float(m2), max_sweeps)
+    for _ in range(1, levels):
+        # aggregate: super-node per community, weights summed (self-rows
+        # keep the intra-community mass so super-level degrees are right)
+        cmap_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("csrc"))
+        cmap_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("cdst"))
+        super_sym = (
+            sym.join(cmap_src, "src")
+            .join(cmap_dst, "dst")
+            .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        if super_sym.filter(F.col("src") != F.col("dst")).isEmpty():
+            break
+        super_assignment = _louvain_phase1(super_sym, float(m2), max_sweeps)
+        assignment = (
+            assignment.join(
+                super_assignment.select(
+                    F.col("id").alias("community"), F.col("community").alias("super_c")
+                ),
+                "community",
+            )
+            .select("id", F.col("super_c").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        sym = super_sym
+    # canonicalize community ids to the min member id
+    canon = assignment.groupBy("community").agg(F.min("id").alias("canon"))
+    return assignment.join(canon, "community").select("id", F.col("canon").alias("community"))
+
+
+def modularity(edges: DataFrame, assignment: DataFrame) -> float:
+    """Newman modularity Q of ``assignment`` (id, community) on the
+    undirected simple graph induced by ``edges``."""
+    sym = _symmetrize_weighted(edges)
+    m2 = sym.agg(F.sum("w")).collect()[0][0]
+    if not m2:
+        return 0.0
+    cmap_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("csrc"))
+    cmap_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("cdst"))
+    internal = (
+        sym.join(cmap_src, "src")
+        .join(cmap_dst, "dst")
+        .filter(F.col("csrc") == F.col("cdst"))
+        .agg(F.sum("w"))
+        .collect()[0][0]
+    ) or 0.0
+    k = sym.groupBy("src").agg(F.sum("w").alias("k"))
+    tots = (
+        k.join(assignment.select(F.col("id").alias("src"), "community"), "src")
+        .groupBy("community")
+        .agg(F.sum("k").alias("tot"))
+    )
+    sq = tots.agg(F.sum(F.col("tot") * F.col("tot"))).collect()[0][0] or 0.0
+    return float(internal) / m2 - sq / (m2 * m2)
+
+
 def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
     """Community detection via synchronous label propagation with a
     deterministic tie-break (most frequent neighbor label, ties -> min

@@ -166,3 +166,58 @@ def shortest_path_length(edges: DataFrame, src: int, dst: int, max_iter: int = 1
     depths = bfs_depths(edges, [src], max_iter)
     row = depths.filter(F.col("node") == dst).agg(F.min("depth").alias("d")).collect()[0]
     return row["d"]
+
+
+def all_shortest_paths(edges: DataFrame, src: int, dst: int, max_iter: int = 1000) -> DataFrame:
+    """ALL shortest src ->* dst paths as node-id arrays: (path, length).
+
+    Cypher's ``allShortestPaths((a)-[:DEPENDS_ON*]->(b))`` (reference
+    documentation/queries.md:74-79), Spark-first: rather than enumerate
+    every walk, run a forward BFS from ``src`` and a reverse BFS from
+    ``dst``, keep only nodes with fwd_depth + rev_depth == L (the
+    shortest-path DAG), and enumerate paths inside that DAG alone —
+    the enumeration touches exactly the edges that appear on some
+    shortest path, so work is proportional to the OUTPUT, not to the
+    (exponential) walk space. Cycle-safe (BFS visited sets).
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst")
+    empty = spark.createDataFrame([], "path array<bigint>, length int")
+    fwd = bfs_depths(edges, [src], max_iter).select("node", F.col("depth").alias("fd"))
+    lrow = fwd.filter(F.col("node") == dst).agg(F.min("fd").alias("d")).collect()[0]
+    length = lrow["d"]
+    if length is None:
+        return empty
+    fwd0 = fwd.unionByName(spark.createDataFrame([(src, 0)], "node bigint, fd int"))
+    rev_edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rev = bfs_depths(rev_edges, [dst], max_iter=length).select(
+        "node", F.col("depth").alias("rd")
+    )
+    rev0 = rev.unionByName(spark.createDataFrame([(dst, 0)], "node bigint, rd int"))
+    onpath = (
+        fwd0.join(rev0, "node")
+        .filter(F.col("fd") + F.col("rd") == F.lit(length))
+        .select("node", "fd")
+    )
+    s = onpath.select(F.col("node").alias("s_node"), F.col("fd").alias("s_fd"))
+    t = onpath.select(F.col("node").alias("t_node"), F.col("fd").alias("t_fd"))
+    sp_edges = (
+        edges.join(s, edges.src == s.s_node)
+        .join(t, edges.dst == t.t_node)
+        .filter(F.col("t_fd") == F.col("s_fd") + 1)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    frontier = spark.createDataFrame([(src, [src])], "node bigint, path array<bigint>")
+    for _ in range(length):
+        frontier = (
+            frontier.join(sp_edges, frontier.node == sp_edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return frontier.filter(F.col("node") == dst).select(
+        "path", F.lit(length).cast("int").alias("length")
+    )

@@ -344,3 +344,63 @@ def preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = deg.filter(F.col("id") == 2).select(F.col("degree").alias("deg_a"))
     b = deg.filter(F.col("id") == 152).select(F.col("degree").alias("deg_b"))
     return a.crossJoin(b).select((F.col("deg_a") * F.col("deg_b")).alias("score"))
+
+
+@register(
+    "modules_per_repo_list",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT e.src AS repo_id, count(*) AS n_modules,
+           list_sort(list(v.name)) AS module_names
+    FROM edges e JOIN vertices v ON v.id = e.dst
+    WHERE e.rel_type = 'DEPENDS_ON' AND e.src_label = 'GitRepo' AND e.src < 2000
+    GROUP BY e.src
+    """,
+    description="Group + collect list: sorted module-name list per repo "
+    "(reference documentation/queries.md:170-175 collect(n.name))",
+    tags=("graph", "agg", "collect"),
+)
+def modules_per_repo_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    e = g.edges
+    deps = e.filter(
+        (e.rel_type == DEPENDS_ON) & (e.src_label == GIT_REPO) & (e.src < 2000)
+    ).select("src", "dst")
+    names = g.vertices.select(F.col("id").alias("dst"), "name")
+    # selective filter first; AQE broadcasts the small dep side into the
+    # name join, so no full shuffle of the vertex table
+    return (
+        deps.join(names, "dst")
+        .groupBy(F.col("src").alias("repo_id"))
+        .agg(
+            F.count("*").alias("n_modules"),
+            F.sort_array(F.collect_list("name")).alias("module_names"),
+        )
+    )
+
+
+@register(
+    "detach_delete_impact",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , doomed AS (SELECT max(id) AS id FROM vertices WHERE label = 'NodeModule')
+    SELECT e.rel_type, count(*) AS n
+    FROM edges e CROSS JOIN doomed d
+    WHERE e.src <> d.id AND e.dst <> d.id
+    GROUP BY e.rel_type
+    """,
+    description="DETACH DELETE as a set operation (reference "
+    "documentation/queries.md:246-252,410-413): drop the max-id module "
+    "and every incident edge, report surviving edges per rel_type. "
+    "Delete = anti-filter + overwrite, never row-at-a-time.",
+    tags=("graph", "delete"),
+)
+def detach_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    doomed = (
+        g.vertices.filter(F.col("label") == NODE_MODULE)
+        .agg(F.max("id").alias("doomed_id"))
+    )
+    e = g.edges.crossJoin(F.broadcast(doomed))
+    survivors = e.filter((e.src != F.col("doomed_id")) & (e.dst != F.col("doomed_id")))
+    return survivors.groupBy("rel_type").agg(F.count("*").alias("n"))

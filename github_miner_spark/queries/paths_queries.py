@@ -21,6 +21,7 @@ from github_miner_spark.graph.model import (
 )
 from github_miner_spark.graph.store import load_graph
 from github_miner_spark.graph.paths import (
+    all_shortest_paths,
     bfs_depths,
     closure_path_counts,
     k_hop,
@@ -206,3 +207,46 @@ def dependency_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("chain"), F.array(F.col("dst"))).alias("chain"),
         )
     return frontier.filter(F.size("chain") == 5).select("chain").orderBy("chain")
+
+
+@register(
+    "all_shortest_paths_pairs",
+    oracle=GRAPH_ORACLE_CTES
+    + f"""
+    , walk AS (
+        SELECT CAST({ANCHOR_MODULE} AS BIGINT) AS node,
+               [CAST({ANCHOR_MODULE} AS BIGINT)] AS path, 0 AS len
+        UNION ALL
+        SELECT e.dst, list_append(w.path, e.dst), w.len + 1
+        FROM walk w JOIN mm_edges e ON e.src = w.node
+        WHERE w.len < 6
+    ),
+    targets AS (
+        SELECT (SELECT max(p_partkey) - 1 FROM part) * 10 + 2 AS t
+        UNION ALL SELECT 132
+    ),
+    sp AS (
+        SELECT w.node, w.path, w.len FROM walk w JOIN targets ON w.node = targets.t
+    )
+    SELECT node AS dst, path, CAST(len AS INT) AS length
+    FROM sp s WHERE len = (SELECT min(len) FROM sp s2 WHERE s2.node = s.node)
+    """,
+    description="allShortestPaths((a)-[:DEPENDS_ON*]->(b)) for two "
+    "(anchor, target) pairs — hub module mk-1 and module 13 — enumerated "
+    "inside the shortest-path DAG (reference documentation/queries.md:74-79). "
+    "The oracle enumerates bounded walks; the engine never does.",
+    tags=("graph", "paths", "iterative"),
+)
+def all_shortest_paths_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    # hub target: module id of max(p_partkey)-1 — huge in-degree by
+    # construction; scalar fetched driver-side for loop control only
+    hub = mm.agg(((F.floor(F.max("dst") / 10) - 1) * 10 + 2).alias("h")).collect()[0]["h"]
+    out = None
+    for target in (int(hub), 132):
+        p = all_shortest_paths(mm, ANCHOR_MODULE, target).select(
+            F.lit(target).cast("bigint").alias("dst"), "path", "length"
+        )
+        out = p if out is None else out.unionByName(p)
+    return out

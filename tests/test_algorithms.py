@@ -84,3 +84,57 @@ def test_label_propagation_two_cliques(spark):
     got = {r.id: r.community for r in label_propagation(e, iterations=10).collect()}
     assert len({got[1], got[2], got[3]}) == 1
     assert len({got[10], got[11], got[12]}) == 1
+
+
+def _planted(spark, cliques):
+    """Edge DF of fully-connected cliques joined in a chain by single
+    bridge edges."""
+    rows = []
+    for members in cliques:
+        for i in members:
+            for j in members:
+                if i < j:
+                    rows.append((i, j))
+    for a, b in zip(cliques, cliques[1:]):
+        rows.append((a[-1], b[0]))
+    return spark.createDataFrame(rows, "src bigint, dst bigint")
+
+
+def test_louvain_recovers_planted_cliques(spark):
+    from github_miner_spark.graph.algorithms import louvain, modularity
+
+    cliques = [list(range(k, k + 5)) for k in (0, 10, 20)]
+    edges = _planted(spark, cliques)
+    comm = louvain(edges, max_sweeps=6, levels=2)
+    got = {r["id"]: r["community"] for r in comm.collect()}
+    for members in cliques:
+        assert len({got[m] for m in members}) == 1, f"clique {members} split: {got}"
+    assert len(set(got.values())) == 3
+    q = modularity(edges, comm)
+    assert q > 0.45, q
+
+
+def test_modularity_singletons_negative_or_zero(spark):
+    from github_miner_spark.graph.algorithms import modularity
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    singletons = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id bigint, community bigint"
+    )
+    assert modularity(edges, singletons) <= 0.0
+
+
+def test_all_shortest_paths_diamond(spark):
+    from github_miner_spark.graph.paths import all_shortest_paths
+
+    # 1 -> {2,3} -> 4 -> 5, plus a longer detour 1->6->7->4: two shortest
+    # 1->*4 paths of length 2, detour excluded
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (1, 6), (6, 7), (7, 4)],
+        "src bigint, dst bigint",
+    )
+    got = sorted(tuple(r["path"]) for r in all_shortest_paths(edges, 1, 4).collect())
+    assert got == [(1, 2, 4), (1, 3, 4)]
+    lengths = {r["length"] for r in all_shortest_paths(edges, 1, 4).collect()}
+    assert lengths == {2}
+    assert all_shortest_paths(edges, 5, 1).count() == 0  # unreachable

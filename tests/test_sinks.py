@@ -1,0 +1,46 @@
+"""Roundtrip tests for the file sinks (SURVEY.md §2.1 S7-S9, S11)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from github_miner_spark.graph.store import load_graph
+from github_miner_spark.io import sinks
+
+SF = "/root/testdata/sf0.001"
+
+
+def _assert_same_rows(a, b):
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb
+
+
+def test_csv_roundtrip(spark):
+    deg = (
+        load_graph(spark, SF)
+        .edges.groupBy("rel_type")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_csv(deg, f"{d}/out", num_files=1)
+        back = sinks.read_csv_back(spark, f"{d}/out", "rel_type string, n bigint")
+        _assert_same_rows(deg, back)
+
+
+def test_json_roundtrip(spark):
+    v = load_graph(spark, SF).vertices.select("id", "label", "name")
+    with tempfile.TemporaryDirectory() as d:
+        sinks.write_json(v, f"{d}/lake")
+        back = sinks.read_json_back(spark, f"{d}/lake", "id bigint, label string, name string")
+        _assert_same_rows(v, back)
+
+
+def test_snapshot_restore(spark):
+    e = load_graph(spark, SF).edges
+    with tempfile.TemporaryDirectory() as d:
+        sinks.snapshot(e, f"{d}/edges")
+        back = sinks.restore(spark, f"{d}/edges")
+        assert back.count() == e.count()
+        assert back.schema == e.schema
