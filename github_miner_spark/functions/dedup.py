@@ -23,10 +23,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from github_miner_spark.functions.text import (
-    minhash_signature,
-    shingle_hashes,
-    token_hashes,
+    MINHASH_PRIME,
+    token_hash,
     tokenize,
+    word_shingles,
 )
 
 
@@ -46,9 +46,34 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", normalize: bool = 
 
 def shingle_index(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Inverted index (doc_id, shingle) over distinct hashed word
-    n-grams."""
-    return docs.select(
-        "doc_id", F.explode(shingle_hashes(F.col(text_col), n)).alias("shingle")
+    n-grams.
+
+    The token array is materialized (localCheckpoint) before shingling:
+    higher-order array expressions are interpreted, and Catalyst's
+    projection collapse would otherwise inline ``tokenize`` into every
+    ``element_at`` — O(tokens^2) regex evaluations per document. With
+    the barrier, tokenize runs once per doc and shingling reads the
+    stored array."""
+    toks = docs.select(
+        "doc_id", tokenize(F.col(text_col)).alias("toks")
+    ).localCheckpoint(eager=False)
+    shingles = F.array_distinct(F.transform(word_shingles(F.col("toks"), n), token_hash))
+    return toks.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _jaccard_of(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, inter) + per-doc sizes -> thresholded Jaccard."""
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -62,7 +87,7 @@ def jaccard_pairs(
     from the per-doc shingle counts. Returns (doc_a, doc_b, jaccard)
     with doc_a < doc_b, jaccard rounded to 6dp for cross-engine
     stability."""
-    idx = shingle_index(docs, text_col, n)
+    idx = shingle_index(docs, text_col, n).localCheckpoint(eager=False)
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = idx.alias("a")
     b = idx.alias("b")
@@ -71,18 +96,7 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_of(inter, sizes, threshold)
 
 
 def minhash_lsh_pairs(
@@ -99,26 +113,42 @@ def minhash_lsh_pairs(
     This is the scale path for n-gram dedup: candidate count is driven
     by bucket collisions (tunable via bands), not shingle co-occurrence."""
     rows_per_band = k // bands
-    sig = docs.select(
-        "doc_id", minhash_signature(shingle_hashes(F.col(text_col)), k).alias("sig")
+    idx = shingle_index(docs, text_col).localCheckpoint(eager=False)
+    # k-perm signature as k vectorized min-aggregates over the exploded
+    # index — ONE pass over the shingles inside whole-stage codegen.
+    # (The array-lambda formulation re-inlines the whole tokenize ->
+    # shingle -> hash pipeline into every perm and every band projection,
+    # interpreted: ~80x slower at sf0.1.)
+    sig_aggs = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("shingle") + F.lit(7919 * i)) % F.lit(MINHASH_PRIME)
+        ).alias(f"sig{i}")
+        for i in range(k)
+    ]
+    sig = idx.groupBy("doc_id").agg(*sig_aggs)
+    # docs with no shingles get the sentinel all-PRIME signature
+    sig = docs.select("doc_id").join(sig, "doc_id", "left_outer").select(
+        "doc_id",
+        *[F.coalesce(F.col(f"sig{i}"), F.lit(MINHASH_PRIME)).alias(f"sig{i}") for i in range(k)],
     )
-    band_rows = []
-    for bi in range(bands):
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(bi).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[
-                        F.element_at("sig", bi * rows_per_band + j + 1).cast("string")
-                        for j in range(rows_per_band)
-                    ])
-                ).alias("bucket"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"sig{bi * rows_per_band + j}").cast("string") for j in range(rows_per_band)],
+                )
+            ).alias("bucket"),
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+        for bi in range(bands)
+    ]
+    # all bands in one pass via explode, not a bands-way union of scans
+    buckets = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -131,29 +161,49 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = jaccard_pairs(docs, text_col, threshold=threshold)
-    return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # verify ONLY the candidate pairs: intersect the two shingle sets
+    # through the candidate list — never the full index self-join (that
+    # would be the quadratic co-occurrence join LSH exists to avoid)
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ia = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(ia, "doc_a")
+        .join(ib, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_of(inter, sizes, threshold)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash over token hashes (with multiplicity): bit b is
     set when sum over tokens of ±1 (by bit b of the token hash) is
-    positive. Returns (doc_id, simhash)."""
-    hashes = token_hashes(tokenize(F.col(text_col)))
+    positive. Returns (doc_id, simhash).
 
-    def bit_term(b: int):
-        bitsum = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1,
+    Computed as ``bits`` vectorized sum-aggregates over the exploded
+    token-hash rows (one pass, codegen) rather than per-bit array
+    lambdas, which would re-inline tokenization into all 32 folds."""
+    th = docs.select(
+        "doc_id", F.explode(F.transform(tokenize(F.col(text_col)), token_hash)).alias("h")
+    )
+    bit_aggs = [
+        F.sum((F.shiftright(F.col("h"), b) % 2) * 2 - 1).alias(f"b{b}") for b in range(bits)
+    ]
+    agg = th.groupBy("doc_id").agg(*bit_aggs)
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        return F.when(bitsum > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    terms = [bit_term(b) for b in range(bits)]
-    sh = terms[0]
-    for t in terms[1:]:
-        sh = sh + t
-    return docs.select("doc_id", sh.alias("simhash"))
+        sh = term if sh is None else sh + term
+    # zero-token docs vanish in the explode; left join restores them
+    # with simhash 0 (every WHEN sees NULL), matching the oracle
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left_outer")
+        .select("doc_id", sh.alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
@@ -163,19 +213,17 @@ def simhash_near_pairs(
     bits; hamming <= 7 guarantees >= 1 identical band... pigeonhole at
     max_hamming <= 3 bands' worth) verified by bit_count(xor) <=
     max_hamming. Returns (doc_a, doc_b, hamming)."""
-    sh = simhash(docs, text_col)
-    bands = []
-    for k in range(4):
-        bands.append(
-            sh.select(
-                "doc_id",
-                F.lit(k).alias("band"),
-                (F.shiftright(F.col("simhash"), 8 * k) % 256).alias("bucket"),
-            )
+    sh = simhash(docs, text_col).localCheckpoint(eager=False)
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            (F.shiftright(F.col("simhash"), 8 * k) % 256).alias("bucket"),
         )
-    idx = bands[0]
-    for br in bands[1:]:
-        idx = idx.unionByName(br)
+        for k in range(4)
+    ]
+    idx = sh.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     a = idx.alias("a")
     b = idx.alias("b")
     cand = (

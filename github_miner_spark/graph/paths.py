@@ -96,9 +96,15 @@ def closure_path_counts(
     return all_levels.groupBy("root", "node").agg(F.sum("paths").alias("paths"))
 
 
-def bfs_depths(edges: DataFrame, roots=None, max_iter: int = 1000) -> DataFrame:
+def bfs_depths(
+    edges: DataFrame, roots=None, max_iter: int = 1000, until: int | None = None
+) -> DataFrame:
     """Min-depth BFS: (root, node, depth) with the smallest hop count
-    root ->* node (depth >= 1). Cycle-safe via per-root visited sets."""
+    root ->* node (depth >= 1). Cycle-safe via per-root visited sets.
+
+    ``until``: stop expanding once this node id has been reached (its
+    min depth is already final when it first enters the frontier) —
+    point-to-point searches then cost O(dist) rounds, not O(diameter)."""
     edges = edges.select("src", "dst")
     root_df = _as_root_df(edges, roots)
     frontier = (
@@ -110,6 +116,8 @@ def bfs_depths(edges: DataFrame, roots=None, max_iter: int = 1000) -> DataFrame:
     )
     visited = frontier
     for depth in range(2, max_iter + 2):
+        if until is not None and not frontier.filter(F.col("node") == until).isEmpty():
+            break
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select("root", F.col("dst").alias("node"))
@@ -183,7 +191,9 @@ def all_shortest_paths(edges: DataFrame, src: int, dst: int, max_iter: int = 100
     spark = edges.sparkSession
     edges = edges.select("src", "dst")
     empty = spark.createDataFrame([], "path array<bigint>, length int")
-    fwd = bfs_depths(edges, [src], max_iter).select("node", F.col("depth").alias("fd"))
+    fwd = bfs_depths(edges, [src], max_iter, until=dst).select(
+        "node", F.col("depth").alias("fd")
+    )
     lrow = fwd.filter(F.col("node") == dst).agg(F.min("fd").alias("d")).collect()[0]
     length = lrow["d"]
     if length is None:
