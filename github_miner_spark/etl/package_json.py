@@ -61,6 +61,25 @@ REL_FOR_FIELD = {
 }
 
 
+def read_manifest_lake(spark, lake_dir: str) -> DataFrame:
+    """Scan a file-per-repo JSON lake ``<lake>/<owner>/<repo>/package.json``
+    (reference src/InsertDataHelper.ts:14-49 directory walk, S5) as ONE
+    glob read: explicit schema, junk files (.DS_Store and friends, P6)
+    excluded by pathGlobFilter, provenance kept via input_file_name.
+    Returns (path, owner, repo, parsed...)."""
+    raw = (
+        spark.read.schema(PACKAGE_JSON_SCHEMA)
+        .option("pathGlobFilter", "*.json")
+        .option("recursiveFileLookup", "true")
+        .json(lake_dir)
+        .withColumn("path", F.input_file_name())
+    )
+    segs = F.split(F.col("path"), "/")
+    return raw.withColumn("owner", F.element_at(segs, -3)).withColumn(
+        "repo", F.element_at(segs, -2)
+    )
+
+
 def parse_manifests(raw: DataFrame, json_col: str = "raw_json") -> DataFrame:
     """Parse raw manifest JSON strings with the explicit schema.
 

@@ -138,3 +138,72 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = documents_as_media(docs)
     return extract_byte_features(media).orderBy("doc_id")
+
+
+def _plane_signs(plane: int, dims: int = 64) -> list[int]:
+    """±1 hyperplane components, identical to token_hash('{plane}_{i}')
+    % 2 * 2 - 1 (functions/similarity.py hyperplane_bit) — precomputed
+    so the oracle can inline them as list literals."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:8], 16) % 2) * 2 - 1
+        for i in range(dims)
+    ]
+
+
+def _cosine_dups_oracle(n_planes: int = 4, dims: int = 64, threshold: float = 0.45) -> str:
+    bits = []
+    for p in range(n_planes):
+        signs = "[" + ", ".join(f"{s}.0" for s in _plane_signs(p, dims)) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dims}), "
+            f"i -> ev[i] * ({signs})[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
+    p AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+             round(list_sum(list_transform(generate_series(1, {dims}),
+                            i -> a.ev[i] * b2.ev[i]))
+                   / (sqrt(list_sum(list_transform(a.ev, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b2.ev, x -> x * x)))), 6) AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {threshold}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@register(
+    "embedding_cosine_dups",
+    oracle=_cosine_dups_oracle(),
+    description="Embedding-cosine near-dup pairs, LSH-bucketed: hyperplane "
+    "bucket the corpus once, compare only same-bucket pairs, keep cosine >= "
+    "0.45 — the scale path for embedding dedup (candidates shrink 2^B-fold; "
+    "all-pairs scan never happens)",
+    tags=("similarity", "dedup", "lsh"),
+)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.similarity import lsh_bucket
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
+    )
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket(F.col("ev"), n_planes=4, dims=64)
+    ).localCheckpoint(eager=False)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.ev"), F.col("b.ev")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    )

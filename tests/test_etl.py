@@ -124,3 +124,21 @@ def test_backoff():
     assert backoff_seconds(10, 2000, 1000) == 0
     assert backoff_seconds(0, 2000, 1000) == 1000
     assert backoff_seconds(0, 500, 1000) == 0
+
+
+def test_read_manifest_lake_glob_and_junk_filter(spark, tmp_path):
+    """S5 directory-walk scan + P6 junk-file filter: one glob read with
+    pathGlobFilter, owner/repo recovered from the path."""
+    import json
+
+    from github_miner_spark.etl.package_json import read_manifest_lake
+
+    for owner, repo, deps in [("alice", "app", {"lodash": "^4.0.0"}), ("bob", "lib", {})]:
+        d = tmp_path / owner / repo
+        d.mkdir(parents=True)
+        (d / "package.json").write_text(json.dumps({"name": repo, "dependencies": deps}))
+        (d / ".DS_Store").write_text("junk that is not json")
+    lake = read_manifest_lake(spark, str(tmp_path))
+    rows = {(r["owner"], r["repo"]): r for r in lake.collect()}
+    assert set(rows) == {("alice", "app"), ("bob", "lib")}
+    assert rows[("alice", "app")]["dependencies"] == {"lodash": "^4.0.0"}
