@@ -76,3 +76,91 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, flush_timeout_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session assembly with a 30-min inactivity gap.
+
+    State per user = (session_start, last_ts, n_events) in epoch micros.
+    A batch's events are processed in ts order; an event more than
+    ``gap_minutes`` after the last closes the open session (emitted) and
+    starts a new one. This is the streaming twin of the batch
+    lag/running-sum sessionization (queries/events_queries.py
+    events_sessionization) — state is one tuple per active user, so
+    memory is bounded by the active-user set, not the event volume.
+
+    ``flush_timeout_ms``: in continuous deployments, set a
+    processing-time timeout so idle users' open sessions are flushed
+    and their state evicted. Leave None for bounded availableNow
+    drains — a pending timeout keeps the query scheduling batches and
+    the drain would never terminate."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def assemble(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(start, unit="us")],
+                        "session_end": [pd.Timestamp(last, unit="us")],
+                        "n_events": [n],
+                    }
+                )
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        for pdf in pdf_iter:
+            for ts in pdf["ts"].sort_values():
+                us = int(ts.value // 1_000)  # pandas ns -> us
+                if start is None:
+                    start, last, n = us, us, 1
+                elif us - last > gap_us:
+                    out["user_id"].append(user_id)
+                    out["session_start"].append(pd.Timestamp(start, unit="us"))
+                    out["session_end"].append(pd.Timestamp(last, unit="us"))
+                    out["n_events"].append(n)
+                    start, last, n = us, us, 1
+                else:
+                    last, n = us, n + 1
+        state.update((start, last, n))
+        if flush_timeout_ms is not None:
+            state.setTimeoutDuration(flush_timeout_ms)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    )

@@ -51,3 +51,38 @@ def test_streaming_rate_limited_resume(spark):
         n2 = spark.sql("SELECT count(*) c FROM t_events_stream2").collect()[0].c
     assert n1 > 0
     assert n2 == 0
+
+
+def test_stateful_sessionization_stream(spark):
+    """applyInPandasWithState sessionization: the availableNow drain
+    must emit exactly the CLOSED sessions of the batch twin (each
+    user's final session stays open in state)."""
+    from github_miner_spark.queries.events_queries import events_sessionization
+    from github_miner_spark.streaming.events import sessionize_stream
+
+    stream = sessionize_stream(stream_events(spark, SF), gap_minutes=30)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM t_sessions").collect()
+        }
+    batch = events_sessionization(spark, SF).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if r.session_seq != last_seq[r.user_id]
+    }
+    assert got == want
+    assert len(want) > 0  # fixture has multi-session users
