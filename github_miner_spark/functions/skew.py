@@ -1,0 +1,48 @@
+"""Skew-handling utilities: salted aggregation and salted joins.
+
+The mined graph is heavy-tailed by construction — the reference corpus
+has lodash at 5,931 dependants (BASELINE.md skew anchor) and our derived
+graph plants hub modules with ~N/4 in-degree. AQE's skew-join splitting
+(on in session defaults) covers sort-merge joins; these helpers cover
+the two cases AQE does not:
+
+- ``salted_count``: two-stage aggregation for a groupBy whose key
+  distribution is so skewed that single-reducer hot keys dominate the
+  stage. Stage 1 aggregates (key, salt) partials; stage 2 sums the
+  partials per key. Map-side combine already gives most of this for
+  algebraic aggregates; the explicit form matters for sketch/collect
+  aggregates and documents the pattern.
+- ``salted_join``: replicate the small side R times and salt the big
+  side's hot keys 0..R-1, so one hot key fans across R reducers.
+  Spark-first alternative to hand-partitioning; prefer broadcast when
+  the small side fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(df: DataFrame, key: str, salts: int = 16) -> DataFrame:
+    """groupBy(key).count() as a two-stage salted aggregation.
+    Returns (key, n) identical to the direct form."""
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)))
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_n"))
+    )
+    return partial.groupBy(key).agg(F.sum("_n").alias("n"))
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, salts: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Equi-join where ``big`` has hot values of ``key``: salt the big
+    side, replicate the small side across all salt values, join on
+    (key, salt). Output columns = big's + small's (minus the key dup)."""
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salts)]))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")

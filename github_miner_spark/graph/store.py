@@ -29,8 +29,18 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_GRAPH_STORE", "/tmp/spark-graft-graph")
 
 
 def _store_dir(sf_dir: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(STORE_ROOT, key)
+    """Key = source path + (name, size, mtime) of the base-table files,
+    so a regenerated source dir at the same path never serves a stale
+    store."""
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for name in ("customer.parquet", "orders.parquet", "part.parquet", "lineitem.parquet"):
+        p = os.path.join(sf_dir, name)
+        try:
+            st = os.stat(p)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except FileNotFoundError:
+            h.update(f"{name}:missing".encode())
+    return os.path.join(STORE_ROOT, h.hexdigest()[:16])
 
 
 def materialize_graph(spark: SparkSession, sf_dir: str, force: bool = False) -> str:

@@ -1,0 +1,61 @@
+"""Skew (salting) and bucketing: result-equality plus plan-shape
+assertions for the scale techniques the relational layer relies on."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from github_miner_spark.functions.skew import salted_count, salted_join
+from github_miner_spark.graph.store import load_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_count_matches_direct(spark):
+    e = load_graph(spark, SF).edges
+    direct = e.groupBy("dst").agg(F.count("*").alias("n"))
+    salted = salted_count(e, "dst", salts=16)
+    assert _rows(direct) == _rows(salted)
+
+
+def test_salted_join_matches_direct(spark):
+    g = load_graph(spark, SF)
+    deg = g.edges.groupBy("dst").agg(F.count("*").alias("n"))
+    names = g.vertices.select(F.col("id").alias("dst"), "name")
+    direct = deg.join(names, "dst").select("dst", "n", "name")
+    salted = salted_join(deg, names, "dst", salts=4).select("dst", "n", "name")
+    assert _rows(direct) == _rows(salted)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Pre-bucketing both sides of a repeated equi-join on the join key
+    removes the per-query shuffle: the sort-merge join reads bucketed
+    scans with NO Exchange on either side. (Warehouse dir is the
+    session default under /tmp, see session.py.)"""
+    e = load_graph(spark, SF).edges
+    deg = e.groupBy("dst").agg(F.count("*").alias("n"))
+    e.write.bucketBy(8, "dst").sortBy("dst").mode("overwrite").saveAsTable("edges_b")
+    deg.write.bucketBy(8, "dst").sortBy("dst").mode("overwrite").saveAsTable("deg_b")
+    try:
+        # disable auto-broadcast so the join planner must pick SMJ —
+        # the point is the missing Exchange, not the join strategy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("edges_b").join(spark.table("deg_b"), "dst")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == e.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS edges_b")
+        spark.sql("DROP TABLE IF EXISTS deg_b")
