@@ -196,3 +196,47 @@ def doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.size(shingle_hashes(F.col("text"))).alias("n_shingles")
     ).orderBy("doc_id")
+
+
+# GPT-2-style pre-tokenizer approximation (contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs) — RE2-compatible so
+# Spark (Java regex) and DuckDB (RE2) agree; applied to lowered text
+BPE_ISH_PATTERN = r"'([sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+@register(
+    "doc_bpe_token_counts",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {DUCK_TOKENS} AS toks,
+             regexp_extract_all(lower(text),
+               '''([sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+') AS bpe
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS ws_tokens,
+           len(bpe) AS bpe_tokens,
+           round(len(bpe) * 1.0 / len(toks), 6) AS bpe_per_ws
+    FROM t WHERE len(toks) > 0
+    ORDER BY doc_id
+    """,
+    description="Token counting both ways (LLM-pipeline budgeting): "
+    "whitespace tokens vs a BPE-ish pre-tokenizer regex (contraction / "
+    "letter-run / digit-run / punct-run / space-run), plus their ratio",
+    tags=("text", "tokens", "bpe"),
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    bpe = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("ws_tokens"),
+            F.size(bpe).alias("bpe_tokens"),
+            F.round(F.size(bpe) / F.size(toks), 6).alias("bpe_per_ws"),
+        )
+        .filter(F.col("ws_tokens") > 0)
+        .orderBy("doc_id")
+    )

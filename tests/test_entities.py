@@ -1,0 +1,54 @@
+"""FIXTURES.md §A entity tables: schema shape, timestamp upgrade,
+and that the string-keyed entity graph answers the reference's queries
+(same operator pipelines as the id-keyed derived graph)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from github_miner_spark.etl.entities import (
+    ENTITY_EDGES_SCHEMA,
+    sample_entities,
+    upgrade_repo_timestamps,
+)
+
+
+def test_timestamp_upgrade(spark):
+    _, repos, _, _ = sample_entities(spark)
+    up = upgrade_repo_timestamps(repos)
+    row = up.filter(F.col("full_name") == "user0/repo0").collect()[0]
+    assert row["created_ts"] is not None
+    assert row["created_ts"].year == 2010
+    # raw string retained for lexical-compat comparisons
+    assert row["created_at"].startswith("2010-")
+
+
+def test_entity_graph_answers_reference_queries(spark):
+    users, repos, modules, edges = sample_entities(spark, n_users=4, repos_per_user=2)
+    assert edges.schema == ENTITY_EDGES_SCHEMA
+
+    # top dependants (documentation/queries.md:212-217): lodash is the hub
+    top = (
+        edges.filter((F.col("rel_type") == "DEPENDS_ON") & (F.col("dst_label") == "NodeModule"))
+        .groupBy("dst").count().orderBy(F.desc("count")).limit(1).collect()[0]
+    )
+    assert top["dst"] == "lodash" and top["count"] == 8
+
+    # self-loops (documentation/queries.md:226-234)
+    loops = edges.filter(F.col("src") == F.col("dst")).collect()
+    assert [r["src"] for r in loops] == ["pkg-self"]
+
+    # exactly one OWNS per repo
+    owns = edges.filter(F.col("rel_type") == "OWNS").groupBy("dst").count()
+    assert owns.filter(F.col("count") != 1).isEmpty()
+
+    # module cycle survives cycle-safe closure (reachable_set terminates)
+    from github_miner_spark.graph.paths import reachable_set
+
+    mm = edges.filter(
+        (F.col("src_label") == "NodeModule") & (F.col("dst_label") == "NodeModule")
+    ).select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    reach = reachable_set(mm, roots=[mm.select("src").first()["src"]])
+    assert reach.count() >= 3  # the 3-cycle fully explored, no hang
