@@ -116,9 +116,68 @@ def backoff_seconds(rate_remaining: int, rate_reset_epoch: int, now_epoch: int) 
 
 def fetch_partition_stub(partition: SearchPartition) -> list[dict]:
     """Placeholder for the live GitHub/npm HTTP fetch executed inside
-    ``foreachPartition`` on a real mining run. Network access is out of
-    scope for this environment; tests and queries run from the landed
-    lake instead."""
+    the distributed fetch stage of a real mining run. Network access is
+    out of scope for this environment; tests and queries run from the
+    landed lake instead."""
     raise NotImplementedError(
         "live mining requires network access; run against the landed lake"
     )
+
+
+# landed repo rows: the 11-column GitRepo projection plus provenance
+LANDED_SCHEMA = (
+    "partition_key string, full_name string, owner string, name string, "
+    "stargazers_count bigint, forks_count bigint, pushed_at string"
+)
+
+
+def run_mining_job(
+    spark: SparkSession,
+    parts: Sequence[SearchPartition],
+    state_dir: str,
+    lake_dir: str,
+    fetcher=fetch_partition_stub,
+) -> int:
+    """The E1 mining pipeline end-to-end (reference src/miner.ts):
+    plan -> resume-filter (anti-join vs the job-state table, R6) ->
+    distributed fetch (each task fetches its slice of partition specs,
+    R7) -> land the lake partitioned by owner (the columnar upgrade of
+    the file-per-repo layout, SURVEY §1.5) -> append completed keys to
+    job state. Re-running with the same plan fetches nothing: the
+    idempotent form of the reference's processed-date-ranges skip.
+
+    ``fetcher(SearchPartition) -> list[dict]`` is the ONLY place a real
+    run touches the network; it executes inside the fetch stage's
+    tasks, never on the driver. Returns the number of partitions
+    fetched this run."""
+    import pandas as pd
+
+    planned = partitions_df(spark, parts)
+    try:
+        completed = spark.read.schema("partition_key string").parquet(state_dir)
+    except Exception:
+        completed = spark.createDataFrame([], "partition_key string")
+    pending = pending_partitions(planned, completed)
+    n_pending = pending.count()
+    if n_pending == 0:
+        return 0
+
+    def fetch_batches(pdfs):
+        for pdf in pdfs:
+            out = []
+            for row in pdf.itertuples(index=False):
+                part = SearchPartition(row.pushed_from, row.pushed_to, row.forks, row.stars)
+                for repo in fetcher(part):
+                    rec = {"partition_key": part.key}
+                    rec.update(repo)
+                    rec.setdefault("owner", rec.get("full_name", "/").split("/")[0])
+                    out.append(rec)
+            cols = [f.split()[0] for f in LANDED_SCHEMA.split(", ")]
+            yield pd.DataFrame(out, columns=cols)
+
+    landed = pending.repartition(max(1, min(n_pending, 32))).mapInPandas(
+        fetch_batches, schema=LANDED_SCHEMA
+    )
+    landed.write.mode("append").partitionBy("owner").json(lake_dir)
+    pending.select("partition_key").write.mode("append").parquet(state_dir)
+    return n_pending

@@ -142,3 +142,48 @@ def test_read_manifest_lake_glob_and_junk_filter(spark, tmp_path):
     rows = {(r["owner"], r["repo"]): r for r in lake.collect()}
     assert set(rows) == {("alice", "app"), ("bob", "lib")}
     assert rows[("alice", "app")]["dependencies"] == {"lodash": "^4.0.0"}
+
+
+def test_run_mining_job_end_to_end(spark, tmp_path):
+    """E1 lifecycle with a deterministic fake fetcher: fetch -> land ->
+    checkpoint; re-run fetches nothing (resume); extending the plan
+    fetches only the new slices."""
+    import datetime as dt
+
+    from github_miner_spark.etl.mining import (
+        SearchPartition,
+        plan_partitions,
+        run_mining_job,
+    )
+
+    def fake_fetcher(part: SearchPartition):
+        h = abs(hash(part.key)) % 1000
+        return [
+            {
+                "full_name": f"owner{h % 7}/repo{h}_{i}",
+                "name": f"repo{h}_{i}",
+                "stargazers_count": 100 + i,
+                "forks_count": 100,
+                "pushed_at": part.pushed_to,
+            }
+            for i in range(2)
+        ]
+
+    parts = plan_partitions(dt.date(2020, 1, 31), lookback_days=14)
+    state = str(tmp_path / "state")
+    lake = str(tmp_path / "lake")
+    n1 = run_mining_job(spark, parts, state, lake, fetcher=fake_fetcher)
+    assert n1 == len(parts)
+    landed = spark.read.json(lake)
+    assert landed.count() == 2 * len(parts)
+    assert "owner" in landed.columns  # partition column recovered
+
+    # resume: nothing pending
+    assert run_mining_job(spark, parts, state, lake, fetcher=fake_fetcher) == 0
+    assert spark.read.json(lake).count() == 2 * len(parts)
+
+    # widen the plan: only the new slices are fetched
+    wider = plan_partitions(dt.date(2020, 2, 14), lookback_days=28)
+    n3 = run_mining_job(spark, wider, state, lake, fetcher=fake_fetcher)
+    new_keys = {p.key for p in wider} - {p.key for p in parts}
+    assert n3 == len(new_keys)
