@@ -55,9 +55,11 @@ def expand_module_closure(
 
     seed_modules: 1-column DF ``name``. npm_manifests: manifest rows
     keyed by ``name`` (the npm registry cache as a table). Returns
-    (resolved_modules, module_edges). Unresolvable names (not in the
-    registry) terminate the recursion exactly like the reference's
-    isNpmModule gate (src/Neo4jClient.ts:103-138)."""
+    (resolved_modules, module_edges). Names absent from the registry
+    stop the recursion (the reference's isNpmModule gate,
+    src/Neo4jClient.ts:103-138) but are still returned as modules, so
+    edges never dangle — a deliberate divergence from the reference,
+    which drops the node and leaves the dependency unrecorded."""
     spark = seed_modules.sparkSession
     frontier = seed_modules.select("name").distinct().localCheckpoint(eager=True)
     resolved = spark.createDataFrame([], "name string")

@@ -104,3 +104,80 @@ def extract_byte_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(byte_feature_batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("thumb", BinaryType()),
+        StructField("thumb_bytes", IntegerType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize plumbing over mapInPandas: per-row blob -> fixed-budget
+    thumbnail blob. A real implementation decodes, resizes, re-encodes
+    (Pillow); here the DETERMINISTIC FAKE strides the raw bytes down to
+    <= target_bytes — same signature, batch shape, and binary-in /
+    binary-out contract, clearly marked as a stand-in for the missing
+    decoder (see decode_media)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(b: bytes) -> bytes:
+                if len(b) <= target_bytes:
+                    return bytes(b)
+                step = -(-len(b) // target_bytes)  # ceil div
+                return bytes(b[::step])
+
+            thumbs = pdf["media"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_bytes": thumbs.map(len).astype("int32"),
+                    "mime": pdf["mime"],
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 32, every_kth: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing: blob -> one output ROW per sampled
+    frame (explode shape — a video becomes many rows, downstream ops
+    stay set-oriented). A real implementation seeks keyframes with a
+    demuxer; the DETERMINISTIC FAKE chunks the blob into fixed-size
+    frames and keeps every k-th."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                n_frames = max(1, -(-len(blob) // frame_bytes))
+                for fi in range(0, n_frames, every_kth):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(bytes(blob[fi * frame_bytes : (fi + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)

@@ -55,3 +55,35 @@ def test_lsh_bucket_determinism(spark):
     a = [(r.query_id, r.neighbor_id, r.score) for r in lsh_topk(emb, PROBES, k=5).collect()]
     b = [(r.query_id, r.neighbor_id, r.score) for r in lsh_topk(emb, PROBES, k=5).collect()]
     assert a == b
+
+
+def test_resize_media_budget_and_determinism(spark):
+    from github_miner_spark.functions.multimodal import documents_as_media, resize_media
+    from github_miner_spark.io.tables import load_table
+
+    media = documents_as_media(load_table(spark, "documents", "/root/testdata/sf0.001"))
+    out = resize_media(media, target_bytes=64)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all(r["thumb_bytes"] <= 64 for r in rows)
+    assert all(len(r["thumb"]) == r["thumb_bytes"] for r in rows)
+    again = {r["doc_id"]: bytes(r["thumb"]) for r in resize_media(media, 64).collect()}
+    assert all(bytes(r["thumb"]) == again[r["doc_id"]] for r in rows)
+
+
+def test_sample_frames_explode_shape(spark):
+    from github_miner_spark.functions.multimodal import documents_as_media, sample_frames
+    from github_miner_spark.io.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    media = documents_as_media(docs)
+    frames = sample_frames(media, frame_bytes=32, every_kth=4)
+    per_doc = {r["doc_id"]: r["cnt"] for r in
+               frames.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {r["doc_id"]: r["n_bytes"] for r in media.collect()}
+    import math
+    for doc_id, n in sizes.items():
+        n_frames = max(1, math.ceil(n / 32))
+        assert per_doc[doc_id] == math.ceil(n_frames / 4)
+    # every sampled index is a multiple of k
+    assert frames.filter(F.col("frame_idx") % 4 != 0).isEmpty()
