@@ -345,3 +345,29 @@ def orders_running_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+_SUPPLIER_NATION_SQL = """
+SELECT n.n_name AS nation, count(*) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS total_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_acctbal > 0
+GROUP BY n.n_name
+ORDER BY total_acctbal DESC, nation
+"""
+
+
+@register(
+    "sql_supplier_nation_rollup",
+    oracle=_SUPPLIER_NATION_SQL,
+    description="The Spark SQL surface: the SAME ANSI-SQL text runs as "
+    "spark.sql over temp views and as the DuckDB oracle — proving the "
+    "engine's SQL entry point, not just the DataFrame API. Catalyst "
+    "plans it identically to the DataFrame form (broadcast dim join, "
+    "partial agg).",
+    tags=("relational", "sql", "agg"),
+)
+def sql_supplier_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "supplier", sf_dir).createOrReplaceTempView("supplier")
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation")
+    return spark.sql(_SUPPLIER_NATION_SQL)
