@@ -1,0 +1,50 @@
+"""Plan-shape regression tests: the physical plans the engine depends
+on at scale, asserted so a refactor can't silently trade them away.
+(`.explain("formatted")` is the review tool; these pin its verdicts.)"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from github_miner_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = registry.all_specs()[name].spark(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_graph_topk_broadcasts_and_prunes(spark):
+    plan = _plan(spark, "top_dependants_modules")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # name join must not shuffle both sides
+    # column pruning reaches the edge scan: no src/version columns read
+    scan_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    edge_schema = next(s for s in scan_schemas if "rel_type" in s)
+    assert "version" not in edge_schema and "src:" not in edge_schema
+
+
+def test_selective_filter_pushed_to_parquet(spark):
+    plan = _plan(spark, "modules_used_by_repo")
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(src,421\)", plan)
+
+
+def test_relational_join_order_broadcasts_dims(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the BUILDING segment filter reaches the customer scan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,BUILDING\)", plan)
+
+
+def test_dedup_has_no_allpairs_join(spark):
+    plan = _plan(spark, "minhash_lsh_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
