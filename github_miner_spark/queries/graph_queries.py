@@ -404,3 +404,67 @@ def detach_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = g.edges.crossJoin(F.broadcast(doomed))
     survivors = e.filter((e.src != F.col("doomed_id")) & (e.dst != F.col("doomed_id")))
     return survivors.groupBy("rel_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "motif_shared_module_pairs",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , dep AS (
+      SELECT src, dst FROM edges
+      WHERE rel_type = 'DEPENDS_ON' AND src_label = 'GitRepo'
+        AND dst BETWEEN 1000 AND 1500
+    )
+    SELECT a.dst AS m_id, count(*) AS repo_pairs
+    FROM dep a JOIN dep b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.dst
+    """,
+    description="Motif query: pairs of repos sharing a dependency — "
+    "find(g, '(r1)-[:DEPENDS_ON]->(m); (r2)-[:DEPENDS_ON]->(m)') compiled "
+    "to Catalyst joins (graph/motif.py), aggregated per module. The "
+    "declarative pattern surface replacing hand-written Cypher shapes.",
+    tags=("graph", "motif", "join"),
+)
+def motif_shared_module_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.graph.motif import find
+
+    g = load_graph(spark, sf_dir)
+    matches = find(g, "(r1)-[:DEPENDS_ON]->(m); (r2)-[:DEPENDS_ON]->(m)")
+    return (
+        matches.filter(
+            (F.col("r1_id") % 10 == 1)  # GitRepo id namespace
+            & (F.col("r2_id") % 10 == 1)
+            & (F.col("r1_id") < F.col("r2_id"))
+            & F.col("m_id").between(1000, 1500)
+        )
+        .groupBy("m_id")
+        .agg(F.count("*").alias("repo_pairs"))
+    )
+
+
+@register(
+    "motif_unhosted_dependencies",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , dep AS (
+      SELECT src, dst FROM edges
+      WHERE rel_type = 'DEPENDS_ON' AND src_label = 'GitRepo'
+    ),
+    hosted AS (SELECT DISTINCT src FROM edges WHERE rel_type = 'HOSTED_ON')
+    SELECT count(*) AS dep_edges, count(DISTINCT d.dst) AS unhosted_modules
+    FROM dep d WHERE d.dst NOT IN (SELECT src FROM hosted)
+    """,
+    description="Motif negation: repo dependencies on modules hosted "
+    "nowhere — find(g, '(r)-[:DEPENDS_ON]->(m); !(m)-[:HOSTED_ON]->()'), "
+    "the set-at-a-time WHERE NOT exists() (anti-join).",
+    tags=("graph", "motif", "anti-join"),
+)
+def motif_unhosted_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.graph.motif import find
+
+    g = load_graph(spark, sf_dir)
+    matches = find(g, "(r)-[:DEPENDS_ON]->(m); !(m)-[:HOSTED_ON]->()")
+    return matches.filter(F.col("r_id") % 10 == 1).agg(
+        F.count("*").alias("dep_edges"),
+        F.countDistinct("m_id").alias("unhosted_modules"),
+    )
