@@ -468,3 +468,50 @@ def motif_unhosted_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("dep_edges"),
         F.countDistinct("m_id").alias("unhosted_modules"),
     )
+
+
+@register(
+    "version_range_profile",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT CASE WHEN version LIKE '^%' THEN 'caret'
+                WHEN version LIKE '~%' THEN 'tilde'
+                WHEN version LIKE '>=%' THEN 'gte'
+                ELSE 'exact' END AS range_kind,
+           CAST(regexp_extract(version, '(\\d+)\\.(\\d+)\\.(\\d+)', 1) AS BIGINT) AS major,
+           count(*) AS n_edges,
+           count(DISTINCT version) AS distinct_ranges
+    FROM edges
+    WHERE version IS NOT NULL AND rel_type IN ('DEPENDS_ON', 'DEV_DEPENDS_ON', 'PEER_DEPENDS_ON')
+    GROUP BY 1, 2
+    """,
+    description="Semver range-string analysis over the DEPENDS_ON edge "
+    "property (reference stores ranges like ^2.1.5 / ~4.0.0 / >=1.0.0, "
+    "src/Neo4jClient.ts:443-482): operator kind x major version, parsed "
+    "with regexp_extract — scalar-function depth on edge payloads (F5-F8)",
+    tags=("graph", "scalar", "agg"),
+)
+def version_range_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_graph(spark, sf_dir).edges
+    kind = (
+        F.when(F.col("version").startswith("^"), "caret")
+        .when(F.col("version").startswith("~"), "tilde")
+        .when(F.col("version").startswith(">="), "gte")
+        .otherwise("exact")
+    )
+    return (
+        e.filter(
+            F.col("version").isNotNull()
+            & F.col("rel_type").isin(DEPENDS_ON, DEV_DEPENDS_ON, PEER_DEPENDS_ON)
+        )
+        .groupBy(
+            kind.alias("range_kind"),
+            F.regexp_extract(F.col("version"), r"(\d+)\.(\d+)\.(\d+)", 1)
+            .cast("bigint")
+            .alias("major"),
+        )
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("version").alias("distinct_ranges"),
+        )
+    )
