@@ -138,3 +138,31 @@ def test_all_shortest_paths_diamond(spark):
     lengths = {r["length"] for r in all_shortest_paths(edges, 1, 4).collect()}
     assert lengths == {2}
     assert all_shortest_paths(edges, 5, 1).count() == 0  # unreachable
+
+
+def test_scc_distributed_path_matches_hybrid(spark):
+    """Force the distributed Orzan-coloring path (threshold=0) and
+    check it agrees with the trim+Tarjan hybrid on a graph with
+    multiple non-trivial SCCs hanging off a DAG."""
+    from github_miner_spark.graph.algorithms import strongly_connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),          # 3-cycle
+            (3, 4), (4, 5), (5, 4),          # 2-cycle downstream
+            (5, 6), (6, 7),                  # DAG tail
+            (8, 8),                          # self-loop
+            (9, 10),                         # isolated DAG edge
+        ],
+        "src bigint, dst bigint",
+    )
+    hybrid = {(r["id"], r["component"]) for r in strongly_connected_components(edges).collect()}
+    distributed = {
+        (r["id"], r["component"])
+        for r in strongly_connected_components(edges, core_collect_threshold=0).collect()
+    }
+    assert hybrid == distributed
+    comp = dict(hybrid)
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == comp[5] == 4
+    assert len({comp[6], comp[7], comp[8], comp[9], comp[10]}) == 5
