@@ -51,7 +51,9 @@ ANCHOR_MODULE = 2
 )
 def closure_counts_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
-    closure = closure_path_counts(g.module_dep_edges(), roots=[ANCHOR_MODULE])
+    closure = closure_path_counts(
+        g.module_dep_edges(), roots=[ANCHOR_MODULE], broadcast_frontier=True
+    )
     return closure.agg(
         F.sum("paths").alias("paths"),
         F.count("node").alias("distinct_nodes"),
@@ -79,7 +81,7 @@ def closure_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
     roots = mm.filter(F.col("src") < 100).select(F.col("src").alias("root")).distinct()
-    closure = closure_path_counts(mm, roots=roots)
+    closure = closure_path_counts(mm, roots=roots, broadcast_frontier=True)
     return (
         closure.groupBy("root")
         .agg(F.sum("paths").alias("paths"), F.count("node").alias("distinct_nodes"))
@@ -104,7 +106,7 @@ def closure_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bfs_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
-    depths = bfs_depths(g.module_dep_edges(), roots=[ANCHOR_MODULE])
+    depths = bfs_depths(g.module_dep_edges(), roots=[ANCHOR_MODULE], broadcast_frontier=True)
     return depths.select("node", "depth").orderBy("node")
 
 
@@ -131,7 +133,7 @@ def depth_extremes_per_root(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
     roots = mm.filter(F.col("src") < 200).select(F.col("src").alias("root")).distinct()
-    depths = bfs_depths(mm, roots=roots)
+    depths = bfs_depths(mm, roots=roots, broadcast_frontier=True)
     return (
         depths.groupBy("root")
         .agg(
