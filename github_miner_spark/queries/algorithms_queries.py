@@ -160,7 +160,7 @@ def connected_components_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
-    ranks = pagerank(mm, iterations=20, damping=0.85)
+    ranks = pagerank(mm, iterations=20, damping=0.85, broadcast_ranks=True)
     names = g.vertices.select("id", "name")
     return (
         ranks.join(F.broadcast(names), "id")
