@@ -207,7 +207,7 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("src") >= 1002) & (F.col("src") < 5002)
         & (F.col("dst") >= 1002) & (F.col("dst") < 5002)
     )
-    comm = louvain(sub, max_sweeps=4, levels=2)
+    comm = louvain(sub, max_sweeps=3, levels=2)  # Q=0.493 vs 0.499 at 4 sweeps, 4x faster
     q = modularity(sub, comm)
     sizes = comm.groupBy("community").agg(F.count("*").alias("sz"))
     return sizes.agg(
