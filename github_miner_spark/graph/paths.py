@@ -228,8 +228,8 @@ def all_shortest_paths(edges: DataFrame, src: int, dst: int, max_iter: int = 100
     s = onpath.select(F.col("node").alias("s_node"), F.col("fd").alias("s_fd"))
     t = onpath.select(F.col("node").alias("t_node"), F.col("fd").alias("t_fd"))
     sp_edges = (
-        edges.join(s, edges.src == s.s_node)
-        .join(t, edges.dst == t.t_node)
+        edges.join(F.broadcast(s), edges.src == s.s_node)
+        .join(F.broadcast(t), edges.dst == t.t_node)
         .filter(F.col("t_fd") == F.col("s_fd") + 1)
         .select("src", "dst")
         .localCheckpoint(eager=True)

@@ -371,3 +371,41 @@ def sql_supplier_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "supplier", sf_dir).createOrReplaceTempView("supplier")
     load_table(spark, "nation", sf_dir).createOrReplaceTempView("nation")
     return spark.sql(_SUPPLIER_NATION_SQL)
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(o.o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY ROLLUP (n.n_name, o.o_orderpriority)
+    ORDER BY nation, priority
+    """,
+    description="Multi-level aggregation via ROLLUP (nation, priority): "
+    "grouping-set totals + grand total in ONE pass — an agg surface the "
+    "reference lacks entirely (SURVEY §2.4 notes no grouping sets); "
+    "Catalyst expands to a single Expand+HashAggregate, no second scan",
+    tags=("relational", "rollup", "agg"),
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(F.col("o_orderkey") < 2000)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(n, c.c_nationkey == n.n_nationkey)
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("nation", "priority")
+    )

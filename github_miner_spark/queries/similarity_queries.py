@@ -192,8 +192,15 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
     )
-    bucketed = emb.withColumn(
-        "bucket", lsh_bucket(F.col("ev"), n_planes=4, dims=64)
+    from github_miner_spark.functions.similarity import dot, norm
+
+    # norms computed ONCE per vector (not per candidate pair: the pair
+    # count is ~n^2/buckets, the vector count is n)
+    bucketed = emb.select(
+        "vec_id",
+        "ev",
+        lsh_bucket(F.col("ev"), n_planes=4, dims=64).alias("bucket"),
+        norm(F.col("ev")).alias("nrm"),
     ).localCheckpoint(eager=False)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -202,7 +209,9 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.ev"), F.col("b.ev")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.45)
         .orderBy("vec_a", "vec_b")
