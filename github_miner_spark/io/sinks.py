@@ -18,6 +18,7 @@ default keeps the upstream partitioning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -39,6 +40,40 @@ def write_json(df: DataFrame, path: str, num_files: int | None = None) -> None:
 
 def read_json_back(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    num_shards: int,
+    max_records_per_file: int | None = None,
+) -> dict[str, int]:
+    """Training-data export: deterministic range-sharded parquet.
+
+    ``repartitionByRange(order_col)`` gives contiguous, globally-ordered
+    shards (a training loader can stream shard 0..N-1 and see the corpus
+    in key order — and range partitioning means per-shard min/max stats
+    prune key lookups); ``maxRecordsPerFile`` caps file size so a 100 TB
+    export emits bounded, parallel-loadable files. Writes a _MANIFEST
+    json with row and shard counts for loader-side integrity checks."""
+    import json as _json
+    import os as _os
+
+    writer = df.repartitionByRange(num_shards, F.col(order_col)).sortWithinPartitions(
+        order_col
+    ).write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+    spark = df.sparkSession
+    back = spark.read.parquet(path)
+    n_rows = back.count()
+    n_files = len([f for f in _os.listdir(path) if f.endswith(".parquet")])
+    manifest = {"rows": n_rows, "files": n_files, "order_col": order_col}
+    with open(_os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        _json.dump(manifest, fh)
+    return manifest
 
 
 def snapshot(df: DataFrame, path: str) -> None:

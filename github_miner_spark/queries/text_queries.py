@@ -240,3 +240,85 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ws_tokens") > 0)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents
+    ), hits AS (
+      SELECT doc_id, text, toks,
+             {_duck_stop_hits('de')} AS h_de,
+             {_duck_stop_hits('en')} AS h_en,
+             {_duck_stop_hits('es')} AS h_es,
+             {_duck_stop_hits('fr')} AS h_fr
+      FROM t
+    ), m AS (
+      SELECT doc_id, text, len(toks) AS nt,
+        CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+             WHEN h_es >= h_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred,
+        CASE WHEN len(toks) > 0
+             THEN {_duck_stop_hits('en')} * 1.0 / len(toks) ELSE 0.0 END AS sw,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+             ELSE 0.0 END AS mtl,
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text,
+                    '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0.0 END AS punct,
+        CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  * 1.0 / length(text)
+             ELSE 0.0 END AS dig
+      FROM hits
+    ), q AS (
+      SELECT doc_id, text, nt, lang_pred,
+             round(0.4 * least(sw * 4.0, 1.0)
+                   + 0.3 * (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0))
+                   + 0.3 * (1.0 - least((punct + dig) * 3.0, 1.0)), 6) AS quality
+      FROM m
+    ), keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY 1
+    )
+    SELECT count(*) AS n_total,
+           count(*) FILTER (lang_pred = 'en') AS n_lang,
+           count(*) FILTER (lang_pred = 'en' AND quality >= 0.65) AS n_quality,
+           count(*) FILTER (lang_pred = 'en' AND quality >= 0.65
+                            AND nt BETWEEN 30 AND 70) AS n_tokens,
+           count(*) FILTER (lang_pred = 'en' AND quality >= 0.65
+                            AND nt BETWEEN 30 AND 70
+                            AND doc_id = k.keep_id) AS n_kept
+    FROM q JOIN keep k ON md5(q.text) = k.h
+    """,
+    description="The LLM-data curation funnel in one pass: language-ID -> "
+    "quality threshold -> token-count band -> exact-dedup keep, with "
+    "cumulative survivor counts per stage. Composes the text operators "
+    "into the pipeline shape they exist for; one scan + one dedup shuffle.",
+    tags=("text", "pipeline", "dedup"),
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("nt"),
+        F.md5("text").alias("h"),
+    )
+    keep = scored.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    j = scored.join(keep, "h")
+    lang_ok = F.col("lang_pred") == "en"
+    q_ok = lang_ok & (F.col("quality") >= 0.65)
+    t_ok = q_ok & F.col("nt").between(30, 70)
+    kept = t_ok & (F.col("doc_id") == F.col("keep_id"))
+    return j.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(lang_ok, 1)).alias("n_lang"),
+        F.count(F.when(q_ok, 1)).alias("n_quality"),
+        F.count(F.when(t_ok, 1)).alias("n_tokens"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )

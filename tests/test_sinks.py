@@ -44,3 +44,31 @@ def test_snapshot_restore(spark):
         back = sinks.restore(spark, f"{d}/edges")
         assert back.count() == e.count()
         assert back.schema == e.schema
+
+
+def test_training_shards_ordered_and_manifested(spark, tmp_path):
+    docs = __import__("github_miner_spark.io.tables", fromlist=["load_table"]).load_table(
+        spark, "documents", SF
+    )
+    out = str(tmp_path / "shards")
+    manifest = sinks.write_training_shards(docs, out, "doc_id", num_shards=4)
+    assert manifest["rows"] == docs.count()
+    assert manifest["files"] >= 4
+    import json
+    import os
+
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        assert json.load(fh) == manifest
+    # range sharding: per-file key ranges must not overlap
+    files = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    ranges = []
+    for f in files:
+        df = spark.read.parquet(os.path.join(out, f))
+        row = df.agg({"doc_id": "min"}).collect()[0][0], df.agg({"doc_id": "max"}).collect()[0][0]
+        if row[0] is not None:
+            ranges.append(row)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
