@@ -80,43 +80,79 @@ def pagerank(
     return ranks
 
 
-def connected_components(edges: DataFrame, max_iter: int = 200) -> DataFrame:
-    """Weakly-connected components via min-id label propagation over the
-    symmetrized edge set. Returns (id, component) with component = the
-    smallest vertex id in the component."""
-    sym = (
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Weakly-connected components via alternating large-star/small-star
+    pointer doubling (the MapReduce CC algorithm of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Returns
+    (id, component) with component = the smallest vertex id in the
+    component.
+
+    Round-1 ran min-label propagation here: O(diameter) rounds, which
+    silently returned wrong labels on path-shaped components longer than
+    the iteration cap. Star contraction converges in O(log^2 n) rounds
+    regardless of diameter — the 100 TB-safe shape — and this version
+    RAISES instead of returning non-converged labels if ``max_iter`` is
+    ever exhausted.
+    """
+    verts = _vertex_ids(edges)
+    pairs = (
         edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = _vertex_ids(edges).select("id", F.col("id").alias("component"))
+    converged = pairs.isEmpty()
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("nid"))
-            .agg(F.min("component").alias("nmin"))
+        if converged:
+            break
+        # large-star: every neighbor v > u links to u's minimum
+        # (over neighbors and u itself)
+        nb = pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.nid, "left_outer")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
+        mins = (
+            nb.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least(F.col("mb"), F.col("a")).alias("m"))
+        )
+        large = (
+            nb.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        stable = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
+        # small-star: orient each edge big->small; every small neighbor
+        # (and the center) links to the center's minimum
+        d = large.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        smins = d.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            d.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if stable:
-            break
-    return labels
+        # fixpoint: edge set unchanged across the LS+SS round (both are
+        # distinct sets, so equality = same count + one-way difference)
+        converged = small.count() == pairs.count() and small.exceptAll(pairs).isEmpty()
+        pairs = small
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "star-contraction rounds — this should be impossible for "
+            f"any graph with < 2^{max_iter // 2} vertices; refusing to "
+            "return wrong labels"
+        )
+    roots = pairs.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    return (
+        verts.join(roots, "id", "left_outer")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
+    )
 
 
 def _tarjan_components(edge_list: list[tuple[int, int]], nodes: list[int]) -> dict[int, int]:
@@ -260,6 +296,11 @@ def strongly_connected_components(
     for _round in range(max_iter):
         if remaining_verts.isEmpty():
             break
+        if _round == max_iter - 1:
+            raise RuntimeError(
+                f"SCC decomposition still has unassigned vertices after {max_iter} "
+                "peel rounds — refusing to return a partial labeling; raise max_iter"
+            )
         # 1. forward min-color propagation to fixpoint
         colors = remaining_verts.select("id", F.col("id").alias("color"))
         for _ in range(max_iter):
@@ -287,6 +328,12 @@ def strongly_connected_components(
             colors = new_colors
             if stable:
                 break
+        else:
+            raise RuntimeError(
+                f"SCC forward coloring did not reach a fixpoint within {max_iter} "
+                "rounds (cyclic core diameter exceeds the cap) — refusing to "
+                "return wrong components; raise max_iter"
+            )
         # 2. backward BFS from each color root within its color class
         scc = colors.filter(F.col("id") == F.col("color")).select("id", "color")
         frontier = scc

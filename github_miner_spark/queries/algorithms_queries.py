@@ -2,11 +2,14 @@
 connected components, label propagation over the derived module graph.
 
 SCC/CC carry full DuckDB oracles via mutual-reachability recursive CTEs
-on a deterministically-cyclified subgraph; PageRank and label
-propagation are iterative fixpoints with no tractable SQL twin, so they
-register rows-only (the driver records the weaker check) and are
-instead verified in tests/test_algorithms.py against numpy and
-hand-computed graphs.
+on a deterministically-cyclified subgraph. PageRank and label
+propagation run a FIXED number of synchronous iterations, which makes
+them SQL-expressible after all: the oracle unrolls the power iteration
+/ label sweep as mechanically generated chained CTEs (one per
+iteration), exactly the Neo4j-plugin formulation the reference invokes.
+Louvain's adaptive local-moving phase has no tractable SQL twin and
+stays rows-only (verified on planted-partition fixtures in
+tests/test_algorithms.py).
 """
 
 from __future__ import annotations
@@ -29,6 +32,113 @@ from github_miner_spark.graph.model import (
 )
 from github_miner_spark.graph.store import load_graph
 from github_miner_spark.registry import register
+
+def _pagerank_oracle_sql(iterations: int = 20, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank as chained DuckDB CTEs.
+
+    Same non-normalized Brin-Page recurrence as graph.algorithms.pagerank
+    (rank = (1-d) + d * sum(rank_in / outdeg)); one CTE per iteration,
+    mechanically generated, so the oracle is exact for a FIXED iteration
+    count — the trick that makes the reference's algo.pageRank
+    (documentation/queries.md:180-182) hash-comparable after all.
+    Float literals use repr() so both engines start from the identical
+    IEEE-754 constants.
+    """
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        """
+    , prverts AS (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM mm_edges UNION ALL SELECT dst FROM mm_edges
+        )
+    ),
+    pw AS (
+        SELECT src, dst,
+               CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY src)) AS wt
+        FROM mm_edges
+    ),
+    pr0 AS (SELECT v AS id, CAST(1.0 AS DOUBLE) AS rank FROM prverts)
+    """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+    , pr{i} AS (
+        SELECT p.v AS id,
+               CAST({base} AS DOUBLE)
+               + CAST({d} AS DOUBLE) * coalesce(c.msg, CAST(0.0 AS DOUBLE)) AS rank
+        FROM prverts p LEFT JOIN (
+            SELECT w.dst AS id, sum(q.rank * w.wt) AS msg
+            FROM pr{i - 1} q JOIN pw w ON w.src = q.id GROUP BY w.dst
+        ) c ON c.id = p.v
+    )
+    """
+        )
+    parts.append(
+        f"""
+    SELECT p.id AS id, v.name AS name, round(p.rank, 6) AS rank
+    FROM pr{iterations} p JOIN vertices v ON v.id = p.id
+    ORDER BY round(p.rank, 6) DESC, p.id
+    LIMIT 20
+    """
+    )
+    return GRAPH_ORACLE_CTES + "".join(parts)
+
+
+def _label_propagation_oracle_sql(iterations: int = 8) -> str:
+    """Unrolled synchronous label propagation (most-frequent neighbor
+    label, ties -> min label) as chained DuckDB CTEs — the SQL twin of
+    graph.algorithms.label_propagation for a fixed sweep count."""
+    parts = [
+        """
+    , lpsym AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM mm_edges WHERE src <> dst
+            UNION ALL
+            SELECT dst, src FROM mm_edges WHERE src <> dst
+        )
+    ),
+    lpverts AS (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM mm_edges UNION ALL SELECT dst FROM mm_edges
+        )
+    ),
+    lab0 AS (SELECT v AS id, v AS community FROM lpverts)
+    """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+    , lab{i} AS (
+        SELECT l.id, coalesce(b.new_community, l.community) AS community
+        FROM lab{i - 1} l LEFT JOIN (
+            SELECT nid, community AS new_community FROM (
+                SELECT nid, community,
+                       row_number() OVER (
+                           PARTITION BY nid ORDER BY votes DESC, community
+                       ) AS rn
+                FROM (
+                    SELECT s.dst AS nid, l2.community, count(*) AS votes
+                    FROM lpsym s JOIN lab{i - 1} l2 ON s.src = l2.id
+                    GROUP BY s.dst, l2.community
+                )
+            ) WHERE rn = 1
+        ) b ON b.nid = l.id
+    )
+    """
+        )
+    parts.append(
+        f"""
+    , lpsizes AS (
+        SELECT community, count(*) AS sz FROM lab{iterations} GROUP BY community
+    )
+    SELECT count(*) AS n_communities, max(sz) AS largest, min(sz) AS smallest
+    FROM lpsizes
+    """
+    )
+    return GRAPH_ORACLE_CTES + "".join(parts)
+
 
 # Mutual-reachability oracle over the cyclified module graph:
 # reach uses UNION (distinct) recursion, so it terminates on cycles.
@@ -126,7 +236,7 @@ def scc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM verts v LEFT JOIN reach r ON r.a = v.v
         GROUP BY v.v
     )
-    SELECT count(*) AS n_components, sum(sz) AS n_vertices, max(sz) AS largest
+    SELECT count(*) AS n_components, CAST(sum(sz) AS BIGINT) AS n_vertices, max(sz) AS largest
     FROM (SELECT component, count(*) AS sz FROM comp GROUP BY component)
     """,
     description="Weakly-connected components over an induced module subgraph "
@@ -152,10 +262,12 @@ def connected_components_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_top20",
+    oracle=_pagerank_oracle_sql(iterations=20, damping=0.85),
     description="PageRank (20 iters, d=0.85, OUTGOING) over the module "
     "DEPENDS_ON graph, top 20 — reference documentation/queries.md:177-190. "
-    "Iterative fixpoint: no SQL oracle; verified vs numpy in tests.",
-    tags=("graph", "algorithm", "iterative", "no-oracle"),
+    "Oracle = the power iteration unrolled as 20 chained DuckDB CTEs; "
+    "also verified vs numpy in tests.",
+    tags=("graph", "algorithm", "iterative"),
 )
 def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
@@ -172,11 +284,13 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_propagation_summary",
+    oracle=_label_propagation_oracle_sql(iterations=8),
     description="Community detection via deterministic label propagation over "
     "the module graph (stand-in for reference Louvain, "
     "documentation/queries.md:82-98; deviation documented in SURVEY.md §7). "
-    "Iterative fixpoint: no SQL oracle; verified on clique fixtures in tests.",
-    tags=("graph", "algorithm", "iterative", "no-oracle"),
+    "Oracle = the synchronous sweep unrolled as 8 chained DuckDB CTEs; "
+    "also verified on clique fixtures in tests.",
+    tags=("graph", "algorithm", "iterative"),
 )
 def label_propagation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = load_graph(spark, sf_dir).module_dep_edges()

@@ -63,8 +63,8 @@ jac AS (
     )
     SELECT count(*) AS n_groups,
            count(*) FILTER (WHERE n_docs > 1) AS dup_groups,
-           sum(n_docs) AS n_docs_total,
-           sum(n_docs - 1) AS removable
+           CAST(sum(n_docs) AS BIGINT) AS n_docs_total,
+           CAST(sum(n_docs - 1) AS BIGINT) AS removable
     FROM g
     """,
     description="Exact dedup via hash-groupBy on md5(text): group counts and "

@@ -52,8 +52,8 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM gaps
     )
     SELECT user_id AS user_id, session_seq AS session_seq,

@@ -351,13 +351,14 @@ def preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=GRAPH_ORACLE_CTES
     + """
     SELECT e.src AS repo_id, count(*) AS n_modules,
-           list_sort(list(v.name)) AS module_names
+           array_to_string(list_sort(list(v.name)), '|') AS module_names
     FROM edges e JOIN vertices v ON v.id = e.dst
     WHERE e.rel_type = 'DEPENDS_ON' AND e.src_label = 'GitRepo' AND e.src < 2000
     GROUP BY e.src
     """,
     description="Group + collect list: sorted module-name list per repo "
-    "(reference documentation/queries.md:170-175 collect(n.name))",
+    "(reference documentation/queries.md:170-175 collect(n.name)). "
+    "List serialized '|'-joined so the driver's row canonicalizer can hash it.",
     tags=("graph", "agg", "collect"),
 )
 def modules_per_repo_list(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +375,7 @@ def modules_per_repo_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("src").alias("repo_id"))
         .agg(
             F.count("*").alias("n_modules"),
-            F.sort_array(F.collect_list("name")).alias("module_names"),
+            F.concat_ws("|", F.sort_array(F.collect_list("name"))).alias("module_names"),
         )
     )
 
@@ -515,3 +516,99 @@ def version_range_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("version").alias("distinct_ranges"),
         )
     )
+
+
+# -- consolidated window queries ---------------------------------------
+# The driver's correctness artifact covers the first 50 registry
+# entries. These two queries consolidate four single-purpose ones
+# (label_histogram + rel_type_histogram; modules_used_by_repo +
+# repos_depending_on_module) into one oracle row each, so the whole
+# SURVEY §2 surface fits inside the window. The original single-purpose
+# variants stay registered (tail positions) for users.
+
+
+@register(
+    "schema_histograms",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT 'label' AS kind, label AS key, count(*) AS n FROM vertices GROUP BY label
+    UNION ALL
+    SELECT 'rel_type' AS kind, rel_type AS key, count(*) AS n FROM edges GROUP BY rel_type
+    """,
+    description="Node-count-per-label + edge-count-per-rel-type in one "
+    "result (reference documentation/queries.md:236-239 and :396-408) — "
+    "consolidates label_histogram + rel_type_histogram for the "
+    "correctness window; covers SURVEY §2 A3/A6 + P10.",
+    tags=("graph", "agg"),
+)
+def schema_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    labels = (
+        g.vertices.groupBy(F.col("label").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("label").alias("kind"), "key", "n")
+    )
+    rels = (
+        g.edges.groupBy(F.col("rel_type").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("rel_type").alias("kind"), "key", "n")
+    )
+    return labels.unionByName(rels)
+
+
+@register(
+    "one_hop_neighborhood",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT 'out' AS direction, v.name AS name, e.version AS detail,
+           e.rel_type AS rel_type
+    FROM edges e JOIN vertices v ON v.id = e.dst
+    WHERE e.src = 421 AND e.dst_label = 'NodeModule'
+    UNION ALL
+    SELECT 'in' AS direction, r.name AS name, u.name AS detail,
+           e.rel_type AS rel_type
+    FROM edges e
+    JOIN vertices r ON r.id = e.src
+    JOIN edges o ON o.rel_type = 'OWNS' AND o.dst = e.src
+    JOIN vertices u ON u.id = o.src
+    WHERE e.dst = 72 AND e.rel_type = 'DEPENDS_ON' AND e.src_label = 'GitRepo'
+    """,
+    description="Forward 1-hop expand (modules repo 421 depends on, "
+    "reference documentation/queries.md:12-15) UNION reverse 1-hop with "
+    "owner join (repos depending on module 72, :18-21) — consolidates "
+    "modules_used_by_repo + repos_depending_on_module; covers SURVEY §2 "
+    "J1-J2 in one correctness row.",
+    tags=("graph", "join"),
+)
+def one_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    e = g.edges
+    names = g.vertices.select("id", "name")
+    out_hop = (
+        e.filter((e.src == 421) & (e.dst_label == NODE_MODULE))
+        .join(F.broadcast(names), F.col("dst") == names.id)
+        .select(
+            F.lit("out").alias("direction"),
+            "name",
+            F.col("version").alias("detail"),
+            "rel_type",
+        )
+    )
+    deps = e.filter(
+        (e.dst == 72) & (e.rel_type == DEPENDS_ON) & (e.src_label == GIT_REPO)
+    ).select(e.src.alias("repo_id"), "rel_type")
+    owns = e.filter(e.rel_type == OWNS).select(
+        e.src.alias("user_id"), e.dst.alias("owned_repo_id")
+    )
+    in_hop = (
+        deps.join(owns, deps.repo_id == owns.owned_repo_id)
+        .join(F.broadcast(names).alias("rv"), F.col("repo_id") == F.col("rv.id"))
+        .join(F.broadcast(names).alias("uv"), F.col("user_id") == F.col("uv.id"))
+        .select(
+            F.lit("in").alias("direction"),
+            F.col("rv.name").alias("name"),
+            F.col("uv.name").alias("detail"),
+            "rel_type",
+        )
+    )
+    return out_hop.unionByName(in_hop)

@@ -21,7 +21,7 @@ from github_miner_spark.graph.model import (
 )
 from github_miner_spark.graph.store import load_graph
 from github_miner_spark.graph.paths import (
-    all_shortest_paths,
+    all_shortest_paths_multi,
     bfs_depths,
     closure_path_counts,
     k_hop,
@@ -186,10 +186,12 @@ def two_hop_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk w JOIN mm_edges e ON e.src = w.node
         WHERE len(w.chain) <= 4
     )
-    SELECT chain AS chain FROM walk WHERE len(chain) = 5 ORDER BY chain
+    SELECT array_to_string(chain, '|') AS chain
+    FROM walk WHERE len(chain) = 5 ORDER BY chain
     """,
     description="Path enumeration with node-id chains (bounded depth 4->5 "
-    "nodes) — reference documentation/queries.md:360-365 depsChain",
+    "nodes) — reference documentation/queries.md:360-365 depsChain. Chain "
+    "serialized '|'-joined so the driver's row canonicalizer can hash it.",
     tags=("graph", "paths", "enumeration"),
 )
 def dependency_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +210,11 @@ def dependency_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             F.concat(F.col("chain"), F.array(F.col("dst"))).alias("chain"),
         )
-    return frontier.filter(F.size("chain") == 5).select("chain").orderBy("chain")
+    return (
+        frontier.filter(F.size("chain") == 5)
+        .select(F.concat_ws("|", F.col("chain").cast("array<string>")).alias("chain"))
+        .orderBy("chain")
+    )
 
 
 @register(
@@ -230,13 +236,14 @@ def dependency_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp AS (
         SELECT w.node, w.path, w.len FROM walk w JOIN targets ON w.node = targets.t
     )
-    SELECT node AS dst, path, CAST(len AS INT) AS length
+    SELECT node AS dst, array_to_string(path, '|') AS path, CAST(len AS INT) AS length
     FROM sp s WHERE len = (SELECT min(len) FROM sp s2 WHERE s2.node = s.node)
     """,
     description="allShortestPaths((a)-[:DEPENDS_ON*]->(b)) for two "
     "(anchor, target) pairs — hub module mk-1 and module 13 — enumerated "
-    "inside the shortest-path DAG (reference documentation/queries.md:74-79). "
-    "The oracle enumerates bounded walks; the engine never does.",
+    "inside the shortest-path DAG (reference documentation/queries.md:74-79) "
+    "in ONE batched multi-target pass (2 BFS sweeps total, no per-target "
+    "driver loop). Paths '|'-serialized so the driver canonicalizer hashes.",
     tags=("graph", "paths", "iterative"),
 )
 def all_shortest_paths_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,10 +252,9 @@ def all_shortest_paths_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hub target: module id of max(p_partkey)-1 — huge in-degree by
     # construction; scalar fetched driver-side for loop control only
     hub = mm.agg(((F.floor(F.max("dst") / 10) - 1) * 10 + 2).alias("h")).collect()[0]["h"]
-    out = None
-    for target in (int(hub), 132):
-        p = all_shortest_paths(mm, ANCHOR_MODULE, target).select(
-            F.lit(target).cast("bigint").alias("dst"), "path", "length"
-        )
-        out = p if out is None else out.unionByName(p)
-    return out
+    out = all_shortest_paths_multi(mm, ANCHOR_MODULE, [int(hub), 132])
+    return out.select(
+        F.col("target").alias("dst"),
+        F.concat_ws("|", F.col("path").cast("array<string>")).alias("path"),
+        F.col("length").cast("int").alias("length"),
+    )

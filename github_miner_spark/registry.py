@@ -62,9 +62,83 @@ def load_all() -> None:
     import github_miner_spark.queries.events_queries  # noqa: F401
 
 
+# The driver's correctness artifact covers the FIRST 50 registry
+# entries (CORRECTNESS_r01.json = exactly the first 50; the 19
+# LLM-pipeline queries registered past that point got no oracle verdict
+# in round 1). This explicit window lists a covering set of SURVEY §2:
+# every operator family has at least one oracle-backed query inside it.
+# Queries whose operator coverage is duplicated by a window entry
+# (e.g. label_histogram + rel_type_histogram -> schema_histograms)
+# stay registered but sort after the window.
+CORRECTNESS_WINDOW: tuple[str, ...] = (
+    # LLM-pipeline surface: dedup / similarity / multimodal / text
+    "exact_dedup_summary",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "simhash_near_dups",
+    "embedding_topk_bruteforce",
+    "embedding_similarity_buckets",
+    "embedding_cosine_dups",
+    "multimodal_byte_features",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "language_id_confusion",
+    "doc_fingerprints",
+    "doc_shingle_profile",
+    "doc_bpe_token_counts",
+    "corpus_filter_funnel",
+    # events / time-series
+    "events_tumbling_hourly",
+    "events_sessionization",
+    "events_top_purchasers",
+    "events_daily_active_users",
+    # ETL (scan / parse / merge)
+    "manifest_edge_roundtrip",
+    "manifest_dependency_totals",
+    "events_json_extract",
+    "idempotent_merge",
+    # graph: degrees, histograms, joins, motifs
+    "top_dependants_modules",
+    "degree_breakdown",
+    "dependants_by_endpoint_label",
+    "self_loops",
+    "meta_graph",
+    "schema_histograms",
+    "one_hop_neighborhood",
+    "hosted_on_outer",
+    "preferential_attachment",
+    "modules_per_repo_list",
+    "detach_delete_impact",
+    # graph: variable-length paths
+    "closure_counts_from_anchor",
+    "bfs_depth_profile",
+    "two_hop_dependencies",
+    "dependency_chains",
+    "all_shortest_paths_pairs",
+    # graph: algorithms
+    "scc_summary",
+    "connected_components_summary",
+    "pagerank_top20",
+    # relational core
+    "customers_with_open_orders",
+    "parts_never_ordered",
+    "distinct_order_profiles",
+    "quantity_histogram",
+    "lineitem_describe",
+    "scalar_function_showcase",
+    "orders_running_rank",
+    "revenue_rollup",
+)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     load_all()
-    return dict(_REGISTRY)
+    missing = [n for n in CORRECTNESS_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"CORRECTNESS_WINDOW names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in CORRECTNESS_WINDOW}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def spark_queries() -> dict[str, SparkQuery]:

@@ -129,19 +129,27 @@ def sessionize_stream(
             start = last = None
             n = 0
         out = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
-        for pdf in pdf_iter:
-            for ts in pdf["ts"].sort_values():
-                us = int(ts.value // 1_000)  # pandas ns -> us
-                if start is None:
-                    start, last, n = us, us, 1
-                elif us - last > gap_us:
-                    out["user_id"].append(user_id)
-                    out["session_start"].append(pd.Timestamp(start, unit="us"))
-                    out["session_end"].append(pd.Timestamp(last, unit="us"))
-                    out["n_events"].append(n)
-                    start, last, n = us, us, 1
-                else:
-                    last, n = us, n + 1
+        # a group's rows can arrive as MULTIPLE Arrow chunks with no
+        # cross-chunk order guarantee: concatenate and sort ONCE so the
+        # session fold really processes the whole batch in ts order
+        # (sorting per-chunk gave wrong boundaries for interleaved
+        # chunks — round-1 advisor finding)
+        chunks = [pdf["ts"] for pdf in pdf_iter]
+        all_ts = pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="datetime64[ns]")
+        for ts in all_ts:
+            us = int(ts.value // 1_000)  # pandas ns -> us
+            if start is None:
+                start, last, n = us, us, 1
+            elif us - last > gap_us:
+                out["user_id"].append(user_id)
+                out["session_start"].append(pd.Timestamp(start, unit="us"))
+                out["session_end"].append(pd.Timestamp(last, unit="us"))
+                out["n_events"].append(n)
+                start, last, n = us, us, 1
+            else:
+                # us can precede `last` for late events from an earlier
+                # micro-batch: widen the session, never move it backwards
+                start, last, n = min(start, us), max(last, us), n + 1
         state.update((start, last, n))
         if flush_timeout_ms is not None:
             state.setTimeoutDuration(flush_timeout_ms)

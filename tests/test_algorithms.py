@@ -58,6 +58,24 @@ def test_connected_components_two_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_connected_components_long_path_converges(spark):
+    # A 501-node path: diameter 500, far beyond round-1's 200-iteration
+    # label-propagation cap (which silently returned wrong labels here).
+    # Star contraction needs O(log n) rounds, so max_iter=50 is plenty;
+    # non-convergence now raises instead of returning bad components.
+    n = 500
+    e = edges_df(spark, [(i, i + 1) for i in range(n)])
+    got = {r.id: r.component for r in connected_components(e).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_reversed_path_and_star(spark):
+    # min id in the middle; edges pointing "backwards"
+    e = edges_df(spark, [(5, 4), (4, 3), (3, 0), (0, 9), (9, 8), (7, 0)])
+    got = {r.id: r.component for r in connected_components(e).collect()}
+    assert got == {v: 0 for v in (0, 3, 4, 5, 7, 8, 9)}
+
+
 def test_scc_textbook(spark):
     # SCCs: {1,2,3} (cycle), {4,5} (2-cycle), {6} (sink)
     e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6)])
