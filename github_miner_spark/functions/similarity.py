@@ -70,6 +70,24 @@ def brute_force_topk(
     )
 
 
+def adaptive_n_planes(
+    n_vectors: int, target_bucket: int = 256, min_planes: int = 4
+) -> int:
+    """Hyperplane count that grows with log2(corpus size) so expected
+    bucket occupancy stays ~``target_bucket``: same-bucket candidate
+    pairs then scale ~n * occupancy / 2 (linear in n), never n^2/2^B
+    with fixed B — the round-1 quadratic-in-disguise fix. 4 planes up
+    to ~1M vectors at the default target, 12 at 1M, 22 at 1B."""
+    import math
+
+    if n_vectors <= 1:
+        return min_planes
+    return max(
+        min_planes,
+        math.ceil(math.log2(n_vectors)) - int(math.log2(target_bucket)),
+    )
+
+
 def hyperplane_bit(vec: Column, plane: int, dims: int) -> Column:
     """Sign bit of <vec, h_plane> where h_plane[i] = ±1 derived from the
     portable md5 hash of 'plane_i' — deterministic pseudo-random

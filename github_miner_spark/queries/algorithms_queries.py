@@ -48,12 +48,12 @@ def _pagerank_oracle_sql(iterations: int = 20, damping: float = 0.85) -> str:
     d = repr(damping)
     parts = [
         """
-    , prverts AS (
+    , prverts AS MATERIALIZED (
         SELECT DISTINCT v FROM (
             SELECT src AS v FROM mm_edges UNION ALL SELECT dst FROM mm_edges
         )
     ),
-    pw AS (
+    pw AS MATERIALIZED (
         SELECT src, dst,
                CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY src)) AS wt
         FROM mm_edges
@@ -64,7 +64,7 @@ def _pagerank_oracle_sql(iterations: int = 20, damping: float = 0.85) -> str:
     for i in range(1, iterations + 1):
         parts.append(
             f"""
-    , pr{i} AS (
+    , pr{i} AS MATERIALIZED (
         SELECT p.v AS id,
                CAST({base} AS DOUBLE)
                + CAST({d} AS DOUBLE) * coalesce(c.msg, CAST(0.0 AS DOUBLE)) AS rank
@@ -92,7 +92,7 @@ def _label_propagation_oracle_sql(iterations: int = 8) -> str:
     graph.algorithms.label_propagation for a fixed sweep count."""
     parts = [
         """
-    , lpsym AS (
+    , lpsym AS MATERIALIZED (
         SELECT DISTINCT src, dst FROM (
             SELECT src, dst FROM mm_edges WHERE src <> dst
             UNION ALL
@@ -110,7 +110,7 @@ def _label_propagation_oracle_sql(iterations: int = 8) -> str:
     for i in range(1, iterations + 1):
         parts.append(
             f"""
-    , lab{i} AS (
+    , lab{i} AS MATERIALIZED (
         SELECT l.id, coalesce(b.new_community, l.community) AS community
         FROM lab{i - 1} l LEFT JOIN (
             SELECT nid, community AS new_community FROM (

@@ -152,18 +152,40 @@ def _plane_signs(plane: int, dims: int = 64) -> list[int]:
     ]
 
 
-def _cosine_dups_oracle(n_planes: int = 4, dims: int = 64, threshold: float = 0.45) -> str:
-    bits = []
-    for p in range(n_planes):
-        signs = "[" + ", ".join(f"{s}.0" for s in _plane_signs(p, dims)) + "]"
-        bits.append(
-            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dims}), "
-            f"i -> ev[i] * ({signs})[i])) > 0 THEN {1 << p} ELSE 0 END)"
-        )
-    bucket = " + ".join(bits)
+def _cosine_dups_oracle(dims: int = 64, threshold: float = 0.45) -> str:
+    """Dynamic-plane-count oracle: recomputes adaptive_n_planes(n) =
+    greatest(4, ceil(log2(n)) - 8) from the corpus itself, derives the
+    same md5-seeded ±1 hyperplanes in SQL (DuckDB md5 == Spark md5 ==
+    functions.text.token_hash), and buckets/verifies exactly like the
+    engine. Bit dot products use list_sum over list_transform — the
+    same sequential fold order as Spark's aggregate(), so sign bits
+    agree even for near-zero dots."""
     return f"""
     WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
-    b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
+    np AS (
+      SELECT greatest(4, CAST(ceil(log2(count(*))) AS INT) - 8) AS n_planes FROM e
+    ),
+    plane_sign AS (
+      SELECT p.range AS plane, i.range AS i,
+             (CAST(('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_' ||
+                                        CAST(i.range AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 2) * 2 - 1 AS s
+      FROM range(32) p, range({dims}) i
+      WHERE p.range < (SELECT n_planes FROM np)
+    ),
+    planes AS (
+      SELECT plane, list(CAST(s AS DOUBLE) ORDER BY i) AS signs
+      FROM plane_sign GROUP BY plane
+    ),
+    buckets AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, {dims}),
+                            i -> e.ev[i] * pl.signs[i])) > 0
+                       THEN (CAST(1 AS BIGINT) << pl.plane) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    b AS (SELECT e.vec_id, e.ev, bk.bucket FROM e JOIN buckets bk USING (vec_id)),
     p AS (
       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
              round(list_sum(list_transform(generate_series(1, {dims}),
@@ -182,24 +204,32 @@ def _cosine_dups_oracle(n_planes: int = 4, dims: int = 64, threshold: float = 0.
     oracle=_cosine_dups_oracle(),
     description="Embedding-cosine near-dup pairs, LSH-bucketed: hyperplane "
     "bucket the corpus once, compare only same-bucket pairs, keep cosine >= "
-    "0.45 — the scale path for embedding dedup (candidates shrink 2^B-fold; "
-    "all-pairs scan never happens)",
+    "0.45 — the scale path for embedding dedup. The plane count grows with "
+    "log2(corpus) (adaptive_n_planes) so bucket occupancy — and with it the "
+    "candidate-pair count — stays LINEAR in n instead of n^2/2^B with a "
+    "fixed B; the oracle recomputes the same adaptive bucketing in SQL.",
     tags=("similarity", "dedup", "lsh"),
 )
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_miner_spark.functions.similarity import lsh_bucket
+    from github_miner_spark.functions.similarity import (
+        adaptive_n_planes,
+        dot,
+        lsh_bucket,
+        norm,
+    )
 
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
     )
-    from github_miner_spark.functions.similarity import dot, norm
+    # scalar corpus count for the plane-count formula only (not row data)
+    n_planes = adaptive_n_planes(emb.count())
 
     # norms computed ONCE per vector (not per candidate pair: the pair
-    # count is ~n^2/buckets, the vector count is n)
+    # count is ~n * bucket_occupancy, the vector count is n)
     bucketed = emb.select(
         "vec_id",
         "ev",
-        lsh_bucket(F.col("ev"), n_planes=4, dims=64).alias("bucket"),
+        lsh_bucket(F.col("ev"), n_planes=n_planes, dims=64).alias("bucket"),
         norm(F.col("ev")).alias("nrm"),
     ).localCheckpoint(eager=False)
     a = bucketed.alias("a")

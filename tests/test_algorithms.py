@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from github_miner_spark.graph.algorithms import (
     connected_components,
     label_propagation,
@@ -184,3 +186,21 @@ def test_scc_distributed_path_matches_hybrid(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[4] == comp[5] == 4
     assert len({comp[6], comp[7], comp[8], comp[9], comp[10]}) == 5
+
+
+def test_louvain_modularity_floor_on_bench_slice(spark):
+    """Quality contract for the 3-sweep speed trade (round-1 commit
+    91db594 cut sweeps 4->3 accepting Q 0.493 vs 0.499): the bench-slice
+    modularity must stay >= 0.47. If a future speed tweak erodes below
+    this, the trade is no longer acceptable — fail loudly."""
+    from github_miner_spark.graph.algorithms import louvain, modularity
+    from github_miner_spark.graph.store import load_graph
+
+    mm = load_graph(spark, "/root/testdata/sf0.01").module_dep_edges()
+    sub = mm.filter(
+        (F.col("src") >= 1002) & (F.col("src") < 5002)
+        & (F.col("dst") >= 1002) & (F.col("dst") < 5002)
+    )
+    comm = louvain(sub, max_sweeps=3, levels=2)
+    q = modularity(sub, comm)
+    assert q >= 0.47, f"bench-slice modularity regressed: Q={q:.4f}"

@@ -87,3 +87,44 @@ def test_sample_frames_explode_shape(spark):
         assert per_doc[doc_id] == math.ceil(n_frames / 4)
     # every sampled index is a multiple of k
     assert frames.filter(F.col("frame_idx") % 4 != 0).isEmpty()
+
+
+def test_adaptive_n_planes_growth():
+    from github_miner_spark.functions.similarity import adaptive_n_planes
+
+    # floor of 4 planes at small corpora (keeps sf0.01/0.1 output stable)
+    assert adaptive_n_planes(500) == 4
+    assert adaptive_n_planes(4096) == 4
+    # grows with log2(n): occupancy target 256 per bucket
+    assert adaptive_n_planes(1_000_000) == 12
+    assert adaptive_n_planes(1_000_000_000) == 22
+    # monotone non-decreasing
+    prev = 0
+    for n in (10, 10**3, 10**5, 10**7, 10**9, 10**11):
+        p = adaptive_n_planes(n)
+        assert p >= prev
+        prev = p
+
+
+def test_cosine_dups_candidates_far_below_all_pairs(spark):
+    """The LSH bucketing must keep same-bucket candidate pairs well
+    under all-pairs n(n-1)/2 — the round-1 scale finding."""
+    from github_miner_spark.functions.similarity import adaptive_n_planes, lsh_bucket
+    from github_miner_spark.io.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    )
+    n = emb.count()
+    p = adaptive_n_planes(n)
+    occ = (
+        emb.select(lsh_bucket(F.col("ev"), n_planes=p, dims=64).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("sz"))
+    )
+    candidates = occ.agg(
+        F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("c")
+    ).collect()[0]["c"]
+    all_pairs = n * (n - 1) / 2
+    assert candidates < all_pairs / 8, (candidates, all_pairs)
