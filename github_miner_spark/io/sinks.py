@@ -83,3 +83,87 @@ def snapshot(df: DataFrame, path: str) -> None:
 
 def restore(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# -- Gephi graph-streaming sink (S10) ----------------------------------
+
+
+def gephi_events(edges: DataFrame) -> DataFrame:
+    """Gephi graph-streaming events for a batch of edges (S10).
+
+    The reference streams query sub-graphs into Gephi via
+    ``apoc.gephi.add`` (documentation/queries.md:200-210, 350-358),
+    which POSTs the graph-streaming JSON protocol: one ``{"an": {id:
+    attrs}}`` add-node event per endpoint and one ``{"ae": {id:
+    attrs}}`` add-edge event per relationship. This builds those event
+    lines declaratively (to_json over map/struct columns — pure
+    Catalyst, no Python in the row path). Returns a 1-column DataFrame
+    (``value`` string), node events before edge events, exactly the
+    line protocol a Gephi master workspace accepts.
+    """
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.coalesce(F.col("rel_type"), F.lit("EDGE")).alias("rel_type")
+        if "rel_type" in edges.columns
+        else F.lit("EDGE").alias("rel_type"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            F.to_json(
+                F.struct(
+                    F.create_map(
+                        F.col("id"), F.struct(F.col("id").alias("label"))
+                    ).alias("an")
+                )
+            ).alias("value")
+        )
+    )
+    edge_events = e.select(
+        F.to_json(
+            F.struct(
+                F.create_map(
+                    F.concat_ws("-", "src", "dst"),
+                    F.struct(
+                        F.col("src").alias("source"),
+                        F.col("dst").alias("target"),
+                        F.lit(True).alias("directed"),
+                        F.col("rel_type").alias("label"),
+                    ),
+                ).alias("ae")
+            )
+        ).alias("value")
+    )
+    return nodes.unionByName(edge_events)
+
+
+def gephi_stream_sink(
+    edge_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Streaming S10 sink: foreachBatch -> Gephi event lines.
+
+    Each micro-batch is converted with :func:`gephi_events` and appended
+    as JSON-lines text — the on-disk stand-in for POSTing each line to
+    ``http://<gephi-host>:8080/<workspace>?operation=updateGraph`` (the
+    apoc.gephi.add transport; live HTTP is stubbed in this sandbox like
+    the reference's other network edges, SURVEY.md §7). Returns the
+    started StreamingQuery; ``availableNow`` drains bounded sources.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        gephi_events(batch_df).coalesce(1).write.mode("append").text(out_path)
+
+    writer = (
+        edge_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

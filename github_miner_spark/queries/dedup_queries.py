@@ -27,7 +27,7 @@ from github_miner_spark.registry import register
 
 # shared oracle CTEs: tokens -> distinct hashed 3-gram shingles per doc
 DUCK_SHINGLES_CTE = f"""
-WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+WITH RECURSIVE t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
 sh AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3
@@ -202,3 +202,48 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return simhash_near_pairs(docs, max_hamming=6).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_clusters",
+    oracle=DUCK_SHINGLES_CTE
+    + """
+    , dup_edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8),
+    dsym AS (SELECT src, dst FROM dup_edges UNION SELECT dst, src FROM dup_edges),
+    reach(a, b) AS (
+        SELECT src, dst FROM dsym
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN dsym e ON e.src = r.b
+    ),
+    members AS (SELECT DISTINCT v FROM (SELECT src AS v FROM dup_edges
+                                        UNION ALL SELECT dst FROM dup_edges)),
+    comp AS (
+        SELECT m.v AS id, least(m.v, coalesce(min(r.b), m.v)) AS component
+        FROM members m LEFT JOIN reach r ON r.a = m.v
+        GROUP BY m.v
+    )
+    SELECT component AS canonical_doc, count(*) AS cluster_size
+    FROM comp GROUP BY component ORDER BY canonical_doc
+    """,
+    description="Duplicate-cluster resolution: near-dup pairs (word-3-gram "
+    "Jaccard >= 0.8) become an undirected graph, star-contraction "
+    "connected components group transitively-linked docs, and the min "
+    "doc_id is the canonical keeper per cluster — the 'which copy do we "
+    "keep' step a training pipeline runs after pair detection. Composite "
+    "of the dedup + graph surfaces; cluster count is bounded by dup "
+    "pairs, never corpus size.",
+    tags=("dedup", "jaccard", "clusters", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.graph.algorithms import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.8).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("component").alias("canonical_doc"))
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("canonical_doc")
+    )

@@ -35,3 +35,14 @@ def test_every_query_has_registry_entry():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_correctness_window_is_covering_and_oracle_backed():
+    """The driver's artifact covers the first 50 registry entries; the
+    explicit window must fill all 50 slots with oracle-backed queries
+    (round-1 finding: 19 LLM-pipeline queries sat past the window)."""
+    names = list(SPECS)
+    assert names[: len(registry.CORRECTNESS_WINDOW)] == list(registry.CORRECTNESS_WINDOW)
+    assert len(registry.CORRECTNESS_WINDOW) == 50
+    missing = [n for n in registry.CORRECTNESS_WINDOW if SPECS[n].oracle is None]
+    assert not missing, f"window entries without oracle: {missing}"

@@ -72,3 +72,42 @@ def test_training_shards_ordered_and_manifested(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges
+
+
+def test_gephi_events_protocol(spark):
+    e = spark.createDataFrame(
+        [(1, 2, "DEPENDS_ON"), (2, 3, "OWNS")], "src bigint, dst bigint, rel_type string"
+    )
+    import json
+
+    lines = [json.loads(r["value"]) for r in sinks.gephi_events(e).collect()]
+    an = [ev["an"] for ev in lines if "an" in ev]
+    ae = [ev["ae"] for ev in lines if "ae" in ev]
+    assert {k for ev in an for k in ev} == {"1", "2", "3"}
+    edges = {k: v for ev in ae for k, v in ev.items()}
+    assert edges["1-2"] == {"source": "1", "target": "2", "directed": True, "label": "DEPENDS_ON"}
+    assert edges["2-3"]["label"] == "OWNS"
+
+
+def test_gephi_stream_sink_drains_batches(spark):
+    """S10: streaming edges -> foreachBatch -> Gephi event lines
+    (apoc.gephi.add analog, reference documentation/queries.md:200-210;
+    file transport stands in for the HTTP POST, SURVEY.md §7)."""
+    import json
+
+    e = spark.createDataFrame(
+        [(1, 2, "DEPENDS_ON"), (1, 3, "DEPENDS_ON"), (3, 4, "PEER_DEPENDS_ON")],
+        "src bigint, dst bigint, rel_type string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        e.write.parquet(f"{d}/edges")
+        stream = spark.readStream.schema("src bigint, dst bigint, rel_type string").parquet(
+            f"{d}/edges"
+        )
+        q = sinks.gephi_stream_sink(stream, f"{d}/gephi", f"{d}/ckpt")
+        q.awaitTermination(120)
+        lines = [json.loads(r["value"]) for r in spark.read.text(f"{d}/gephi").collect()]
+        node_ids = {k for ev in lines if "an" in ev for k in ev["an"]}
+        edge_ids = {k for ev in lines if "ae" in ev for k in ev["ae"]}
+        assert node_ids == {"1", "2", "3", "4"}
+        assert edge_ids == {"1-2", "1-3", "3-4"}
