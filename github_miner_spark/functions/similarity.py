@@ -148,3 +148,73 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    ~sqrt(n) inverted lists, probe only the ``n_probe`` lists nearest
+    each query.
+
+    The coarse quantizer is a deterministic sample of the corpus itself
+    (every ``stride``-th vec_id is a centroid) rather than k-means-
+    trained centroids — same recall mechanics, zero training passes,
+    and exactly reproducible in the DuckDB oracle. List assignment is
+    one corpus scan against the broadcast centroid set (sqrt(n)
+    centroids: 31k x 64 floats = ~16 MB broadcast at 1B vectors);
+    search touches n_probe/sqrt(n) of the corpus instead of all of it.
+    Returns (query_id, neighbor_id, score, rank), scores rounded to 6dp
+    like brute_force_topk so results are a subset of its scored space.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    n = embeddings.count()
+    n_cent = max(1, math.isqrt(n))
+    stride = math.ceil(n / n_cent)
+    cents = embeddings.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    cscore = F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+    aw = Window.partitionBy(id_col).orderBy(F.desc("cscore"), F.asc("cid"))
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(id_col, vec_col, "cid", cscore.alias("cscore"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("cid").alias("list_id"))
+    )
+    q = embeddings.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    qscore = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    qw = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qvec", "cid", qscore.alias("cscore"))
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", F.col("cid").alias("list_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -246,3 +246,75 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.45)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _dcos(a: str, b: str) -> str:
+    """Rounded cosine between two DuckDB list columns, sequential fold
+    order matching Spark's aggregate()."""
+    return (
+        f"round(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+    )
+
+
+def _ivf_oracle(n_probe: int = 3, k: int = 5) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    par AS (
+      SELECT CAST(ceil(count(*) / floor(sqrt(count(*)))) AS BIGINT) AS stride FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cid, ev AS cvec FROM e
+      WHERE vec_id % (SELECT stride FROM par) = 0
+    ),
+    asg AS (
+      SELECT vec_id, ev, cid AS list_id FROM (
+        SELECT e.vec_id, e.ev, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dcos('e.ev', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT query_id, qv, cid AS list_id FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_dcos('q.qv', 'c.cvec')} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_dcos('p.qv', 'a.ev')} AS score
+      FROM asg a JOIN probes p ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=_ivf_oracle(),
+    description="IVF-flat approximate top-5: coarse-quantize into ~sqrt(n) "
+    "inverted lists (deterministic sampled centroids), probe the 3 nearest "
+    "lists per query — the second ANN scale path next to hyperplane LSH; "
+    "search cost ~n_probe/sqrt(n) of the corpus. Fully oracle-checked "
+    "(the deterministic quantizer reproduces exactly in SQL).",
+    tags=("similarity", "ann", "ivf", "topk"),
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return ivf_topk(emb, PROBE_IDS, k=5, n_probe=3).orderBy("query_id", "rank")

@@ -48,3 +48,24 @@ def test_dedup_has_no_allpairs_join(spark):
     plan = _plan(spark, "minhash_lsh_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_one_hop_neighborhood_broadcasts_names(spark):
+    plan = _plan(spark, "one_hop_neighborhood")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the point filters reach the parquet scans on both union branches
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(src,421\)", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(dst,72\)", plan)
+
+
+def test_embedding_cosine_dups_bucket_join_only(spark):
+    plan = _plan(spark, "embedding_cosine_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_clusters_no_allpairs(spark):
+    plan = _plan(spark, "dedup_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

