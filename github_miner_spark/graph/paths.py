@@ -51,6 +51,37 @@ def _as_root_df(edges: DataFrame, roots) -> DataFrame:
     return spark.createDataFrame([(int(r),) for r in roots], "root bigint")
 
 
+class _loop_shuffle_partitions:
+    """Scoped override of spark.sql.shuffle.partitions for iterative
+    probe loops. In broadcast-frontier mode the per-level state is by
+    definition broadcast-sized, so the session-wide shuffle width (sized
+    for full-table aggregations) only buys task-launch overhead: at
+    sf0.1/local[32] the anchor closure drops 3.5s -> 2.6s with width 8.
+    Restores the session value on exit; loops run their actions eagerly
+    inside the scope, so only the caller's final (small) aggregation
+    sees the restored width."""
+
+    def __init__(self, spark, enabled: bool, width: int = 8):
+        self.spark = spark
+        self.enabled = enabled
+        self.width = width
+        self.saved: str | None = None
+
+    def __enter__(self):
+        if self.enabled:
+            self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+            if int(self.saved) > self.width:
+                self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
+            else:
+                self.saved = None
+        return self
+
+    def __exit__(self, *exc):
+        if self.saved is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def closure_path_counts(
     edges: DataFrame,
     roots=None,
@@ -80,43 +111,52 @@ def closure_path_counts(
     faster when the root set is small (measured at sf0.1); leave off
     for many-root closures whose frontier may not fit in memory.
     """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    root_df = _as_root_df(edges, roots)
-    frontier = (
-        edges.join(root_df, edges.src == root_df.root)
-        .groupBy("root", F.col("dst").alias("node"))
-        .agg(F.count("*").cast("long").alias("paths"))
-        .localCheckpoint(eager=True)
-    )
-    levels = [frontier]
-    for it in range(1, max_iter + 1):
-        f = F.broadcast(frontier) if broadcast_frontier else frontier
-        nxt = f.join(edges, frontier.node == edges.src).select(
-            "root", F.col("dst").alias("node"), "paths"
+    spark = edges.sparkSession
+    with _loop_shuffle_partitions(spark, enabled=broadcast_frontier):
+        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        root_df = _as_root_df(edges, roots)
+        frontier = (
+            edges.join(root_df, edges.src == root_df.root)
+            .groupBy("root", F.col("dst").alias("node"))
+            .agg(F.count("*").cast("long").alias("paths"))
+            .localCheckpoint(eager=True)
         )
-        if it % checkpoint_every == 0 or it == max_iter:
-            # aggregate only at checkpoint barriers: levels in between
-            # carry un-summed (root, node, paths) rows, whose count is
-            # bounded by the number of distinct paths discovered in the
-            # window (<= branching^k x frontier) — the state bound the
-            # per-level agg used to enforce, amortized over the window.
-            # One barrier (and one shuffle) per k levels instead of two
-            # barriers per level; measured 4.5s -> 2.6s at sf0.1.
-            nxt = (
-                nxt.groupBy("root", "node")
-                .agg(F.sum("paths").alias("paths"))
-                .localCheckpoint(eager=True)
+        levels = [frontier]
+        for it in range(1, max_iter + 1):
+            f = F.broadcast(frontier) if broadcast_frontier else frontier
+            nxt = f.join(edges, frontier.node == edges.src).select(
+                "root", F.col("dst").alias("node"), "paths"
             )
-            if nxt.isEmpty():
-                break
-        levels.append(nxt)
-        frontier = nxt
-    else:
-        raise RuntimeError(
-            f"closure did not converge within {max_iter} levels — cyclic input? "
-            "use reachable_set/bfs_depths (cycle-safe) or pass a depth bound"
-        )
+            if it % checkpoint_every == 0 or it == max_iter:
+                # aggregate only at checkpoint barriers: levels in
+                # between carry un-summed (root, node, paths) rows,
+                # whose count is bounded by the number of distinct paths
+                # discovered in the window (<= branching^k x frontier) —
+                # the state bound the per-level agg used to enforce,
+                # amortized over the window. One barrier (and one
+                # shuffle) per k levels instead of two barriers per
+                # level; measured 4.5s -> 2.6s at sf0.1.
+                nxt = (
+                    nxt.groupBy("root", "node")
+                    .agg(F.sum("paths").alias("paths"))
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    break
+            levels.append(nxt)
+            frontier = nxt
+        else:
+            raise RuntimeError(
+                f"closure did not converge within {max_iter} levels — cyclic input? "
+                "use reachable_set/bfs_depths (cycle-safe) or pass a depth bound"
+            )
     all_levels = reduce(lambda a, b: a.unionByName(b), levels)
+    if broadcast_frontier:
+        # pre-shape the caller-side aggregation to the loop width: the
+        # groupBy reuses this hash partitioning, so the final job (which
+        # re-runs the lazy window levels) doesn't fan out to the
+        # session-wide shuffle width for frontier-sized data
+        all_levels = all_levels.repartition(8, "root", "node")
     return all_levels.groupBy("root", "node").agg(F.sum("paths").alias("paths"))
 
 
@@ -145,60 +185,63 @@ def bfs_depths(
     minimum survives. Intra-window row growth is bounded by
     branching^window (the price of 1 barrier per window instead of 3
     per level — measured 3x faster on the sf0.1 DAG probes)."""
+    spark = edges.sparkSession
     edges = edges.select("src", "dst")
     root_df = _as_root_df(edges, roots)
     until_set: set[int] | None = None
     if until is not None:
         until_set = {int(until)} if isinstance(until, int) else {int(u) for u in until}
-    frontier = (
-        edges.join(root_df, edges.src == root_df.root)
-        .select("root", F.col("dst").alias("node"))
-        .distinct()
-        .withColumn("depth", F.lit(1))
-        .localCheckpoint(eager=True)
-    )
-    chunks = [frontier]
-    if until_set:
-        hit = frontier.select("node").distinct().filter(F.col("node").isin(*until_set))
-        until_set -= {r["node"] for r in hit.collect()}
-    depth = 1
-    done = frontier.isEmpty() or (until_set is not None and not until_set)
-    while not done and depth <= max_iter:
-        base_visited = reduce(lambda a, b: a.unionByName(b), chunks).select("root", "node")
-        # small-probe mode: broadcast the visited set into the per-level
-        # anti-join too — the whole window then runs map-side (broadcast
-        # joins only), one shuffle at the window-end dedup
-        anti = F.broadcast(base_visited) if broadcast_frontier else base_visited
-        window: list[DataFrame] = []
-        for _ in range(checkpoint_every):
-            if depth > max_iter:
-                break
-            depth += 1
-            f = F.broadcast(frontier) if broadcast_frontier else frontier
-            nxt = (
-                f.join(edges, frontier.node == edges.src)
-                .select("root", F.col("dst").alias("node"))
-                .join(anti, ["root", "node"], "left_anti")
-                .withColumn("depth", F.lit(depth))
-            )
-            window.append(nxt)
-            frontier = nxt
-        wnd = (
-            reduce(lambda a, b: a.unionByName(b), window)
-            .groupBy("root", "node")
-            .agg(F.min("depth").alias("depth"))
+    with _loop_shuffle_partitions(spark, enabled=broadcast_frontier):
+        frontier = (
+            edges.join(root_df, edges.src == root_df.root)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("depth", F.lit(1))
             .localCheckpoint(eager=True)
         )
-        if wnd.isEmpty():
-            break
-        chunks.append(wnd)
-        frontier = wnd.filter(F.col("depth") == depth)
-        done = frontier.isEmpty()
+        chunks = [frontier]
         if until_set:
-            hit = wnd.select("node").distinct().filter(F.col("node").isin(*until_set))
+            hit = frontier.select("node").distinct().filter(F.col("node").isin(*until_set))
             until_set -= {r["node"] for r in hit.collect()}
-        if until_set is not None and not until_set:
-            done = True
+        depth = 1
+        done = frontier.isEmpty() or (until_set is not None and not until_set)
+        while not done and depth <= max_iter:
+            base_visited = reduce(lambda a, b: a.unionByName(b), chunks).select("root", "node")
+            # small-probe mode: broadcast the visited set into the
+            # per-level anti-join too — the whole window then runs
+            # map-side (broadcast joins only), one shuffle at the
+            # window-end dedup
+            anti = F.broadcast(base_visited) if broadcast_frontier else base_visited
+            window: list[DataFrame] = []
+            for _ in range(checkpoint_every):
+                if depth > max_iter:
+                    break
+                depth += 1
+                f = F.broadcast(frontier) if broadcast_frontier else frontier
+                nxt = (
+                    f.join(edges, frontier.node == edges.src)
+                    .select("root", F.col("dst").alias("node"))
+                    .join(anti, ["root", "node"], "left_anti")
+                    .withColumn("depth", F.lit(depth))
+                )
+                window.append(nxt)
+                frontier = nxt
+            wnd = (
+                reduce(lambda a, b: a.unionByName(b), window)
+                .groupBy("root", "node")
+                .agg(F.min("depth").alias("depth"))
+                .localCheckpoint(eager=True)
+            )
+            if wnd.isEmpty():
+                break
+            chunks.append(wnd)
+            frontier = wnd.filter(F.col("depth") == depth)
+            done = frontier.isEmpty()
+            if until_set:
+                hit = wnd.select("node").distinct().filter(F.col("node").isin(*until_set))
+                until_set -= {r["node"] for r in hit.collect()}
+            if until_set is not None and not until_set:
+                done = True
     return reduce(lambda a, b: a.unionByName(b), chunks)
 
 
