@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 from github_miner_spark.queries.events_queries import events_tumbling_hourly
 from github_miner_spark.streaming.events import (
     run_available_now,
@@ -86,3 +88,79 @@ def test_stateful_sessionization_stream(spark):
     }
     assert got == want
     assert len(want) > 0  # fixture has multi-session users
+
+
+def test_watermark_drops_late_events_and_finalizes_once(spark):
+    """Append-mode watermark contract (SURVEY §2.10): a row older than
+    the watermark (max event time - 2h) is DROPPED, finalized windows
+    emit exactly once, and open windows stay in state until the
+    watermark passes them. Three availableNow drains share one
+    checkpoint, so the watermark persists across micro-batches exactly
+    as in a continuous deployment."""
+    import tempfile
+
+    from github_miner_spark.streaming.events import windowed_event_counts
+
+    BASE = 1700000000 - (1700000000 % 3600)  # hour-aligned epoch, UTC
+
+    def ns(hour, minute):
+        # events schema stores TIMESTAMP(NANOS) as long
+        return int((BASE + hour * 3600 + minute * 60) * 1_000_000_000)
+
+    # batch 1 max = 14:00 -> watermark 12:00: window [10:00,11:00) is
+    # finalized+emitted in run 1 and its state evicted
+    rows1 = [(1, ns(10, 0)), (2, ns(10, 30)), (3, ns(10, 45)), (4, ns(14, 0))]
+    # 10:50's window closed below the watermark -> row DROPPED;
+    # 12:30's window is still open -> buffered in state
+    rows2 = [(5, ns(10, 50)), (6, ns(12, 30))]
+    # advances wm to 13:30, finalizing [12:00, 13:00)
+    rows3 = [(7, ns(15, 30))]
+
+    with tempfile.TemporaryDirectory() as d:
+        src, out, ckpt = f"{d}/in", f"{d}/out", f"{d}/ckpt"
+
+        def write_batch(rows, name):
+            spark.createDataFrame(
+                [(eid, "click", 7, tsns, 1.0) for eid, tsns in rows],
+                "event_id bigint, event_type string, user_id bigint, ts bigint, value double",
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def drain():
+            stream = (
+                spark.readStream.schema(
+                    "event_id bigint, event_type string, user_id bigint, ts bigint, value double"
+                )
+                .parquet(src)
+                .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            )
+            q = (
+                windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        write_batch(rows1, "b1")
+        drain()
+        write_batch(rows2, "b2")
+        drain()
+        write_batch(rows3, "b3")
+        drain()
+
+        import datetime as _dt
+
+        def hour_of(w):
+            return int((w.replace(tzinfo=_dt.timezone.utc).timestamp() - BASE) // 3600)
+
+        got = {
+            hour_of(r["window_start"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        # [10:00,11:00) finalized with batch-1 rows ONLY (late 10:50 dropped,
+        # never re-emitted); [12:00,13:00) finalized by the wm advance;
+        # 14:00 and 15:00 windows still open in state
+        assert got == {10: 3, 12: 1}, got
