@@ -78,6 +78,17 @@ def run_available_now(
     q.awaitTermination()
 
 
+def dedup_stream(
+    events: DataFrame, keys: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key,
+    with state bounded by the event-time watermark
+    (dropDuplicatesWithinWatermark) — at-least-once sources become
+    effectively-once without unbounded key state. The streaming twin of
+    the batch first-writer-wins merge (etl/merge.py)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )

@@ -1,0 +1,100 @@
+"""End-to-end curation pipeline: funnel counts, dedup composition, and
+export integrity over the fixture corpus."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from github_miner_spark.functions.pipeline import curate_and_export
+from github_miner_spark.io.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curate_and_export_funnel_monotone_and_export_matches(spark):
+    docs = load_table(spark, "documents", SF)
+    with tempfile.TemporaryDirectory() as d:
+        report = curate_and_export(docs, f"{d}/shards", num_shards=3)
+        # funnel counts are monotone non-increasing
+        seq = [
+            report["n_total"],
+            report["n_lang"],
+            report["n_quality"],
+            report["n_tokens"],
+            report["n_exact_kept"],
+            report["n_near_kept"],
+        ]
+        assert seq == sorted(seq, reverse=True), seq
+        assert report["n_total"] == docs.count()
+        assert report["n_near_kept"] > 0
+        # the export holds exactly the final survivor set
+        back = spark.read.parquet(f"{d}/shards")
+        assert back.count() == report["n_near_kept"]
+        assert report["manifest"]["rows"] == report["n_near_kept"]
+        # doc_ids unique after dedup
+        assert back.select("doc_id").distinct().count() == back.count()
+
+
+def test_curate_funnel_matches_registered_funnel_query(spark):
+    """The pipeline's first four stages must agree with the
+    corpus_filter_funnel query (same operators, same thresholds)."""
+    from github_miner_spark.queries.text_queries import corpus_filter_funnel
+
+    docs = load_table(spark, "documents", SF)
+    with tempfile.TemporaryDirectory() as d:
+        report = curate_and_export(docs, f"{d}/shards", num_shards=2)
+    row = corpus_filter_funnel(spark, SF).collect()[0]
+    assert report["n_total"] == row["n_total"]
+    assert report["n_lang"] == row["n_lang"]
+    assert report["n_quality"] == row["n_quality"]
+    assert report["n_tokens"] == row["n_tokens"]
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark keeps the FIRST occurrence of each
+    event_id across micro-batches while the key is inside the
+    watermark horizon."""
+    import tempfile as _tf
+
+    from github_miner_spark.streaming.events import dedup_stream
+
+    base_ns = 1700000000 * 1_000_000_000
+    with _tf.TemporaryDirectory() as d:
+        src, out, ckpt = f"{d}/in", f"{d}/out", f"{d}/ckpt"
+
+        def write(rows):
+            spark.createDataFrame(
+                rows,
+                "event_id bigint, event_type string, user_id bigint, ts bigint, value double",
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def drain():
+            stream = (
+                spark.readStream.schema(
+                    "event_id bigint, event_type string, user_id bigint, ts bigint, value double"
+                )
+                .parquet(src)
+                .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            )
+            q = (
+                dedup_stream(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        write([(1, "a", 1, base_ns, 1.0), (2, "b", 1, base_ns + 10**9, 2.0)])
+        drain()
+        # batch 2 replays id 1 (duplicate, within watermark) + new id 3
+        write([(1, "a", 1, base_ns, 9.9), (3, "c", 2, base_ns + 2 * 10**9, 3.0)])
+        drain()
+        got = sorted(
+            (r["event_id"], r["value"]) for r in spark.read.parquet(out).collect()
+        )
+        assert got == [(1, 1.0), (2, 2.0), (3, 3.0)], got
