@@ -80,7 +80,9 @@ def pagerank(
     return ranks
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, loop_shuffle_width: int | None = None
+) -> DataFrame:
     """Weakly-connected components via alternating large-star/small-star
     pointer doubling (the MapReduce CC algorithm of Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14). Returns
@@ -94,60 +96,67 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     RAISES instead of returning non-converged labels if ``max_iter`` is
     ever exhausted.
     """
+    from github_miner_spark.graph.paths import _loop_shuffle_partitions
+
     verts = _vertex_ids(edges)
-    pairs = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    converged = pairs.isEmpty()
-    for _ in range(max_iter):
-        if converged:
-            break
-        # large-star: every neighbor v > u links to u's minimum
-        # (over neighbors and u itself)
-        nb = pairs.unionByName(
-            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        mins = (
-            nb.groupBy("a")
-            .agg(F.min("b").alias("mb"))
-            .select("a", F.least(F.col("mb"), F.col("a")).alias("m"))
-        )
-        large = (
-            nb.join(mins, "a")
-            .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    with _loop_shuffle_partitions(
+        edges.sparkSession,
+        enabled=loop_shuffle_width is not None,
+        width=loop_shuffle_width or 8,
+    ):
+        pairs = (
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # small-star: orient each edge big->small; every small neighbor
-        # (and the center) links to the center's minimum
-        d = large.select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        ).filter(F.col("a") != F.col("b"))
-        smins = d.groupBy("a").agg(F.min("b").alias("m"))
-        small = (
-            d.join(smins, "a")
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .unionByName(smins.select(F.col("a"), F.col("m").alias("b")))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        # fixpoint: edge set unchanged across the LS+SS round (both are
-        # distinct sets, so equality = same count + one-way difference)
-        converged = small.count() == pairs.count() and small.exceptAll(pairs).isEmpty()
-        pairs = small
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iter} "
-            "star-contraction rounds — this should be impossible for "
-            f"any graph with < 2^{max_iter // 2} vertices; refusing to "
-            "return wrong labels"
-        )
+        converged = pairs.isEmpty()
+        for _ in range(max_iter):
+            if converged:
+                break
+            # large-star: every neighbor v > u links to u's minimum
+            # (over neighbors and u itself)
+            nb = pairs.unionByName(
+                pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            mins = (
+                nb.groupBy("a")
+                .agg(F.min("b").alias("mb"))
+                .select("a", F.least(F.col("mb"), F.col("a")).alias("m"))
+            )
+            large = (
+                nb.join(mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # small-star: orient each edge big->small; every small
+            # neighbor (and the center) links to the center's minimum
+            d = large.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            ).filter(F.col("a") != F.col("b"))
+            smins = d.groupBy("a").agg(F.min("b").alias("m"))
+            small = (
+                d.join(smins, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .unionByName(smins.select(F.col("a"), F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # fixpoint: edge set unchanged across the LS+SS round (both
+            # are distinct sets: equality = same count + one-way diff)
+            converged = small.count() == pairs.count() and small.exceptAll(pairs).isEmpty()
+            pairs = small
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                "star-contraction rounds — this should be impossible for "
+                f"any graph with < 2^{max_iter // 2} vertices; refusing to "
+                "return wrong labels"
+            )
     roots = pairs.select(F.col("a").alias("id"), F.col("b").alias("component"))
     return (
         verts.join(roots, "id", "left_outer")
@@ -472,7 +481,12 @@ def _louvain_phase1(sym: DataFrame, m2: float, max_sweeps: int) -> DataFrame:
     return comm
 
 
-def louvain(edges: DataFrame, max_sweeps: int = 5, levels: int = 2) -> DataFrame:
+def louvain(
+    edges: DataFrame,
+    max_sweeps: int = 5,
+    levels: int = 2,
+    loop_shuffle_width: int | None = None,
+) -> DataFrame:
     """Louvain community detection as DataFrame iteration — the real
     modularity-optimizing algorithm, not a label-propagation stand-in
     (reference runs algo.louvain.stream per rel-type,
@@ -482,7 +496,22 @@ def louvain(edges: DataFrame, max_sweeps: int = 5, levels: int = 2) -> DataFrame
     aggregates communities into super-nodes (edge weights summed,
     intra-community weight becoming self-rows) and re-runs local moving,
     then maps assignments back. Returns (id, community) with community =
-    min member id (canonical, deterministic)."""
+    min member id (canonical, deterministic).
+
+    ``loop_shuffle_width``: callers running a bounded slice can narrow
+    the loop's shuffle width (see paths._loop_shuffle_partitions) —
+    the per-sweep aggregations are slice-sized, not corpus-sized."""
+    from github_miner_spark.graph.paths import _loop_shuffle_partitions
+
+    with _loop_shuffle_partitions(
+        edges.sparkSession,
+        enabled=loop_shuffle_width is not None,
+        width=loop_shuffle_width or 8,
+    ):
+        return _louvain_inner(edges, max_sweeps, levels)
+
+
+def _louvain_inner(edges: DataFrame, max_sweeps: int, levels: int) -> DataFrame:
     sym = _symmetrize_weighted(edges)
     m2 = sym.agg(F.sum("w")).collect()[0][0]  # scalar 2m, loop constant
     if not m2:
