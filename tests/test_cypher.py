@@ -1,0 +1,180 @@
+"""cypher_lite: the reference's own Cypher query shapes
+(documentation/queries.md) running verbatim against the engine, each
+cross-checked against the equivalent hand-built DataFrame plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_miner_spark.cypher import run_cypher
+from github_miner_spark.graph.store import load_graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_top_used_modules(spark):
+    # reference documentation/queries.md:212-217
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH ()-[:DEPENDS_ON]->(n1:NodeModule) "
+        "RETURN n1.name AS module_name, count(*) AS degree "
+        "ORDER BY degree DESC, module_name LIMIT 10",
+    )
+    names = g.vertices.filter(F.col("label") == "NodeModule").select(
+        F.col("id").alias("dst"), F.col("name").alias("module_name")
+    )
+    want = (
+        g.edges.filter(F.col("rel_type") == "DEPENDS_ON")
+        .join(names, "dst")
+        .groupBy("module_name")
+        .agg(F.count("*").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("module_name"))
+        .limit(10)
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_point_lookup_with_where_id(spark):
+    # reference documentation/queries.md:12-15 (modules used by a repo)
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) WHERE id(r) = 421 "
+        "RETURN m.name AS module_name ORDER BY module_name",
+    )
+    names = g.vertices.select(F.col("id").alias("dst"), F.col("name").alias("module_name"))
+    want = (
+        g.edges.filter(
+            (F.col("src") == 421)
+            & (F.col("rel_type") == "DEPENDS_ON")
+            & (F.col("dst_label") == "NodeModule")
+        )
+        .join(names, "dst")
+        .select("module_name")
+        .orderBy("module_name")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_two_pattern_join_with_owner(spark):
+    # reference documentation/queries.md:18-21 (who depends on module X)
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (u:GitUser)-[:OWNS]->(r:GitRepo), (r)-[:DEPENDS_ON]->(m:NodeModule) "
+        "WHERE id(m) = 72 RETURN r.name AS repo_name, u.name AS owner_name "
+        "ORDER BY repo_name",
+    )
+    e = g.edges
+    v = g.vertices.select("id", "name")
+    deps = e.filter((e.dst == 72) & (e.rel_type == "DEPENDS_ON")).select(
+        e.src.alias("repo_id")
+    )
+    owns = e.filter(e.rel_type == "OWNS").select(
+        e.src.alias("user_id"), e.dst.alias("owned")
+    )
+    want = (
+        deps.join(owns, deps.repo_id == owns.owned)
+        .join(v.withColumnRenamed("id", "repo_id").withColumnRenamed("name", "repo_name"), "repo_id")
+        .join(v.withColumnRenamed("id", "user_id").withColumnRenamed("name", "owner_name"), "user_id")
+        .select("repo_name", "owner_name")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_negated_pattern_counts_unhosted(spark):
+    # WHERE NOT (m)-[:HOSTED_ON]->()  — anti-join semantics
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) "
+        "WHERE NOT (m)-[:HOSTED_ON]->() RETURN count(*) AS n",
+    )
+    hosted = g.edges.filter(F.col("rel_type") == "HOSTED_ON").select(
+        F.col("src").alias("m_id")
+    ).distinct()
+    want = (
+        g.edges.filter(
+            (F.col("rel_type") == "DEPENDS_ON")
+            & (F.col("src_label") == "GitRepo")
+            & (F.col("dst_label") == "NodeModule")
+        )
+        .select(F.col("dst").alias("m_id"))
+        .join(hosted, "m_id", "left_anti")
+        .count()
+    )
+    assert got.collect()[0]["n"] == want
+
+
+def test_collect_and_group(spark):
+    # reference documentation/queries.md:170-175 (collect(n.name))
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) WHERE id(r) < 1000 "
+        "RETURN id(r) AS repo_id, collect(m.name) AS module_names",
+    )
+    names = g.vertices.select(F.col("id").alias("dst"), "name")
+    want = (
+        g.edges.filter(
+            (F.col("rel_type") == "DEPENDS_ON")
+            & (F.col("src_label") == "GitRepo")
+            & (F.col("src") < 1000)
+        )
+        .join(names, "dst")
+        .groupBy(F.col("src").alias("repo_id"))
+        .agg(F.sort_array(F.collect_list("name")).alias("module_names"))
+    )
+    got_map = {r["repo_id"]: list(r["module_names"]) for r in got.collect()}
+    want_map = {r["repo_id"]: list(r["module_names"]) for r in want.collect()}
+    assert got_map == want_map
+
+
+def test_property_map_and_comparison(spark):
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (u:GitUser)-[:OWNS]->(r:GitRepo) WHERE r.score > 100000 "
+        "RETURN count(DISTINCT u.id) AS owners, count(*) AS repos",
+    )
+    owns = g.edges.filter(F.col("rel_type") == "OWNS")
+    rich = g.vertices.filter((F.col("label") == "GitRepo") & (F.col("score") > 100000)).select(
+        F.col("id").alias("dst")
+    )
+    j = owns.join(rich, "dst")
+    row = got.collect()[0]
+    assert row["repos"] == j.count()
+    assert row["owners"] == j.select("src").distinct().count()
+
+
+def test_distinct_projection(spark):
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[e:DEPENDS_ON|DEV_DEPENDS_ON]->(m:NodeModule) "
+        "RETURN DISTINCT e.rel_type AS rel_type ORDER BY rel_type",
+    )
+    assert [r["rel_type"] for r in got.collect()] == ["DEPENDS_ON", "DEV_DEPENDS_ON"]
+
+
+def test_self_loop_pattern(spark):
+    g = load_graph(spark, SF)
+    got = run_cypher(g, "MATCH (a)-[:DEPENDS_ON]->(a) RETURN count(*) AS n")
+    want = g.edges.filter(
+        (F.col("rel_type") == "DEPENDS_ON") & (F.col("src") == F.col("dst"))
+    ).count()
+    assert got.collect()[0]["n"] == want
+
+
+def test_unsupported_constructs_raise_with_pointer(spark):
+    g = load_graph(spark, SF)
+    with pytest.raises(NotImplementedError, match="paths"):
+        run_cypher(g, "MATCH (a)-[:DEPENDS_ON*]->(b) RETURN count(*) AS n")
+    with pytest.raises(NotImplementedError, match="algorithms"):
+        run_cypher(g, "MATCH (n) CALL algo.pageRank() RETURN n")
