@@ -1,0 +1,109 @@
+"""Property-based checks (hypothesis) for the algorithm cores whose
+failure modes are subtle: star-contraction connected components vs a
+reference union-find, and LSH dedup containment vs exact Jaccard.
+
+Spark actions are slow per example, so example counts are small and
+sizes bounded — the value is randomized STRUCTURE (cycles, chains,
+hubs, disconnected islands), not volume."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from github_miner_spark.graph.algorithms import connected_components
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(n_nodes: set[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {v: v for v in n_nodes}
+
+    def root(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = root(a), root(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to min member id
+    comps: dict[int, list[int]] = {}
+    for v in n_nodes:
+        comps.setdefault(root(v), []).append(v)
+    out = {}
+    for members in comps.values():
+        canon = min(members)
+        for v in members:
+            out[v] = canon
+    return out
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=40
+    )
+)
+@_settings
+def test_connected_components_matches_union_find(spark, edges):
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    want = _union_find(nodes, edges)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=30), min_size=2, max_size=8
+    )
+)
+@_settings
+def test_minhash_pairs_subset_of_exact_jaccard(spark, texts):
+    """Every pair MinHash-LSH accepts must appear in the exact Jaccard
+    pair set at the same threshold with the same score — LSH may lose
+    recall, never precision."""
+    from github_miner_spark.functions.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    for r in minhash_lsh_pairs(docs, threshold=0.5).collect():
+        key = (r["doc_a"], r["doc_b"])
+        assert key in exact, key
+        assert exact[key] == r["jaccard"], key
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_salted_count_is_exact_under_random_skew(spark, vals):
+    from github_miner_spark.functions.skew import salted_count
+
+    df = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in vals], "dst bigint, v double"
+    )
+    direct = {
+        (r["dst"], r["n"])
+        for r in df.groupBy("dst").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {(r["dst"], r["n"]) for r in salted_count(df, "dst", salts=8).collect()}
+    assert direct == salted
