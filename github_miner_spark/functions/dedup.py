@@ -78,7 +78,11 @@ def _jaccard_of(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFra
 
 
 def jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard >= threshold.
 
@@ -86,8 +90,16 @@ def jaccard_pairs(
     least one shingle); |A ∩ B| falls out of the index join, |A ∪ B|
     from the per-doc shingle counts. Returns (doc_a, doc_b, jaccard)
     with doc_a < doc_b, jaccard rounded to 6dp for cross-engine
-    stability."""
-    idx = shingle_index(docs, text_col, n).localCheckpoint(eager=False)
+    stability.
+
+    ``index``: a pre-materialized (doc_id, shingle) index (see
+    functions/text_store.py) — skips the per-query tokenize+shingle
+    pass, the dominant cost on a large corpus."""
+    idx = (
+        index
+        if index is not None
+        else shingle_index(docs, text_col, n).localCheckpoint(eager=False)
+    )
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = idx.alias("a")
     b = idx.alias("b")
@@ -105,15 +117,21 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: k-perm signatures, banded into
     ``bands`` buckets of k/bands rows; same-bucket pairs are verified
     with exact Jaccard >= threshold. Returns (doc_a, doc_b, jaccard).
 
     This is the scale path for n-gram dedup: candidate count is driven
-    by bucket collisions (tunable via bands), not shingle co-occurrence."""
+    by bucket collisions (tunable via bands), not shingle co-occurrence.
+    ``index``: pre-materialized shingle index (functions/text_store.py)."""
     rows_per_band = k // bands
-    idx = shingle_index(docs, text_col).localCheckpoint(eager=False)
+    idx = (
+        index
+        if index is not None
+        else shingle_index(docs, text_col).localCheckpoint(eager=False)
+    )
     # k-perm signature as k vectorized min-aggregates over the exploded
     # index — ONE pass over the shingles inside whole-stage codegen.
     # (The array-lambda formulation re-inlines the whole tokenize ->

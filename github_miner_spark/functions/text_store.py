@@ -1,0 +1,68 @@
+"""Materialized text-feature store: the shingle inverted index built
+once per source dir, served to every dedup/similarity query.
+
+Same architecture as graph/store.py and the same reasoning at 100 TB:
+tokenizing and shingling the corpus is ETL — a regex+md5 pass over
+every byte — and no query should pay it again. Dedup pipelines run
+MANY passes over the same index (Jaccard, MinHash bands, cluster
+resolution), so the index is the natural materialization boundary:
+content-addressed by the documents file (path + size + mtime), written
+atomically (tmp dir + rename), idempotent to rebuild, sorted within
+partitions by shingle so the index self-join gets clustered keys and
+min/max pruning."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+STORE_ROOT = os.environ.get("SPARK_GRAFT_TEXT_STORE", "/tmp/spark-graft-text")
+
+
+def _store_dir(sf_dir: str) -> str:
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        h.update(f"documents:{st.st_size}:{st.st_mtime_ns}".encode())
+    except FileNotFoundError:
+        h.update(b"documents:missing")
+    return os.path.join(STORE_ROOT, h.hexdigest()[:16])
+
+
+def materialize_text_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Ensure the shingle index for ``sf_dir`` exists on disk; return
+    the store path. Atomic and race-safe like the graph store."""
+    from github_miner_spark.functions.dedup import shingle_index
+    from github_miner_spark.io.tables import load_table
+
+    target = _store_dir(sf_dir)
+    if os.path.isdir(os.path.join(target, "shingles.parquet")) and not force:
+        return target
+    os.makedirs(STORE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="building-", dir=STORE_ROOT)
+    try:
+        docs = load_table(spark, "documents", sf_dir)
+        shingle_index(docs).sortWithinPartitions("shingle").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "shingles.parquet"))
+        if force and os.path.isdir(target):
+            shutil.rmtree(target)
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return target
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def load_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) inverted index from the materialized store."""
+    base = materialize_text_index(spark, sf_dir)
+    return spark.read.parquet(os.path.join(base, "shingles.parquet"))

@@ -94,8 +94,11 @@ def exact_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text_store import load_shingle_index
+
     docs = load_table(spark, "documents", sf_dir)
-    return jaccard_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+    idx = load_shingle_index(spark, sf_dir)
+    return jaccard_pairs(docs, threshold=0.8, index=idx).orderBy("doc_a", "doc_b")
 
 
 def _minhash_oracle() -> str:
@@ -137,8 +140,11 @@ def _minhash_oracle() -> str:
     tags=("dedup", "minhash", "lsh"),
 )
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text_store import load_shingle_index
+
     docs = load_table(spark, "documents", sf_dir)
-    return minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5).orderBy("doc_a", "doc_b")
+    idx = load_shingle_index(spark, sf_dir)
+    return minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5, index=idx).orderBy("doc_a", "doc_b")
 
 
 def _simhash_oracle_expr() -> str:
@@ -238,7 +244,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_miner_spark.graph.algorithms import connected_components
 
     docs = load_table(spark, "documents", sf_dir)
-    pairs = jaccard_pairs(docs, threshold=0.8).select(
+    from github_miner_spark.functions.text_store import load_shingle_index
+
+    idx = load_shingle_index(spark, sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.8, index=idx).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(pairs)
