@@ -62,6 +62,7 @@ class _Pattern:
     labels: dict[str, str] = field(default_factory=dict)  # var -> label
     prop_eq: list[tuple[str, str, object]] = field(default_factory=list)  # var, prop, lit
     edge_vars: set[str] = field(default_factory=set)  # named [e:..] variables
+    bare_vars: list[str] = field(default_factory=list)  # edge-less MATCH (n) paths
 
 
 def _literal(tok: str):
@@ -131,6 +132,12 @@ def _parse_path(path: str, pat: _Pattern, anon: list[int], negated: bool = False
 
     prev = node_var(m)
     rest = rest[m.end() :].strip()
+    if not rest and not negated:
+        # edge-less path: MATCH (n:Label) — a labeled vertex scan; two
+        # such paths give Cypher's cartesian match (reference
+        # documentation/queries.md:194, the link-prediction setup)
+        pat.bare_vars.append(prev)
+        return
     while rest:
         em = _EDGE_RE.match(rest)
         if not em:
@@ -158,6 +165,12 @@ def _parse_path(path: str, pat: _Pattern, anon: list[int], negated: bool = False
 _AGG_RE = re.compile(
     r"^(?P<fn>count|sum|min|max|avg|collect)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.()]+)\s*\)$",
     re.IGNORECASE,
+)
+# RETURN EXISTS((a)-[:R]-(b)) — single hop, '-' = undirected, '->' directed
+_EXISTS_RE = re.compile(r"^EXISTS\s*\(\s*(?P<pat>\(.+\))\s*\)$", re.IGNORECASE)
+_EX_HOP_RE = re.compile(
+    r"^\(\s*(?P<x>\w+)\s*\)\s*-\s*\[\s*:?\s*(?P<rels>\w+(?:\s*\|\s*\w+)*)?\s*\]\s*"
+    r"(?P<arrow>->|-)\s*\(\s*(?P<y>\w+)\s*\)$"
 )
 
 
@@ -234,14 +247,28 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
             filters.append((cm.group("l"), cm.group("op"), cm.group("r")))
 
     needed: set[tuple[str, str]] = set()
-    ret_items: list[tuple[Column | None, str, str]] = []  # (col, alias, raw)
     aggs: list[tuple[Column, str]] = []
     keys: list[tuple[Column, str]] = []
+    exists_items: list[tuple[str, str, tuple[str, ...], bool, str]] = []
     for item in _split_top_level(m.group("ret"), ","):
         raw, _, alias = item.partition(" AS ")
         if not _:
             raw, _, alias = item.partition(" as ")
         raw = raw.strip()
+        em = _EXISTS_RE.match(raw)
+        if em:
+            hm = _EX_HOP_RE.match(em.group("pat").strip())
+            if not hm:
+                raise ValueError(f"unsupported EXISTS pattern: {em.group('pat')!r}")
+            i = len(exists_items)
+            flag = f"__exists_{i}"
+            exists_items.append(
+                (hm.group("x"), hm.group("y"),
+                 tuple(r.strip() for r in (hm.group("rels") or "").split("|") if r.strip()),
+                 hm.group("arrow") == "->", flag)
+            )
+            keys.append((F.coalesce(F.col(flag), F.lit(False)), alias.strip() or "exists"))
+            continue
         am = _AGG_RE.match(raw)
         if am:
             fn = am.group("fn").lower()
@@ -271,9 +298,28 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
         if prop != "id":
             needed.add((var, prop))
 
-    bound = find(graph, "; ".join(pat.terms))
-    for v, twin in loops:
-        bound = bound.filter(F.col(f"{v}_id") == F.col(f"{twin}_id")).drop(f"{twin}_id")
+    if pat.terms:
+        bound = find(graph, "; ".join(pat.terms))
+        for v, twin in loops:
+            bound = bound.filter(F.col(f"{v}_id") == F.col(f"{twin}_id")).drop(f"{twin}_id")
+        for var in pat.bare_vars:
+            if f"{var}_id" not in bound.columns:
+                v = graph.vertices
+                if var in pat.labels:
+                    v = v.filter(F.col("label") == pat.labels[var])
+                bound = bound.crossJoin(v.select(F.col("id").alias(f"{var}_id")))
+    else:
+        # edge-less MATCH: cartesian of labeled vertex scans (Cypher
+        # semantics; with {prop: lit} maps each side is a point lookup)
+        bound = None
+        for var in pat.bare_vars:
+            v = graph.vertices
+            if var in pat.labels:
+                v = v.filter(F.col("label") == pat.labels[var])
+            frame = v.select(F.col("id").alias(f"{var}_id"))
+            bound = frame if bound is None else bound.crossJoin(frame)
+        if bound is None:
+            raise ValueError("MATCH clause binds no variables")
 
     # join vertex attributes (label filter and/or property access)
     verts = graph.vertices
@@ -300,6 +346,20 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     }
     for c, op, lit in parsed_filters:
         bound = bound.filter(_OPS[op](c, F.lit(lit)))
+
+    # EXISTS((x)-[:R]-(y)) flags: distinct qualifying (x, y) pairs
+    # left-joined in with a True marker; '-' matches either direction
+    for x, y, rels, directed, flag in exists_items:
+        e = graph.edges
+        if rels:
+            e = e.filter(F.col("rel_type").isin(*rels))
+        pairs = e.select(F.col("src").alias(f"{x}_id"), F.col("dst").alias(f"{y}_id"))
+        if not directed:
+            pairs = pairs.unionByName(
+                e.select(F.col("dst").alias(f"{x}_id"), F.col("src").alias(f"{y}_id"))
+            )
+        pairs = pairs.distinct().withColumn(flag, F.lit(True))
+        bound = bound.join(pairs, [f"{x}_id", f"{y}_id"], "left_outer")
 
     if aggs:
         out = (

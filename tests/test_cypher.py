@@ -178,3 +178,57 @@ def test_unsupported_constructs_raise_with_pointer(spark):
         run_cypher(g, "MATCH (a)-[:DEPENDS_ON*]->(b) RETURN count(*) AS n")
     with pytest.raises(NotImplementedError, match="algorithms"):
         run_cypher(g, "MATCH (n) CALL algo.pageRank() RETURN n")
+
+
+def test_bare_node_scan_with_order(spark):
+    # reference documentation/queries.md:186-190 shape (PageRank read-back):
+    # MATCH (n:NodeModule) RETURN n.name, n.score ORDER BY score DESC LIMIT 10
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (n:NodeModule) RETURN n.name AS name, n.score AS score "
+        "ORDER BY score DESC, name LIMIT 10",
+    )
+    want = (
+        g.vertices.filter(F.col("label") == "NodeModule")
+        .select("name", "score")
+        .orderBy(F.desc("score"), F.asc("name"))
+        .limit(10)
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_exists_undirected_between_named_modules(spark):
+    # reference documentation/queries.md:193-196 VERBATIM shape:
+    # MATCH (a {name:..}), (b {name:..}) RETURN EXISTS((a)-[:R]-(b))
+    g = load_graph(spark, SF)
+    # pick a real DEV_DEPENDS_ON edge and check both directions + a negative
+    e = (
+        g.edges.filter(F.col("rel_type") == "DEV_DEPENDS_ON")
+        .select("src", "dst")
+        .first()
+    )
+    v = {r["id"]: r["name"] for r in g.vertices.collect()}
+    a_name, b_name = v[e["src"]], v[e["dst"]]
+
+    def exists_q(x, y):
+        rows = run_cypher(
+            g,
+            f"MATCH (a {{name: '{x}'}}), (b {{name: '{y}'}}) "
+            "RETURN EXISTS((a)-[:DEV_DEPENDS_ON]-(b)) AS linked",
+        ).collect()
+        return {r["linked"] for r in rows}
+
+    assert True in exists_q(a_name, b_name)
+    assert True in exists_q(b_name, a_name)  # undirected: reverse also true
+
+
+def test_cartesian_match_two_nodes(spark):
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (u:GitUser), (r:GitRepo) RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    nu = g.vertices.filter(F.col("label") == "GitUser").count()
+    nr = g.vertices.filter(F.col("label") == "GitRepo").count()
+    assert got == nu * nr
