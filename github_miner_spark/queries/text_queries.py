@@ -322,3 +322,57 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(t_ok, 1)).alias("n_tokens"),
         F.count(F.when(kept, 1)).alias("n_kept"),
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    x AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM x GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST((SELECT n FROM tot) AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term)
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    description="Top-3 tf-idf terms per document (raw tf x ln(N/df), no "
+    "smoothing): the classic salient-term extraction over the corpus — "
+    "explode -> two hash aggregations -> broadcast idf join -> per-doc "
+    "window top-k; every step JVM-side, df table is term-vocabulary-sized.",
+    tags=("text", "tfidf", "topk"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
