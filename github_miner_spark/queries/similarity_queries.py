@@ -104,12 +104,63 @@ def embedding_similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_signs(plane: int, dims: int = 64) -> list[int]:
+    """±1 hyperplane components, identical to token_hash('{plane}_{i}')
+    % 2 * 2 - 1 (functions/similarity.py hyperplane_bit) — precomputed
+    so the oracle can inline them as list literals."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:8], 16) % 2) * 2 - 1
+        for i in range(dims)
+    ]
+
+
+def _lsh_topk_oracle(n_planes: int = 4, dims: int = 64, k: int = 5) -> str:
+    """Static-plane LSH top-k oracle: same md5-seeded hyperplanes as
+    functions/similarity.hyperplane_bit, inlined as sign-list literals;
+    score only same-bucket neighbors, rank like brute force."""
+    bits = []
+    for p in range(n_planes):
+        signs = "[" + ", ".join(f"{s}.0" for s in _plane_signs(p, dims)) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dims}), "
+            f"i -> ev[i] * ({signs})[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, ev AS qv, bucket AS qbucket
+          FROM b WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, {dims}),
+                            i -> q.qv[i] * b.ev[i]))
+                   / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                      * sqrt(list_sum(list_transform(b.ev, x -> x * x)))), 6) AS score
+      FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
 @register(
     "embedding_lsh_topk",
+    oracle=_lsh_topk_oracle(),
     description="Approximate top-5 via 4-bit random-hyperplane LSH bucketing "
-    "(deterministic md5-derived hyperplanes). No SQL oracle: subset-of-"
-    "bruteforce + recall contract asserted in tests/test_similarity.py.",
-    tags=("similarity", "ann", "lsh", "no-oracle"),
+    "(deterministic md5-derived hyperplanes) — EXACT oracle: the same "
+    "planes reproduce in SQL, so buckets, candidate sets and ranks match "
+    "hash-for-hash; recall-vs-bruteforce contract also in "
+    "tests/test_similarity.py.",
+    tags=("similarity", "ann", "lsh"),
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
@@ -138,18 +189,6 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     media = documents_as_media(docs)
     return extract_byte_features(media).orderBy("doc_id")
-
-
-def _plane_signs(plane: int, dims: int = 64) -> list[int]:
-    """±1 hyperplane components, identical to token_hash('{plane}_{i}')
-    % 2 * 2 - 1 (functions/similarity.py hyperplane_bit) — precomputed
-    so the oracle can inline them as list literals."""
-    import hashlib
-
-    return [
-        (int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:8], 16) % 2) * 2 - 1
-        for i in range(dims)
-    ]
 
 
 def _cosine_dups_oracle(dims: int = 64, threshold: float = 0.45) -> str:
