@@ -462,16 +462,19 @@ def _louvain_phase1(sym: DataFrame, m2: float, max_sweeps: int) -> DataFrame:
             )
             # hash parity, not id parity: real id spaces are often all
             # even (ours: p*10+2), which would degenerate the half-sweep
-            # into fully-synchronous moving and oscillate on pair swaps
+            # into fully-synchronous moving and oscillate on pair swaps.
+            # Portable md5 parity (functions.text.token_hash semantics)
+            # rather than xxhash64, so the DuckDB oracle can reproduce
+            # the sweep schedule bit-for-bit.
+            from github_miner_spark.functions.text import token_hash
+
+            hash_parity = F.pmod(token_hash(F.col("id").cast("string")), F.lit(2))
             new_comm = best.select(
                 "id",
-                F.when(F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == parity, F.col("choice"))
+                F.when(hash_parity == parity, F.col("choice"))
                 .otherwise(F.col("cur"))
                 .alias("community"),
-                (
-                    (F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == parity)
-                    & (F.col("choice") != F.col("cur"))
-                ).alias("moved"),
+                ((hash_parity == parity) & (F.col("choice") != F.col("cur"))).alias("moved"),
             ).localCheckpoint(eager=True)
             changed = not new_comm.filter(F.col("moved")).isEmpty()
             comm = new_comm.select("id", "community")

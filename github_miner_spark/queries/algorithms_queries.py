@@ -140,6 +140,134 @@ def _label_propagation_oracle_sql(iterations: int = 8) -> str:
     return GRAPH_ORACLE_CTES + "".join(parts)
 
 
+def _louvain_phase1_sql(in_rel: str, m2_rel: str, k_rel: str, prefix: str, max_sweeps: int) -> tuple[list[str], str]:
+    """Unroll _louvain_phase1 as chained MATERIALIZED CTEs.
+
+    Exactness argument: every aggregate is a sum of 1.0-weights or of
+    integer-valued doubles (exact in IEEE-754 regardless of order), the
+    single division by 2m is deterministic, and the argmax tie-break
+    (score DESC, community ASC) plus md5 parity reproduce Spark's
+    deterministic sweep schedule bit-for-bit. The moved-any early exit
+    is dropped: a converged sweep moves nothing, so extra unrolled
+    sweeps are identity — same fixpoint.
+    """
+    parity_expr = "(CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 2)"
+    ctes = [
+        f"{k_rel} AS MATERIALIZED (SELECT src AS id, sum(w) AS k FROM {in_rel} GROUP BY src)",
+        f"{prefix}_comm0 AS MATERIALIZED (SELECT id, id AS community FROM {k_rel})",
+    ]
+    comm = f"{prefix}_comm0"
+    t = 0
+    for _ in range(max_sweeps):
+        for parity in (0, 1):
+            t += 1
+            st, ki, op, sc, bs, nc = (
+                f"{prefix}_tot{t}", f"{prefix}_kin{t}", f"{prefix}_opt{t}",
+                f"{prefix}_sc{t}", f"{prefix}_best{t}", f"{prefix}_comm{t}",
+            )
+            ctes += [
+                f"{st} AS MATERIALIZED (SELECT c.community, sum(k.k) AS tot "
+                f"FROM {comm} c JOIN {k_rel} k ON k.id = c.id GROUP BY c.community)",
+                f"{ki} AS MATERIALIZED (SELECT s.src, c.community AS opt, sum(s.w) AS k_in "
+                f"FROM {in_rel} s JOIN {comm} c ON c.id = s.dst "
+                f"WHERE s.src <> s.dst GROUP BY s.src, c.community)",
+                f"{op} AS MATERIALIZED (SELECT src, cur, opt, max(k_in) AS k_in FROM ("
+                f"SELECT ki.src, c.community AS cur, ki.opt, ki.k_in "
+                f"FROM {ki} ki JOIN {comm} c ON c.id = ki.src "
+                f"UNION ALL "
+                f"SELECT id AS src, community AS cur, community AS opt, "
+                f"CAST(0.0 AS DOUBLE) AS k_in FROM {comm}"
+                f") GROUP BY src, cur, opt)",
+                f"{sc} AS MATERIALIZED (SELECT o.src, o.cur, o.opt, "
+                f"o.k_in - k.k * (t.tot - CASE WHEN o.opt = o.cur THEN k.k "
+                f"ELSE CAST(0.0 AS DOUBLE) END) / (SELECT m2 FROM {m2_rel}) AS score "
+                f"FROM {op} o JOIN {st} t ON t.community = o.opt "
+                f"JOIN {k_rel} k ON k.id = o.src)",
+                f"{bs} AS MATERIALIZED (SELECT src AS id, cur, opt AS choice FROM ("
+                f"SELECT src, cur, opt, row_number() OVER ("
+                f"PARTITION BY src ORDER BY score DESC, opt) AS rn FROM {sc}) WHERE rn = 1)",
+                f"{nc} AS MATERIALIZED (SELECT id, CASE WHEN {parity_expr} = {parity} "
+                f"THEN choice ELSE cur END AS community FROM {bs})",
+            ]
+            comm = nc
+    return ctes, comm
+
+
+def _louvain_oracle_sql(lo: int, hi: int, max_sweeps: int = 3) -> str:
+    """The full louvain_communities twin: slice -> symmetrize (matching
+    _symmetrize_weighted verbatim, including its swapped-branch
+    self-loop behavior) -> phase1 -> super-node aggregation -> phase1 ->
+    map back -> canonical min-id -> sizes + modularity (rounded 4dp;
+    the only order-dependent float sum is the per-community (tot/2m)^2
+    reduction, whose ~1e-13 noise the rounding absorbs)."""
+    p1, a1 = _louvain_phase1_sql("lsym", "lm2", "lk1", "l1", max_sweeps)
+    p2, a2 = _louvain_phase1_sql("lsuper", "lm2", "lk2", "l2", max_sweeps)
+    body = [
+        f"""
+    , lsub AS (SELECT src, dst FROM mm_edges
+               WHERE src >= {lo} AND src < {hi} AND dst >= {lo} AND dst < {hi}),
+    lsym AS MATERIALIZED (
+        SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM lsub WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM lsub
+            )
+        )
+    ),
+    lm2 AS MATERIALIZED (SELECT sum(w) AS m2 FROM lsym)
+    """
+    ]
+    body += [", " + c for c in p1]
+    body.append(
+        f"""
+    , lsuper AS MATERIALIZED (
+        SELECT c1.community AS src, c2.community AS dst, sum(s.w) AS w
+        FROM lsym s
+        JOIN {a1} c1 ON c1.id = s.src
+        JOIN {a1} c2 ON c2.id = s.dst
+        GROUP BY 1, 2
+    )
+    """
+    )
+    body += [", " + c for c in p2]
+    body.append(
+        f"""
+    , lassign AS MATERIALIZED (
+        SELECT a1.id, a2.community
+        FROM {a1} a1 JOIN {a2} a2 ON a2.id = a1.community
+    ),
+    lcanon AS MATERIALIZED (
+        SELECT a.id, c.canon AS community
+        FROM lassign a JOIN (
+            SELECT community, min(id) AS canon FROM lassign GROUP BY community
+        ) c ON c.community = a.community
+    ),
+    lsizes AS (SELECT community, count(*) AS sz FROM lcanon GROUP BY community),
+    linternal AS (
+        SELECT coalesce(sum(s.w), 0.0) AS internal
+        FROM lsym s
+        JOIN lcanon c1 ON c1.id = s.src
+        JOIN lcanon c2 ON c2.id = s.dst
+        WHERE c1.community = c2.community
+    ),
+    ltots AS (
+        SELECT c.community, sum(k.k) AS tot
+        FROM lk1 k JOIN lcanon c ON c.id = k.id GROUP BY c.community
+    ),
+    lq AS (
+        SELECT (SELECT internal FROM linternal) / (SELECT m2 FROM lm2)
+               - (SELECT sum((tot / (SELECT m2 FROM lm2))
+                             * (tot / (SELECT m2 FROM lm2))) FROM ltots) AS q
+    )
+    SELECT count(*) AS n_communities, max(sz) AS largest,
+           round((SELECT q FROM lq), 4) AS modularity
+    FROM lsizes
+    """
+    )
+    return GRAPH_ORACLE_CTES + "".join(body)
+
+
 # Mutual-reachability oracle over the cyclified module graph:
 # reach uses UNION (distinct) recursion, so it terminates on cycles.
 _SCC_ORACLE_BASE = (
@@ -305,12 +433,14 @@ def label_propagation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "louvain_communities",
+    oracle=_louvain_oracle_sql(1002, 5002, max_sweeps=3),
     description="Real Louvain (phase-1 local moving + one aggregation "
     "level, modularity-optimizing) over the module DEPENDS_ON graph — "
     "reference algo.louvain.stream, documentation/queries.md:82-98. "
-    "Iterative fixpoint: no SQL oracle; community recovery and "
-    "modularity verified on planted-partition fixtures in tests.",
-    tags=("graph", "algorithm", "iterative", "no-oracle"),
+    "Oracle = the fixed-sweep schedule unrolled as ~80 chained DuckDB "
+    "CTEs (portable md5 sweep parity; all aggregates exact in IEEE); "
+    "community recovery and modularity floor also pinned in tests.",
+    tags=("graph", "algorithm", "iterative"),
 )
 def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
