@@ -98,3 +98,30 @@ def test_streaming_dedup_within_watermark(spark):
             (r["event_id"], r["value"]) for r in spark.read.parquet(out).collect()
         )
         assert got == [(1, 1.0), (2, 2.0), (3, 3.0)], got
+
+
+def test_text_store_content_addressing(spark, tmp_path):
+    """The materialized shingle index must key on the documents file's
+    identity: same content -> reused store; changed content -> a
+    DIFFERENT store dir (never a stale index served for new data)."""
+    import shutil
+
+    from github_miner_spark.functions import text_store
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src / "documents.parquet")
+    p1 = text_store.materialize_text_index(spark, str(src))
+    p2 = text_store.materialize_text_index(spark, str(src))
+    assert p1 == p2  # idempotent reuse
+
+    # regenerate the file (content may be identical; mtime/size change
+    # is what the key watches, matching the graph store's contract)
+    docs = spark.read.parquet(str(src / "documents.parquet"))
+    sub = docs.limit(5)
+    shutil.rmtree(src / "documents.parquet", ignore_errors=True)
+    sub.toPandas().to_parquet(src / "documents.parquet")
+    p3 = text_store.materialize_text_index(spark, str(src))
+    assert p3 != p1
+    idx = text_store.load_shingle_index(spark, str(src))
+    assert idx.select("doc_id").distinct().count() <= 5
