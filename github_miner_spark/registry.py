@@ -68,66 +68,70 @@ def load_all() -> None:
 # LLM-pipeline queries registered past that point got no oracle verdict
 # in round 1). This explicit window lists a covering set of SURVEY §2:
 # every operator family has at least one oracle-backed query inside it.
-# Queries whose operator coverage is duplicated by a window entry
-# (e.g. label_histogram + rel_type_histogram -> schema_histograms)
-# stay registered but sort after the window.
+#
+# Round-3 rotation (VERDICT r2 item 1): rounds 1-2 drove the original
+# 50-entry window fully green (CORRECTNESS_r02.json: 50/50 rows+schema+
+# hash). This round leads with the 26 queries that have never received
+# a driver verdict (they were past the 50-slot cap), so that the union
+# of r02 and r03 artifacts witnesses every registered query. The tail
+# re-samples ~2 canaries per round-2 family as a regression guard; the
+# remaining round-2 entries stay registered (and locally oracle-swept
+# by tests/test_oracle_parity.py) but sort past the driver cap.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # LLM-pipeline surface: dedup / similarity / multimodal / text
+    # -- never driver-verified (26) -------------------------------
+    # graph algorithms: the reference's flagship community analytics
+    "louvain_communities",
+    "label_propagation_summary",
+    "scc_size_histogram",
+    # relational headliners
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "customer_order_stats_outer",
+    "sql_supplier_nation_rollup",
+    # graph: histograms / hops / motifs
+    "label_histogram",
+    "rel_type_histogram",
+    "modules_used_by_repo",
+    "repos_depending_on_module",
+    "users_by_repos_owned",
+    "motif_shared_module_pairs",
+    "motif_unhosted_dependencies",
+    "version_range_profile",
+    # paths
+    "closure_per_root",
+    "depth_extremes_per_root",
+    # LLM-pipeline: text / dedup / similarity
+    "doc_tfidf_top_terms",
+    "simhash_values",
+    "dedup_clusters",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    # events
+    "events_session_windows",
+    # cypher front-end
+    "cypher_top_used_modules",
+    "cypher_unhosted_dependency_count",
+    # -- round-2 canaries (green in CORRECTNESS_r02.json) ---------
     "exact_dedup_summary",
-    "ngram_jaccard_dups",
     "minhash_lsh_dups",
     "simhash_near_dups",
     "embedding_topk_bruteforce",
-    "embedding_similarity_buckets",
     "embedding_cosine_dups",
     "multimodal_byte_features",
     "doc_token_stats",
-    "doc_quality_scores",
-    "language_id_confusion",
-    "doc_fingerprints",
-    "doc_shingle_profile",
-    "doc_bpe_token_counts",
     "corpus_filter_funnel",
-    # events / time-series
-    "events_tumbling_hourly",
     "events_sessionization",
-    "events_top_purchasers",
     "events_daily_active_users",
-    # ETL (scan / parse / merge)
     "manifest_edge_roundtrip",
-    "manifest_dependency_totals",
-    "events_json_extract",
     "idempotent_merge",
-    # graph: degrees, histograms, joins, motifs
     "top_dependants_modules",
     "degree_breakdown",
-    "dependants_by_endpoint_label",
-    "self_loops",
-    "meta_graph",
-    "schema_histograms",
-    "one_hop_neighborhood",
     "hosted_on_outer",
-    "preferential_attachment",
-    "modules_per_repo_list",
-    "detach_delete_impact",
-    # graph: variable-length paths
     "closure_counts_from_anchor",
-    "bfs_depth_profile",
-    "two_hop_dependencies",
-    "dependency_chains",
     "all_shortest_paths_pairs",
-    # graph: algorithms
     "scc_summary",
-    "connected_components_summary",
     "pagerank_top20",
-    # relational core
-    "customers_with_open_orders",
-    "parts_never_ordered",
-    "distinct_order_profiles",
-    "quantity_histogram",
-    "lineitem_describe",
-    "scalar_function_showcase",
-    "orders_running_rank",
     "revenue_rollup",
 )
 
