@@ -239,7 +239,17 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
         for cond in _split_top_level(m.group("where"), " AND "):
             nm = re.match(r"^NOT \s*(?P<pat>\(.+\))$", cond, re.IGNORECASE)
             if nm:
+                before_neg = len(pat.terms)
                 _parse_path(nm.group("pat"), pat, anon, negated=True)
+                if len(pat.terms) - before_neg > 1:
+                    # each negated motif term anti-joins independently,
+                    # which would compute per-hop non-existence instead
+                    # of "no such path" — raise, don't misparse
+                    raise NotImplementedError(
+                        "cypher_lite does not cover multi-hop NOT patterns — "
+                        "anti-join a closure from graph.paths (k_hop / "
+                        "closure_path_counts) instead"
+                    )
                 continue
             cm = re.match(r"^(?P<l>[\w.()]+) \s*(?P<op><>|<=|>=|=|<|>)\s* (?P<r>.+)$", cond, re.VERBOSE)
             if not cm:
@@ -297,6 +307,21 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     for var, prop, lit in pat.prop_eq:
         if prop != "id":
             needed.add((var, prop))
+
+    # ORDER BY on a var.prop outside the RETURN list still needs the
+    # vertex property joined into the plan (Spark's missing-reference
+    # resolution pulls it through the final projection); parse the
+    # order tokens now so their prop refs land in ``needed``
+    order_tokens: list[tuple[str, bool]] = []
+    if m.group("order"):
+        aliases = {a for _, a in keys} | {a for _, a in aggs}
+        for ob in _split_top_level(m.group("order"), ","):
+            token = ob.strip()
+            desc = token.upper().endswith(" DESC")
+            token = re.sub(r"\s+(DESC|ASC)$", "", token, flags=re.IGNORECASE).strip()
+            if token not in aliases:
+                _col_ref(token, pat, needed)
+            order_tokens.append((token, desc))
 
     if pat.terms:
         bound = find(graph, "; ".join(pat.terms))
@@ -374,13 +399,10 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
         if m.group("distinct"):
             out = out.distinct()
 
-    if m.group("order"):
+    if order_tokens:
+        aliases = {a for _, a in keys} | {a for _, a in aggs}
         order_cols = []
-        for ob in _split_top_level(m.group("order"), ","):
-            token = ob.strip()
-            desc = token.upper().endswith(" DESC")
-            token = re.sub(r"\s+(DESC|ASC)$", "", token, flags=re.IGNORECASE).strip()
-            aliases = {a for _, a in keys} | {a for _, a in aggs}
+        for token, desc in order_tokens:
             col = F.col(token) if token in aliases else _col_ref(token, pat, set())[0]
             order_cols.append(col.desc() if desc else col.asc())
         out = out.orderBy(*order_cols)

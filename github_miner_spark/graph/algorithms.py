@@ -150,7 +150,7 @@ def connected_components(
             # are distinct sets: equality = same count + one-way diff)
             converged = small.count() == pairs.count() and small.exceptAll(pairs).isEmpty()
             pairs = small
-        else:
+        if not converged:
             raise RuntimeError(
                 f"connected_components did not converge within {max_iter} "
                 "star-contraction rounds — this should be impossible for "
@@ -305,11 +305,6 @@ def strongly_connected_components(
     for _round in range(max_iter):
         if remaining_verts.isEmpty():
             break
-        if _round == max_iter - 1:
-            raise RuntimeError(
-                f"SCC decomposition still has unassigned vertices after {max_iter} "
-                "peel rounds — refusing to return a partial labeling; raise max_iter"
-            )
         # 1. forward min-color propagation to fixpoint
         colors = remaining_verts.select("id", F.col("id").alias("color"))
         for _ in range(max_iter):
@@ -375,6 +370,11 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
 
+    if not remaining_verts.isEmpty():
+        raise RuntimeError(
+            f"SCC decomposition still has unassigned vertices after {max_iter} "
+            "peel rounds — refusing to return a partial labeling; raise max_iter"
+        )
     if not assigned_parts:
         spark = edges.sparkSession
         return spark.createDataFrame([], "id bigint, component bigint")

@@ -376,6 +376,10 @@ def all_shortest_paths_multi(
         r["node"]: r["fd"]
         for r in fwd0.filter(F.col("node").isin(*targets)).collect()
     }
+    if src in targets:
+        # distance src->src is 0 by definition; a cycle back to src
+        # must not shadow the zero-length row in the dict build
+        lengths[src] = 0
     reached = [t for t in targets if t in lengths]
     if not reached:
         return empty
@@ -420,6 +424,15 @@ def all_shortest_paths_multi(
         [(t, src, [src]) for t in reached], "target bigint, node bigint, path array<bigint>"
     )
     done = []
+    if src in reached:
+        # a target equal to src has exactly one shortest path: the
+        # zero-length [src]; the expansion loop only emits at step>=1
+        # (and never runs at all when src is the only reached target)
+        done.append(
+            spark.createDataFrame(
+                [(src, src, [src])], "target bigint, node bigint, path array<bigint>"
+            )
+        )
     for step in range(1, max_len + 1):
         # rename before joining: the lazy frontier shares lineage with
         # sp_edges, so unqualified src/node references would be ambiguous

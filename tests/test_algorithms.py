@@ -204,3 +204,28 @@ def test_louvain_modularity_floor_on_bench_slice(spark):
     comm = louvain(sub, max_sweeps=3, levels=2)
     q = modularity(sub, comm)
     assert q >= 0.47, f"bench-slice modularity regressed: Q={q:.4f}"
+
+
+def test_connected_components_converges_on_final_round(spark):
+    """ADVICE r2: convergence reached DURING the last permitted round
+    must not raise — max_iter=4 is the empirically minimal budget for
+    this 9-vertex path, so any off-by-one re-raises here."""
+    e = edges_df(spark, [(i, i + 1) for i in range(1, 9)])
+    got = {r.id: r.component for r in connected_components(e, max_iter=4).collect()}
+    assert set(got.values()) == {1}
+    with pytest.raises(RuntimeError):
+        connected_components(e, max_iter=3)
+
+
+def test_scc_final_peel_round_not_forfeited(spark):
+    """ADVICE r2: the final permitted peel round used to raise before
+    being attempted; max_iter=4 is the minimal budget for this chain of
+    two 2-cycles on the forced-distributed path."""
+    e = edges_df(spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)])
+    got = {
+        r.id: r.component
+        for r in strongly_connected_components(
+            e, max_iter=4, core_collect_threshold=0
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}

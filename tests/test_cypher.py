@@ -232,3 +232,35 @@ def test_cartesian_match_two_nodes(spark):
     nu = g.vertices.filter(F.col("label") == "GitUser").count()
     nr = g.vertices.filter(F.col("label") == "GitRepo").count()
     assert got == nu * nr
+
+
+def test_multi_hop_not_pattern_raises(spark):
+    """ADVICE r2: per-hop anti-joins would silently compute the wrong
+    thing for a negated multi-hop path — must raise with a pointer."""
+    g = load_graph(spark, SF)
+    with pytest.raises(NotImplementedError, match="multi-hop NOT"):
+        run_cypher(
+            g,
+            "MATCH (r:GitRepo) "
+            "WHERE NOT (r)-[:DEPENDS_ON]->()-[:DEPENDS_ON]->() "
+            "RETURN count(*) AS n",
+        )
+
+
+def test_order_by_non_returned_property(spark):
+    """ADVICE r2: ORDER BY on a var.prop outside the RETURN list must
+    join the vertex property in instead of failing analysis."""
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) WHERE id(r) = 421 "
+        "RETURN m.id AS module_id ORDER BY m.name",
+    )
+    names = g.vertices.select(F.col("id").alias("dst"), F.col("name").alias("name"))
+    want = (
+        g.edges.filter((F.col("src") == 421) & (F.col("rel_type") == "DEPENDS_ON"))
+        .join(names, "dst")
+        .orderBy("name")
+        .select(F.col("dst").alias("module_id"))
+    )
+    assert [r["module_id"] for r in got.collect()] == [r["module_id"] for r in want.collect()]

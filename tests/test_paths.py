@@ -83,3 +83,21 @@ def test_self_loop_reachability(spark):
     assert nodes == {1, 2}
     with pytest.raises(RuntimeError):
         closure_path_counts(e, roots=[1], max_iter=5)
+
+
+def test_all_shortest_paths_multi_src_in_targets(spark):
+    """ADVICE r2: a target equal to src must emit its zero-length path
+    ([src], length 0) instead of being silently dropped — and must not
+    crash when it is the ONLY reached target (empty reduce)."""
+    from github_miner_spark.graph.paths import all_shortest_paths_multi
+
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    # mixed: src plus a real downstream target
+    rows = {
+        (r["target"], tuple(r["path"]), r["length"])
+        for r in all_shortest_paths_multi(e, 1, [1, 4]).collect()
+    }
+    assert rows == {(1, (1,), 0), (4, (1, 2, 4), 2), (4, (1, 3, 4), 2)}
+    # src is the only target: max_len == 0, expansion loop never runs
+    only = all_shortest_paths_multi(e, 1, [1]).collect()
+    assert [(r["target"], tuple(r["path"]), r["length"]) for r in only] == [(1, (1,), 0)]
