@@ -343,17 +343,17 @@ def _ivf_oracle(n_probe: int = 3, k: int = 5) -> str:
 @register(
     "embedding_ivf_topk",
     oracle=_ivf_oracle(),
-    description="IVF-flat approximate top-5: coarse-quantize into ~sqrt(n) "
-    "inverted lists (deterministic sampled centroids), probe the 3 nearest "
-    "lists per query — the second ANN scale path next to hyperplane LSH; "
-    "search cost ~n_probe/sqrt(n) of the corpus. Fully oracle-checked "
-    "(the deterministic quantizer reproduces exactly in SQL).",
+    description="IVF-flat approximate top-5 served from the materialized "
+    "index store (functions/ivf_store.py): centroids + list assignment are "
+    "ETL, built once per corpus version; the query path is probe selection "
+    "against broadcast centroids plus a scan of the 3 nearest inverted "
+    "lists — search cost ~n_probe/sqrt(n) of the corpus. Fully "
+    "oracle-checked (the deterministic quantizer reproduces exactly in SQL).",
     tags=("similarity", "ann", "ivf", "topk"),
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_miner_spark.functions.similarity import ivf_topk
+    from github_miner_spark.functions.ivf_store import ivf_topk_from_store
 
-    emb = load_table(spark, "embeddings", sf_dir).withColumn(
-        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return ivf_topk_from_store(spark, sf_dir, PROBE_IDS, k=5, n_probe=3).orderBy(
+        "query_id", "rank"
     )
-    return ivf_topk(emb, PROBE_IDS, k=5, n_probe=3).orderBy("query_id", "rank")
