@@ -116,30 +116,54 @@ def _plane_signs(plane: int, dims: int = 64) -> list[int]:
     ]
 
 
-def _lsh_topk_oracle(n_planes: int = 4, dims: int = 64, k: int = 5) -> str:
-    """Static-plane LSH top-k oracle: same md5-seeded hyperplanes as
-    functions/similarity.hyperplane_bit, inlined as sign-list literals;
-    score only same-bucket neighbors, rank like brute force."""
-    bits = []
-    for p in range(n_planes):
-        signs = "[" + ", ".join(f"{s}.0" for s in _plane_signs(p, dims)) + "]"
-        bits.append(
-            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dims}), "
-            f"i -> ev[i] * ({signs})[i])) > 0 THEN {1 << p} ELSE 0 END)"
+def _lsh_topk_oracle(
+    n_planes: int = 4,
+    dims: int = 64,
+    k: int = 5,
+    n_tables: int = 2,
+    probe_hamming: int = 2,
+) -> str:
+    """Multi-table multi-probe LSH top-k oracle: same md5-seeded
+    hyperplanes as functions/similarity.hyperplane_bit (table t uses
+    plane indices t*32+p), inlined as sign-list literals; a neighbor is
+    a candidate if ANY table's bucket falls within Hamming distance
+    ``probe_hamming`` of that table's query bucket; candidates dedupe
+    before ranking exactly like the engine's distinct()."""
+    from github_miner_spark.functions.similarity import _TABLE_STRIDE, probe_masks
+
+    def bucket_expr(table: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            signs = "[" + ", ".join(
+                f"{s}.0" for s in _plane_signs(table * _TABLE_STRIDE + p, dims)
+            ) + "]"
+            bits.append(
+                f"(CASE WHEN list_sum(list_transform(generate_series(1, {dims}), "
+                f"i -> ev[i] * ({signs})[i])) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    buckets = ", ".join(f"{bucket_expr(t)} AS b{t}" for t in range(n_tables))
+    qbuckets = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    masks = probe_masks(n_planes, probe_hamming)
+    any_table = " OR ".join(
+        "b.b{t} IN ({probes})".format(
+            t=t, probes=", ".join(f"xor(q.qb{t}, {m})" for m in masks)
         )
-    bucket = " + ".join(bits)
+        for t in range(n_tables)
+    )
     return f"""
     WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
-    b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
-    q AS (SELECT vec_id AS query_id, ev AS qv, bucket AS qbucket
+    b AS (SELECT vec_id, ev, {buckets} FROM e),
+    q AS (SELECT vec_id AS query_id, ev AS qv, {qbuckets}
           FROM b WHERE vec_id IN (0, 1, 2, 3, 4)),
     scored AS (
-      SELECT q.query_id, b.vec_id AS neighbor_id,
+      SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id,
              round(list_sum(list_transform(generate_series(1, {dims}),
                             i -> q.qv[i] * b.ev[i]))
                    / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
                       * sqrt(list_sum(list_transform(b.ev, x -> x * x)))), 6) AS score
-      FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+      FROM b JOIN q ON ({any_table}) AND b.vec_id <> q.query_id
     ),
     ranked AS (
       SELECT query_id, neighbor_id, score,
@@ -155,11 +179,11 @@ def _lsh_topk_oracle(n_planes: int = 4, dims: int = 64, k: int = 5) -> str:
 @register(
     "embedding_lsh_topk",
     oracle=_lsh_topk_oracle(),
-    description="Approximate top-5 via 4-bit random-hyperplane LSH bucketing "
-    "(deterministic md5-derived hyperplanes) — EXACT oracle: the same "
-    "planes reproduce in SQL, so buckets, candidate sets and ranks match "
-    "hash-for-hash; recall-vs-bruteforce contract also in "
-    "tests/test_similarity.py.",
+    description="Approximate top-5 via 4-bit random-hyperplane LSH: 2 "
+    "independent plane tables OR-ed (classic multi-table amplification) "
+    "with Hamming-2 multi-probe per table — EXACT oracle: the same planes "
+    "and probe sets reproduce in SQL, so buckets, candidate sets and ranks "
+    "match hash-for-hash; recall contract in tests/test_similarity.py.",
     tags=("similarity", "ann", "lsh"),
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
