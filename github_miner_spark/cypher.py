@@ -12,18 +12,27 @@ queries run verbatim on this engine for the fixed-shape subset:
     ORDER BY module_name LIMIT 10
 
 Supported: comma-separated MATCH path patterns (chained hops expand to
-multiple motif terms), node labels and ``{prop: literal}`` maps, edge
-rel-type alternation ``[:A|B]``, WHERE with AND-ed comparisons over
-``var.prop`` / ``id(var)`` plus ``NOT (pattern)`` existence negation,
-RETURN with aliases, DISTINCT, and the aggregates the reference uses
-(count(*), count(x), count(DISTINCT x), sum/min/max/avg, collect),
-ORDER BY and LIMIT.
+multiple motif terms, both ``-[]->`` and ``<-[]-`` arrows), node labels
+and ``{prop: literal}`` maps, edge rel-type alternation ``[:A|B]``,
+BOUNDED variable-length edges ``[:A|B*..k]`` / ``[*k]`` / ``[*m..k]``
+(compiled onto graph.paths.k_hop, reference src/insertData.ts:60),
+OPTIONAL MATCH clauses (left-outer motif joins, reference
+documentation/queries.md:373-378), aggregate-only WITH chaining,
+WHERE with AND-ed comparisons over ``var.prop`` / ``id(var)`` plus
+``NOT (pattern)`` existence negation, RETURN with aliases, DISTINCT,
+and the aggregates the reference uses (count(*), count(x),
+count(DISTINCT x), sum/min/max/avg, collect), ORDER BY and LIMIT.
 
 Out of scope by design (each has a dedicated engine operator):
-variable-length paths ``[*..]`` -> graph/paths.py closure + BFS;
-shortestPath/allShortestPaths -> all_shortest_paths_multi; graph-algo
-procedure calls (algo.pageRank etc.) -> graph/algorithms.py. Requests
-for those raise with a pointer, they do not silently misparse.
+UNBOUNDED variable-length paths ``[*]`` -> graph/paths.py closure +
+BFS; shortestPath/allShortestPaths -> all_shortest_paths_multi;
+graph-algo procedure calls (algo.pageRank etc.) -> graph/algorithms.py;
+WITH carrying non-aggregate rows -> compose DataFrames directly.
+Requests for those raise with a pointer, they do not silently misparse.
+Documented deviation: bounded var-length multiplicity counts WALKS
+(k_hop's unrolled-join semantics) rather than relationship-unique
+paths — identical on DAG patterns and under RETURN DISTINCT; a graph
+with self-loops can differ at depth >= 2.
 
 Everything compiles to the same Catalyst plans the hand-written queries
 use: motif terms become equi-joins, vertex property access becomes a
@@ -46,13 +55,13 @@ _UNSUPPORTED = {
     "shortestpath": "shortest paths: use graph.paths.all_shortest_paths_multi",
     "algo.": "graph-algorithm procedures: use graph.algorithms",
     "apoc.": "apoc procedures: see io.sinks (gephi) / graph.store",
-    "optional match": "OPTIONAL MATCH: use DataFrame left joins directly",
 }
-# a star inside a relationship bracket = variable-length pattern
-_VARLEN_RE = re.compile(r"\[[^\]]*\*")
 
 _NODE_RE = re.compile(r"\(\s*(?P<var>\w*)\s*(?::\s*(?P<label>\w+))?\s*(?P<props>\{[^}]*\})?\s*\)")
-_EDGE_RE = re.compile(r"^-\s*\[\s*(?P<var>\w*)\s*(?::\s*(?P<rels>\w+(?:\s*\|\s*\w+)*))?\s*\]\s*->")
+_EDGE_BODY = r"\[\s*(?P<var>\w*)\s*(?::\s*(?P<rels>\w+(?:\s*\|\s*\w+)*))?\s*(?P<star>\*[\d\s.]*)?\]"
+_EDGE_RIGHT_RE = re.compile(r"^-\s*" + _EDGE_BODY + r"\s*->")
+_EDGE_LEFT_RE = re.compile(r"^<-\s*" + _EDGE_BODY + r"\s*-(?!>)")
+_STAR_RE = re.compile(r"^\*\s*(?P<lo>\d+)?\s*(?:(?P<dots>\.\.)\s*(?P<hi>\d+)?)?$")
 _LIT_RE = re.compile(r"^(?:'(?P<str>[^']*)'|(?P<num>-?\d+(?:\.\d+)?))$")
 
 
@@ -63,6 +72,19 @@ class _Pattern:
     prop_eq: list[tuple[str, str, object]] = field(default_factory=list)  # var, prop, lit
     edge_vars: set[str] = field(default_factory=set)  # named [e:..] variables
     bare_vars: list[str] = field(default_factory=list)  # edge-less MATCH (n) paths
+    varlen: list[tuple[str, str, tuple[str, ...] | None, int, int]] = field(
+        default_factory=list
+    )  # (src, dst, rel_types, k_min, k_max) bounded *-edges
+
+    def bound_vars(self) -> set[str]:
+        vs: set[str] = set(self.bare_vars)
+        for t in self.terms:
+            if t.startswith("!"):
+                continue
+            vs.update(v for v in re.findall(r"\((\w+)\)", t))
+        for s, d, *_ in self.varlen:
+            vs.update((s, d))
+        return vs
 
 
 def _literal(tok: str):
@@ -139,26 +161,72 @@ def _parse_path(path: str, pat: _Pattern, anon: list[int], negated: bool = False
         pat.bare_vars.append(prev)
         return
     while rest:
-        em = _EDGE_RE.match(rest)
+        em = _EDGE_RIGHT_RE.match(rest)
+        leftward = False
         if not em:
-            raise ValueError(f"expected -[..]-> at: {rest!r}")
-        evar, rels = em.group("var"), em.group("rels")
-        if evar and not negated:
-            pat.edge_vars.add(evar)
+            em = _EDGE_LEFT_RE.match(rest)
+            leftward = True
+        if not em:
+            raise ValueError(f"expected -[..]-> or <-[..]- at: {rest!r}")
+        evar, rels, star = em.group("var"), em.group("rels"), em.group("star")
         rest = rest[em.end() :].strip()
         nm = _NODE_RE.match(rest)
         if not nm:
             raise ValueError(f"expected node pattern at: {rest!r}")
         nxt = node_var(nm)
         rest = rest[nm.end() :].strip()
+        # a leftward edge (a)<-[..]-(b) is the rightward edge (b)->(a)
+        e_src, e_dst = (nxt, prev) if leftward else (prev, nxt)
+        if star:
+            # bounded variable-length edge -> k_hop compilation
+            sm = _STAR_RE.match(star.replace(" ", ""))
+            if not sm:
+                raise ValueError(f"unparseable variable-length spec: {star!r}")
+            lo, dots, hi = sm.group("lo"), sm.group("dots"), sm.group("hi")
+            if negated:
+                raise NotImplementedError(
+                    "cypher_lite does not cover negated variable-length "
+                    "patterns — anti-join a k_hop / closure from graph.paths"
+                )
+            if evar:
+                raise ValueError(
+                    f"variable-length edge cannot bind an edge variable: [{evar}{star}]"
+                )
+            if lo is None and hi is None:
+                # bare [*] / [*..]: unbounded expansion is the iterative
+                # closure operator, not a join pattern
+                raise NotImplementedError(
+                    "cypher_lite does not cover unbounded variable-length "
+                    "patterns ([*]) — use graph.paths closure_path_counts / "
+                    "k_hop / bfs_depths"
+                )
+            k_min = int(lo) if lo is not None else 1
+            k_max = int(hi) if hi is not None else (int(lo) if not dots else None)
+            if k_max is None:
+                raise NotImplementedError(
+                    "cypher_lite does not cover unbounded variable-length "
+                    "patterns ([*n..]) — use graph.paths closure_path_counts"
+                )
+            if not 1 <= k_min <= k_max:
+                raise ValueError(f"bad variable-length bounds: {star!r}")
+            rel_types = (
+                tuple(r.strip() for r in rels.split("|")) if rels else None
+            )
+            pat.varlen.append((e_src, e_dst, rel_types, k_min, k_max))
+            prev = nxt
+            continue
+        if evar and not negated:
+            pat.edge_vars.add(evar)
         # same-var loops ((a)-[:R]->(a)) need distinct motif vars; the
         # equality is enforced with a filter by the caller
         rel = f":{rels.replace(' ', '')}" if rels else ""
         neg = "!" if negated else ""
         if negated:
-            pat.terms.append(f"{neg}({prev})-[{rel}]->({nxt if nxt != prev else ''})")
+            pat.terms.append(
+                f"{neg}({e_src})-[{rel}]->({e_dst if e_dst != e_src else ''})"
+            )
         else:
-            pat.terms.append(f"({prev})-[{evar}{rel}]->({nxt})")
+            pat.terms.append(f"({e_src})-[{evar}{rel}]->({e_dst})")
         prev = nxt
 
 
@@ -174,9 +242,15 @@ _EX_HOP_RE = re.compile(
 )
 
 
-def _col_ref(expr: str, pat: _Pattern, needed_props: set[tuple[str, str]]) -> tuple[Column, str]:
-    """Resolve ``var.prop`` / ``id(var)`` / ``var`` to a column and a
-    default alias; records vertex props that must be joined in."""
+def _col_ref(
+    expr: str,
+    edge_vars: set[str],
+    needed_props: set[tuple[str, str]],
+    carried: set[str] = frozenset(),
+) -> tuple[Column, str]:
+    """Resolve ``var.prop`` / ``id(var)`` / ``var`` / a carried WITH
+    alias to a column and a default alias; records vertex props that
+    must be joined in."""
     expr = expr.strip()
     idm = re.match(r"^id\(\s*(\w+)\s*\)$", expr)
     if idm:
@@ -186,40 +260,83 @@ def _col_ref(expr: str, pat: _Pattern, needed_props: set[tuple[str, str]]) -> tu
         var, _, prop = expr.partition(".")
         if prop == "id":
             return F.col(f"{var}_id"), f"{var}_id"
-        if pat is not None and var in pat.edge_vars:
+        if var in edge_vars:
             # edge attributes are already flat motif output columns
             return F.col(f"{var}_{prop}"), f"{var}_{prop}"
         needed_props.add((var, prop))
         return F.col(f"{var}_{prop}"), f"{var}_{prop}"
+    if expr in carried:
+        # a 1-row aggregate carried through WITH keeps its alias
+        return F.col(expr), expr
     return F.col(f"{expr}_id"), f"{expr}_id"
 
 
-def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
-    """Execute a cypher_lite query against the property graph."""
-    q = re.sub(r"\s+", " ", query.strip())
-    low = q.lower()
-    for marker, hint in _UNSUPPORTED.items():
-        if marker in low:
-            raise NotImplementedError(f"cypher_lite does not cover {marker!r} — {hint}")
-    if _VARLEN_RE.search(q):
-        raise NotImplementedError(
-            "cypher_lite does not cover variable-length patterns ([*..]) — "
-            "use graph.paths closure_path_counts / k_hop / bfs_depths"
-        )
+_KW_RE = re.compile(r"(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|RETURN)\b", re.IGNORECASE)
 
-    m = re.match(
-        r"^MATCH (?P<match>.+?) (?:WHERE (?P<where>.+?) )?RETURN (?P<distinct>DISTINCT )?"
-        r"(?P<ret>.+?)(?: ORDER BY (?P<order>.+?))?(?: LIMIT (?P<limit>\d+))?$",
-        q,
-        re.IGNORECASE,
-    )
-    if not m:
-        raise ValueError("query must be MATCH ... [WHERE ...] RETURN ... [ORDER BY ...] [LIMIT n]")
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<>": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
 
-    pat = _Pattern()
-    anon = [0]
-    loops: list[tuple[str, str]] = []
-    for path in _split_top_level(m.group("match"), ","):
+
+def _scan_clauses(q: str) -> list[tuple[str, str]]:
+    """Split the query into (KEYWORD, text) clauses at top level
+    (outside quotes/braces), preserving order."""
+    marks: list[tuple[int, int, str]] = []
+    depth, quote, i = 0, False, 0
+    while i < len(q):
+        ch = q[i]
+        if quote:
+            if ch == "'":
+                quote = False
+            i += 1
+            continue
+        if ch == "'":
+            quote = True
+            i += 1
+            continue
+        if ch in "{[(":
+            depth += 1
+            i += 1
+            continue
+        if ch in "}])":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and (i == 0 or not (q[i - 1].isalnum() or q[i - 1] == "_")):
+            m = _KW_RE.match(q, i)
+            if m:
+                kw = re.sub(r"\s+", " ", m.group(1).upper())
+                marks.append((i, m.end(), kw))
+                i = m.end()
+                continue
+        i += 1
+    if not marks or marks[0][0] != 0:
+        raise ValueError("query must start with MATCH / OPTIONAL MATCH")
+    clauses = []
+    for j, (start, end, kw) in enumerate(marks):
+        text_end = marks[j + 1][0] if j + 1 < len(marks) else len(q)
+        clauses.append((kw, q[end:text_end].strip()))
+    return clauses
+
+
+@dataclass
+class _Block:
+    kind: str  # "MATCH" | "OPTIONAL MATCH"
+    match_text: str
+    where_text: str | None = None
+    pat: _Pattern = field(default_factory=_Pattern)
+    loops: list[tuple[str, str]] = field(default_factory=list)
+    filters: list[tuple[str, str, str]] = field(default_factory=list)
+
+
+def _parse_block_patterns(block: _Block, anon: list[int]) -> None:
+    pat = block.pat
+    for path in _split_top_level(block.match_text, ","):
         before = len(pat.terms)
         _parse_path(path, pat, anon)
         # detect same-var loop rewrites: (a)->(a) came through verbatim;
@@ -232,11 +349,9 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
                 anon[0] += 1
                 twin = f"_loop{anon[0]}"
                 pat.terms[i] = f"({v})-[{tm.group(2)}]->({twin})"
-                loops.append((v, twin))
-
-    filters: list[tuple[str, str, str]] = []  # (colexpr, op, literal-token)
-    if m.group("where"):
-        for cond in _split_top_level(m.group("where"), " AND "):
+                block.loops.append((v, twin))
+    if block.where_text:
+        for cond in _split_top_level(block.where_text, " AND "):
             nm = re.match(r"^NOT \s*(?P<pat>\(.+\))$", cond, re.IGNORECASE)
             if nm:
                 before_neg = len(pat.terms)
@@ -251,16 +366,184 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
                         "closure_path_counts) instead"
                     )
                 continue
-            cm = re.match(r"^(?P<l>[\w.()]+) \s*(?P<op><>|<=|>=|=|<|>)\s* (?P<r>.+)$", cond, re.VERBOSE)
+            cm = re.match(
+                r"^(?P<l>[\w.()]+) \s*(?P<op><>|<=|>=|=|<|>)\s* (?P<r>.+)$", cond, re.VERBOSE
+            )
             if not cm:
                 raise ValueError(f"unsupported WHERE condition: {cond!r}")
-            filters.append((cm.group("l"), cm.group("op"), cm.group("r")))
+            block.filters.append((cm.group("l"), cm.group("op"), cm.group("r")))
+
+
+def _varlen_frame(
+    graph: PropertyGraph,
+    src: str,
+    dst: str,
+    rel_types: tuple[str, ...] | None,
+    k_min: int,
+    k_max: int,
+) -> DataFrame:
+    """Bounded variable-length edge as a (src_id, dst_id) binding frame
+    over graph.paths.k_hop (path multiplicity preserved)."""
+    from github_miner_spark.graph.paths import k_hop
+
+    e = graph.edges
+    if rel_types:
+        e = e.filter(F.col("rel_type").isin(*rel_types))
+    kh = k_hop(e.select("src", "dst"), None, k_max, distinct_nodes=False)
+    if k_min > 1:
+        kh = kh.filter(F.col("depth") >= k_min)
+    if src == dst:
+        return kh.filter(F.col("root") == F.col("node")).select(
+            F.col("root").alias(f"{src}_id")
+        )
+    return kh.select(F.col("root").alias(f"{src}_id"), F.col("node").alias(f"{dst}_id"))
+
+
+def _compile_block(
+    graph: PropertyGraph,
+    block: _Block,
+    needed: set[tuple[str, str]],
+    prop_owner: dict[str, "_Block"],
+    edge_vars: set[str],
+) -> DataFrame:
+    """Build the bound frame for one (OPTIONAL) MATCH clause: motif
+    joins + var-length frames + bare scans, then THIS block's vertex
+    attribute joins, property-map filters and WHERE conditions — so an
+    OPTIONAL MATCH is fully filtered before its left-outer join, per
+    Cypher scoping."""
+    pat = block.pat
+    bound: DataFrame | None = None
+    if pat.terms:
+        bound = find(graph, "; ".join(pat.terms))
+        for v, twin in block.loops:
+            bound = bound.filter(F.col(f"{v}_id") == F.col(f"{twin}_id")).drop(f"{twin}_id")
+    for src, dst, rel_types, k_min, k_max in pat.varlen:
+        vf = _varlen_frame(graph, src, dst, rel_types, k_min, k_max)
+        if bound is None:
+            bound = vf
+        else:
+            shared = [c for c in vf.columns if c in bound.columns]
+            bound = bound.join(vf, shared) if shared else bound.crossJoin(vf)
+    for var in pat.bare_vars:
+        if bound is not None and f"{var}_id" in bound.columns:
+            continue
+        v = graph.vertices
+        if var in pat.labels:
+            v = v.filter(F.col("label") == pat.labels[var])
+        frame = v.select(F.col("id").alias(f"{var}_id"))
+        bound = frame if bound is None else bound.crossJoin(frame)
+    if bound is None:
+        raise ValueError(f"MATCH clause binds no variables: {block.match_text!r}")
+
+    # join vertex attributes (label filter and/or property access) for
+    # the vars this block owns
+    verts = graph.vertices
+    own = {v for v, b in prop_owner.items() if b is block}
+    for var in sorted(own | set(pat.labels)):
+        if f"{var}_id" not in bound.columns:
+            continue
+        props = sorted(p for v, p in needed if v == var and prop_owner.get(v) is block)
+        cols = [F.col("id").alias(f"{var}_id")] + [
+            F.col(p).alias(f"{var}_{p}") for p in props
+        ]
+        v = verts
+        if var in pat.labels:
+            v = v.filter(F.col("label") == pat.labels[var])
+        bound = bound.join(F.broadcast(v.select(*cols)), f"{var}_id")
+
+    for var, prop, lit in pat.prop_eq:
+        col = F.col(f"{var}_id") if prop == "id" else F.col(f"{var}_{prop}")
+        bound = bound.filter(col == F.lit(lit))
+    for l, op, r in block.filters:
+        c, _a = _col_ref(l, edge_vars, set())
+        bound = bound.filter(_OPS[op](c, F.lit(_literal(r))))
+    return bound
+
+
+def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
+    """Execute a cypher_lite query against the property graph."""
+    q = re.sub(r"\s+", " ", query.strip())
+    low = q.lower()
+    for marker, hint in _UNSUPPORTED.items():
+        if marker in low:
+            raise NotImplementedError(f"cypher_lite does not cover {marker!r} — {hint}")
+
+    # group clauses into WITH-terminated segments + the final RETURN
+    clauses = _scan_clauses(q)
+    segments: list[tuple[list[_Block], str, str]] = []
+    blocks: list[_Block] = []
+    for kw, text in clauses:
+        if kw in ("MATCH", "OPTIONAL MATCH"):
+            blocks.append(_Block(kind=kw, match_text=text))
+        elif kw == "WHERE":
+            if not blocks or blocks[-1].where_text is not None:
+                raise ValueError("WHERE must follow a MATCH / OPTIONAL MATCH clause")
+            blocks[-1].where_text = text
+        else:  # WITH / RETURN
+            segments.append((blocks, kw, text))
+            blocks = []
+    if blocks or not segments or segments[-1][1] != "RETURN":
+        raise ValueError(
+            "query must be (MATCH|OPTIONAL MATCH) ... [WHERE ...] "
+            "[WITH aggs ...]* RETURN ... [ORDER BY ...] [LIMIT n]"
+        )
+    if any(kw != "WITH" for _, kw, _t in segments[:-1]):
+        raise ValueError("RETURN must be the final clause")
+
+    anon = [0]
+    carried: DataFrame | None = None
+    carried_names: set[str] = set()
+    for seg_blocks, kw, proj_text in segments:
+        out, out_names = _exec_segment(
+            graph, seg_blocks, kw, proj_text, carried, carried_names, anon
+        )
+        if kw == "RETURN":
+            return out
+        # Cypher WITH scoping: only the listed items survive
+        carried, carried_names = out, out_names
+    raise AssertionError("unreachable")
+
+
+def _exec_segment(
+    graph: PropertyGraph,
+    seg_blocks: list[_Block],
+    kw: str,
+    proj_text: str,
+    carried: DataFrame | None,
+    carried_names: set[str],
+    anon: list[int],
+) -> tuple[DataFrame, set[str]]:
+    is_final = kw == "RETURN"
+    if is_final:
+        pm = re.match(
+            r"^(?P<distinct>DISTINCT )?(?P<ret>.+?)"
+            r"(?: ORDER BY (?P<order>.+?))?(?: LIMIT (?P<limit>\d+))?$",
+            proj_text,
+            re.IGNORECASE,
+        )
+        if not pm:
+            raise ValueError(f"unparseable RETURN clause: {proj_text!r}")
+        items_text, distinct = pm.group("ret"), pm.group("distinct")
+        order_text, limit_text = pm.group("order"), pm.group("limit")
+    else:
+        items_text, distinct, order_text, limit_text = proj_text, None, None, None
+
+    for b in seg_blocks:
+        _parse_block_patterns(b, anon)
+    edge_vars: set[str] = set()
+    for b in seg_blocks:
+        edge_vars |= b.pat.edge_vars
+    # assign each var's property joins to the first block binding it
+    prop_owner: dict[str, _Block] = {}
+    for b in seg_blocks:
+        for v in b.pat.bound_vars():
+            prop_owner.setdefault(v, b)
 
     needed: set[tuple[str, str]] = set()
     aggs: list[tuple[Column, str]] = []
     keys: list[tuple[Column, str]] = []
     exists_items: list[tuple[str, str, tuple[str, ...], bool, str]] = []
-    for item in _split_top_level(m.group("ret"), ","):
+    for item in _split_top_level(items_text, ","):
         raw, _, alias = item.partition(" AS ")
         if not _:
             raw, _, alias = item.partition(" as ")
@@ -283,94 +566,89 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
         if am:
             fn = am.group("fn").lower()
             arg = am.group("arg")
-            distinct = bool(am.group("distinct"))
+            is_distinct = bool(am.group("distinct"))
             if fn == "count" and arg == "*":
                 col = F.count("*")
             else:
-                c, _a = _col_ref(arg, pat, needed)
+                c, _a = _col_ref(arg, edge_vars, needed, carried_names)
                 if fn == "count":
-                    col = F.countDistinct(c) if distinct else F.count(c)
+                    col = F.countDistinct(c) if is_distinct else F.count(c)
                 elif fn == "collect":
                     col = F.sort_array(F.collect_list(c))
                 else:
                     col = getattr(F, fn)(c)
             aggs.append((col, alias.strip() or fn))
         else:
-            c, dft = _col_ref(raw, pat, needed)
+            c, dft = _col_ref(raw, edge_vars, needed, carried_names)
             keys.append((c, alias.strip() or dft))
 
-    # WHERE column refs may also need vertex props
-    parsed_filters: list[tuple[Column, str, object]] = []
-    for l, op, r in filters:
-        c, _a = _col_ref(l, pat, needed)
-        parsed_filters.append((c, op, _literal(r)))
-    for var, prop, lit in pat.prop_eq:
-        if prop != "id":
-            needed.add((var, prop))
+    if not is_final:
+        # WITH is supported in aggregate-only form: every non-carried
+        # item must aggregate to the single carried row
+        bad = [a for c, a in keys if a not in carried_names]
+        if bad:
+            raise NotImplementedError(
+                "cypher_lite supports WITH only for aggregate projections "
+                f"(carrying a single row) — non-aggregate items {bad} would "
+                "need full pipeline scoping; compose DataFrames directly"
+            )
+
+    # WHERE refs + property-map literals may also need vertex props
+    for b in seg_blocks:
+        for l, _op, _r in b.filters:
+            _col_ref(l, edge_vars, needed, carried_names)
+        for var, prop, _lit in b.pat.prop_eq:
+            if prop != "id":
+                needed.add((var, prop))
 
     # ORDER BY on a var.prop outside the RETURN list still needs the
     # vertex property joined into the plan (Spark's missing-reference
     # resolution pulls it through the final projection); parse the
     # order tokens now so their prop refs land in ``needed``
     order_tokens: list[tuple[str, bool]] = []
-    if m.group("order"):
+    if order_text:
         aliases = {a for _, a in keys} | {a for _, a in aggs}
-        for ob in _split_top_level(m.group("order"), ","):
+        for ob in _split_top_level(order_text, ","):
             token = ob.strip()
             desc = token.upper().endswith(" DESC")
             token = re.sub(r"\s+(DESC|ASC)$", "", token, flags=re.IGNORECASE).strip()
             if token not in aliases:
-                _col_ref(token, pat, needed)
+                _col_ref(token, edge_vars, needed, carried_names)
             order_tokens.append((token, desc))
 
-    if pat.terms:
-        bound = find(graph, "; ".join(pat.terms))
-        for v, twin in loops:
-            bound = bound.filter(F.col(f"{v}_id") == F.col(f"{twin}_id")).drop(f"{twin}_id")
-        for var in pat.bare_vars:
-            if f"{var}_id" not in bound.columns:
-                v = graph.vertices
-                if var in pat.labels:
-                    v = v.filter(F.col("label") == pat.labels[var])
-                bound = bound.crossJoin(v.select(F.col("id").alias(f"{var}_id")))
-    else:
-        # edge-less MATCH: cartesian of labeled vertex scans (Cypher
-        # semantics; with {prop: lit} maps each side is a point lookup)
-        bound = None
-        for var in pat.bare_vars:
-            v = graph.vertices
-            if var in pat.labels:
-                v = v.filter(F.col("label") == pat.labels[var])
-            frame = v.select(F.col("id").alias(f"{var}_id"))
-            bound = frame if bound is None else bound.crossJoin(frame)
+    # compile blocks: first is the mandatory anchor (a leading OPTIONAL
+    # MATCH is safe under aggregate projections, where zero matches and
+    # Cypher's single-null-row agree on every aggregate); later
+    # OPTIONAL MATCH blocks left-outer join on their shared vars
+    bound: DataFrame | None = None
+    for b in seg_blocks:
+        frame = _compile_block(graph, b, needed, prop_owner, edge_vars)
         if bound is None:
-            raise ValueError("MATCH clause binds no variables")
-
-    # join vertex attributes (label filter and/or property access)
-    verts = graph.vertices
-    for var in sorted({v for v, _ in needed} | set(pat.labels)):
-        props = sorted(p for v, p in needed if v == var)
-        cols = [F.col("id").alias(f"{var}_id")] + [
-            F.col(p).alias(f"{var}_{p}") for p in props
-        ]
-        v = verts
-        if var in pat.labels:
-            v = v.filter(F.col("label") == pat.labels[var])
-        bound = bound.join(F.broadcast(v.select(*cols)), f"{var}_id")
-
-    for var, prop, lit in pat.prop_eq:
-        col = F.col(f"{var}_id") if prop == "id" else F.col(f"{var}_{prop}")
-        bound = bound.filter(col == F.lit(lit))
-    _OPS = {
-        "=": lambda c, v: c == v,
-        "<>": lambda c, v: c != v,
-        "<": lambda c, v: c < v,
-        "<=": lambda c, v: c <= v,
-        ">": lambda c, v: c > v,
-        ">=": lambda c, v: c >= v,
-    }
-    for c, op, lit in parsed_filters:
-        bound = bound.filter(_OPS[op](c, F.lit(lit)))
+            if b.kind == "OPTIONAL MATCH" and not aggs:
+                raise NotImplementedError(
+                    "cypher_lite supports a leading OPTIONAL MATCH only "
+                    "under aggregate projections (count/sum/...), where "
+                    "zero-match semantics coincide with MATCH"
+                )
+            bound = frame
+            continue
+        shared = [c for c in frame.columns if c in bound.columns]
+        if b.kind == "OPTIONAL MATCH":
+            if not shared:
+                raise NotImplementedError(
+                    "OPTIONAL MATCH sharing no variables with the preceding "
+                    "pattern is not supported — compose DataFrames directly"
+                )
+            bound = bound.join(frame, shared, "left_outer")
+        else:
+            bound = bound.join(frame, shared) if shared else bound.crossJoin(frame)
+    if bound is None:
+        if carried is None:
+            raise ValueError("segment has no MATCH clause and nothing carried")
+        bound = carried
+    elif carried is not None:
+        # 1-row aggregate scope from previous WITH segments
+        bound = bound.crossJoin(F.broadcast(carried))
 
     # EXISTS((x)-[:R]-(y)) flags: distinct qualifying (x, y) pairs
     # left-joined in with a True marker; '-' matches either direction
@@ -396,16 +674,18 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
         )
     else:
         out = bound.select(*[c.alias(a) for c, a in keys])
-        if m.group("distinct"):
+        if distinct:
             out = out.distinct()
 
     if order_tokens:
         aliases = {a for _, a in keys} | {a for _, a in aggs}
         order_cols = []
         for token, desc in order_tokens:
-            col = F.col(token) if token in aliases else _col_ref(token, pat, set())[0]
+            col = F.col(token) if token in aliases else _col_ref(token, edge_vars, set())[0]
             order_cols.append(col.desc() if desc else col.asc())
         out = out.orderBy(*order_cols)
-    if m.group("limit"):
-        out = out.limit(int(m.group("limit")))
-    return out
+    if limit_text:
+        out = out.limit(int(limit_text))
+
+    new_names = {a for _, a in keys} | {a for _, a in aggs}
+    return out, new_names

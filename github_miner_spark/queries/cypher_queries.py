@@ -65,3 +65,34 @@ def cypher_unhosted_dependency_count(spark: SparkSession, sf_dir: str) -> DataFr
         "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) "
         "WHERE NOT (m)-[:HOSTED_ON]->() RETURN count(*) AS n",
     )
+
+
+@register(
+    "cypher_hosted_on_outer",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT r.id AS repo_id, r.name AS repo_name, h.src AS hosted_module_id
+    FROM vertices r
+    LEFT OUTER JOIN (
+      SELECT e.src, e.dst FROM edges e
+      JOIN vertices m ON m.id = e.src AND m.label = 'NodeModule'
+      WHERE e.rel_type = 'HOSTED_ON'
+    ) h ON h.dst = r.id
+    WHERE r.label = 'GitRepo' AND r.id < 2001
+    ORDER BY repo_id
+    """,
+    description="Reference documentation/queries.md:373-378's OPTIONAL MATCH "
+    "shape through cypher_lite: MATCH (r:GitRepo) OPTIONAL MATCH "
+    "(m:NodeModule)-[:HOSTED_ON]->(r) compiles to a left-outer motif join — "
+    "the Cypher twin of the hand-written hosted_on_outer operator.",
+    tags=("cypher", "graph", "outer-join"),
+)
+def cypher_hosted_on_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        "MATCH (r:GitRepo) WHERE id(r) < 2001 "
+        "OPTIONAL MATCH (m:NodeModule)-[:HOSTED_ON]->(r) "
+        "RETURN id(r) AS repo_id, r.name AS repo_name, id(m) AS hosted_module_id "
+        "ORDER BY repo_id",
+    )

@@ -109,9 +109,11 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "embedding_ivf_topk",
     # events
     "events_session_windows",
-    # cypher front-end
+    # cypher front-end (cypher_hosted_on_outer is new in round 3:
+    # OPTIONAL MATCH compiled to a left-outer motif join)
     "cypher_top_used_modules",
     "cypher_unhosted_dependency_count",
+    "cypher_hosted_on_outer",
     # -- round-2 canaries (green in CORRECTNESS_r02.json) ---------
     "exact_dedup_summary",
     "minhash_lsh_dups",

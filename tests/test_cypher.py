@@ -264,3 +264,122 @@ def test_order_by_non_returned_property(spark):
         .select(F.col("dst").alias("module_id"))
     )
     assert [r["module_id"] for r in got.collect()] == [r["module_id"] for r in want.collect()]
+
+
+def test_optional_match_with_chain_verbatim(spark):
+    """Reference documentation/queries.md:373-378 VERBATIM: leading
+    OPTIONAL MATCH with a left-pointing arrow, aggregate-only WITH
+    chaining, and a second OPTIONAL MATCH segment."""
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "OPTIONAL MATCH (g:GitRepo)<-[:HOSTED_ON]-(n:NodeModule) "
+        "WITH count(n) as totalNodeModulesHostedOnGit "
+        "OPTIONAL MATCH (g:GitRepo) "
+        "RETURN count(g) as totalRepos, totalNodeModulesHostedOnGit",
+    ).collect()
+    assert len(got) == 1
+    repos = g.vertices.filter(F.col("label") == "GitRepo")
+    hosted = (
+        g.edges.filter(
+            (F.col("rel_type") == "HOSTED_ON")
+            & (F.col("src_label") == "NodeModule")
+            & (F.col("dst_label") == "GitRepo")
+        )
+    )
+    assert got[0]["totalRepos"] == repos.count()
+    assert got[0]["totalNodeModulesHostedOnGit"] == hosted.count()
+
+
+def test_bounded_varlen_compiles_to_k_hop(spark):
+    """Reference src/insertData.ts:60 shape: rel-type alternation +
+    *..2 bounded expansion (prop map adapted to this graph's ``name``
+    property). Path multiplicity must match k_hop's unrolled joins."""
+    from github_miner_spark.graph.paths import k_hop
+
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (repo:GitRepo {name:'repo_0'})-[:DEPENDS_ON|DEV_DEPENDS_ON*..2]->(n) "
+        "RETURN repo, n",
+    )
+    root = g.vertices.filter(
+        (F.col("label") == "GitRepo") & (F.col("name") == "repo_0")
+    ).collect()[0]["id"]
+    e = g.edges.filter(F.col("rel_type").isin("DEPENDS_ON", "DEV_DEPENDS_ON"))
+    want = (
+        k_hop(e.select("src", "dst"), None, 2, distinct_nodes=False)
+        .filter(F.col("root") == root)
+        .select("root", "node")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+
+def test_left_arrow_exact_hop_distinct(spark):
+    """Reference documentation/queries.md:380-382 shape: left arrow +
+    *1 exact-depth var-length + RETURN distinct."""
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (n1:NodeModule {name:'old gear'})<-[:DEPENDS_ON*1]-(n2:NodeModule) "
+        "RETURN distinct n2.name",
+    )
+    # synthetic names repeat: 'old gear' labels several modules, and
+    # Cypher matches every one of them
+    targets = [
+        r["id"]
+        for r in g.vertices.filter(
+            (F.col("label") == "NodeModule") & (F.col("name") == "old gear")
+        ).collect()
+    ]
+    names = g.vertices.filter(F.col("label") == "NodeModule").select(
+        F.col("id").alias("src"), F.col("name").alias("n2_name")
+    )
+    want = (
+        g.edges.filter(
+            (F.col("rel_type") == "DEPENDS_ON") & F.col("dst").isin(targets)
+        )
+        .join(names, "src")
+        .select("n2_name")
+        .distinct()
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_optional_match_left_outer_join(spark):
+    """Binary OPTIONAL MATCH: repos keep a row with null module when
+    nothing hosts them — the hosted_on_outer operator as Cypher."""
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo) WHERE id(r) < 2001 "
+        "OPTIONAL MATCH (m:NodeModule)-[:HOSTED_ON]->(r) "
+        "RETURN id(r) AS repo_id, r.name AS repo_name, id(m) AS hosted_module_id "
+        "ORDER BY repo_id",
+    )
+    hosted = g.edges.filter(F.col("rel_type") == "HOSTED_ON").select(
+        F.col("src").alias("hosted_module_id"), F.col("dst").alias("rid")
+    )
+    repos = g.vertices.filter((F.col("label") == "GitRepo") & (F.col("id") < 2001)).select(
+        F.col("id").alias("repo_id"), F.col("name").alias("repo_name")
+    )
+    want = (
+        repos.join(hosted, repos.repo_id == hosted.rid, "left_outer")
+        .select("repo_id", "repo_name", "hosted_module_id")
+        .orderBy("repo_id")
+    )
+    assert _rows(got) == _rows(want)
+    # at least one unhosted repo exercises the outer side
+    assert got.filter(F.col("hosted_module_id").isNull()).count() > 0
+
+
+def test_unbounded_and_nonaggregate_with_still_raise(spark):
+    g = load_graph(spark, SF)
+    with pytest.raises(NotImplementedError, match="unbounded"):
+        run_cypher(g, "MATCH (a)-[:DEPENDS_ON*1..]->(b) RETURN count(*) AS n")
+    with pytest.raises(NotImplementedError, match="aggregate"):
+        run_cypher(
+            g,
+            "MATCH (a:GitRepo) WITH a.name as nm MATCH (b) RETURN count(*) AS n",
+        )
