@@ -28,7 +28,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Curated headline queries (name must exist in the registry), one or two
 # per operator family: relational, graph join/agg/top-k, iterative
 # closure, dedup (exact + LSH), similarity search, text analysis,
-# event-time analytics.
+# event-time analytics — plus (round 3) the iterative graph algorithms
+# and the store-served IVF ANN path, so their latency is under
+# regression watch like everything else. r2 local baselines: pagerank
+# ~1.9s, scc ~1.1s, louvain ~8s, all-shortest-paths ~1.5s.
 HEADLINE = [
     "pricing_summary",
     "shipping_priority",
@@ -42,8 +45,13 @@ HEADLINE = [
     "exact_dedup_summary",
     "minhash_lsh_dups",
     "embedding_topk_bruteforce",
+    "embedding_ivf_topk",
     "doc_token_stats",
     "events_sessionization",
+    "pagerank_top20",
+    "scc_summary",
+    "louvain_communities",
+    "all_shortest_paths_pairs",
 ]
 
 

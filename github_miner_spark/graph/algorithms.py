@@ -39,6 +39,7 @@ def pagerank(
     damping: float = 0.85,
     vertices: DataFrame | None = None,
     broadcast_ranks: bool = False,
+    loop_shuffle_width: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank, OUTGOING direction, non-normalized
     Brin-Page form: rank_v = (1-d) + d * sum(rank_u / outdeg_u) — the
@@ -50,33 +51,50 @@ def pagerank(
     ``broadcast_ranks``: broadcast the rank vector into the per-
     iteration contribution join instead of shuffling the weighted edge
     table — ~30% faster when |V| fits in executor memory (a rank row is
-    16 bytes; up to ~100M vertices is fine); leave off beyond that."""
-    e = edges.select("src", "dst")
-    verts = (vertices.select("id") if vertices is not None else _vertex_ids(e)).distinct()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # pre-join the per-edge weight once: src -> dst with 1/outdeg(src)
-    weighted = e.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-    ).localCheckpoint(eager=True)
+    16 bytes; up to ~100M vertices is fine); leave off beyond that.
 
-    ranks = verts.withColumn("rank", F.lit(1.0))
-    for _ in range(iterations):
-        r = F.broadcast(ranks) if broadcast_ranks else ranks
-        contribs = (
-            weighted.join(r, weighted.src == ranks.id)
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("msg"))
-        )
-        ranks = (
-            verts.join(contribs, verts.id == contribs.dst, "left_outer")
-            .select(
+    ``loop_shuffle_width``: narrow the per-iteration groupBy shuffle to
+    this many partitions (see paths._loop_shuffle_partitions) — the
+    aggregated state is one row per vertex, so the session-wide width
+    sized for full-table scans only buys task-launch overhead in the
+    loop; leave None to inherit the session width at cluster scale."""
+    from github_miner_spark.graph.paths import _loop_shuffle_partitions
+
+    e = edges.select("src", "dst")
+    with _loop_shuffle_partitions(
+        e.sparkSession,
+        enabled=loop_shuffle_width is not None,
+        width=loop_shuffle_width or 8,
+    ):
+        verts = (vertices.select("id") if vertices is not None else _vertex_ids(e)).distinct()
+        outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        # pre-join the per-edge weight once: src -> dst with 1/outdeg(src)
+        weighted = e.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+        ).localCheckpoint(eager=True)
+
+        ranks = verts.withColumn("rank", F.lit(1.0))
+        for it in range(1, iterations + 1):
+            r = F.broadcast(ranks) if broadcast_ranks else ranks
+            contribs = (
+                weighted.join(r, weighted.src == ranks.id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("msg"))
+            )
+            ranks = verts.join(contribs, verts.id == contribs.dst, "left_outer").select(
                 "id",
                 (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))).alias(
                     "rank"
                 ),
             )
-            .localCheckpoint(eager=True)
-        )
+            # one barrier per 4 iterations: the in-window iterations
+            # chain lazily and execute as ONE job at the checkpoint (4
+            # shuffles in one DAG), instead of paying a driver barrier
+            # per iteration — power iteration has no per-step
+            # convergence probe, so nothing needs the intermediate
+            # ranks materialized. Lineage stays bounded by the window.
+            if it % 4 == 0 or it == iterations:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -221,7 +239,10 @@ def _tarjan_components(edge_list: list[tuple[int, int]], nodes: list[int]) -> di
 
 
 def strongly_connected_components(
-    edges: DataFrame, max_iter: int = 200, core_collect_threshold: int = 5_000_000
+    edges: DataFrame,
+    max_iter: int = 200,
+    core_collect_threshold: int = 5_000_000,
+    loop_shuffle_width: int | None = None,
 ) -> DataFrame:
     """SCC, hybrid two-level (the set-at-a-time analog of the
     reference's algo.scc 'huge' graph run,
@@ -244,7 +265,27 @@ def strongly_connected_components(
          min-coloring to fixpoint + backward pruning per round, fully
          distributed.
 
-    Returns (id, component) with component = min member id."""
+    Returns (id, component) with component = min member id.
+
+    ``loop_shuffle_width``: narrow the trim/coloring loops' shuffles
+    (vertex-sized state) — see pagerank."""
+    from github_miner_spark.graph.paths import _loop_shuffle_partitions
+
+    _width_scope = _loop_shuffle_partitions(
+        edges.sparkSession,
+        enabled=loop_shuffle_width is not None,
+        width=loop_shuffle_width or 8,
+    )
+    _width_scope.__enter__()
+    try:
+        return _scc_impl(edges, max_iter, core_collect_threshold)
+    finally:
+        _width_scope.__exit__(None, None, None)
+
+
+def _scc_impl(
+    edges: DataFrame, max_iter: int, core_collect_threshold: int
+) -> DataFrame:
     remaining_edges = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     remaining_edges = remaining_edges.distinct().localCheckpoint(eager=True)
     all_verts = _vertex_ids(edges).localCheckpoint(eager=True)
@@ -253,6 +294,11 @@ def strongly_connected_components(
     # phase 0: trim the acyclic fringe to a fixpoint. One degree-flags
     # shuffle per round; the peeled singletons are NOT tracked per round
     # — they fall out at the end as all_verts minus the surviving core.
+    # (Both cheaper-looking variants — lazily chaining two peel rounds
+    # per barrier, and skipping the core checkpoint — were measured at
+    # sf0.1 and rejected: core feeds three consumers, so an
+    # unmaterialized round recomputes its predecessors multiplicatively,
+    # and the saved driver actions are noise next to that.)
     remaining_verts = all_verts
     prev_n = remaining_verts.count()
     for _ in range(max_iter):

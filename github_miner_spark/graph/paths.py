@@ -52,20 +52,32 @@ def _as_root_df(edges: DataFrame, roots) -> DataFrame:
 
 
 class _loop_shuffle_partitions:
-    """Scoped override of spark.sql.shuffle.partitions for iterative
-    probe loops. In broadcast-frontier mode the per-level state is by
-    definition broadcast-sized, so the session-wide shuffle width (sized
-    for full-table aggregations) only buys task-launch overhead: at
-    sf0.1/local[32] the anchor closure drops 3.5s -> 2.6s with width 8.
-    Restores the session value on exit; loops run their actions eagerly
-    inside the scope, so only the caller's final (small) aggregation
-    sees the restored width."""
+    """Scoped tuning for iterative probe loops whose per-level state is
+    small (the caller asserts this by enabling the scope — e.g.
+    broadcast-frontier closures, vertex-sized rank/label tables):
+
+    - spark.sql.shuffle.partitions -> ``width``: the session-wide
+      shuffle width (sized for full-table aggregations) only buys
+      task-launch overhead on loop state: at sf0.1/local[32] the anchor
+      closure drops 3.5s -> 2.6s with width 8.
+    - spark.sql.adaptive.enabled -> false: AQE's per-stage re-planning
+      materializes every loop shuffle as its own query stage with a
+      driver round-trip — pure overhead when each shuffle moves a few
+      thousand rows (PageRank at sf0.1 drops ~5.5s -> ~3.8s). AQE's
+      wins (runtime skew splitting, coalescing) all presuppose data
+      volumes a loop with this hint enabled never has; callers at
+      cluster scale with big frontiers leave the hint off and keep AQE.
+
+    Restores the session values on exit; loops run their actions
+    eagerly inside the scope, so only the caller's final (small)
+    aggregation sees the restored settings."""
 
     def __init__(self, spark, enabled: bool, width: int = 8):
         self.spark = spark
         self.enabled = enabled
         self.width = width
         self.saved: str | None = None
+        self.saved_aqe: str | None = None
 
     def __enter__(self):
         if self.enabled:
@@ -74,11 +86,18 @@ class _loop_shuffle_partitions:
                 self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
             else:
                 self.saved = None
+            self.saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+            if self.saved_aqe == "true":
+                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            else:
+                self.saved_aqe = None
         return self
 
     def __exit__(self, *exc):
         if self.saved is not None:
             self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        if self.saved_aqe is not None:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self.saved_aqe)
         return False
 
 

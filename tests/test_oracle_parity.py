@@ -43,6 +43,9 @@ def test_correctness_window_is_covering_and_oracle_backed():
     (round-1 finding: 19 LLM-pipeline queries sat past the window)."""
     names = list(SPECS)
     assert names[: len(registry.CORRECTNESS_WINDOW)] == list(registry.CORRECTNESS_WINDOW)
-    assert len(registry.CORRECTNESS_WINDOW) == 50
-    missing = [n for n in registry.CORRECTNESS_WINDOW if SPECS[n].oracle is None]
-    assert not missing, f"window entries without oracle: {missing}"
+    # the explicit window may leave slots for mid-round additions, but
+    # every one of the driver's 50 slots must be oracle-backed
+    assert len(registry.CORRECTNESS_WINDOW) <= 50
+    first_50 = names[:50]
+    missing = [n for n in first_50 if SPECS[n].oracle is None]
+    assert not missing, f"driver-slot entries without oracle: {missing}"
