@@ -193,37 +193,39 @@ def _louvain_phase1_sql(in_rel: str, m2_rel: str, k_rel: str, prefix: str, max_s
     return ctes, comm
 
 
-def _louvain_oracle_sql(lo: int, hi: int, max_sweeps: int = 3) -> str:
-    """The full louvain_communities twin: slice -> symmetrize (matching
-    _symmetrize_weighted verbatim, including its swapped-branch
-    self-loop behavior) -> phase1 -> super-node aggregation -> phase1 ->
-    map back -> canonical min-id -> sizes + modularity (rounded 4dp;
+def _louvain_summary_parts(edge_sql: str, tag: str, max_sweeps: int) -> list[str]:
+    """CTE fragments for one full two-level Louvain over the edge set
+    ``edge_sql``, every name prefixed with ``tag`` so several copies can
+    coexist in one query (the per-rel-type oracle unrolls three).
+    Pipeline: symmetrize (matching _symmetrize_weighted verbatim,
+    including its swapped-branch self-loop behavior) -> phase1 ->
+    super-node aggregation -> phase1 -> map back -> canonical min-id ->
+    ``{tag}sizes`` + ``{tag}q`` (modularity; rounded by the caller —
     the only order-dependent float sum is the per-community (tot/2m)^2
-    reduction, whose ~1e-13 noise the rounding absorbs)."""
-    p1, a1 = _louvain_phase1_sql("lsym", "lm2", "lk1", "l1", max_sweeps)
-    p2, a2 = _louvain_phase1_sql("lsuper", "lm2", "lk2", "l2", max_sweeps)
+    reduction, whose ~1e-13 noise 4dp rounding absorbs)."""
+    p1, a1 = _louvain_phase1_sql(f"{tag}sym", f"{tag}m2", f"{tag}k1", f"{tag}1", max_sweeps)
+    p2, a2 = _louvain_phase1_sql(f"{tag}super", f"{tag}m2", f"{tag}k2", f"{tag}2", max_sweeps)
     body = [
         f"""
-    , lsub AS (SELECT src, dst FROM mm_edges
-               WHERE src >= {lo} AND src < {hi} AND dst >= {lo} AND dst < {hi}),
-    lsym AS MATERIALIZED (
+    , {tag}sub AS ({edge_sql}),
+    {tag}sym AS MATERIALIZED (
         SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM (
             SELECT DISTINCT src, dst FROM (
-                SELECT src, dst FROM lsub WHERE src <> dst
+                SELECT src, dst FROM {tag}sub WHERE src <> dst
                 UNION ALL
-                SELECT dst AS src, src AS dst FROM lsub
+                SELECT dst AS src, src AS dst FROM {tag}sub
             )
         )
     ),
-    lm2 AS MATERIALIZED (SELECT sum(w) AS m2 FROM lsym)
+    {tag}m2 AS MATERIALIZED (SELECT sum(w) AS m2 FROM {tag}sym)
     """
     ]
     body += [", " + c for c in p1]
     body.append(
         f"""
-    , lsuper AS MATERIALIZED (
+    , {tag}super AS MATERIALIZED (
         SELECT c1.community AS src, c2.community AS dst, sum(s.w) AS w
-        FROM lsym s
+        FROM {tag}sym s
         JOIN {a1} c1 ON c1.id = s.src
         JOIN {a1} c2 ON c2.id = s.dst
         GROUP BY 1, 2
@@ -233,39 +235,84 @@ def _louvain_oracle_sql(lo: int, hi: int, max_sweeps: int = 3) -> str:
     body += [", " + c for c in p2]
     body.append(
         f"""
-    , lassign AS MATERIALIZED (
+    , {tag}assign AS MATERIALIZED (
         SELECT a1.id, a2.community
         FROM {a1} a1 JOIN {a2} a2 ON a2.id = a1.community
     ),
-    lcanon AS MATERIALIZED (
+    {tag}canon AS MATERIALIZED (
         SELECT a.id, c.canon AS community
-        FROM lassign a JOIN (
-            SELECT community, min(id) AS canon FROM lassign GROUP BY community
+        FROM {tag}assign a JOIN (
+            SELECT community, min(id) AS canon FROM {tag}assign GROUP BY community
         ) c ON c.community = a.community
     ),
-    lsizes AS (SELECT community, count(*) AS sz FROM lcanon GROUP BY community),
-    linternal AS (
+    {tag}sizes AS (SELECT community, count(*) AS sz FROM {tag}canon GROUP BY community),
+    {tag}internal AS (
         SELECT coalesce(sum(s.w), 0.0) AS internal
-        FROM lsym s
-        JOIN lcanon c1 ON c1.id = s.src
-        JOIN lcanon c2 ON c2.id = s.dst
+        FROM {tag}sym s
+        JOIN {tag}canon c1 ON c1.id = s.src
+        JOIN {tag}canon c2 ON c2.id = s.dst
         WHERE c1.community = c2.community
     ),
-    ltots AS (
+    {tag}tots AS (
         SELECT c.community, sum(k.k) AS tot
-        FROM lk1 k JOIN lcanon c ON c.id = k.id GROUP BY c.community
+        FROM {tag}k1 k JOIN {tag}canon c ON c.id = k.id GROUP BY c.community
     ),
-    lq AS (
-        SELECT (SELECT internal FROM linternal) / (SELECT m2 FROM lm2)
-               - (SELECT sum((tot / (SELECT m2 FROM lm2))
-                             * (tot / (SELECT m2 FROM lm2))) FROM ltots) AS q
+    {tag}q AS (
+        SELECT (SELECT internal FROM {tag}internal) / (SELECT m2 FROM {tag}m2)
+               - (SELECT sum((tot / (SELECT m2 FROM {tag}m2))
+                             * (tot / (SELECT m2 FROM {tag}m2))) FROM {tag}tots) AS q
     )
+    """
+    )
+    return body
+
+
+def _louvain_oracle_sql(lo: int, hi: int, max_sweeps: int = 3) -> str:
+    """The full louvain_communities twin over the mm_edges slice."""
+    body = _louvain_summary_parts(
+        f"SELECT src, dst FROM mm_edges "
+        f"WHERE src >= {lo} AND src < {hi} AND dst >= {lo} AND dst < {hi}",
+        "l",
+        max_sweeps,
+    )
+    body.append(
+        """
     SELECT count(*) AS n_communities, max(sz) AS largest,
            round((SELECT q FROM lq), 4) AS modularity
     FROM lsizes
     """
     )
     return GRAPH_ORACLE_CTES + "".join(body)
+
+
+_RELTYPE_TAGS = (("ld", "DEPENDS_ON"), ("lv", "DEV_DEPENDS_ON"), ("lp", "PEER_DEPENDS_ON"))
+
+
+def _louvain_per_reltype_oracle(lo: int, hi: int, max_sweeps: int = 3) -> str:
+    """Three unrolled Louvain runs — one per relationship type, the
+    reference's exact methodology (it exported one
+    louvain-community-detection CSV per rel type,
+    /root/reference/analysis/) — UNION ALL'd into one summary table."""
+    parts: list[str] = []
+    selects: list[str] = []
+    for tag, rel in _RELTYPE_TAGS:
+        parts += _louvain_summary_parts(
+            f"SELECT src, dst FROM edges WHERE rel_type = '{rel}' "
+            f"AND src >= {lo} AND src < {hi} AND dst >= {lo} AND dst < {hi}",
+            tag,
+            max_sweeps,
+        )
+        selects.append(
+            f"SELECT '{rel}' AS rel_type, count(*) AS n_communities, "
+            f"max(sz) AS largest, round((SELECT q FROM {tag}q), 4) AS modularity "
+            f"FROM {tag}sizes"
+        )
+    return (
+        GRAPH_ORACLE_CTES
+        + "".join(parts)
+        + " UNION ALL ".join(selects)
+        + " ORDER BY rel_type"
+    )
 
 
 # Mutual-reachability oracle over the cyclified module graph:
@@ -465,3 +512,41 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").alias("largest"),
         F.round(F.lit(q), 4).alias("modularity"),
     )
+
+
+@register(
+    "louvain_per_reltype",
+    oracle=_louvain_per_reltype_oracle(1002, 5002, max_sweeps=3),
+    description="Louvain run separately per relationship type "
+    "(DEPENDS_ON / DEV_DEPENDS_ON / PEER_DEPENDS_ON) — the reference's "
+    "exact methodology: it exported one louvain-community-detection CSV "
+    "per rel type (/root/reference/analysis/). Same bounded slice and "
+    "sweep schedule as louvain_communities; oracle = three unrolled "
+    "two-level Louvain pipelines UNION ALL'd.",
+    tags=("graph", "algorithm", "iterative", "community"),
+)
+def louvain_per_reltype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    g = load_graph(spark, sf_dir)
+    outs = []
+    for _tag, rel in _RELTYPE_TAGS:
+        sub = (
+            g.edges.filter(F.col("rel_type") == rel)
+            .filter(
+                (F.col("src") >= 1002) & (F.col("src") < 5002)
+                & (F.col("dst") >= 1002) & (F.col("dst") < 5002)
+            )
+            .select("src", "dst")
+        )
+        comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8)
+        q = modularity(sub, comm)
+        sizes = comm.groupBy("community").agg(F.count("*").alias("sz"))
+        outs.append(
+            sizes.agg(
+                F.count("*").alias("n_communities"),
+                F.max("sz").alias("largest"),
+                F.round(F.lit(q), 4).alias("modularity"),
+            ).select(F.lit(rel).alias("rel_type"), "n_communities", "largest", "modularity")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("rel_type")

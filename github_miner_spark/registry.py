@@ -82,6 +82,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # graph algorithms: the reference's flagship community analytics
     "louvain_communities",
     "label_propagation_summary",
+    "louvain_per_reltype",
     "scc_size_histogram",
     # relational headliners
     "pricing_summary",
