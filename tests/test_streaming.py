@@ -164,3 +164,61 @@ def test_watermark_drops_late_events_and_finalizes_once(spark):
         # never re-emitted); [12:00,13:00) finalized by the wm advance;
         # 14:00 and 15:00 windows still open in state
         assert got == {10: 3, 12: 1}, got
+
+
+def test_mining_lake_streams_exactly_once(spark, tmp_path):
+    """SURVEY §2.10 upgrade path (round-2 verdict item 8): the mining
+    lake as a readStream source. Mine -> drain -> mine more -> drain:
+    every fetched repo row lands in the downstream store exactly once;
+    a drain with nothing new is a no-op."""
+    import datetime as dt
+
+    from github_miner_spark.etl.mining import (
+        SearchPartition,
+        plan_partitions,
+        run_mining_job,
+    )
+    from github_miner_spark.streaming.mining import drain_lake, read_drained
+
+    def fake_fetcher(part: SearchPartition):
+        h = abs(hash(part.key)) % 1000
+        return [
+            {
+                "full_name": f"owner{h % 7}/repo{h}_{i}",
+                "name": f"repo{h}_{i}",
+                "stargazers_count": 100 + i,
+                "forks_count": 100,
+                "pushed_at": part.pushed_to,
+            }
+            for i in range(2)
+        ]
+
+    state = str(tmp_path / "state")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    parts = plan_partitions(dt.date(2020, 1, 31), lookback_days=7)
+    n1 = run_mining_job(spark, parts, state, lake, fetcher=fake_fetcher)
+    assert n1 == len(parts)
+    drain_lake(spark, lake, out, ckpt)
+    first = read_drained(spark, out)
+    assert first.count() == 2 * len(parts)
+    # full_name+partition_key identifies a fetched row uniquely
+    assert first.select("partition_key", "full_name").distinct().count() == first.count()
+
+    # incremental: extend the plan; only the new slices are fetched and
+    # only their files are drained — prior rows are NOT reprocessed
+    # a wider lookback re-slices the space, so only the genuinely new
+    # partition KEYS are pending (n2 of them) — prior keys are skipped
+    wider = plan_partitions(dt.date(2020, 1, 31), lookback_days=14)
+    n2 = run_mining_job(spark, wider, state, lake, fetcher=fake_fetcher)
+    assert 0 < n2
+    drain_lake(spark, lake, out, ckpt)
+    second = read_drained(spark, out)
+    assert second.count() == 2 * (n1 + n2)
+    assert second.select("partition_key", "full_name").distinct().count() == second.count()
+
+    # nothing new: the drain is a checkpointed no-op
+    drain_lake(spark, lake, out, ckpt)
+    assert read_drained(spark, out).count() == 2 * (n1 + n2)
