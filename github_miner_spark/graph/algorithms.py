@@ -444,7 +444,9 @@ def _symmetrize_weighted(edges: DataFrame) -> DataFrame:
     )
 
 
-def _louvain_phase1(sym: DataFrame, m2: float, max_sweeps: int) -> DataFrame:
+def _louvain_phase1(
+    sym: DataFrame, m2: float, max_sweeps: int, early_exit: bool = True
+) -> DataFrame:
     """Louvain local-moving phase over a weighted symmetric edge set
     (src, dst, w); self-rows (src==dst) carry intra-node weight from
     prior aggregation levels. Returns (id, community).
@@ -522,10 +524,15 @@ def _louvain_phase1(sym: DataFrame, m2: float, max_sweeps: int) -> DataFrame:
                 .alias("community"),
                 ((hash_parity == parity) & (F.col("choice") != F.col("cur"))).alias("moved"),
             ).localCheckpoint(eager=True)
-            changed = not new_comm.filter(F.col("moved")).isEmpty()
+            # the convergence probe is one driver job per half-sweep;
+            # fixed-schedule callers (whose oracle unrolls exactly
+            # max_sweeps sweeps — extra sweeps past convergence are
+            # identity) skip it and save 2 jobs x sweeps x levels
+            if early_exit:
+                changed = not new_comm.filter(F.col("moved")).isEmpty()
+                moved_any = moved_any or changed
             comm = new_comm.select("id", "community")
-            moved_any = moved_any or changed
-        if not moved_any:
+        if early_exit and not moved_any:
             break
     return comm
 
@@ -535,6 +542,7 @@ def louvain(
     max_sweeps: int = 5,
     levels: int = 2,
     loop_shuffle_width: int | None = None,
+    early_exit: bool = True,
 ) -> DataFrame:
     """Louvain community detection as DataFrame iteration — the real
     modularity-optimizing algorithm, not a label-propagation stand-in
@@ -557,16 +565,18 @@ def louvain(
         enabled=loop_shuffle_width is not None,
         width=loop_shuffle_width or 8,
     ):
-        return _louvain_inner(edges, max_sweeps, levels)
+        return _louvain_inner(edges, max_sweeps, levels, early_exit)
 
 
-def _louvain_inner(edges: DataFrame, max_sweeps: int, levels: int) -> DataFrame:
+def _louvain_inner(
+    edges: DataFrame, max_sweeps: int, levels: int, early_exit: bool = True
+) -> DataFrame:
     sym = _symmetrize_weighted(edges)
     m2 = sym.agg(F.sum("w")).collect()[0][0]  # scalar 2m, loop constant
     if not m2:
         return edges.sparkSession.createDataFrame([], "id bigint, community bigint")
 
-    assignment = _louvain_phase1(sym, float(m2), max_sweeps)
+    assignment = _louvain_phase1(sym, float(m2), max_sweeps, early_exit)
     for _ in range(1, levels):
         # aggregate: super-node per community, weights summed (self-rows
         # keep the intra-community mass so super-level degrees are right)
@@ -581,7 +591,7 @@ def _louvain_inner(edges: DataFrame, max_sweeps: int, levels: int) -> DataFrame:
         )
         if super_sym.filter(F.col("src") != F.col("dst")).isEmpty():
             break
-        super_assignment = _louvain_phase1(super_sym, float(m2), max_sweeps)
+        super_assignment = _louvain_phase1(super_sym, float(m2), max_sweeps, early_exit)
         assignment = (
             assignment.join(
                 super_assignment.select(

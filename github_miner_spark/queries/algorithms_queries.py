@@ -504,7 +504,7 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Q=0.493 vs 0.499 at 4 sweeps, 4x faster; slice-sized loop state
     # -> narrow shuffle width (9.0s -> 7.0s at sf0.1)
-    comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8)
+    comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8, early_exit=False)
     q = modularity(sub, comm)
     sizes = comm.groupBy("community").agg(F.count("*").alias("sz"))
     return sizes.agg(
@@ -539,7 +539,7 @@ def louvain_per_reltype(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("src", "dst")
         )
-        comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8)
+        comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8, early_exit=False)
         q = modularity(sub, comm)
         sizes = comm.groupBy("community").agg(F.count("*").alias("sz"))
         outs.append(
