@@ -381,15 +381,18 @@ def _varlen_frame(
     rel_types: tuple[str, ...] | None,
     k_min: int,
     k_max: int,
+    roots: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded variable-length edge as a (src_id, dst_id) binding frame
-    over graph.paths.k_hop (path multiplicity preserved)."""
+    over graph.paths.k_hop (path multiplicity preserved). ``roots``
+    anchors the expansion to the given source ids; None expands from
+    every source vertex."""
     from github_miner_spark.graph.paths import k_hop
 
     e = graph.edges
     if rel_types:
         e = e.filter(F.col("rel_type").isin(*rel_types))
-    kh = k_hop(e.select("src", "dst"), None, k_max, distinct_nodes=False)
+    kh = k_hop(e.select("src", "dst"), roots, k_max, distinct_nodes=False)
     if k_min > 1:
         kh = kh.filter(F.col("depth") >= k_min)
     if src == dst:
@@ -418,7 +421,27 @@ def _compile_block(
         for v, twin in block.loops:
             bound = bound.filter(F.col(f"{v}_id") == F.col(f"{twin}_id")).drop(f"{twin}_id")
     for src, dst, rel_types, k_min, k_max in pat.varlen:
-        vf = _varlen_frame(graph, src, dst, rel_types, k_min, k_max)
+        # anchor the expansion when the source var is already bound or
+        # constrained (label / prop map): k_hop over every vertex's
+        # walk table just to filter afterwards is wasted shuffle volume
+        # growing with k and |E|
+        roots: DataFrame | None = None
+        if bound is not None and f"{src}_id" in bound.columns:
+            roots = bound.select(f"{src}_id")
+        else:
+            v = graph.vertices
+            constrained = False
+            if src in pat.labels:
+                v = v.filter(F.col("label") == pat.labels[src])
+                constrained = True
+            for pvar, prop, lit in pat.prop_eq:
+                if pvar == src:
+                    col = F.col("id") if prop == "id" else F.col(prop)
+                    v = v.filter(col == F.lit(lit))
+                    constrained = True
+            if constrained:
+                roots = v.select("id")
+        vf = _varlen_frame(graph, src, dst, rel_types, k_min, k_max, roots)
         if bound is None:
             bound = vf
         else:
@@ -435,14 +458,39 @@ def _compile_block(
     if bound is None:
         raise ValueError(f"MATCH clause binds no variables: {block.match_text!r}")
 
+    # properties THIS block's own WHERE / {prop: lit} maps consume —
+    # including refs to vars first bound in an EARLIER block (valid
+    # Cypher: the filter still applies inside this block, pre-join, so
+    # the property is joined in here and dropped again afterwards
+    # rather than inherited from the owner block's frame)
+    local_needs: set[tuple[str, str]] = set()
+    for l, _op, _r in block.filters:
+        _col_ref(l, edge_vars, local_needs)
+    for var, prop, _lit in pat.prop_eq:
+        if prop != "id":
+            local_needs.add((var, prop))
+    for var, prop in local_needs:
+        if f"{var}_id" not in bound.columns:
+            raise NotImplementedError(
+                f"cypher_lite cannot filter on {var}.{prop} in a clause that "
+                f"does not bind {var!r} — move the condition to the clause "
+                "that matches it"
+            )
+
     # join vertex attributes (label filter and/or property access) for
-    # the vars this block owns
+    # the vars this block owns, plus borrowed filter props
     verts = graph.vertices
     own = {v for v, b in prop_owner.items() if b is block}
-    for var in sorted(own | set(pat.labels)):
+    borrowed: list[str] = []
+    for var in sorted(own | set(pat.labels) | {v for v, _ in local_needs}):
         if f"{var}_id" not in bound.columns:
             continue
-        props = sorted(p for v, p in needed if v == var and prop_owner.get(v) is block)
+        props = sorted(
+            {p for v, p in needed if v == var and prop_owner.get(v) is block}
+            | {p for v, p in local_needs if v == var}
+        )
+        if var not in own:
+            borrowed += [f"{var}_{p}" for v, p in local_needs if v == var]
         cols = [F.col("id").alias(f"{var}_id")] + [
             F.col(p).alias(f"{var}_{p}") for p in props
         ]
@@ -457,7 +505,10 @@ def _compile_block(
     for l, op, r in block.filters:
         c, _a = _col_ref(l, edge_vars, set())
         bound = bound.filter(_OPS[op](c, F.lit(_literal(r))))
-    return bound
+    # borrowed props were only for the filters above; the owner block's
+    # frame provides them to the projection, so drop to avoid duplicate
+    # columns after the join
+    return bound.drop(*borrowed) if borrowed else bound
 
 
 def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
@@ -526,6 +577,13 @@ def _exec_segment(
         items_text, distinct = pm.group("ret"), pm.group("distinct")
         order_text, limit_text = pm.group("order"), pm.group("limit")
     else:
+        if re.search(r"\b(ORDER\s+BY|LIMIT|DISTINCT)\b", proj_text, re.IGNORECASE):
+            # folding these into an item alias would silently misparse
+            raise NotImplementedError(
+                "cypher_lite supports WITH only as a plain aggregate "
+                "projection — ORDER BY / LIMIT / DISTINCT inside WITH are "
+                "not covered; compose DataFrames directly"
+            )
         items_text, distinct, order_text, limit_text = proj_text, None, None, None
 
     for b in seg_blocks:
@@ -575,6 +633,9 @@ def _exec_segment(
                     col = F.countDistinct(c) if is_distinct else F.count(c)
                 elif fn == "collect":
                     col = F.sort_array(F.collect_list(c))
+                elif fn == "sum":
+                    # Cypher: sum over no (non-null) values is 0, not null
+                    col = F.coalesce(F.sum(c), F.lit(0))
                 else:
                     col = getattr(F, fn)(c)
             aggs.append((col, alias.strip() or fn))
@@ -624,12 +685,23 @@ def _exec_segment(
     for b in seg_blocks:
         frame = _compile_block(graph, b, needed, prop_owner, edge_vars)
         if bound is None:
-            if b.kind == "OPTIONAL MATCH" and not aggs:
-                raise NotImplementedError(
-                    "cypher_lite supports a leading OPTIONAL MATCH only "
-                    "under aggregate projections (count/sum/...), where "
-                    "zero-match semantics coincide with MATCH"
-                )
+            if b.kind == "OPTIONAL MATCH":
+                if not aggs:
+                    raise NotImplementedError(
+                        "cypher_lite supports a leading OPTIONAL MATCH only "
+                        "under aggregate projections (count/sum/...), whose "
+                        "zero-match semantics it reproduces exactly"
+                    )
+                # Cypher: a zero-match OPTIONAL MATCH binds one all-null
+                # row, so count(*) = 1 and count(v) = 0 — an empty frame
+                # would make count(*) = 0
+                if frame.isEmpty():
+                    frame = frame.sparkSession.range(1).select(
+                        *[
+                            F.lit(None).cast(f.dataType).alias(f.name)
+                            for f in frame.schema.fields
+                        ]
+                    )
             bound = frame
             continue
         shared = [c for c in frame.columns if c in bound.columns]
@@ -681,7 +753,11 @@ def _exec_segment(
         aliases = {a for _, a in keys} | {a for _, a in aggs}
         order_cols = []
         for token, desc in order_tokens:
-            col = F.col(token) if token in aliases else _col_ref(token, edge_vars, set())[0]
+            col = (
+                F.col(token)
+                if token in aliases
+                else _col_ref(token, edge_vars, set(), carried_names)[0]
+            )
             order_cols.append(col.desc() if desc else col.asc())
         out = out.orderBy(*order_cols)
     if limit_text:

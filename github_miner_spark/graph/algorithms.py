@@ -271,16 +271,12 @@ def strongly_connected_components(
     (vertex-sized state) — see pagerank."""
     from github_miner_spark.graph.paths import _loop_shuffle_partitions
 
-    _width_scope = _loop_shuffle_partitions(
+    with _loop_shuffle_partitions(
         edges.sparkSession,
         enabled=loop_shuffle_width is not None,
         width=loop_shuffle_width or 8,
-    )
-    _width_scope.__enter__()
-    try:
+    ):
         return _scc_impl(edges, max_iter, core_collect_threshold)
-    finally:
-        _width_scope.__exit__(None, None, None)
 
 
 def _scc_impl(

@@ -78,7 +78,7 @@ def load_all() -> None:
 # remaining round-2 entries stay registered (and locally oracle-swept
 # by tests/test_oracle_parity.py) but sort past the driver cap.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # -- never driver-verified (26) -------------------------------
+    # -- never driver-verified (26 from r2 + 2 new in r3) ---------
     # graph algorithms: the reference's flagship community analytics
     "louvain_communities",
     "label_propagation_summary",

@@ -383,3 +383,61 @@ def test_unbounded_and_nonaggregate_with_still_raise(spark):
             g,
             "MATCH (a:GitRepo) WITH a.name as nm MATCH (b) RETURN count(*) AS n",
         )
+
+
+def test_leading_optional_match_zero_matches_aggregates(spark):
+    """Code-review r3: a zero-match leading OPTIONAL MATCH binds one
+    all-null row in Cypher, so count(*) = 1, count(v) = 0, sum = 0."""
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "OPTIONAL MATCH (g:GitRepo) WHERE g.score > 999999999 "
+        "RETURN count(*) AS rows, count(g) AS matches, sum(g.score) AS total",
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 0, 0.0)]
+
+
+def test_cross_block_property_filter(spark):
+    """Code-review r3: WHERE in an OPTIONAL MATCH referencing a prop of
+    a var bound in the FIRST block must filter inside the optional
+    block (pre-join), not crash with an unresolved column."""
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo) "
+        "OPTIONAL MATCH (m:NodeModule)-[:HOSTED_ON]->(r) WHERE r.id < 2001 "
+        "RETURN count(*) AS rows, count(m) AS hosted",
+    ).collect()
+    repos = g.vertices.filter(F.col("label") == "GitRepo")
+    hosted_small = g.edges.filter(
+        (F.col("rel_type") == "HOSTED_ON") & (F.col("dst") < 2001)
+    )
+    n_hosted = hosted_small.count()
+    n_unmatched = repos.count() - hosted_small.select("dst").distinct().count()
+    assert got[0]["hosted"] == n_hosted
+    assert got[0]["rows"] == n_hosted + n_unmatched
+
+
+def test_with_order_by_raises(spark):
+    g = load_graph(spark, SF)
+    with pytest.raises(NotImplementedError, match="ORDER BY"):
+        run_cypher(
+            g,
+            "MATCH (m:NodeModule) WITH count(m) AS total ORDER BY total "
+            "MATCH (r:GitRepo) RETURN count(r) AS repos, total",
+        )
+
+
+def test_order_by_carried_alias(spark):
+    """Code-review r3: ORDER BY on a carried WITH alias (re-listed in
+    RETURN or not) must resolve, consistently with the pre-parse."""
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (m:NodeModule) WITH count(m) AS total "
+        "MATCH (r:GitRepo) RETURN count(r) AS repos, total ORDER BY total",
+    ).collect()
+    n_mod = g.vertices.filter(F.col("label") == "NodeModule").count()
+    n_repo = g.vertices.filter(F.col("label") == "GitRepo").count()
+    assert len(got) == 1
+    assert got[0]["repos"] == n_repo and got[0]["total"] == n_mod
