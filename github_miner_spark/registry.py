@@ -136,6 +136,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "scc_summary",
     "pagerank_top20",
     "revenue_rollup",
+    "one_hop_neighborhood",
+    "orders_running_rank",
 )
 
 
