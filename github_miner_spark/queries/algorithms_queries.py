@@ -550,3 +550,139 @@ def louvain_per_reltype(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(rel).alias("rel_type"), "n_communities", "largest", "modularity")
         )
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy("rel_type")
+
+
+# ---------------------------------------------------------------------------
+# Remaining procedures of the graph-algorithms plugin the reference
+# installs (bin/install_neo4j_plugins.sh:4-5 ships algo.similarity.*
+# and algo.triangleCount alongside the PageRank/SCC/Louvain calls the
+# query corpus exercises): neighbor-set Jaccard node similarity and
+# triangle counting, both as pure DataFrame joins with exact oracles.
+# ---------------------------------------------------------------------------
+
+_NODE_SIM_ORACLE = (
+    GRAPH_ORACLE_CTES
+    + """
+, e AS (SELECT DISTINCT src, dst FROM mm_edges),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+inter AS (
+  SELECT a.src AS ma, b.src AS mb, count(*) AS n_shared
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT ma AS module_a, mb AS module_b, n_shared,
+       round(n_shared * 1.0 / (da.d + db.d - n_shared), 6) AS jaccard
+FROM inter
+JOIN deg da ON da.src = ma
+JOIN deg db ON db.src = mb
+ORDER BY n_shared * 1.0 / (da.d + db.d - n_shared) DESC, ma, mb
+LIMIT 25
+"""
+)
+
+
+@register(
+    "node_similarity_jaccard",
+    oracle=_NODE_SIM_ORACLE,
+    description="Neighbor-set Jaccard node similarity "
+    "(algo.similarity.jaccard of the plugin set the reference installs, "
+    "bin/install_neo4j_plugins.sh:4): module pairs scored by shared "
+    "dependencies, top 25. Candidate pairs are generated by the "
+    "inverted co-occurrence self-join (only pairs sharing >= 1 "
+    "neighbor), never all-pairs; at scale a hub dst with in-degree d "
+    "contributes d^2 candidates, so production runs cap or salt hub "
+    "keys (the GDS degreeCutoff knob) — exact here, where the max "
+    "in-degree is small.",
+    tags=("graph", "algorithm", "similarity"),
+)
+def node_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    e = g.module_dep_edges().distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("ma"), F.col("b.src").alias("mb"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    da = deg.select(F.col("src").alias("ma"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("mb"), F.col("d").alias("db"))
+    jac = F.col("n_shared") / (F.col("da") + F.col("db") - F.col("n_shared"))
+    return (
+        inter.join(da, "ma")
+        .join(db, "mb")
+        .orderBy(jac.desc(), "ma", "mb")
+        .limit(25)
+        .select(
+            F.col("ma").alias("module_a"),
+            F.col("mb").alias("module_b"),
+            "n_shared",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+_TRIANGLE_ORACLE = (
+    GRAPH_ORACLE_CTES
+    + """
+, und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM mm_edges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_node AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri)
+  GROUP BY node
+)
+SELECT node AS module_id, n_triangles
+FROM per_node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+"""
+)
+
+
+@register(
+    "triangle_counts_top",
+    oracle=_TRIANGLE_ORACLE,
+    description="Per-node triangle counting (algo.triangleCount of the "
+    "installed plugin set) on the undirected module dependency graph: "
+    "canonical a<b<c edge-ordering enumerates each triangle exactly "
+    "once via two self-joins — the compact-forward algorithm; the "
+    "ordering also keeps the join frontier bounded by the smaller "
+    "endpoint's adjacency, the standard trick that survives skew at "
+    "scale. Top 20 modules by triangle count.",
+    tags=("graph", "algorithm", "triangles"),
+)
+def triangle_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    e = g.module_dep_edges().filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+        .select(F.col("node").alias("module_id"), "n_triangles")
+    )

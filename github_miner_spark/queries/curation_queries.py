@@ -1,0 +1,257 @@
+"""Training-data curation operators beyond the dedup/similarity set:
+benchmark decontamination, sequence packing, and stratified sampling —
+the remaining first-class passes of a large-scale LLM data pipeline
+(after filtering + dedup, a corpus is decontaminated against eval
+benchmarks, down/up-sampled per stratum to a target mixture, then
+packed into fixed-length training sequences).
+
+All three are pure DataFrame plans with exact DuckDB oracles built
+from the same portable primitives as the dedup family (md5-prefix
+hashes, the shared tokenizer). Scale notes per query:
+
+- decontamination: the eval side of the shingle join is benchmark-sized
+  (thousands of docs, not billions) -> broadcast; the training side is
+  one scan of the materialized shingle index (functions/text_store.py),
+  so the whole pass is a broadcast-hash semi-aggregation, no big
+  shuffle.
+- packing: a single global ordered cumsum would serialize onto one
+  task; instead documents are sharded deterministically (doc_id mod
+  N_SHARDS) and each shard packs independently with a window — state
+  per task is one running sum, the standard practice of packing within
+  workers. Shard count scales with the cluster, not the data.
+- sampling: hash-gated Bernoulli per stratum (keep iff
+  md5(doc_id) mod 100 < rate[lang]) — embarrassingly parallel, no
+  shuffle before the final per-language rollup, deterministic across
+  engines and retries (the property that makes the sample reproducible
+  at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from github_miner_spark.functions.text import token_count, token_hash
+from github_miner_spark.io.tables import load_table
+from github_miner_spark.registry import register
+
+# Deterministic eval-set split: every 17th doc_id plays the role of a
+# held-out benchmark; the rest is the training corpus.
+EVAL_MOD = 17
+
+# A training doc is contaminated when >= 30% of its distinct 3-gram
+# shingles appear anywhere in the eval set (n-gram-overlap
+# decontamination as practiced for LLM training corpora).
+CONTAMINATION_THRESHOLD = 0.3
+
+# Sequence packing: context window of 512 "tokens" (whitespace tokens
+# stand in for BPE pieces; doc_bpe_token_counts has the BPE-ish twin),
+# packed within doc_id-sharded streams.
+PACK_CAPACITY = 512
+PACK_SHARDS = 8
+
+# Per-language keep-rates (percent) for the stratified sample: the
+# over-represented stratum is downsampled hard, the rest lightly —
+# a fixed target mixture like any real pretraining data recipe.
+SAMPLE_RATES = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 80}
+_DEFAULT_RATE = 100
+
+
+@register(
+    "benchmark_decontamination",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                 list_filter(str_split(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+               FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> ('0x' || substr(md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])), 1, 8))::BIGINT))
+                  ELSE [] END AS shingles
+      FROM t
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    eval_sh AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % {EVAL_MOD} = 0),
+    train AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh
+              WHERE doc_id % {EVAL_MOD} <> 0 AND len(shingles) > 0),
+    hits AS (
+      SELECT ex.doc_id, count(*) AS n_overlap
+      FROM ex JOIN eval_sh USING (shingle)
+      WHERE ex.doc_id % {EVAL_MOD} <> 0
+      GROUP BY ex.doc_id
+    )
+    SELECT train.doc_id,
+           train.n_shingles,
+           coalesce(hits.n_overlap, 0) AS n_overlap,
+           round(coalesce(hits.n_overlap, 0) * 1.0 / train.n_shingles, 6)
+             AS contamination,
+           coalesce(hits.n_overlap, 0) * 1.0 / train.n_shingles
+             >= {CONTAMINATION_THRESHOLD} AS is_contaminated
+    FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+    ORDER BY train.doc_id
+    """,
+    description="Benchmark decontamination: per-training-doc 3-gram "
+    "overlap against a held-out eval split (doc_id % 17 == 0), with a "
+    "contamination fraction and a >= 30% flag. Eval side is "
+    "benchmark-sized -> broadcast semi-join against the materialized "
+    "shingle index; one corpus scan, no large shuffle.",
+    tags=("curation", "decontamination", "text"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text_store import load_shingle_index
+
+    idx = load_shingle_index(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    # Benchmarks are small by nature; the distinct eval vocabulary is
+    # broadcast so the contamination probe is a map-side hash lookup.
+    eval_shingles = F.broadcast(
+        idx.filter(is_eval).select("shingle").distinct()
+    )
+    train_sizes = (
+        idx.filter(~is_eval)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    hits = (
+        idx.filter(~is_eval)
+        .join(eval_shingles, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles")
+    return (
+        train_sizes.join(hits, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(frac, 6).alias("contamination"),
+            (frac >= CONTAMINATION_THRESHOLD).alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sequence_packing_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             doc_id % {PACK_SHARDS} AS shard,
+             len(list_filter(str_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    ),
+    b AS (SELECT shard, (cum_before // {PACK_CAPACITY})::BIGINT AS bin,
+                 doc_id, n_tokens
+          FROM c)
+    SELECT shard, bin,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           sum(n_tokens) AS total_tokens
+    FROM b
+    GROUP BY shard, bin
+    ORDER BY shard, bin
+    """,
+    description="Sequence packing plan (concatenate-then-chunk): docs "
+    "sharded by doc_id % 8, each shard's stream packed into 512-token "
+    "windows by a per-shard running sum (a doc belongs to the window "
+    "its first token falls in). Per-(shard, bin) occupancy stats. "
+    "Sharding bounds window state per task; shard count scales with "
+    "the cluster, not the data.",
+    tags=("curation", "packing", "text"),
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = t.select(
+        "shard",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_CAPACITY)
+        .cast("bigint")
+        .alias("bin"),
+        "doc_id",
+        "n_tokens",
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+def _duck_rate_case() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE {arms} ELSE {_DEFAULT_RATE} END"
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+               AS bucket,
+             {_duck_rate_case()} AS rate
+      FROM documents
+    )
+    SELECT lang,
+           any_value(rate) AS sample_rate,
+           count(*) AS n_before,
+           count(*) FILTER (WHERE bucket < rate) AS n_after
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    description="Stratified corpus sampling to a target language "
+    "mixture: keep a doc iff md5(doc_id) mod 100 < rate[lang] "
+    "(hash-gated Bernoulli — deterministic across engines, retries, "
+    "and cluster layouts, unlike rand()-based sampleBy). Reports "
+    "per-language before/after counts.",
+    tags=("curation", "sampling"),
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    bucket = token_hash(F.col("doc_id").cast("string")) % 100
+    t = docs.select("lang", bucket.alias("bucket"), rate.alias("rate"))
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.first("rate").alias("sample_rate"),
+            F.count("*").alias("n_before"),
+            F.count(F.when(F.col("bucket") < F.col("rate"), True)).alias(
+                "n_after"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -61,6 +61,7 @@ def load_all() -> None:
     import github_miner_spark.queries.similarity_queries  # noqa: F401
     import github_miner_spark.queries.events_queries  # noqa: F401
     import github_miner_spark.queries.cypher_queries  # noqa: F401
+    import github_miner_spark.queries.curation_queries  # noqa: F401
 
 
 # The driver's correctness artifact covers the FIRST 50 registry
@@ -71,14 +72,15 @@ def load_all() -> None:
 #
 # Round-3 rotation (VERDICT r2 item 1): rounds 1-2 drove the original
 # 50-entry window fully green (CORRECTNESS_r02.json: 50/50 rows+schema+
-# hash). This round leads with the 26 queries that have never received
-# a driver verdict (they were past the 50-slot cap), so that the union
-# of r02 and r03 artifacts witnesses every registered query. The tail
-# re-samples ~2 canaries per round-2 family as a regression guard; the
-# remaining round-2 entries stay registered (and locally oracle-swept
-# by tests/test_oracle_parity.py) but sort past the driver cap.
+# hash). This round leads with the queries that have never received
+# a driver verdict (the 26 past the 50-slot cap, plus the 7 operators
+# new in round 3), so that the union of r02 and r03 artifacts witnesses
+# every registered query. The tail re-samples canaries across the
+# round-2 families as a regression guard; the remaining round-2 entries
+# stay registered (and locally oracle-swept by
+# tests/test_oracle_parity.py) but sort past the driver cap.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # -- never driver-verified (26 from r2 + 2 new in r3) ---------
+    # -- never driver-verified (26 from r2 + 7 new in r3) ---------
     # graph algorithms: the reference's flagship community analytics
     "louvain_communities",
     "label_propagation_summary",
@@ -115,29 +117,35 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "cypher_top_used_modules",
     "cypher_unhosted_dependency_count",
     "cypher_hosted_on_outer",
+    # new in round 3: curation passes + remaining plugin algorithms
+    "benchmark_decontamination",
+    "sequence_packing_plan",
+    "stratified_sample_counts",
+    "node_similarity_jaccard",
+    "triangle_counts_top",
     # -- round-2 canaries (green in CORRECTNESS_r02.json) ---------
     "exact_dedup_summary",
     "minhash_lsh_dups",
-    "simhash_near_dups",
     "embedding_topk_bruteforce",
     "embedding_cosine_dups",
     "multimodal_byte_features",
     "doc_token_stats",
     "corpus_filter_funnel",
     "events_sessionization",
-    "events_daily_active_users",
     "manifest_edge_roundtrip",
     "idempotent_merge",
     "top_dependants_modules",
     "degree_breakdown",
-    "hosted_on_outer",
     "closure_counts_from_anchor",
     "all_shortest_paths_pairs",
     "scc_summary",
     "pagerank_top20",
-    "revenue_rollup",
-    "one_hop_neighborhood",
     "orders_running_rank",
+    # (dropped-to-fit canaries — all r02-green, still in the local
+    # oracle sweep: simhash_near_dups (simhash family witnessed this
+    # round by simhash_values), events_daily_active_users,
+    # hosted_on_outer (same semantics as cypher_hosted_on_outer),
+    # revenue_rollup, one_hop_neighborhood)
 )
 
 
