@@ -229,3 +229,31 @@ def test_lsh_multiprobe_recall_at_adaptive_planes(spark):
         ).collect()
     }
     assert len(bf & mp) >= len(bf & sp)
+
+
+def test_int8_topk_recall_and_score_error(spark):
+    """Quantized ranking must agree with the float baseline on nearly
+    every neighbor (recall >= 0.9 over the 5 probes at k=5) and the
+    quantized cosine must sit within 5e-3 of the float cosine — the
+    quantization-noise contract that makes int8 a safe 4x memory cut."""
+    from github_miner_spark.functions.similarity import int8_topk
+
+    emb = _double_emb(spark)
+    bf = brute_force_topk(emb, PROBES, k=5).collect()
+    q8 = int8_topk(emb, PROBES, k=5).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    q8_sets = {}
+    for r in q8:
+        q8_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf_sets[q] & q8_sets[q]) for q in bf_sets)
+    total = sum(len(s) for s in bf_sets.values())
+    assert hits / total >= 0.9, f"int8 recall {hits}/{total}"
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in brute_force_topk(emb, PROBES, k=10**6).collect()
+    }
+    for r in q8:
+        assert abs(exact[(r.query_id, r.neighbor_id)] - r.qscore) < 5e-3
