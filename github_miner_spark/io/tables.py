@@ -91,14 +91,10 @@ TABLE_SCHEMAS: dict[str, StructType] = {
             StructField("l_shipdate", TimestampType()),
         ]
     ),
-    # ts is written as parquet TIMESTAMP(NANOS); Spark's vectorized reader
-    # has no ns timestamp type, so it is read as long (nanosAsLong) and
-    # converted to a microsecond TimestampType in load_table — matching
-    # DuckDB's ns -> us truncation so oracles agree.
     "events": StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            StructField("ts", TimestampType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -126,17 +122,47 @@ TABLE_SCHEMAS: dict[str, StructType] = {
 TABLE_NAMES = tuple(TABLE_SCHEMAS)
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer: True only when ``ts`` is TIMESTAMP(NANOS).
+
+    Spark's vectorized reader has no ns timestamp type; ns columns must be
+    read as raw longs (``nanosAsLong``) and rescaled to µs. A µs column read
+    that way would be silently divided by 1000, so the rescale path must be
+    gated on the file's actual logical type, never assumed.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+            if not names:
+                return False
+            target = os.path.join(path, names[0])
+        field = pq.ParquetFile(target).schema_arrow.field("ts")
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one table with its declared schema (no inference)."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # ns-timestamp handling, see TABLE_SCHEMAS comment
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    if name == "events" and _events_ts_is_nanos(path):
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType as _Long
 
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ns_schema = StructType(
+            [
+                StructField(f.name, _Long() if f.name == "ts" else f.dataType)
+                for f in TABLE_SCHEMAS[name].fields
+            ]
+        )
+        df = spark.read.schema(ns_schema).parquet(path)
+        # ns -> µs truncation, matching DuckDB so oracles agree
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 

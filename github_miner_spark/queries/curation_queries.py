@@ -160,7 +160,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM b
     GROUP BY shard, bin
     ORDER BY shard, bin

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from github_miner_spark.io.tables import TABLE_SCHEMAS
+from github_miner_spark.io.tables import TABLE_SCHEMAS, _events_ts_is_nanos
 
 
 def stream_events(
@@ -26,8 +26,23 @@ def stream_events(
     """File-source stream over the events parquet with the declared
     schema. ``maxFilesPerTrigger`` bounds per-microbatch intake —
     source-level rate limiting, like the reference's requests/min cap."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(TABLE_SCHEMAS["events"])
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = TABLE_SCHEMAS["events"]
+    # gate the ns-as-long rescale on the file's actual logical type,
+    # mirroring io.tables.load_table (testdata is timestamp[us])
+    is_nanos = _events_ts_is_nanos(os.path.join(sf_dir, "events.parquet"))
+    if is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = StructType(
+            [
+                StructField(f.name, LongType() if f.name == "ts" else f.dataType)
+                for f in schema.fields
+            ]
+        )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the file stream source requires a directory; glob-filter the one table
@@ -36,8 +51,9 @@ def stream_events(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # ns -> us conversion, mirroring io.tables.load_table
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if is_nanos:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def windowed_event_counts(
