@@ -40,6 +40,7 @@ def pagerank(
     vertices: DataFrame | None = None,
     broadcast_ranks: bool = False,
     loop_shuffle_width: int | None = None,
+    barrier_every: int = 4,
 ) -> DataFrame:
     """Power-iteration PageRank, OUTGOING direction, non-normalized
     Brin-Page form: rank_v = (1-d) + d * sum(rank_u / outdeg_u) — the
@@ -61,10 +62,13 @@ def pagerank(
     from github_miner_spark.graph.paths import _loop_shuffle_partitions
 
     e = edges.select("src", "dst")
+    # fixed-cadence loop with uniform vertex-sized state: AQE's
+    # per-stage re-plan is pure overhead here (see _loop_shuffle_partitions)
     with _loop_shuffle_partitions(
         e.sparkSession,
         enabled=loop_shuffle_width is not None,
         width=loop_shuffle_width or 8,
+        aqe_off=True,
     ):
         verts = (vertices.select("id") if vertices is not None else _vertex_ids(e)).distinct()
         outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -93,7 +97,7 @@ def pagerank(
             # per iteration — power iteration has no per-step
             # convergence probe, so nothing needs the intermediate
             # ranks materialized. Lineage stays bounded by the window.
-            if it % 4 == 0 or it == iterations:
+            if it % barrier_every == 0 or it == iterations:
                 ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
@@ -282,9 +286,32 @@ def strongly_connected_components(
 def _scc_impl(
     edges: DataFrame, max_iter: int, core_collect_threshold: int
 ) -> DataFrame:
-    remaining_edges = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    remaining_edges = remaining_edges.distinct().localCheckpoint(eager=True)
-    all_verts = _vertex_ids(edges).localCheckpoint(eager=True)
+    # One lineage traversal: dedup (self-loops kept) is the single
+    # materialization of the input; everything else derives from the
+    # checkpoint, not from re-running the input plan.
+    dedup = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+
+    # Fast path: if the WHOLE deduped edge set already fits under the
+    # collect threshold, the distributed trim is pure barrier latency —
+    # its only job is to shrink a too-big-to-collect graph down to a
+    # collectable cyclic core. One collect supplies the edge list and
+    # the vertex universe (incl. self-loop-only vertices) for driver
+    # Tarjan (~5s -> <2s at sf0.1; at 100 TB the count exceeds the
+    # threshold and the trim path below engages unchanged).
+    if dedup.count() <= core_collect_threshold:
+        rows = dedup.collect()
+        nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+        comp = _tarjan_components(
+            [(r["src"], r["dst"]) for r in rows if r["src"] != r["dst"]], nodes
+        )
+        return edges.sparkSession.createDataFrame(
+            list(comp.items()), "id bigint, component bigint"
+        )
+
+    remaining_edges = (
+        dedup.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    )
+    all_verts = _vertex_ids(dedup).localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
 
     # phase 0: trim the acyclic fringe to a fixpoint. One degree-flags

@@ -60,22 +60,27 @@ class _loop_shuffle_partitions:
       shuffle width (sized for full-table aggregations) only buys
       task-launch overhead on loop state: at sf0.1/local[32] the anchor
       closure drops 3.5s -> 2.6s with width 8.
-    - spark.sql.adaptive.enabled -> false: AQE's per-stage re-planning
-      materializes every loop shuffle as its own query stage with a
-      driver round-trip — pure overhead when each shuffle moves a few
-      thousand rows (PageRank at sf0.1 drops ~5.5s -> ~3.8s). AQE's
-      wins (runtime skew splitting, coalescing) all presuppose data
-      volumes a loop with this hint enabled never has; callers at
-      cluster scale with big frontiers leave the hint off and keep AQE.
+    - spark.sql.adaptive.enabled -> false, ONLY when ``aqe_off=True``:
+      AQE's per-stage re-planning materializes every loop shuffle as
+      its own query stage with a driver round-trip. For loops with MANY
+      short barriers and uniform tiny state (PageRank: 20 iterations,
+      one vertex-sized groupBy each), that round-trip is pure overhead
+      — measured ~5.8s -> ~4.7s at sf0.1. For loops whose per-round
+      volume varies (BFS/closure frontiers grow then shrink; Louvain
+      half-sweeps), AQE's runtime coalescing WINS: A/B at sf0.1 showed
+      the anchor closure 3.3s with AQE vs 4.4s without, Louvain 8.6s
+      vs 9.2s. Default is therefore to keep AQE; only fixed-cadence
+      uniform-state loops opt out.
 
     Restores the session values on exit; loops run their actions
     eagerly inside the scope, so only the caller's final (small)
     aggregation sees the restored settings."""
 
-    def __init__(self, spark, enabled: bool, width: int = 8):
+    def __init__(self, spark, enabled: bool, width: int = 8, aqe_off: bool = False):
         self.spark = spark
         self.enabled = enabled
         self.width = width
+        self.aqe_off = aqe_off
         self.saved: str | None = None
         self.saved_aqe: str | None = None
 
@@ -86,11 +91,12 @@ class _loop_shuffle_partitions:
                 self.spark.conf.set("spark.sql.shuffle.partitions", str(self.width))
             else:
                 self.saved = None
-            self.saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
-            if self.saved_aqe == "true":
-                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-            else:
-                self.saved_aqe = None
+            if self.aqe_off:
+                self.saved_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+                if self.saved_aqe == "true":
+                    self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                else:
+                    self.saved_aqe = None
         return self
 
     def __exit__(self, *exc):
