@@ -16,23 +16,33 @@ multiple motif terms, both ``-[]->`` and ``<-[]-`` arrows), node labels
 and ``{prop: literal}`` maps, edge rel-type alternation ``[:A|B]``,
 BOUNDED variable-length edges ``[:A|B*..k]`` / ``[*k]`` / ``[*m..k]``
 (compiled onto graph.paths.k_hop, reference src/insertData.ts:60),
-OPTIONAL MATCH clauses (left-outer motif joins, reference
-documentation/queries.md:373-378), aggregate-only WITH chaining,
-WHERE with AND-ed comparisons over ``var.prop`` / ``id(var)`` plus
-``NOT (pattern)`` existence negation, RETURN with aliases, DISTINCT,
-and the aggregates the reference uses (count(*), count(x),
-count(DISTINCT x), sum/min/max/avg, collect), ORDER BY and LIMIT.
+UNBOUNDED variable-length edges ``[:R*]`` / ``[*1..]`` (compiled onto
+graph.paths.closure_path_counts — the reference's flagship
+sub-dependency counts, documentation/queries.md:284-303, run verbatim:
+``count(x)`` folds path multiplicity, ``count(DISTINCT x)`` and
+``RETURN DISTINCT`` dedup), OPTIONAL MATCH clauses (left-outer motif
+joins, reference documentation/queries.md:373-378), aggregate-only
+WITH chaining, WHERE with AND-ed comparisons over ``var.prop`` /
+``id(var)`` plus ``NOT (pattern)`` existence negation, RETURN with
+aliases, DISTINCT, and the aggregates the reference uses (count(*),
+count(x), count(DISTINCT x), sum/min/max/avg, collect), ORDER BY and
+LIMIT.
 
 Out of scope by design (each has a dedicated engine operator):
-UNBOUNDED variable-length paths ``[*]`` -> graph/paths.py closure +
-BFS; shortestPath/allShortestPaths -> all_shortest_paths_multi;
+per-path rows / path variables under unbounded ``[*]`` (the closure
+emits reachable pairs + multiplicity, not materialized paths — use
+graph/paths.py dependency_chains for node lists);
+shortestPath/allShortestPaths -> all_shortest_paths_multi;
 graph-algo procedure calls (algo.pageRank etc.) -> graph/algorithms.py;
 WITH carrying non-aggregate rows -> compose DataFrames directly.
 Requests for those raise with a pointer, they do not silently misparse.
-Documented deviation: bounded var-length multiplicity counts WALKS
+Documented deviations: bounded var-length multiplicity counts WALKS
 (k_hop's unrolled-join semantics) rather than relationship-unique
 paths — identical on DAG patterns and under RETURN DISTINCT; a graph
-with self-loops can differ at depth >= 2.
+with self-loops can differ at depth >= 2. Unbounded [*] requires the
+matched subgraph to be a DAG (the closure raises on cycles rather than
+looping; Neo4j's relationship-unique walk counts differ on cyclic
+inputs anyway).
 
 Everything compiles to the same Catalyst plans the hand-written queries
 use: motif terms become equi-joins, vertex property access becomes a
@@ -72,9 +82,11 @@ class _Pattern:
     prop_eq: list[tuple[str, str, object]] = field(default_factory=list)  # var, prop, lit
     edge_vars: set[str] = field(default_factory=set)  # named [e:..] variables
     bare_vars: list[str] = field(default_factory=list)  # edge-less MATCH (n) paths
-    varlen: list[tuple[str, str, tuple[str, ...] | None, int, int]] = field(
+    varlen: list[tuple[str, str, tuple[str, ...] | None, int, int | None, str | None]] = field(
         default_factory=list
-    )  # (src, dst, rel_types, k_min, k_max) bounded *-edges
+    )  # (src, dst, rel_types, k_min, k_max, mult_col); k_max None =
+    # unbounded [*] (closure compilation), mult_col names its
+    # path-multiplicity column
 
     def bound_vars(self) -> set[str]:
         vs: set[str] = set(self.bare_vars)
@@ -192,27 +204,37 @@ def _parse_path(path: str, pat: _Pattern, anon: list[int], negated: bool = False
                 raise ValueError(
                     f"variable-length edge cannot bind an edge variable: [{evar}{star}]"
                 )
-            if lo is None and hi is None:
-                # bare [*] / [*..]: unbounded expansion is the iterative
-                # closure operator, not a join pattern
-                raise NotImplementedError(
-                    "cypher_lite does not cover unbounded variable-length "
-                    "patterns ([*]) — use graph.paths closure_path_counts / "
-                    "k_hop / bfs_depths"
-                )
             k_min = int(lo) if lo is not None else 1
-            k_max = int(hi) if hi is not None else (int(lo) if not dots else None)
-            if k_max is None:
-                raise NotImplementedError(
-                    "cypher_lite does not cover unbounded variable-length "
-                    "patterns ([*n..]) — use graph.paths closure_path_counts"
-                )
-            if not 1 <= k_min <= k_max:
-                raise ValueError(f"bad variable-length bounds: {star!r}")
+            if hi is not None:
+                k_max = int(hi)  # [*..k] / [*m..k]
+            elif dots or lo is None:
+                k_max = None  # [*] / [*..] / [*n..]
+            else:
+                k_max = int(lo)  # [*k] exact length
             rel_types = (
                 tuple(r.strip() for r in rels.split("|")) if rels else None
             )
-            pat.varlen.append((e_src, e_dst, rel_types, k_min, k_max))
+            if k_max is None and (lo is None or (dots and k_min == 1)):
+                # bare [*] / [*..] / [*1..]: unbounded expansion ->
+                # iterative closure (graph/paths.closure_path_counts),
+                # path multiplicity carried in a weight column that the
+                # projection folds into count aggregates
+                anon[0] += 1
+                pat.varlen.append(
+                    (e_src, e_dst, rel_types, 1, None, f"__pathmult{anon[0]}")
+                )
+                prev = nxt
+                continue
+            if k_max is None:
+                raise NotImplementedError(
+                    "cypher_lite does not cover unbounded variable-length "
+                    "patterns with a lower bound other than 1 ([*0..], "
+                    "[*n..] with n > 1) — compose graph.paths k_hop + "
+                    "closure_path_counts directly"
+                )
+            if not 1 <= k_min <= k_max:
+                raise ValueError(f"bad variable-length bounds: {star!r}")
+            pat.varlen.append((e_src, e_dst, rel_types, k_min, k_max, None))
             prev = nxt
             continue
         if evar and not negated:
@@ -380,18 +402,42 @@ def _varlen_frame(
     dst: str,
     rel_types: tuple[str, ...] | None,
     k_min: int,
-    k_max: int,
+    k_max: int | None,
     roots: DataFrame | None = None,
+    mult_col: str | None = None,
 ) -> DataFrame:
-    """Bounded variable-length edge as a (src_id, dst_id) binding frame
-    over graph.paths.k_hop (path multiplicity preserved). ``roots``
-    anchors the expansion to the given source ids; None expands from
-    every source vertex."""
-    from github_miner_spark.graph.paths import k_hop
+    """Variable-length edge as a (src_id, dst_id) binding frame.
+
+    Bounded (``k_max`` int): graph.paths.k_hop, one row per walk (path
+    multiplicity preserved as row multiplicity).
+
+    Unbounded (``k_max`` None, bare ``[*]``): the iterative closure
+    operator (graph.paths.closure_path_counts) — one row per reachable
+    (src, dst) pair with the path count in ``mult_col``, which the
+    projection layer folds into count aggregates. This is the
+    compilation of the reference's flagship sub-dependency counts
+    (documentation/queries.md:284-303: 321,265 paths / 347 distinct).
+    Cyclic inputs raise (closure counts simple-path multiplicity only
+    on DAGs); Neo4j's relationship-unique walks differ there anyway.
+
+    ``roots`` anchors the expansion to the given source ids; None
+    expands from every source vertex."""
+    from github_miner_spark.graph.paths import closure_path_counts, k_hop
 
     e = graph.edges
     if rel_types:
         e = e.filter(F.col("rel_type").isin(*rel_types))
+    if k_max is None:
+        cl = closure_path_counts(e.select("src", "dst"), roots)
+        if src == dst:
+            return cl.filter(F.col("root") == F.col("node")).select(
+                F.col("root").alias(f"{src}_id"), F.col("paths").alias(mult_col)
+            )
+        return cl.select(
+            F.col("root").alias(f"{src}_id"),
+            F.col("node").alias(f"{dst}_id"),
+            F.col("paths").alias(mult_col),
+        )
     kh = k_hop(e.select("src", "dst"), roots, k_max, distinct_nodes=False)
     if k_min > 1:
         kh = kh.filter(F.col("depth") >= k_min)
@@ -420,7 +466,7 @@ def _compile_block(
         bound = find(graph, "; ".join(pat.terms))
         for v, twin in block.loops:
             bound = bound.filter(F.col(f"{v}_id") == F.col(f"{twin}_id")).drop(f"{twin}_id")
-    for src, dst, rel_types, k_min, k_max in pat.varlen:
+    for src, dst, rel_types, k_min, k_max, mult_col in pat.varlen:
         # anchor the expansion when the source var is already bound or
         # constrained (label / prop map): k_hop over every vertex's
         # walk table just to filter afterwards is wasted shuffle volume
@@ -441,7 +487,7 @@ def _compile_block(
                     constrained = True
             if constrained:
                 roots = v.select("id")
-        vf = _varlen_frame(graph, src, dst, rel_types, k_min, k_max, roots)
+        vf = _varlen_frame(graph, src, dst, rel_types, k_min, k_max, roots, mult_col)
         if bound is None:
             bound = vf
         else:
@@ -591,6 +637,16 @@ def _exec_segment(
     edge_vars: set[str] = set()
     for b in seg_blocks:
         edge_vars |= b.pat.edge_vars
+    # unbounded [*] edges carry path multiplicity in weight columns
+    # rather than rows (the closure emits one row per reachable pair);
+    # count/sum aggregates fold the weight back in, so
+    # `count(n2)` = number of paths, exactly Neo4j's semantics
+    mult_names = [v[5] for b in seg_blocks for v in b.pat.varlen if v[5]]
+    weight: Column | None = None
+    if mult_names:
+        weight = F.lit(1).cast("long")
+        for mn in mult_names:
+            weight = weight * F.coalesce(F.col(mn), F.lit(1))
     # assign each var's property joins to the first block binding it
     prop_owner: dict[str, _Block] = {}
     for b in seg_blocks:
@@ -626,17 +682,39 @@ def _exec_segment(
             arg = am.group("arg")
             is_distinct = bool(am.group("distinct"))
             if fn == "count" and arg == "*":
-                col = F.count("*")
+                col = (
+                    F.coalesce(F.sum(weight), F.lit(0)) if weight is not None else F.count("*")
+                )
             else:
                 c, _a = _col_ref(arg, edge_vars, needed, carried_names)
                 if fn == "count":
-                    col = F.countDistinct(c) if is_distinct else F.count(c)
+                    if is_distinct:
+                        col = F.countDistinct(c)
+                    elif weight is not None:
+                        col = F.coalesce(
+                            F.sum(F.when(c.isNotNull(), weight).otherwise(F.lit(0))),
+                            F.lit(0),
+                        )
+                    else:
+                        col = F.count(c)
                 elif fn == "collect":
+                    if weight is not None:
+                        raise NotImplementedError(
+                            "cypher_lite does not cover collect() over an "
+                            "unbounded [*] pattern — use collect(DISTINCT ..) "
+                            "or graph.paths closure_path_counts directly"
+                        )
                     col = F.sort_array(F.collect_list(c))
                 elif fn == "sum":
                     # Cypher: sum over no (non-null) values is 0, not null
-                    col = F.coalesce(F.sum(c), F.lit(0))
+                    if weight is not None and not is_distinct:
+                        col = F.coalesce(F.sum(c * weight), F.lit(0))
+                    else:
+                        col = F.coalesce(F.sum(c), F.lit(0))
+                elif fn == "avg" and weight is not None and not is_distinct:
+                    col = F.sum(c * weight) / F.sum(F.when(c.isNotNull(), weight))
                 else:
+                    # min/max (and DISTINCT forms) are multiplicity-invariant
                     col = getattr(F, fn)(c)
             aggs.append((col, alias.strip() or fn))
         else:
@@ -653,6 +731,14 @@ def _exec_segment(
                 f"(carrying a single row) — non-aggregate items {bad} would "
                 "need full pipeline scoping; compose DataFrames directly"
             )
+    if weight is not None and not aggs and not distinct:
+        # checked BEFORE block compilation: the closure operator runs
+        # eagerly, so a doomed per-path projection must not execute it
+        raise NotImplementedError(
+            "cypher_lite returns unbounded [*] matches as reachable "
+            "pairs, not per-path rows — add DISTINCT (or count(..) for "
+            "path multiplicity), or use graph.paths closure_path_counts"
+        )
 
     # WHERE refs + property-map literals may also need vertex props
     for b in seg_blocks:

@@ -96,3 +96,66 @@ def cypher_hosted_on_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN id(r) AS repo_id, r.name AS repo_name, id(m) AS hosted_module_id "
         "ORDER BY repo_id",
     )
+
+
+@register(
+    "cypher_closure_from_anchor",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , walk(node) AS (
+        SELECT dst FROM mm_edges WHERE src = 2
+        UNION ALL
+        SELECT e.dst FROM walk w JOIN mm_edges e ON e.src = w.node
+    )
+    SELECT count(*) AS paths, count(DISTINCT node) AS distinct_nodes FROM walk
+    """,
+    description="The reference's flagship unbounded-path count "
+    "(documentation/queries.md:284-303: count vs count distinct over "
+    "-[:DEPENDS_ON*]->, the 321,265-paths / 347-distinct table) run as "
+    "VERBATIM Cypher through cypher_lite — [*] compiles onto the "
+    "iterative closure operator, path multiplicity folded into count().",
+    tags=("cypher", "graph", "paths", "iterative"),
+)
+def cypher_closure_from_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        "MATCH (a:NodeModule {id: 2})-[:DEPENDS_ON*]->(b) "
+        "RETURN count(b) AS paths, count(DISTINCT b) AS distinct_nodes",
+    )
+
+
+@register(
+    "cypher_subdeps_per_devdep",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , dev1 AS (
+        SELECT DISTINCT e.dst AS n1 FROM edges e
+        WHERE e.rel_type = 'DEV_DEPENDS_ON' AND e.src = 11
+    ),
+    walk(n1, node) AS (
+        SELECT d.n1, e.dst FROM dev1 d JOIN mm_edges e ON e.src = d.n1
+        UNION ALL
+        SELECT w.n1, e.dst FROM walk w JOIN mm_edges e ON e.src = w.node
+    )
+    SELECT v.name AS devDependency, count(*) AS numOfDependencies
+    FROM walk JOIN vertices v ON v.id = walk.n1
+    GROUP BY v.name
+    ORDER BY numOfDependencies DESC, devDependency
+    """,
+    description="Total sub-dependencies per devDependency of one repo "
+    "(reference documentation/queries.md:296-303) as VERBATIM Cypher: a "
+    "bounded [*1] hop chained into an unbounded [*] closure, grouped "
+    "weighted count per dev-dependency name.",
+    tags=("cypher", "graph", "paths", "iterative"),
+)
+def cypher_subdeps_per_devdep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        "MATCH (repo:GitRepo {id: 11})-[:DEV_DEPENDS_ON*1]->(n1)"
+        "-[:DEPENDS_ON*]->(n2) "
+        "RETURN DISTINCT n1.name AS devDependency, "
+        "count(n2) AS numOfDependencies "
+        "ORDER BY numOfDependencies DESC, devDependency",
+    )

@@ -174,8 +174,8 @@ def test_self_loop_pattern(spark):
 
 def test_unsupported_constructs_raise_with_pointer(spark):
     g = load_graph(spark, SF)
-    with pytest.raises(NotImplementedError, match="paths"):
-        run_cypher(g, "MATCH (a)-[:DEPENDS_ON*]->(b) RETURN count(*) AS n")
+    with pytest.raises(NotImplementedError, match="all_shortest_paths"):
+        run_cypher(g, "MATCH p = shortestPath((a)-[*]->(b)) RETURN p")
     with pytest.raises(NotImplementedError, match="algorithms"):
         run_cypher(g, "MATCH (n) CALL algo.pageRank() RETURN n")
 
@@ -374,14 +374,67 @@ def test_optional_match_left_outer_join(spark):
     assert got.filter(F.col("hosted_module_id").isNull()).count() > 0
 
 
-def test_unbounded_and_nonaggregate_with_still_raise(spark):
+def test_unsupported_varlen_and_nonaggregate_with_still_raise(spark):
     g = load_graph(spark, SF)
-    with pytest.raises(NotImplementedError, match="unbounded"):
-        run_cypher(g, "MATCH (a)-[:DEPENDS_ON*1..]->(b) RETURN count(*) AS n")
+    # lower bounds other than 1 stay out of scope for unbounded edges
+    with pytest.raises(NotImplementedError, match="lower bound"):
+        run_cypher(g, "MATCH (a)-[:DEPENDS_ON*2..]->(b) RETURN count(*) AS n")
+    with pytest.raises(NotImplementedError, match="lower bound"):
+        run_cypher(g, "MATCH (a)-[:DEPENDS_ON*0..]->(b) RETURN count(*) AS n")
     with pytest.raises(NotImplementedError, match="aggregate"):
         run_cypher(
             g,
             "MATCH (a:GitRepo) WITH a.name as nm MATCH (b) RETURN count(*) AS n",
+        )
+
+
+def test_unbounded_closure_verbatim(spark):
+    """The reference's flagship path-multiplicity query
+    (documentation/queries.md:284-303) as verbatim Cypher: [*] compiles
+    onto closure_path_counts, count() folds multiplicity, count(DISTINCT)
+    dedups — cross-checked against the closure operator directly."""
+    from github_miner_spark.graph.paths import closure_path_counts
+
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (a:NodeModule {id: 2})-[:DEPENDS_ON*]->(b) "
+        "RETURN count(b) AS paths, count(DISTINCT b) AS distinct_nodes",
+    ).collect()
+    cl = closure_path_counts(g.module_dep_edges(), roots=[2])
+    want = cl.agg(
+        F.sum("paths").alias("paths"), F.count("node").alias("distinct_nodes")
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_unbounded_closure_distinct_projection(spark):
+    """RETURN DISTINCT over [*] = the reachable set (multiplicity
+    dropped), matching the closure's distinct nodes."""
+    from github_miner_spark.graph.paths import closure_path_counts
+
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (a:NodeModule {id: 2})-[:DEPENDS_ON*]->(b) "
+        "RETURN DISTINCT id(b) AS node ORDER BY node",
+    )
+    want = (
+        closure_path_counts(g.module_dep_edges(), roots=[2])
+        .select("node")
+        .orderBy("node")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_unbounded_per_path_rows_raise_before_execution(spark):
+    """Non-DISTINCT non-aggregate projection over [*] raises (per-path
+    rows are not materialized) — and must do so BEFORE the eager closure
+    runs, so the error is instant even on pathological inputs."""
+    g = load_graph(spark, SF)
+    with pytest.raises(NotImplementedError, match="reachable pairs"):
+        run_cypher(
+            g, "MATCH (a:NodeModule {id: 2})-[:DEPENDS_ON*]->(b) RETURN id(b) AS n"
         )
 
 
