@@ -223,16 +223,81 @@ def lsh_topk(
 
 def int8_codes(vec: Column) -> Column:
     """Symmetric int8 scalar quantization: codes[i] = round(v[i] * 127 /
-    max|v|) as BIGINT in [-127, 127]. The per-vector scale cancels out
+    max|v|) as TINYINT in [-127, 127]. The per-vector scale cancels out
     of cosine similarity, so quantized cosine needs ONLY the integer
-    codes — sum(qa*qb) / (sqrt(sum qa^2) * sqrt(sum qb^2)) — which
-    makes the whole scoring path exact-integer arithmetic plus one
-    IEEE division: bit-identical across engines, and 4x smaller than
+    codes — sum(qa*qb) / (sqrt(sum qa^2) * sqrt(sum qb^2)) — exact
+    integer arithmetic plus one IEEE division. Stored as
+    array<tinyint>, the payload is 1 byte/element: 4x smaller than
     float32 at rest (the point at 100 TB: a 1B x 64-dim corpus drops
     from 256 GB to 64 GB of vector payload, which is the difference
-    between spilling and staying in executor memory)."""
+    between spilling and staying in executor memory). The compact
+    representation is actually persisted by
+    functions/int8_store.py — the query path scans tinyint codes, not
+    the float embeddings. Rounding convention: F.round (HALF_UP on the
+    shortest-decimal form) vs DuckDB's binary-double round can differ
+    on values within ~1 ulp of an exact .5 boundary; the repo-wide 6dp
+    score convention absorbs this (see ADVICE r3)."""
     maxabs = F.greatest(F.array_max(F.transform(vec, F.abs)), F.lit(1e-30))
-    return F.transform(vec, lambda x: F.round(x * 127.0 / maxabs).cast("long"))
+    return F.transform(vec, lambda x: F.round(x * 127.0 / maxabs).cast("tinyint"))
+
+
+def int8_topk_over_codes(
+    coded: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantized brute-force cosine top-k over pre-computed int8 codes
+    (``(id, codes array<tinyint>)``): broadcast-probes x one-corpus-scan
+    like brute_force_topk, but the scan reads 1-byte codes and the dot
+    products are integer MACs widened to int/long inside the fold (JVM
+    codegen vectorizes them; tinyint x tinyint would overflow a byte).
+    An all-zero embedding quantizes to all-zero codes with norm 0 — the
+    denominator is floored at 1e-30 so such rows score ~0 instead of
+    NaN (Spark sorts NaN above every double DESC, which would rank a
+    zero vector as everyone's top neighbor; DuckDB's divide-by-zero
+    differs, breaking parity). Scores approximate float cosine to
+    ~1e-3; ranking ties break by neighbor id. Returns
+    (query_id, neighbor_id, qscore, rank)."""
+    from pyspark.sql.window import Window
+
+    q = coded.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    zero = F.lit(0).cast("long")
+    wide = lambda c: c.cast("int")  # noqa: E731
+    dotq = F.aggregate(
+        F.zip_with(F.col("qcodes"), F.col("codes"), lambda x, y: wide(x) * wide(y)),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.col("qcodes"), zero, lambda acc, v: acc + wide(v) * wide(v)
+        ).cast("double")
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.col("codes"), zero, lambda acc, v: acc + wide(v) * wide(v)
+        ).cast("double")
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                dotq.cast("double") / F.greatest(nq * nc, F.lit(1e-30)), 6
+            ).alias("qscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qscore", "rank")
+    )
 
 
 def int8_topk(
@@ -242,49 +307,12 @@ def int8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Quantized brute-force cosine top-k over int8 codes: same
-    broadcast-probes x one-corpus-scan shape as brute_force_topk, but
-    the scan reads 4x fewer vector bytes and the dot products are
-    integer MACs (JVM codegen vectorizes them). Scores approximate
-    float cosine to ~1e-3; ranking ties break by neighbor id. Returns
-    (query_id, neighbor_id, qscore, rank)."""
-    from pyspark.sql.window import Window
-
-    coded = embeddings.select(
-        F.col(id_col), int8_codes(F.col(vec_col)).alias("codes")
-    )
-    q = coded.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
-        F.col(id_col).alias("query_id"), F.col("codes").alias("qcodes")
-    )
-    zero = F.lit(0).cast("long")
-    dotq = F.aggregate(
-        F.zip_with(F.col("qcodes"), F.col("codes"), lambda x, y: x * y),
-        zero,
-        lambda acc, v: acc + v,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.col("qcodes"), zero, lambda acc, v: acc + v * v
-        ).cast("double")
-    )
-    nc = F.sqrt(
-        F.aggregate(F.col("codes"), zero, lambda acc, v: acc + v * v).cast("double")
-    )
-    scored = (
-        coded.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(dotq.cast("double") / (nq * nc), 6).alias("qscore"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "qscore", "rank")
-    )
+    """Inline-quantizing variant of :func:`int8_topk_over_codes` —
+    computes codes from the float embeddings in the same scan. The
+    memory/I-O savings only materialize once codes are persisted; use
+    ``int8_store.int8_topk_from_store`` for the at-rest path."""
+    coded = embeddings.select(F.col(id_col), int8_codes(F.col(vec_col)).alias("codes"))
+    return int8_topk_over_codes(coded, query_ids, k=k, id_col=id_col)
 
 
 def assign_lists(

@@ -401,8 +401,10 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.query_id, z.vec_id AS neighbor_id,
              round(list_sum(list_transform(generate_series(1, len(q.qcodes)),
                             i -> q.qcodes[i] * z.codes[i]))::DOUBLE
-                   / (sqrt(list_sum(list_transform(q.qcodes, x -> x * x))::DOUBLE)
-                      * sqrt(list_sum(list_transform(z.codes, x -> x * x))::DOUBLE)),
+                   / greatest(
+                       sqrt(list_sum(list_transform(q.qcodes, x -> x * x))::DOUBLE)
+                       * sqrt(list_sum(list_transform(z.codes, x -> x * x))::DOUBLE),
+                       1e-30),
                    6) AS qscore
       FROM z CROSS JOIN q
       WHERE z.vec_id <> q.query_id
@@ -416,19 +418,21 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, qscore, rank FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank
     """,
-    description="Int8-quantized brute-force cosine top-5: symmetric scalar "
-    "quantization (codes = round(v * 127 / max|v|)); the per-vector scale "
-    "cancels out of cosine, so scoring is pure integer MACs + one IEEE "
-    "division — bit-identical in SQL, 4x smaller vector payload at rest "
-    "(the memory lever for billion-vector corpora). Same one-scan "
-    "broadcast-probe shape as the float baseline; recall contract vs "
-    "embedding_topk_bruteforce in tests/test_similarity.py.",
+    description="Int8-quantized brute-force cosine top-5 served from the "
+    "materialized code store (functions/int8_store.py): quantization "
+    "(codes = round(v * 127 / max|v|), array<tinyint> at rest) is ETL, "
+    "built once per corpus version; the query path scans 1-byte codes — "
+    "4x less vector payload than float32, the memory lever for "
+    "billion-vector corpora — and scores with pure integer MACs + one "
+    "guarded IEEE division. The per-vector scale cancels out of cosine, "
+    "so the deterministic quantizer reproduces exactly in SQL from the "
+    "raw embeddings; recall contract vs embedding_topk_bruteforce in "
+    "tests/test_similarity.py.",
     tags=("similarity", "ann", "topk", "quantization"),
 )
 def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_miner_spark.functions.similarity import int8_topk
+    from github_miner_spark.functions.int8_store import int8_topk_from_store
 
-    emb = load_table(spark, "embeddings", sf_dir).withColumn(
-        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return int8_topk_from_store(spark, sf_dir, PROBE_IDS, k=5).orderBy(
+        "query_id", "rank"
     )
-    return int8_topk(emb, PROBE_IDS, k=5).orderBy("query_id", "rank")

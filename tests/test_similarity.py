@@ -257,3 +257,49 @@ def test_int8_topk_recall_and_score_error(spark):
     }
     for r in q8:
         assert abs(exact[(r.query_id, r.neighbor_id)] - r.qscore) < 5e-3
+
+
+def test_int8_store_matches_inline_and_codes_are_tinyint(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): the quantized representation must actually be
+    persisted in a compact type — (a) the store-served top-k returns
+    exactly what the inline-quantizing path returns, (b) the at-rest
+    codes column is array<tinyint> (1 byte/element, the real 4x cut vs
+    float32), and (c) a second call reuses the store."""
+    import github_miner_spark.functions.int8_store as int8_store
+    from github_miner_spark.functions.similarity import int8_topk
+
+    monkeypatch.setattr(int8_store, "STORE_ROOT", str(tmp_path))
+    emb = _double_emb(spark)
+    inline = sorted(map(tuple, int8_topk(emb, PROBES, k=5).collect()))
+    stored = sorted(
+        map(tuple, int8_store.int8_topk_from_store(spark, SF, PROBES, k=5).collect())
+    )
+    assert inline == stored and len(inline) > 0
+
+    coded = int8_store.load_int8_codes(spark, SF)
+    assert dict(coded.dtypes)["codes"] == "array<tinyint>"
+    assert int8_store.materialize_int8_codes(spark, SF) == int8_store._store_dir(SF)
+
+
+def test_int8_zero_vector_scores_zero_not_nan(spark):
+    """ADVICE r3 (low): an all-zero embedding quantizes to all-zero
+    codes (norm 0); the guarded denominator must score it ~0 — never
+    NaN, which Spark would sort ABOVE every double in DESC order,
+    ranking the zero vector as everyone's top neighbor."""
+    import math
+
+    from github_miner_spark.functions.similarity import int8_topk
+
+    base = _double_emb(spark).select("vec_id", "embedding").limit(4)
+    dim = len(base.first().embedding)
+    zero_row = spark.createDataFrame(
+        [(99999, [0.0] * dim)], "vec_id: long, embedding: array<double>"
+    )
+    rows = int8_topk(base.union(zero_row), [0], k=10**6).collect()
+    by_neighbor = {r.neighbor_id: r for r in rows}
+    z = by_neighbor[99999]
+    assert not math.isnan(z.qscore) and abs(z.qscore) < 1e-6
+    # score-0 must sort below every positively-scored neighbor (NaN
+    # would sort above ALL of them and take rank 1)
+    assert all(r.rank < z.rank for r in rows if r.qscore > 0)
+    assert z.rank > 1
