@@ -71,8 +71,11 @@ _NODE_RE = re.compile(r"\(\s*(?P<var>\w*)\s*(?::\s*(?P<label>\w+))?\s*(?P<props>
 _EDGE_BODY = r"\[\s*(?P<var>\w*)\s*(?::\s*(?P<rels>\w+(?:\s*\|\s*\w+)*))?\s*(?P<star>\*[\d\s.]*)?\]"
 _EDGE_RIGHT_RE = re.compile(r"^-\s*" + _EDGE_BODY + r"\s*->")
 _EDGE_LEFT_RE = re.compile(r"^<-\s*" + _EDGE_BODY + r"\s*-(?!>)")
+_EDGE_UND_RE = re.compile(r"^-\s*" + _EDGE_BODY + r"\s*-(?!>)")
 _STAR_RE = re.compile(r"^\*\s*(?P<lo>\d+)?\s*(?:(?P<dots>\.\.)\s*(?P<hi>\d+)?)?$")
-_LIT_RE = re.compile(r"^(?:'(?P<str>[^']*)'|(?P<num>-?\d+(?:\.\d+)?))$")
+_LIT_RE = re.compile(
+    r"^(?:'(?P<str>[^']*)'|\"(?P<dstr>[^\"]*)\"|(?P<num>-?\d+(?:\.\d+)?))$"
+)
 
 
 @dataclass
@@ -82,6 +85,8 @@ class _Pattern:
     prop_eq: list[tuple[str, str, object]] = field(default_factory=list)  # var, prop, lit
     edge_vars: set[str] = field(default_factory=set)  # named [e:..] variables
     bare_vars: list[str] = field(default_factory=list)  # edge-less MATCH (n) paths
+    path_vars: set[str] = field(default_factory=set)  # p = (...)-[..]->(..) bindings
+    und_terms: list[int] = field(default_factory=list)  # indices of -[..]-  terms
     varlen: list[tuple[str, str, tuple[str, ...] | None, int, int | None, str | None]] = field(
         default_factory=list
     )  # (src, dst, rel_types, k_min, k_max, mult_col); k_max None =
@@ -105,22 +110,24 @@ def _literal(tok: str):
         raise ValueError(f"unsupported literal: {tok!r}")
     if m.group("str") is not None:
         return m.group("str")
+    if m.group("dstr") is not None:
+        return m.group("dstr")
     n = m.group("num")
     return float(n) if "." in n else int(n)
 
 
 def _split_top_level(text: str, sep: str) -> list[str]:
     """Split on ``sep`` outside quotes/braces/brackets."""
-    parts, depth, quote, cur = [], 0, False, []
+    parts, depth, quote, cur = [], 0, "", []
     i = 0
     while i < len(text):
         ch = text[i]
         if quote:
             cur.append(ch)
-            if ch == "'":
-                quote = False
-        elif ch == "'":
-            quote = True
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
             cur.append(ch)
         elif ch in "{[(":
             depth += 1
@@ -142,8 +149,19 @@ def _split_top_level(text: str, sep: str) -> list[str]:
 
 def _parse_path(path: str, pat: _Pattern, anon: list[int], negated: bool = False) -> None:
     """Parse one path pattern like (a:L)-[:R]->(b)-[e:R2]->(c {x: 1})
-    into chained motif terms, collecting label/prop constraints."""
+    into chained motif terms, collecting label/prop constraints. A
+    ``p = (...)`` prefix binds a path variable: the binding itself is
+    legal (Neo4j users write MATCH p=... purely for structure), but any
+    REFERENCE to ``p`` in a projection raises — the engine emits
+    bindings/pairs, not materialized path values (graph.paths
+    dependency_chains is the node-list operator)."""
     rest = path.strip()
+    pv = re.match(r"^(\w+)\s*=\s*(?=\()", rest)
+    if pv:
+        if negated:
+            raise ValueError(f"path variable in NOT pattern: {pv.group(1)!r}")
+        pat.path_vars.add(pv.group(1))
+        rest = rest[pv.end() :].strip()
     m = _NODE_RE.match(rest)
     if not m:
         raise ValueError(f"expected node pattern at: {rest!r}")
@@ -174,13 +192,25 @@ def _parse_path(path: str, pat: _Pattern, anon: list[int], negated: bool = False
         return
     while rest:
         em = _EDGE_RIGHT_RE.match(rest)
-        leftward = False
+        leftward = undirected = False
         if not em:
             em = _EDGE_LEFT_RE.match(rest)
             leftward = True
         if not em:
-            raise ValueError(f"expected -[..]-> or <-[..]- at: {rest!r}")
+            # -[..]- with no arrowhead: undirected match (Neo4j matches
+            # the relationship in either direction; reference
+            # documentation/queries.md:13,19)
+            em = _EDGE_UND_RE.match(rest)
+            leftward, undirected = False, True
+        if not em:
+            raise ValueError(f"expected -[..]->, <-[..]- or -[..]- at: {rest!r}")
         evar, rels, star = em.group("var"), em.group("rels"), em.group("star")
+        if undirected and (star or negated):
+            raise NotImplementedError(
+                "cypher_lite covers undirected -[..]- only as a plain "
+                "single hop — direct the pattern or compose graph.paths "
+                "over symmetrized edges"
+            )
         rest = rest[em.end() :].strip()
         nm = _NODE_RE.match(rest)
         if not nm:
@@ -248,6 +278,8 @@ def _parse_path(path: str, pat: _Pattern, anon: list[int], negated: bool = False
                 f"{neg}({e_src})-[{rel}]->({e_dst if e_dst != e_src else ''})"
             )
         else:
+            if undirected:
+                pat.und_terms.append(len(pat.terms))
             pat.terms.append(f"({e_src})-[{evar}{rel}]->({e_dst})")
         prev = nxt
 
@@ -256,6 +288,18 @@ _AGG_RE = re.compile(
     r"^(?P<fn>count|sum|min|max|avg|collect)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.()]+)\s*\)$",
     re.IGNORECASE,
 )
+# SIZE((n)-[:R]->()) / SIZE((n)<-[:R]-(:Label)) / SIZE((n)-[:R]-()) —
+# Cypher's per-row pattern-count expression (degree), reference
+# documentation/queries.md:59-64,68-71,254-278
+_SIZE_RE = re.compile(
+    r"^SIZE\s*\(\s*\(\s*(?P<var>\w+)\s*\)\s*(?:(?P<in><-)|-)\s*"
+    r"\[\s*:?\s*(?P<rels>\w+(?:\s*\|\s*\w+)*)?\s*\]\s*(?:(?P<out>->)|-)\s*"
+    r"\(\s*(?::\s*(?P<olabel>\w+))?\s*\)\s*\)$",
+    re.IGNORECASE,
+)
+_FLOOR_RE = re.compile(r"^FLOOR\s*\((?P<inner>.+)\)$", re.IGNORECASE)
+_LABELS_RE = re.compile(r"^LABELS\s*\(\s*(?P<var>\w+)\s*\)$", re.IGNORECASE)
+_PROPS_RE = re.compile(r"^PROPERTIES\s*\(\s*(?P<var>\w+)\s*\)$", re.IGNORECASE)
 # RETURN EXISTS((a)-[:R]-(b)) — single hop, '-' = undirected, '->' directed
 _EXISTS_RE = re.compile(r"^EXISTS\s*\(\s*(?P<pat>\(.+\))\s*\)$", re.IGNORECASE)
 _EX_HOP_RE = re.compile(
@@ -278,6 +322,13 @@ def _col_ref(
     if idm:
         v = idm.group(1)
         return F.col(f"{v}_id"), f"{v}_id"
+    lm = _LABELS_RE.match(expr)
+    if lm:
+        # LABELS(n) -> single-label array (this store keys one label
+        # per vertex; Neo4j returns the label list)
+        v = lm.group("var")
+        needed_props.add((v, "label"))
+        return F.array(F.col(f"{v}_label")), f"labels_{v}"
     if "." in expr:
         var, _, prop = expr.partition(".")
         if prop == "id":
@@ -309,16 +360,16 @@ def _scan_clauses(q: str) -> list[tuple[str, str]]:
     """Split the query into (KEYWORD, text) clauses at top level
     (outside quotes/braces), preserving order."""
     marks: list[tuple[int, int, str]] = []
-    depth, quote, i = 0, False, 0
+    depth, quote, i = 0, "", 0
     while i < len(q):
         ch = q[i]
         if quote:
-            if ch == "'":
-                quote = False
+            if ch == quote:
+                quote = ""
             i += 1
             continue
-        if ch == "'":
-            quote = True
+        if ch in "'\"":
+            quote = ch
             i += 1
             continue
         if ch in "{[(":
@@ -463,7 +514,26 @@ def _compile_block(
     pat = block.pat
     bound: DataFrame | None = None
     if pat.terms:
-        bound = find(graph, "; ".join(pat.terms))
+        # an undirected -[..]- term matches either orientation: compile
+        # every flip combination and union (capped at 2 undirected hops
+        # per clause — the reference never chains more than one)
+        if len(pat.und_terms) > 2:
+            raise NotImplementedError(
+                "cypher_lite covers at most 2 undirected hops per MATCH "
+                "clause — direct the pattern or compose motifs directly"
+            )
+        variants: list[list[str]] = [list(pat.terms)]
+        for idx in pat.und_terms:
+            flipped: list[list[str]] = []
+            for v in variants:
+                tm = re.match(r"^\((\w+)\)-\[(.*)\]->\((\w+)\)$", v[idx])
+                fv = list(v)
+                fv[idx] = f"({tm.group(3)})-[{tm.group(2)}]->({tm.group(1)})"
+                flipped.append(fv)
+            variants += flipped
+        bound = find(graph, "; ".join(variants[0]))
+        for v in variants[1:]:
+            bound = bound.unionByName(find(graph, "; ".join(v)))
         for v, twin in block.loops:
             bound = bound.filter(F.col(f"{v}_id") == F.col(f"{twin}_id")).drop(f"{twin}_id")
     for src, dst, rel_types, k_min, k_max, mult_col in pat.varlen:
@@ -482,7 +552,13 @@ def _compile_block(
                 constrained = True
             for pvar, prop, lit in pat.prop_eq:
                 if pvar == src:
-                    col = F.col("id") if prop == "id" else F.col(prop)
+                    if prop == "id":
+                        col = F.col("id")
+                    elif prop in v.columns:
+                        col = F.col(prop)
+                    else:
+                        # missing property is NULL (Neo4j): never equal
+                        col = F.lit(None).cast("string")
                     v = v.filter(col == F.lit(lit))
                     constrained = True
             if constrained:
@@ -537,8 +613,15 @@ def _compile_block(
         )
         if var not in own:
             borrowed += [f"{var}_{p}" for v, p in local_needs if v == var]
+        # a property absent from the vertex schema is NULL, Neo4j's
+        # missing-property semantics (the reference reads back
+        # plugin-written props like n.community / n.pagerank that this
+        # store never materializes — those queries must run, not error)
         cols = [F.col("id").alias(f"{var}_id")] + [
-            F.col(p).alias(f"{var}_{p}") for p in props
+            (
+                F.col(p) if p in verts.columns else F.lit(None).cast("string")
+            ).alias(f"{var}_{p}")
+            for p in props
         ]
         v = verts
         if var in pat.labels:
@@ -564,6 +647,12 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     for marker, hint in _UNSUPPORTED.items():
         if marker in low:
             raise NotImplementedError(f"cypher_lite does not cover {marker!r} — {hint}")
+    if re.search(r"\b(detach\s+)?delete\b", low):
+        raise NotImplementedError(
+            "cypher_lite is read-only — deletes are the dedicated engine "
+            "operators (queries/graph_queries.py detach_delete_impact; "
+            "graph store rewrites in graph/store.py)"
+        )
 
     # group clauses into WITH-terminated segments + the final RETURN
     clauses = _scan_clauses(q)
@@ -590,14 +679,22 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     anon = [0]
     carried: DataFrame | None = None
     carried_names: set[str] = set()
+    carried_multi = False
     for seg_blocks, kw, proj_text in segments:
-        out, out_names = _exec_segment(
+        if carried_multi and seg_blocks:
+            raise NotImplementedError(
+                "cypher_lite does not cover MATCH after a non-aggregate "
+                "WITH (full pipeline re-scoping) — compose DataFrames "
+                "directly"
+            )
+        out, out_names, single_row = _exec_segment(
             graph, seg_blocks, kw, proj_text, carried, carried_names, anon
         )
         if kw == "RETURN":
             return out
         # Cypher WITH scoping: only the listed items survive
         carried, carried_names = out, out_names
+        carried_multi = carried_multi or not single_row
     raise AssertionError("unreachable")
 
 
@@ -653,15 +750,84 @@ def _exec_segment(
         for v in b.pat.bound_vars():
             prop_owner.setdefault(v, b)
 
+    all_node_vars: set[str] = set()
+    all_path_vars: set[str] = set()
+    for b in seg_blocks:
+        all_node_vars |= b.pat.bound_vars()
+        all_path_vars |= b.pat.path_vars
+    # node "properties" for whole-node projections: every vertex column
+    # except the internal id/label bookkeeping
+    vert_props = [c for c in graph.vertices.columns if c not in ("id", "label")]
+
     needed: set[tuple[str, str]] = set()
     aggs: list[tuple[Column, str]] = []
     keys: list[tuple[Column, str]] = []
     exists_items: list[tuple[str, str, tuple[str, ...], bool, str]] = []
+    size_items: list[tuple[str, tuple[str, ...], str, str | None, str]] = []
     for item in _split_top_level(items_text, ","):
         raw, _, alias = item.partition(" AS ")
         if not _:
             raw, _, alias = item.partition(" as ")
         raw = raw.strip()
+        alias = alias.strip()
+        if raw in all_path_vars or re.search(r"\bnodes\s*\(", raw, re.IGNORECASE):
+            raise NotImplementedError(
+                "cypher_lite does not return path values (RETURN p / "
+                "nodes(p)) — the engine emits bindings and counts; use "
+                "graph.paths.dependency_chains for node-list paths"
+            )
+        # FLOOR(x) wrapper (reference queries.md:257,265,273-274 apply
+        # it to SIZE, where it is the identity on the integer count)
+        fm = _FLOOR_RE.match(raw)
+        wrap_floor = False
+        if fm:
+            raw, wrap_floor = fm.group("inner").strip(), True
+        sm = _SIZE_RE.match(raw)
+        if sm:
+            i = len(size_items)
+            flag = f"__size_{i}"
+            direction = "in" if sm.group("in") else ("out" if sm.group("out") else "both")
+            size_items.append(
+                (sm.group("var"),
+                 tuple(r.strip() for r in (sm.group("rels") or "").split("|") if r.strip()),
+                 direction, sm.group("olabel"), flag)
+            )
+            col = F.coalesce(F.col(flag), F.lit(0)).cast("long")
+            if wrap_floor:
+                col = F.floor(col)
+            keys.append((col, alias or f"size_{i}"))
+            continue
+        if raw.upper().startswith("SIZE"):
+            raise ValueError(f"unsupported SIZE pattern: {raw!r}")
+        if wrap_floor:
+            c, dft = _col_ref(raw, edge_vars, needed, carried_names)
+            keys.append((F.floor(c.cast("double")).cast("long"), alias or dft))
+            continue
+        pm2 = _PROPS_RE.match(raw)
+        if pm2:
+            v = pm2.group("var")
+            for p in vert_props:
+                needed.add((v, p))
+            col = F.struct(*[F.col(f"{v}_{p}").alias(p) for p in vert_props])
+            keys.append((col, alias or f"properties_{v}"))
+            continue
+        if (
+            raw in all_node_vars
+            and raw not in carried_names
+            and raw not in edge_vars
+        ):
+            # bare node variable: Neo4j returns the node — project a
+            # struct of (id, label, properties)
+            for p in vert_props:
+                needed.add((raw, p))
+            needed.add((raw, "label"))
+            col = F.struct(
+                F.col(f"{raw}_id").alias("id"),
+                F.col(f"{raw}_label").alias("label"),
+                *[F.col(f"{raw}_{p}").alias(p) for p in vert_props],
+            )
+            keys.append((col, alias or raw))
+            continue
         em = _EXISTS_RE.match(raw)
         if em:
             hm = _EX_HOP_RE.match(em.group("pat").strip())
@@ -721,16 +887,11 @@ def _exec_segment(
             c, dft = _col_ref(raw, edge_vars, needed, carried_names)
             keys.append((c, alias.strip() or dft))
 
-    if not is_final:
-        # WITH is supported in aggregate-only form: every non-carried
-        # item must aggregate to the single carried row
-        bad = [a for c, a in keys if a not in carried_names]
-        if bad:
-            raise NotImplementedError(
-                "cypher_lite supports WITH only for aggregate projections "
-                f"(carrying a single row) — non-aggregate items {bad} would "
-                "need full pipeline scoping; compose DataFrames directly"
-            )
+    # an aggregate-only WITH carries a single 1-row scope (safe to
+    # cross-join under later MATCH clauses); a WITH with new
+    # non-aggregate items carries full rows — supported, but only when
+    # no later segment re-enters MATCH (run_cypher enforces that)
+    single_row = bool(aggs) and all(a in carried_names for _c, a in keys)
     if weight is not None and not aggs and not distinct:
         # checked BEFORE block compilation: the closure operator runs
         # eagerly, so a doomed per-path projection must not execute it
@@ -822,6 +983,34 @@ def _exec_segment(
         pairs = pairs.distinct().withColumn(flag, F.lit(True))
         bound = bound.join(pairs, [f"{x}_id", f"{y}_id"], "left_outer")
 
+    # SIZE((n)-[:R]->(:L)) degree expressions: one groupBy-count per
+    # distinct pattern, left-joined on the anchor var (missing -> 0 via
+    # the projection's coalesce) — the same degree-view plan the
+    # dedicated operators use (queries/graph_queries.py A1/A7)
+    for var, rels, direction, olabel, flag in size_items:
+        if f"{var}_id" not in bound.columns:
+            raise ValueError(f"SIZE pattern references unbound variable {var!r}")
+        e = graph.edges
+        if rels:
+            e = e.filter(F.col("rel_type").isin(*rels))
+        ends = []
+        if direction in ("out", "both"):
+            ends.append(("src", "dst"))
+        if direction in ("in", "both"):
+            ends.append(("dst", "src"))
+        frames = []
+        for anchor, other in ends:
+            f_ = e
+            if olabel:
+                lab = graph.vertices.filter(F.col("label") == olabel).select(
+                    F.col("id").alias(other)
+                )
+                f_ = f_.join(F.broadcast(lab), other)
+            frames.append(f_.select(F.col(anchor).alias(f"{var}_id")))
+        allf = frames[0] if len(frames) == 1 else frames[0].unionByName(frames[1])
+        deg = allf.groupBy(f"{var}_id").agg(F.count("*").alias(flag))
+        bound = bound.join(deg, f"{var}_id", "left_outer")
+
     if aggs:
         out = (
             bound.groupBy(*[c.alias(a) for c, a in keys]).agg(
@@ -850,4 +1039,4 @@ def _exec_segment(
         out = out.limit(int(limit_text))
 
     new_names = {a for _, a in keys} | {a for _, a in aggs}
-    return out, new_names
+    return out, new_names, single_row
