@@ -40,7 +40,7 @@ def pagerank(
     vertices: DataFrame | None = None,
     broadcast_ranks: bool = False,
     loop_shuffle_width: int | None = None,
-    barrier_every: int = 4,
+    barrier_every: int = 5,
 ) -> DataFrame:
     """Power-iteration PageRank, OUTGOING direction, non-normalized
     Brin-Page form: rank_v = (1-d) + d * sum(rank_u / outdeg_u) — the
@@ -91,12 +91,16 @@ def pagerank(
                     "rank"
                 ),
             )
-            # one barrier per 4 iterations: the in-window iterations
-            # chain lazily and execute as ONE job at the checkpoint (4
+            # one barrier per 5 iterations: the in-window iterations
+            # chain lazily and execute as ONE job at the checkpoint (5
             # shuffles in one DAG), instead of paying a driver barrier
             # per iteration — power iteration has no per-step
             # convergence probe, so nothing needs the intermediate
             # ranks materialized. Lineage stays bounded by the window.
+            # A/B at sf0.1/local[32]: windows of 4/5/8/10 ran
+            # 4.3-6.2 / 4.6-5.0 / 6.3-6.5 / 6.3-6.5 s — 5 is the knee
+            # (4 barriers for 20 iterations); wider windows lose to
+            # codegen over the deeper unmaterialized plan.
             if it % barrier_every == 0 or it == iterations:
                 ranks = ranks.localCheckpoint(eager=True)
     return ranks

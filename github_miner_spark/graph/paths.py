@@ -111,8 +111,9 @@ def closure_path_counts(
     edges: DataFrame,
     roots=None,
     max_iter: int = 100,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 7,
     broadcast_frontier: bool = False,
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """Transitive closure preserving path multiplicity.
 
@@ -123,22 +124,40 @@ def closure_path_counts(
     Raises RuntimeError if the frontier is still non-empty after
     ``max_iter`` levels (cyclic input without a depth bound).
 
-    ``checkpoint_every``: barrier cadence. Levels in between stay LAZY
-    (no Spark job at all); every k-th level is materialized via eager
-    ``localCheckpoint`` and the emptiness probe runs only there, against
-    already-checkpointed partitions (free). One driver barrier per k
-    levels instead of two per level — this was 39%% of the round-1
-    bench. The cost is up to k-1 no-op expansions past exhaustion,
-    which join an empty frontier and are near-free.
+    ``checkpoint_every``: barrier cadence. Levels inside a window stay
+    LAZY (no Spark job at all); each barrier materializes the WHOLE
+    window's contribution as one level-tagged, per-level-aggregated
+    chunk (one job covering the window's chained joins), the next
+    frontier is a filter over that already-checkpointed chunk, and the
+    emptiness probe scans checkpointed partitions (free). One driver
+    barrier per k levels instead of two per level — and, because every
+    level lands in exactly one materialized chunk, the final
+    aggregation unions only checkpointed data: the earlier design let
+    the final job REPLAY the lazy in-window levels (1+2+..+(k-1) extra
+    joins per window), which was the residual 2x on the anchor closure
+    bench.
 
     ``broadcast_frontier``: hint the per-level join to broadcast the
     frontier instead of shuffling the edge table every round — 2x
     faster when the root set is small (measured at sf0.1); leave off
     for many-root closures whose frontier may not fit in memory.
+
+    ``checkpoint_edges``: materialize the edge relation once up front.
+    Keep True (default) — an INTERLEAVED A/B at sf0.1 (same session,
+    alternating variants) shows the materialization wins ~1s/call even
+    for plain store scans (the per-level re-scan loses to re-reading
+    checkpointed partitions); sequential A/B blocks showed the
+    opposite and were session-noise. Pass False only for an edge plan
+    too large to materialize. Cadence (checkpoint_every 5/7/9) is
+    noise-level on the same interleaved design; the remaining ~3.5s
+    anchor-closure floor is barrier count x driver latency, not plan
+    shape.
     """
     spark = edges.sparkSession
     with _loop_shuffle_partitions(spark, enabled=broadcast_frontier):
-        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        edges = edges.select("src", "dst")
+        if checkpoint_edges:
+            edges = edges.localCheckpoint(eager=True)
         root_df = _as_root_df(edges, roots)
         frontier = (
             edges.join(root_df, edges.src == root_df.root)
@@ -146,41 +165,46 @@ def closure_path_counts(
             .agg(F.count("*").cast("long").alias("paths"))
             .localCheckpoint(eager=True)
         )
-        levels = [frontier]
+        chunks = [frontier]
+        window: list[DataFrame] = []
         for it in range(1, max_iter + 1):
             f = F.broadcast(frontier) if broadcast_frontier else frontier
             nxt = f.join(edges, frontier.node == edges.src).select(
                 "root", F.col("dst").alias("node"), "paths"
             )
+            window.append(nxt.withColumn("level", F.lit(it)))
             if it % checkpoint_every == 0 or it == max_iter:
-                # aggregate only at checkpoint barriers: levels in
-                # between carry un-summed (root, node, paths) rows,
-                # whose count is bounded by the number of distinct paths
-                # discovered in the window (<= branching^k x frontier) —
-                # the state bound the per-level agg used to enforce,
-                # amortized over the window. One barrier (and one
-                # shuffle) per k levels instead of two barriers per
-                # level; measured 4.5s -> 2.6s at sf0.1.
-                nxt = (
-                    nxt.groupBy("root", "node")
+                # one job per window: per-(root, node, level) sums keep
+                # the state bound the per-level agg used to enforce
+                # (amortized over the window), and the level tag lets
+                # the next frontier come from the checkpointed chunk
+                # instead of re-expanding
+                chunk = (
+                    reduce(lambda a, b: a.unionByName(b), window)
+                    .groupBy("root", "node", "level")
                     .agg(F.sum("paths").alias("paths"))
                     .localCheckpoint(eager=True)
                 )
-                if nxt.isEmpty():
+                window = []
+                frontier = chunk.filter(F.col("level") == it).select(
+                    "root", "node", "paths"
+                )
+                if frontier.isEmpty():
+                    chunks.append(chunk.select("root", "node", "paths"))
                     break
-            levels.append(nxt)
-            frontier = nxt
+                chunks.append(chunk.select("root", "node", "paths"))
+            else:
+                frontier = nxt
         else:
             raise RuntimeError(
                 f"closure did not converge within {max_iter} levels — cyclic input? "
                 "use reachable_set/bfs_depths (cycle-safe) or pass a depth bound"
             )
-    all_levels = reduce(lambda a, b: a.unionByName(b), levels)
+    all_levels = reduce(lambda a, b: a.unionByName(b), chunks)
     if broadcast_frontier:
-        # pre-shape the caller-side aggregation to the loop width: the
-        # groupBy reuses this hash partitioning, so the final job (which
-        # re-runs the lazy window levels) doesn't fan out to the
-        # session-wide shuffle width for frontier-sized data
+        # pre-shape the caller-side aggregation to the loop width so the
+        # final groupBy over frontier-sized chunks doesn't fan out to
+        # the session-wide shuffle width
         all_levels = all_levels.repartition(8, "root", "node")
     return all_levels.groupBy("root", "node").agg(F.sum("paths").alias("paths"))
 

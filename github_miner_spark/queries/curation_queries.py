@@ -255,3 +255,129 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Gopher-style repetition filter thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", table A1 uses 0.20 / 0.18 for the top
+# 2-gram / 3-gram fraction; the type-token-ratio floor is this repo's
+# addition for the no-newline synthetic corpus).
+TOP_BIGRAM_MAX = 0.20
+TOP_TRIGRAM_MAX = 0.18
+TTR_MIN = 0.20
+
+
+@register(
+    "doc_repetition_signals",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(str_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ),
+    grams AS (
+      SELECT doc_id, 2 AS n, toks[i] || ' ' || toks[i + 1] AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+      FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+    ),
+    counts AS (
+      SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY doc_id, n, gram
+    ),
+    top AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN c END) AS top2,
+             max(CASE WHEN n = 3 THEN c END) AS top3
+      FROM counts GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT b.doc_id, b.n_tokens,
+             round(b.n_distinct / b.n_tokens, 6) AS ttr,
+             round(coalesce(top.top2 * 2.0 / b.n_tokens, 0), 6)
+               AS top_bigram_frac,
+             round(coalesce(top.top3 * 3.0 / b.n_tokens, 0), 6)
+               AS top_trigram_frac
+      FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+      WHERE b.n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, ttr, top_bigram_frac, top_trigram_frac,
+           (ttr >= {TTR_MIN} AND top_bigram_frac <= {TOP_BIGRAM_MAX}
+            AND top_trigram_frac <= {TOP_TRIGRAM_MAX}) AS keep
+    FROM sig
+    ORDER BY doc_id
+    """,
+    description="Gopher-style repetition filter signals per document: "
+    "type-token ratio and the token fraction covered by the most "
+    "frequent word 2-gram / 3-gram, with the keep decision at the "
+    "published thresholds (0.20 / 0.18). One explode + two keyed "
+    "aggregations (doc_id, gram) -> (doc_id) — shuffle volume is "
+    "O(corpus tokens), the same scale shape as TF-IDF; no windows, no "
+    "driver state, embarrassingly shardable at 100 TB.",
+    tags=("curation", "text", "quality"),
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import tokenize, word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    base = toked.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    # one scan emits both gram sizes tagged, so the corpus is exploded
+    # once and counted in a single keyed aggregation
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    word_shingles(F.col("toks"), 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    word_shingles(F.col("toks"), 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    top = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
+            F.max(F.when(F.col("n") == 3, F.col("c"))).alias("top3"),
+        )
+    )
+    ttr = F.round(F.col("n_distinct") / F.col("n_tokens"), 6)
+    bi = F.round(
+        F.coalesce(F.col("top2") * 2.0 / F.col("n_tokens"), F.lit(0.0)), 6
+    )
+    tri = F.round(
+        F.coalesce(F.col("top3") * 3.0 / F.col("n_tokens"), F.lit(0.0)), 6
+    )
+    return (
+        base.join(top, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ttr.alias("ttr"),
+            bi.alias("top_bigram_frac"),
+            tri.alias("top_trigram_frac"),
+            (
+                (ttr >= TTR_MIN)
+                & (bi <= TOP_BIGRAM_MAX)
+                & (tri <= TOP_TRIGRAM_MAX)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
