@@ -686,3 +686,83 @@ def triangle_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("module_id"), "n_triangles")
     )
+
+
+_LINK_PRED_ORACLE = (
+    GRAPH_ORACLE_CTES
+    + """
+, e AS (SELECT DISTINCT src, dst FROM mm_edges),
+indeg AS (SELECT dst AS z, count(*) AS dz FROM e GROUP BY dst),
+outdeg AS (SELECT src AS m, count(*) AS dm FROM e GROUP BY src),
+shared AS (
+  SELECT a.src AS ma, b.src AS mb, a.dst AS z
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+),
+scored AS (
+  SELECT s.ma, s.mb,
+         count(*) AS common_neighbors,
+         sum(1.0 / ln(i.dz)) AS aa
+  FROM shared s JOIN indeg i ON s.z = i.z
+  GROUP BY s.ma, s.mb
+)
+SELECT sc.ma AS module_a, sc.mb AS module_b,
+       sc.common_neighbors,
+       round(sc.aa, 6) AS adamic_adar,
+       (da.dm * db.dm)::BIGINT AS pref_attachment
+FROM scored sc
+JOIN outdeg da ON sc.ma = da.m
+JOIN outdeg db ON sc.mb = db.m
+ORDER BY adamic_adar DESC, module_a, module_b
+LIMIT 25
+"""
+)
+
+
+@register(
+    "link_prediction_scores",
+    oracle=_LINK_PRED_ORACLE,
+    description="Link-prediction score panel (commonNeighbors / "
+    "adamicAdar / preferentialAttachment of the plugin set the "
+    "reference installs, bin/install_neo4j_plugins.sh:4; the reference "
+    "itself calls preferentialAttachment, documentation/"
+    "queries.md:100-118): candidate module pairs from the inverted "
+    "co-occurrence self-join (only pairs sharing >= 1 dependency — "
+    "never all-pairs), Adamic-Adar discounts each shared dependency by "
+    "1/ln(indegree) so hub modules contribute little, exactly the "
+    "skew-robustness that matters at scale. Top 25 pairs.",
+    tags=("graph", "algorithm", "linkprediction"),
+)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    e = g.module_dep_edges().distinct()
+    indeg = e.groupBy(F.col("dst").alias("z")).agg(F.count("*").alias("dz"))
+    outdeg = e.groupBy(F.col("src").alias("m")).agg(F.count("*").alias("dm"))
+    a, b = e.alias("a"), e.alias("b")
+    shared = a.join(
+        b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src"))
+    ).select(
+        F.col("a.src").alias("ma"), F.col("b.src").alias("mb"), F.col("a.dst").alias("z")
+    )
+    scored = (
+        shared.join(indeg, "z")
+        .groupBy("ma", "mb")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("dz"))).alias("aa"),
+        )
+    )
+    da = outdeg.select(F.col("m").alias("ma"), F.col("dm").alias("da"))
+    db = outdeg.select(F.col("m").alias("mb"), F.col("dm").alias("db"))
+    return (
+        scored.join(da, "ma")
+        .join(db, "mb")
+        .select(
+            F.col("ma").alias("module_a"),
+            F.col("mb").alias("module_b"),
+            "common_neighbors",
+            F.round("aa", 6).alias("adamic_adar"),
+            (F.col("da") * F.col("db")).cast("long").alias("pref_attachment"),
+        )
+        .orderBy(F.desc("adamic_adar"), "module_a", "module_b")
+        .limit(25)
+    )

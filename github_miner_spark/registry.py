@@ -87,6 +87,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "embedding_int8_topk",
     "cypher_closure_from_anchor",
     "cypher_subdeps_per_devdep",
+    "doc_repetition_signals",
+    "link_prediction_scores",
     # -- (b) red in r03, root cause fixed this round --------------------
     "events_sessionization",
     "events_session_windows",
@@ -128,7 +130,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "self_loops",
     "meta_graph",
     "hosted_on_outer",
-    "preferential_attachment",
     "modules_per_repo_list",
     "detach_delete_impact",
     "schema_histograms",
@@ -139,7 +140,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "doc_quality_scores",
     "language_id_confusion",
     "doc_fingerprints",
-    "doc_shingle_profile",
     "doc_bpe_token_counts",
     # dedup / similarity
     "ngram_jaccard_dups",
@@ -160,7 +160,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # multimodal_byte_features, doc_token_stats, corpus_filter_funnel,
     # manifest_edge_roundtrip, idempotent_merge, top_dependants_modules,
     # degree_breakdown, orders_running_rank; r02-green untouched:
-    # lineitem_describe, distinct_order_profiles)
+    # lineitem_describe, distinct_order_profiles, doc_shingle_profile,
+    # preferential_attachment — the last two gave their slots to the
+    # round-4 operators doc_repetition_signals / link_prediction_scores,
+    # which had no driver row at all)
 )
 
 
