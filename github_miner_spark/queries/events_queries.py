@@ -177,3 +177,119 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "events_purchase_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.purchase_id, p.user_id,
+           count(v.vts) AS views_prev_hour
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.vts >= p.pts - INTERVAL 1 HOUR
+     AND v.vts < p.pts
+    GROUP BY p.purchase_id, p.user_id
+    ORDER BY p.purchase_id
+    """,
+    description="Event-time range join (interval join): per purchase, the "
+    "view count by the same user in the preceding hour — the attribution "
+    "shape. The join is keyed on user_id (one shuffle; the range predicate "
+    "rides as a join condition), so candidate pairs are bounded by "
+    "per-user activity, never a time-cross-product. Streaming twin: "
+    "streaming/events.py interval_join_stream (watermarked stream-stream "
+    "join with the same predicate).",
+    tags=("events", "range-join", "interval"),
+)
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+    )
+    j = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") < F.col("pts")),
+        "left_outer",
+    )
+    return (
+        j.groupBy("purchase_id", "user_id")
+        .agg(F.count("vts").alias("views_prev_hour"))
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "events_asof_last_purchase",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, NULL::BIGINT AS click_id,
+             value AS pvalue, 0 AS sort_click
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, NULL::DOUBLE, 1
+      FROM events WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT user_id, ts, click_id, sort_click,
+             last_value(pvalue IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, sort_click, pvalue
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_purchase_value
+      FROM tagged
+    )
+    SELECT click_id, user_id, ts, last_purchase_value
+    FROM w WHERE sort_click = 1
+    ORDER BY click_id
+    """,
+    description="As-of join: for every click, the value of that user's most "
+    "recent purchase at-or-before the click. Implemented as the "
+    "union-then-window pattern — tag both sides, one shuffle on user_id, "
+    "last_value(... IGNORE NULLS) over the event-time order — NOT a "
+    "per-pair join: state per user is one running value, so the plan is "
+    "linear in events at any scale (the standard distributed as-of shape; "
+    "a range join would re-scan each user's purchase history per click). "
+    "Same-timestamp ties: the purchase sorts before the click (sort_click) "
+    "and the highest value wins among equal-ts purchases.",
+    tags=("events", "asof-join", "window"),
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("value").alias("pvalue"),
+        F.lit(0).alias("sort_click"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("double").alias("pvalue"),
+        F.lit(1).alias("sort_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "sort_click", "pvalue")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = purchases.unionByName(clicks).withColumn(
+        "last_purchase_value", F.last("pvalue", ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter(F.col("sort_click") == 1)
+        .select("click_id", "user_id", "ts", "last_purchase_value")
+        .orderBy("click_id")
+    )

@@ -89,6 +89,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "cypher_subdeps_per_devdep",
     "doc_repetition_signals",
     "link_prediction_scores",
+    "events_purchase_attribution",
+    "events_asof_last_purchase",
     # -- (b) red in r03, root cause fixed this round --------------------
     "events_sessionization",
     "events_session_windows",
@@ -142,9 +144,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "doc_fingerprints",
     "doc_bpe_token_counts",
     # dedup / similarity
-    "ngram_jaccard_dups",
     "simhash_near_dups",
-    "embedding_similarity_buckets",
     # (left out, all carrying fresh r03 green rows and still in the
     # local oracle sweep: pricing_summary, shipping_priority,
     # regional_revenue, customer_order_stats_outer,
@@ -161,9 +161,12 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # manifest_edge_roundtrip, idempotent_merge, top_dependants_modules,
     # degree_breakdown, orders_running_rank; r02-green untouched:
     # lineitem_describe, distinct_order_profiles, doc_shingle_profile,
-    # preferential_attachment — the last two gave their slots to the
-    # round-4 operators doc_repetition_signals / link_prediction_scores,
-    # which had no driver row at all)
+    # preferential_attachment, ngram_jaccard_dups,
+    # embedding_similarity_buckets — the last four gave their slots to
+    # the round-4 operators doc_repetition_signals /
+    # link_prediction_scores / events_purchase_attribution /
+    # events_asof_last_purchase, which had no driver row at all; their
+    # dedup/similarity families keep 6+ fresh r03/r04 rows each)
 )
 
 

@@ -199,3 +199,37 @@ def sessionize_stream(
             timeoutConf=timeout_conf,
         )
     )
+
+
+def interval_join_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream event-time interval join: per purchase, the views
+    by the same user in the preceding ``window``. Both sides carry
+    watermarks and the join predicate bounds view-time against
+    purchase-time, so the state store holds only rows inside the
+    watermark horizon — the exact condition Structured Streaming needs
+    to evict join state (bounded memory at any rate). Batch twin:
+    queries/events_queries.py events_purchase_attribution (inner-join
+    form; streaming left-outer emits on watermark expiry instead)."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", watermark)
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("vts"))
+        .withWatermark("vts", watermark)
+    )
+    return p.join(
+        v,
+        F.expr(
+            f"v_user = p_user AND vts >= pts - INTERVAL {window} AND vts < pts"
+        ),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "vts")

@@ -222,3 +222,44 @@ def test_mining_lake_streams_exactly_once(spark, tmp_path):
     # nothing new: the drain is a checkpointed no-op
     drain_lake(spark, lake, out, ckpt)
     assert read_drained(spark, out).count() == 2 * (n1 + n2)
+
+
+def test_interval_join_stream_matches_batch(spark):
+    """Stream-stream watermarked interval join drains to the same
+    (purchase, view) pairs as the batch range join's inner form."""
+    from github_miner_spark.io.tables import load_table
+    from github_miner_spark.streaming.events import interval_join_stream
+
+    stream = stream_events(spark, SF)
+    joined = interval_join_stream(stream, window="1 hour", watermark="2 hours")
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("t_interval_join")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {
+        (r.purchase_id, r.user_id, r.vts)
+        for r in spark.sql("SELECT * FROM t_interval_join").collect()
+    }
+    ev = load_table(spark, "events", SF)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+    )
+    want = {
+        (r.purchase_id, r.user_id, r.vts)
+        for r in p.join(
+            v,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("vts") < F.col("pts")),
+        ).select("purchase_id", "user_id", "vts").collect()
+    }
+    assert got == want and len(want) > 0
