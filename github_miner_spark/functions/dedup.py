@@ -111,6 +111,53 @@ def jaccard_pairs(
     return _jaccard_of(inter, sizes, threshold)
 
 
+def minhash_signatures(
+    docs: DataFrame, idx: DataFrame, k: int = 16
+) -> DataFrame:
+    """k-perm MinHash signatures (doc_id, sig0..sig{k-1}) from a
+    (doc_id, shingle) index — k vectorized min-aggregates over the
+    exploded index, ONE pass inside whole-stage codegen. (The
+    array-lambda formulation re-inlines the whole tokenize -> shingle
+    -> hash pipeline into every perm and every band projection,
+    interpreted: ~80x slower at sf0.1.) Docs with no shingles get the
+    sentinel all-PRIME signature."""
+    sig_aggs = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("shingle") + F.lit(7919 * i)) % F.lit(MINHASH_PRIME)
+        ).alias(f"sig{i}")
+        for i in range(k)
+    ]
+    sig = idx.groupBy("doc_id").agg(*sig_aggs)
+    return docs.select("doc_id").join(sig, "doc_id", "left_outer").select(
+        "doc_id",
+        *[F.coalesce(F.col(f"sig{i}"), F.lit(MINHASH_PRIME)).alias(f"sig{i}") for i in range(k)],
+    )
+
+
+def minhash_band_buckets(sig: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """LSH band buckets (doc_id, band, bucket) from a signature frame:
+    ``bands`` buckets of k/bands signature rows each, hashed with md5 —
+    all bands emitted in one explode pass, not a bands-way union of
+    scans."""
+    rows_per_band = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"sig{bi * rows_per_band + j}").cast("string") for j in range(rows_per_band)],
+                )
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -126,47 +173,13 @@ def minhash_lsh_pairs(
     This is the scale path for n-gram dedup: candidate count is driven
     by bucket collisions (tunable via bands), not shingle co-occurrence.
     ``index``: pre-materialized shingle index (functions/text_store.py)."""
-    rows_per_band = k // bands
     idx = (
         index
         if index is not None
         else shingle_index(docs, text_col).localCheckpoint(eager=False)
     )
-    # k-perm signature as k vectorized min-aggregates over the exploded
-    # index — ONE pass over the shingles inside whole-stage codegen.
-    # (The array-lambda formulation re-inlines the whole tokenize ->
-    # shingle -> hash pipeline into every perm and every band projection,
-    # interpreted: ~80x slower at sf0.1.)
-    sig_aggs = [
-        F.min(
-            (F.lit(2 * i + 1) * F.col("shingle") + F.lit(7919 * i)) % F.lit(MINHASH_PRIME)
-        ).alias(f"sig{i}")
-        for i in range(k)
-    ]
-    sig = idx.groupBy("doc_id").agg(*sig_aggs)
-    # docs with no shingles get the sentinel all-PRIME signature
-    sig = docs.select("doc_id").join(sig, "doc_id", "left_outer").select(
-        "doc_id",
-        *[F.coalesce(F.col(f"sig{i}"), F.lit(MINHASH_PRIME)).alias(f"sig{i}") for i in range(k)],
-    )
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"sig{bi * rows_per_band + j}").cast("string") for j in range(rows_per_band)],
-                )
-            ).alias("bucket"),
-        )
-        for bi in range(bands)
-    ]
-    # all bands in one pass via explode, not a bands-way union of scans
-    buckets = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .localCheckpoint(eager=False)
-    )
+    sig = minhash_signatures(docs, idx, k)
+    buckets = minhash_band_buckets(sig, k, bands).localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (

@@ -381,3 +381,107 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _minhash_decon_oracle() -> str:
+    from github_miner_spark.functions.dedup import MINHASH_PRIME
+    from github_miner_spark.queries.dedup_queries import DUCK_SHINGLES_CTE
+
+    perms = (
+        "list_transform(generate_series(0, 15), i -> "
+        "coalesce(list_min(list_transform(shingles, "
+        f"h -> ((2*i+1)*h + 7919*i) % {MINHASH_PRIME})), {MINHASH_PRIME}))"
+    )
+    band_selects = []
+    for bi in range(4):
+        elems = ", ".join(f"sig[{bi * 4 + j + 1}]::VARCHAR" for j in range(4))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws(',', {elems})) AS bucket FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    agree = (
+        "list_sum(list_transform(generate_series(1, 16), "
+        "i -> CASE WHEN e.sig[i] = t.sig[i] THEN 1 ELSE 0 END)) / 16.0"
+    )
+    return (
+        DUCK_SHINGLES_CTE
+        + f"""
+    , sigs AS (SELECT doc_id, {perms} AS sig FROM sh),
+    buckets AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT e.doc_id AS eval_doc, t.doc_id AS train_doc
+      FROM buckets e JOIN buckets t
+        ON e.band = t.band AND e.bucket = t.bucket
+      WHERE e.doc_id % {EVAL_MOD} = 0 AND t.doc_id % {EVAL_MOD} <> 0
+    ),
+    scored AS (
+      SELECT c.eval_doc, c.train_doc,
+             round({agree}, 6) AS sig_agreement
+      FROM cand c
+      JOIN sigs e ON e.doc_id = c.eval_doc
+      JOIN sigs t ON t.doc_id = c.train_doc
+    )
+    SELECT eval_doc, train_doc, sig_agreement
+    FROM scored WHERE sig_agreement >= 0.5
+    ORDER BY eval_doc, train_doc
+    """
+    )
+
+
+@register(
+    "minhash_decontamination",
+    oracle=_minhash_decon_oracle(),
+    description="Cross-corpus MinHash decontamination: eval docs "
+    "(doc_id % 17 == 0) LSH-banded against the training corpus; "
+    "candidate (eval, train) pairs sharing a band bucket are scored by "
+    "signature-agreement fraction (an unbiased Jaccard estimate) and "
+    "flagged at >= 0.5. The near-dup complement of the exact n-gram "
+    "overlap pass (benchmark_decontamination): catches paraphrased / "
+    "partially-overlapping eval leakage that exact n-grams miss. Eval "
+    "side is benchmark-sized -> its buckets and signatures broadcast; "
+    "the train side is one scan of the materialized shingle index.",
+    tags=("curation", "dedup", "minhash", "decontamination"),
+)
+def minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+    from github_miner_spark.functions.text_store import load_shingle_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = load_shingle_index(spark, sf_dir)
+    sig = minhash_signatures(docs, idx, k=16).localCheckpoint(eager=False)
+    buckets = minhash_band_buckets(sig, k=16, bands=4)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eb = buckets.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), "band", "bucket"
+    )
+    tb = buckets.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), "band", "bucket"
+    )
+    cand = (
+        tb.join(F.broadcast(eb), ["band", "bucket"])
+        .select("eval_doc", "train_doc")
+        .distinct()
+    )
+    es = sig.select(
+        F.col("doc_id").alias("eval_doc"),
+        *[F.col(f"sig{i}").alias(f"e{i}") for i in range(16)],
+    )
+    ts = sig.select(
+        F.col("doc_id").alias("train_doc"),
+        *[F.col(f"sig{i}").alias(f"t{i}") for i in range(16)],
+    )
+    agree = None
+    for i in range(16):
+        term = F.when(F.col(f"e{i}") == F.col(f"t{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        cand.join(F.broadcast(es), "eval_doc")
+        .join(ts, "train_doc")
+        .withColumn("sig_agreement", F.round(agree / 16.0, 6))
+        .filter(F.col("sig_agreement") >= 0.5)
+        .select("eval_doc", "train_doc", "sig_agreement")
+        .orderBy("eval_doc", "train_doc")
+    )

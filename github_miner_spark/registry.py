@@ -91,6 +91,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "link_prediction_scores",
     "events_purchase_attribution",
     "events_asof_last_purchase",
+    "minhash_decontamination",
     # -- (b) red in r03, root cause fixed this round --------------------
     "events_sessionization",
     "events_session_windows",
@@ -124,7 +125,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # relational
     "parts_never_ordered",
     "customers_with_open_orders",
-    "quantity_histogram",
     "scalar_function_showcase",
     "revenue_rollup",
     # graph
@@ -162,11 +162,11 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # degree_breakdown, orders_running_rank; r02-green untouched:
     # lineitem_describe, distinct_order_profiles, doc_shingle_profile,
     # preferential_attachment, ngram_jaccard_dups,
-    # embedding_similarity_buckets — the last four gave their slots to
-    # the round-4 operators doc_repetition_signals /
+    # embedding_similarity_buckets, quantity_histogram — the last five
+    # gave their slots to the round-4 operators doc_repetition_signals /
     # link_prediction_scores / events_purchase_attribution /
-    # events_asof_last_purchase, which had no driver row at all; their
-    # dedup/similarity families keep 6+ fresh r03/r04 rows each)
+    # events_asof_last_purchase / minhash_decontamination, which had no
+    # driver row at all; the displaced families keep fresh rows)
 )
 
 

@@ -69,3 +69,37 @@ def test_dedup_clusters_no_allpairs(spark):
     plan = _plan(spark, "dedup_clusters")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_one_window_no_join(spark):
+    """events_asof_last_purchase must be the union-then-window shape:
+    ONE shuffle on user_id feeding a window, and no join operator at
+    all — the distributed as-of contract (a per-pair join would re-scan
+    each user's purchase history per click)."""
+    plan = _plan(spark, "events_asof_last_purchase")
+    assert "Window" in plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+        assert join_op not in plan, join_op
+    # exactly one exchange hash-partitioned on user_id for the window
+    # (formatted explain puts Exchange arguments on their own line)
+    exchanges = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(exchanges) == 1, plan
+
+
+def test_range_join_keyed_not_cartesian(spark):
+    """events_purchase_attribution must join on the user key with the
+    time range as a join condition — never a time-cross-product."""
+    plan = _plan(spark, "events_purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+
+
+def test_repetition_signals_single_explode_agg(spark):
+    """doc_repetition_signals: the gram pipeline is explode -> keyed
+    aggregation; no cartesian, no nested-loop, no window."""
+    plan = _plan(spark, "doc_repetition_signals")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
