@@ -134,3 +134,61 @@ def ivf_topk_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def ivf_int8_topk_from_store(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF search over int8 codes — the IVF-PQ-style production shape:
+    probe selection runs on the float centroids (|q| x sqrt(n) against
+    the broadcast centroid set), then only the ``n_probe`` inverted
+    lists are scanned, scored entirely with 1-byte quantized codes
+    (functions/int8_store.py). The assignment scan projects ONLY
+    (vec_id, list_id) — parquet column pruning keeps the float
+    embeddings unread — so the candidate scan touches
+    ~n_probe/sqrt(n) of the corpus at a quarter of the vector bytes.
+    Returns (query_id, neighbor_id, qscore, rank)."""
+    from pyspark.sql.window import Window
+
+    from github_miner_spark.functions.int8_store import load_int8_codes
+    from github_miner_spark.functions.similarity import cosine, int8_cosine
+
+    assigned, cents = load_ivf_index(spark, sf_dir)
+    codes = load_int8_codes(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cscore = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    qw = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "cid", cscore.alias("cscore"))
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cid").alias("list_id"))
+    )
+    qcodes = codes.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    scored = (
+        assigned.select("vec_id", "list_id")
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(qcodes), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            int8_cosine(F.col("qcodes"), F.col("codes")).alias("qscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qscore", "rank")
+    )

@@ -241,6 +241,29 @@ def int8_codes(vec: Column) -> Column:
     return F.transform(vec, lambda x: F.round(x * 127.0 / maxabs).cast("tinyint"))
 
 
+def int8_cosine(qcodes: Column, codes: Column) -> Column:
+    """Quantized cosine between two int8 code arrays: integer MACs
+    widened to int/long inside the fold (tinyint x tinyint would
+    overflow a byte), one guarded IEEE division (an all-zero vector's
+    norm-0 denominator is floored at 1e-30 so it scores ~0, never NaN —
+    Spark sorts NaN above every double DESC), rounded to 6dp per the
+    repo-wide cross-engine convention."""
+    zero = F.lit(0).cast("long")
+    wide = lambda c: c.cast("int")  # noqa: E731
+    dotq = F.aggregate(
+        F.zip_with(qcodes, codes, lambda x, y: wide(x) * wide(y)),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    nq = F.sqrt(
+        F.aggregate(qcodes, zero, lambda acc, v: acc + wide(v) * wide(v)).cast("double")
+    )
+    nc = F.sqrt(
+        F.aggregate(codes, zero, lambda acc, v: acc + wide(v) * wide(v)).cast("double")
+    )
+    return F.round(dotq.cast("double") / F.greatest(nq * nc, F.lit(1e-30)), 6)
+
+
 def int8_topk_over_codes(
     coded: DataFrame,
     query_ids: list[int],
@@ -264,32 +287,13 @@ def int8_topk_over_codes(
     q = coded.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("qcodes")
     )
-    zero = F.lit(0).cast("long")
-    wide = lambda c: c.cast("int")  # noqa: E731
-    dotq = F.aggregate(
-        F.zip_with(F.col("qcodes"), F.col("codes"), lambda x, y: wide(x) * wide(y)),
-        zero,
-        lambda acc, v: acc + v,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.col("qcodes"), zero, lambda acc, v: acc + wide(v) * wide(v)
-        ).cast("double")
-    )
-    nc = F.sqrt(
-        F.aggregate(
-            F.col("codes"), zero, lambda acc, v: acc + wide(v) * wide(v)
-        ).cast("double")
-    )
     scored = (
         coded.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(
-                dotq.cast("double") / F.greatest(nq * nc, F.lit(1e-30)), 6
-            ).alias("qscore"),
+            int8_cosine(F.col("qcodes"), F.col("codes")).alias("qscore"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))

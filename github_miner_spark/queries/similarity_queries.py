@@ -436,3 +436,84 @@ def embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk_from_store(spark, sf_dir, PROBE_IDS, k=5).orderBy(
         "query_id", "rank"
     )
+
+
+def _ivf_int8_oracle(n_probe: int = 3, k: int = 5) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    par AS (
+      SELECT CAST(ceil(count(*) / floor(sqrt(count(*)))) AS BIGINT) AS stride FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cid, ev AS cvec FROM e
+      WHERE vec_id % (SELECT stride FROM par) = 0
+    ),
+    asg AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dcos('e.ev', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    z AS (
+      SELECT vec_id,
+             list_transform(ev, x -> round(x * 127.0 /
+               greatest(list_max(list_transform(ev, y -> abs(y))), 1e-30))::BIGINT)
+               AS codes
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT query_id, cid AS list_id FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_dcos('q.qv', 'c.cvec')} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round(list_sum(list_transform(generate_series(1, len(qz.codes)),
+                            i -> qz.codes[i] * cz.codes[i]))::DOUBLE
+                   / greatest(
+                       sqrt(list_sum(list_transform(qz.codes, x -> x * x))::DOUBLE)
+                       * sqrt(list_sum(list_transform(cz.codes, x -> x * x))::DOUBLE),
+                       1e-30),
+                   6) AS qscore
+      FROM asg a
+      JOIN probes p ON a.list_id = p.list_id
+      JOIN z cz ON cz.vec_id = a.vec_id
+      JOIN z qz ON qz.vec_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, qscore,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qscore DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, qscore, rank FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "embedding_ivf_int8_topk",
+    oracle=_ivf_int8_oracle(),
+    description="IVF search over int8 codes — the combined scale path "
+    "(IVF-PQ-style): probe selection on float centroids, candidate scan "
+    "restricted to the 3 nearest inverted lists AND scored entirely with "
+    "1-byte quantized codes from the materialized code store. The "
+    "assignment scan projects only (vec_id, list_id), so the float "
+    "embeddings are never read on the scan side: search touches "
+    "~n_probe/sqrt(n) of the corpus at a quarter of the vector bytes. "
+    "Both stores are content-addressed ETL, built once per corpus.",
+    tags=("similarity", "ann", "ivf", "quantization", "topk"),
+)
+def embedding_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ivf_store import ivf_int8_topk_from_store
+
+    return ivf_int8_topk_from_store(spark, sf_dir, PROBE_IDS, k=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )

@@ -303,3 +303,25 @@ def test_int8_zero_vector_scores_zero_not_nan(spark):
     # would sort above ALL of them and take rank 1)
     assert all(r.rank < z.rank for r in rows if r.qscore > 0)
     assert z.rank > 1
+
+
+def test_ivf_int8_scores_agree_with_int8_bruteforce(spark, tmp_path, monkeypatch):
+    """The IVF-over-int8 path must score every returned neighbor
+    identically to the quantized brute-force path (same codes, same
+    guarded division) — IVF only restricts the candidate set."""
+    import github_miner_spark.functions.int8_store as int8_store
+    import github_miner_spark.functions.ivf_store as ivf_store
+
+    monkeypatch.setattr(int8_store, "STORE_ROOT", str(tmp_path / "int8"))
+    monkeypatch.setattr(ivf_store, "STORE_ROOT", str(tmp_path / "ivf"))
+    got = ivf_store.ivf_int8_topk_from_store(spark, SF, PROBES, k=5, n_probe=3).collect()
+    assert len(got) > 0
+    emb = _double_emb(spark)
+    from github_miner_spark.functions.similarity import int8_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.qscore
+        for r in int8_topk(emb, PROBES, k=10**6).collect()
+    }
+    for r in got:
+        assert exact[(r.query_id, r.neighbor_id)] == r.qscore
