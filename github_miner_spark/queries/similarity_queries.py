@@ -517,3 +517,48 @@ def embedding_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_int8_topk_from_store(spark, sf_dir, PROBE_IDS, k=5, n_probe=3).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "multimodal_frame_stats",
+    oracle="""
+    WITH m AS (SELECT doc_id, length(text)::BIGINT AS n_bytes FROM documents),
+    f AS (
+      SELECT doc_id, u.fi AS frame_idx,
+             least(32, n_bytes - u.fi * 32) AS fbytes
+      FROM m, unnest(generate_series(
+               0,
+               CAST(greatest(1, ceil(n_bytes / 32.0)) AS BIGINT) - 1,
+               4)) AS u(fi)
+    )
+    SELECT doc_id,
+           count(*) AS n_frames_sampled,
+           CAST(max(frame_idx) AS INT) AS last_frame_idx,
+           CAST(sum(fbytes) AS BIGINT) AS total_frame_bytes
+    FROM f
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="Frame-sampling rollup through the multimodal explode path: "
+    "blob -> one row per sampled frame (sample_frames, Arrow-batched "
+    "mapInPandas; fixed 32-byte frames, every 4th kept — the deterministic "
+    "stand-in for a keyframe demuxer) -> per-doc frame count / last index / "
+    "byte total. The oracle re-derives the sampling arithmetic from the "
+    "source text, so the whole Python-batch explode shape is "
+    "hash-verified, not just shape-tested.",
+    tags=("multimodal", "pandas-udf", "frames"),
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.multimodal import sample_frames
+
+    docs = load_table(spark, "documents", sf_dir)
+    frames = sample_frames(documents_as_media(docs), frame_bytes=32, every_kth=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames_sampled"),
+            F.max("frame_idx").cast("int").alias("last_frame_idx"),
+            F.sum(F.octet_length("frame")).cast("long").alias("total_frame_bytes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -93,6 +93,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "events_asof_last_purchase",
     "minhash_decontamination",
     "embedding_ivf_int8_topk",
+    "multimodal_frame_stats",
     # -- (b) red in r03, root cause fixed this round --------------------
     "events_sessionization",
     "events_session_windows",
@@ -143,8 +144,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "doc_quality_scores",
     "language_id_confusion",
     "doc_fingerprints",
-    # dedup / similarity
-    "simhash_near_dups",
     # (left out, all carrying fresh r03 green rows and still in the
     # local oracle sweep: pricing_summary, shipping_priority,
     # regional_revenue, customer_order_stats_outer,
@@ -163,10 +162,11 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # lineitem_describe, distinct_order_profiles, doc_shingle_profile,
     # preferential_attachment, ngram_jaccard_dups,
     # embedding_similarity_buckets, quantity_histogram,
-    # doc_bpe_token_counts — the last six gave their slots to the
-    # round-4 operators doc_repetition_signals / link_prediction_scores
-    # / events_purchase_attribution / events_asof_last_purchase /
-    # minhash_decontamination / embedding_ivf_int8_topk, which had no
+    # doc_bpe_token_counts, simhash_near_dups — the last seven gave
+    # their slots to the round-4 operators doc_repetition_signals /
+    # link_prediction_scores / events_purchase_attribution /
+    # events_asof_last_purchase / minhash_decontamination /
+    # embedding_ivf_int8_topk / multimodal_frame_stats, which had no
     # driver row at all; the displaced families keep fresh rows)
 )
 
