@@ -86,12 +86,21 @@ def main() -> None:
     for name in names:
         specs[name].spark(spark, SF_DIR).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].spark(spark, SF_DIR)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # median of 3 timed passes per query: single-pass numbers on this
+    # box swing up to 3x on identical plans (ambient load / GC — the
+    # round-3 "regression" was exactly this), so the recorded number is
+    # the median, with per-pass samples kept for transparency
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(passes):
+        for name in names:
+            t0 = time.perf_counter()
+            df = specs[name].spark(spark, SF_DIR)
+            df.count()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    timings = {
+        name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()
+    }
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -103,6 +112,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "timing": f"median of {passes} timed passes per query",
+                "samples": samples,
             }
         )
     )
