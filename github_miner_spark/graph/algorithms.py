@@ -41,6 +41,7 @@ def pagerank(
     broadcast_ranks: bool = False,
     loop_shuffle_width: int | None = None,
     barrier_every: int = 5,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank, OUTGOING direction, non-normalized
     Brin-Page form: rank_v = (1-d) + d * sum(rank_u / outdeg_u) — the
@@ -48,6 +49,14 @@ def pagerank(
     runs with {iterations: 100, dampingFactor: 0.85}
     (documentation/queries.md:180-182). Dangling-node mass decays, as
     in the plugin. Returns (id, rank).
+
+    ``sources``: personalized PageRank (the plugin's sourceNodes
+    option): the restart mass (1-d) concentrates uniformly on the
+    source set instead of every vertex — rank_v = (1-d)*p_v +
+    d * sum(rank_u / outdeg_u) with p_v = 1/|S| on S, 0 elsewhere, and
+    rank0 = p. Same loop, same shuffle shape; only the two vertex-local
+    literals change (both precomputed driver-side so the DuckDB oracle
+    starts from identical IEEE-754 constants).
 
     ``broadcast_ranks``: broadcast the rank vector into the per-
     iteration contribution join instead of shuffling the weighted edge
@@ -77,7 +86,16 @@ def pagerank(
             "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
         ).localCheckpoint(eager=True)
 
-        ranks = verts.withColumn("rank", F.lit(1.0))
+        if sources is None:
+            init_col = F.lit(1.0)
+            base_col = F.lit(1.0 - damping)
+        else:
+            srcs = [int(s) for s in sources]
+            p0 = 1.0 / len(srcs)
+            c0 = (1.0 - damping) * p0
+            init_col = F.when(F.col("id").isin(srcs), F.lit(p0)).otherwise(F.lit(0.0))
+            base_col = F.when(F.col("id").isin(srcs), F.lit(c0)).otherwise(F.lit(0.0))
+        ranks = verts.withColumn("rank", init_col)
         for it in range(1, iterations + 1):
             r = F.broadcast(ranks) if broadcast_ranks else ranks
             contribs = (
@@ -87,7 +105,7 @@ def pagerank(
             )
             ranks = verts.join(contribs, verts.id == contribs.dst, "left_outer").select(
                 "id",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))).alias(
+                (base_col + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))).alias(
                     "rank"
                 ),
             )

@@ -766,3 +766,94 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adamic_adar"), "module_a", "module_b")
         .limit(25)
     )
+
+
+PPR_SOURCES = [2, 132]
+
+
+def _personalized_pagerank_oracle_sql(
+    sources: list[int], iterations: int = 20, damping: float = 0.85
+) -> str:
+    """Unrolled PERSONALIZED PageRank as chained DuckDB CTEs: the
+    restart mass (1-d) concentrates uniformly on the source set
+    (rank0 = p, base = (1-d)*p), mechanically generated like
+    _pagerank_oracle_sql; literals via repr() so both engines start
+    from identical IEEE-754 constants."""
+    p0 = repr(1.0 / len(sources))
+    c0 = repr((1.0 - damping) * (1.0 / len(sources)))
+    d = repr(damping)
+    ids = ", ".join(str(int(s)) for s in sources)
+    parts = [
+        f"""
+    , prverts AS MATERIALIZED (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM mm_edges UNION ALL SELECT dst FROM mm_edges
+        )
+    ),
+    pw AS MATERIALIZED (
+        SELECT src, dst,
+               CAST(1.0 AS DOUBLE) / (count(*) OVER (PARTITION BY src)) AS wt
+        FROM mm_edges
+    ),
+    pr0 AS (
+        SELECT v AS id,
+               CASE WHEN v IN ({ids}) THEN CAST({p0} AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS rank
+        FROM prverts
+    )
+    """
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+    , pr{i} AS MATERIALIZED (
+        SELECT p.v AS id,
+               (CASE WHEN p.v IN ({ids}) THEN CAST({c0} AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END)
+               + CAST({d} AS DOUBLE) * coalesce(c.msg, CAST(0.0 AS DOUBLE)) AS rank
+        FROM prverts p LEFT JOIN (
+            SELECT w.dst AS id, sum(q.rank * w.wt) AS msg
+            FROM pr{i - 1} q JOIN pw w ON w.src = q.id GROUP BY w.dst
+        ) c ON c.id = p.v
+    )
+    """
+        )
+    parts.append(
+        f"""
+    SELECT p.id AS id, v.name AS name, round(p.rank, 6) AS rank
+    FROM pr{iterations} p JOIN vertices v ON v.id = p.id
+    WHERE round(p.rank, 6) > 0
+    ORDER BY round(p.rank, 6) DESC, p.id
+    LIMIT 20
+    """
+    )
+    return GRAPH_ORACLE_CTES + "".join(parts)
+
+
+@register(
+    "personalized_pagerank_top",
+    oracle=_personalized_pagerank_oracle_sql(PPR_SOURCES, iterations=20, damping=0.85),
+    description="Personalized PageRank (the plugin's sourceNodes variant): "
+    "restart mass concentrated on two source modules, 20 iterations, "
+    "d=0.85 — the relevance-to-these-seeds ranking used for "
+    "recommendation-style queries. Same one-shuffle-per-iteration loop "
+    "as pagerank_top20 (only the two vertex-local literals change); "
+    "oracle = the personalized recurrence unrolled as 20 chained CTEs. "
+    "Top 20 positive-mass modules.",
+    tags=("graph", "algorithm", "iterative", "pagerank"),
+)
+def personalized_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    ranks = pagerank(
+        mm, iterations=20, damping=0.85, loop_shuffle_width=8, sources=PPR_SOURCES
+    )
+    names = g.vertices.select("id", "name")
+    return (
+        ranks.withColumn("rank", F.round("rank", 6))
+        .filter(F.col("rank") > 0)
+        .join(F.broadcast(names), "id")
+        .select("id", "name", "rank")
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )

@@ -94,6 +94,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "minhash_decontamination",
     "embedding_ivf_int8_topk",
     "multimodal_frame_stats",
+    "personalized_pagerank_top",
     # -- (b) red in r03, root cause fixed this round --------------------
     "events_sessionization",
     "events_session_windows",
@@ -133,7 +134,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "dependants_by_endpoint_label",
     "self_loops",
     "meta_graph",
-    "hosted_on_outer",
     "modules_per_repo_list",
     "detach_delete_impact",
     "schema_histograms",
@@ -162,11 +162,12 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # lineitem_describe, distinct_order_profiles, doc_shingle_profile,
     # preferential_attachment, ngram_jaccard_dups,
     # embedding_similarity_buckets, quantity_histogram,
-    # doc_bpe_token_counts, simhash_near_dups — the last seven gave
-    # their slots to the round-4 operators doc_repetition_signals /
-    # link_prediction_scores / events_purchase_attribution /
-    # events_asof_last_purchase / minhash_decontamination /
-    # embedding_ivf_int8_topk / multimodal_frame_stats, which had no
+    # doc_bpe_token_counts, simhash_near_dups, hosted_on_outer — the
+    # last eight gave their slots to the round-4 operators
+    # doc_repetition_signals / link_prediction_scores /
+    # events_purchase_attribution / events_asof_last_purchase /
+    # minhash_decontamination / embedding_ivf_int8_topk /
+    # multimodal_frame_stats / personalized_pagerank_top, which had no
     # driver row at all; the displaced families keep fresh rows)
 )
 
