@@ -376,3 +376,61 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "rank", "tfidf")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "doc_unigram_surprisal",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(str_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    total AS (SELECT sum(c) AS n FROM freq),
+    scored AS (
+      SELECT tok.doc_id,
+             -ln(freq.c / (SELECT n FROM total)) AS surprisal
+      FROM tok JOIN freq ON tok.term = freq.term
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(surprisal), 6) AS mean_surprisal,
+           round(max(surprisal), 6) AS max_surprisal
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="Unigram surprisal scoring — the perplexity-proxy quality "
+    "filter (KenLM stand-in): corpus unigram distribution in one keyed "
+    "aggregation, then each token scored -ln(p(term)) and averaged per "
+    "doc. Two shuffles total (term stats, then the term-keyed score "
+    "join + doc rollup); the distribution is JOINED, not broadcast or "
+    "collected, so an open-vocabulary corpus at 100 TB works "
+    "unchanged. High mean surprisal = gibberish/rare-token documents, "
+    "low = boilerplate.",
+    tags=("text", "quality", "scoring"),
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("c") / F.col("n"))).alias("surprisal"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
+            F.round(F.max("surprisal"), 6).alias("max_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

@@ -95,6 +95,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "embedding_ivf_int8_topk",
     "multimodal_frame_stats",
     "personalized_pagerank_top",
+    "doc_unigram_surprisal",
     # -- (b) red in r03, root cause fixed this round --------------------
     "events_sessionization",
     "events_session_windows",
@@ -143,7 +144,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # text analysis
     "doc_quality_scores",
     "language_id_confusion",
-    "doc_fingerprints",
     # (left out, all carrying fresh r03 green rows and still in the
     # local oracle sweep: pricing_summary, shipping_priority,
     # regional_revenue, customer_order_stats_outer,
@@ -162,13 +162,14 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # lineitem_describe, distinct_order_profiles, doc_shingle_profile,
     # preferential_attachment, ngram_jaccard_dups,
     # embedding_similarity_buckets, quantity_histogram,
-    # doc_bpe_token_counts, simhash_near_dups, hosted_on_outer — the
-    # last eight gave their slots to the round-4 operators
-    # doc_repetition_signals / link_prediction_scores /
+    # doc_bpe_token_counts, simhash_near_dups, hosted_on_outer,
+    # doc_fingerprints — the last nine gave their slots to the round-4
+    # operators doc_repetition_signals / link_prediction_scores /
     # events_purchase_attribution / events_asof_last_purchase /
     # minhash_decontamination / embedding_ivf_int8_topk /
-    # multimodal_frame_stats / personalized_pagerank_top, which had no
-    # driver row at all; the displaced families keep fresh rows)
+    # multimodal_frame_stats / personalized_pagerank_top /
+    # doc_unigram_surprisal, which had no driver row at all; the
+    # displaced families keep fresh rows)
 )
 
 
