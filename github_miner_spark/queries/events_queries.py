@@ -293,3 +293,42 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "user_id", "ts", "last_purchase_value")
         .orderBy("click_id")
     )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH w AS (
+      SELECT u.ws AS window_start, event_type, value
+      FROM events,
+           unnest([date_trunc('hour', ts),
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS u(ws)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM w
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    description="Sliding-window aggregation (2-hour windows, 1-hour slide) "
+    "by event type — completes the window-type coverage next to the "
+    "tumbling (events_tumbling_hourly) and session "
+    "(events_session_windows) forms. Spark's window() explodes each event "
+    "into its 2 overlapping windows before one keyed aggregation; the "
+    "oracle derives the same window starts arithmetically.",
+    tags=("events", "window-agg", "sliding"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

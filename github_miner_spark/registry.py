@@ -96,6 +96,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "multimodal_frame_stats",
     "personalized_pagerank_top",
     "doc_unigram_surprisal",
+    "events_sliding_windows",
     # -- (b) red in r03, root cause fixed this round --------------------
     "events_sessionization",
     "events_session_windows",
@@ -137,7 +138,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "meta_graph",
     "modules_per_repo_list",
     "detach_delete_impact",
-    "schema_histograms",
     "one_hop_neighborhood",
     # etl
     "manifest_dependency_totals",
@@ -163,12 +163,13 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # preferential_attachment, ngram_jaccard_dups,
     # embedding_similarity_buckets, quantity_histogram,
     # doc_bpe_token_counts, simhash_near_dups, hosted_on_outer,
-    # doc_fingerprints — the last nine gave their slots to the round-4
-    # operators doc_repetition_signals / link_prediction_scores /
-    # events_purchase_attribution / events_asof_last_purchase /
-    # minhash_decontamination / embedding_ivf_int8_topk /
-    # multimodal_frame_stats / personalized_pagerank_top /
-    # doc_unigram_surprisal, which had no driver row at all; the
+    # doc_fingerprints, schema_histograms — the last ten gave their
+    # slots to the round-4 operators doc_repetition_signals /
+    # link_prediction_scores / events_purchase_attribution /
+    # events_asof_last_purchase / minhash_decontamination /
+    # embedding_ivf_int8_topk / multimodal_frame_stats /
+    # personalized_pagerank_top / doc_unigram_surprisal /
+    # events_sliding_windows, which had no driver row at all; the
     # displaced families keep fresh rows)
 )
 
