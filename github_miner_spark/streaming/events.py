@@ -57,14 +57,25 @@ def stream_events(
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts with a watermark: late rows
-    beyond the watermark are dropped and window state is evicted —
-    bounded state at 100 TB/day rates."""
+    """Event-time windowed counts with a watermark: late rows beyond
+    the watermark are dropped and window state is evicted — bounded
+    state at 100 TB/day rates. ``slide`` = None gives tumbling
+    windows; a slide interval gives overlapping sliding windows (each
+    event lands in window/slide windows; batch twin
+    events_sliding_windows)."""
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),

@@ -263,3 +263,27 @@ def test_interval_join_stream_matches_batch(spark):
         ).select("purchase_id", "user_id", "vts").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_sliding_window_stream_matches_batch(spark):
+    """Streaming sliding windows (2h window / 1h slide) drain to the
+    same aggregates as the batch twin events_sliding_windows."""
+    from github_miner_spark.queries.events_queries import events_sliding_windows
+
+    stream = stream_events(spark, SF)
+    result = windowed_event_counts(
+        stream, window="2 hours", watermark="2 hours", slide="1 hour"
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_available_now(result, ckpt, query_name="t_sliding_stream")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_sliding_stream").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in events_sliding_windows(spark, SF).collect()
+    }
+    assert set(got) == set(want) and len(want) > 0
+    for k, (n, tv) in want.items():
+        assert got[k][0] == n and abs(got[k][1] - tv) < 1e-6
