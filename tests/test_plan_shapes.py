@@ -103,3 +103,62 @@ def test_repetition_signals_single_explode_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_bucketed_store_eliminates_exchanges(spark, tmp_path, monkeypatch):
+    """Bucketing moves the shuffle to write time: on the bucketed edge
+    table, a groupBy(dst) aggregation and a dst self-join must both
+    plan with ZERO Exchange operators — and return exactly what the
+    unbucketed plans return."""
+    import contextlib
+    import io as _io
+
+    import github_miner_spark.io.bucketed as bucketed
+    from github_miner_spark.graph.store import load_graph
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(bucketed, "STORE_ROOT", str(tmp_path))
+
+    def plan_of(df):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    agg = bucketed.bucketed_dependant_counts(spark, SF)
+    plan = plan_of(agg)
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+
+    # the join contract holds when the planner picks SMJ — the only
+    # choice at scale, forced here by disabling the broadcast threshold
+    # the tiny fixture would otherwise hit
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        join = bucketed.bucketed_co_dependant_pairs(spark, SF)
+        jplan = plan_of(join)
+        assert "SortMergeJoin" in jplan, jplan
+        assert "Exchange" not in jplan, jplan
+        join_rows = sorted(map(tuple, join.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    e = load_graph(spark, SF).edges.filter(F.col("rel_type") == "DEPENDS_ON")
+    want_agg = sorted(
+        map(tuple, e.groupBy("dst").agg(F.count("*").alias("dependants")).collect())
+    )
+    assert sorted(map(tuple, agg.collect())) == want_agg and len(want_agg) > 0
+
+    a = e.select(F.col("src").alias("ma"), "dst")
+    b = e.select(F.col("src").alias("mb"), "dst")
+    want_join = sorted(
+        map(
+            tuple,
+            a.join(b, "dst")
+            .filter(F.col("ma") < F.col("mb"))
+            .select("dst", "ma", "mb")
+            .collect(),
+        )
+    )
+    assert join_rows == want_join and len(want_join) > 0
