@@ -770,6 +770,12 @@ def _exec_segment(
             raw, _, alias = item.partition(" as ")
         raw = raw.strip()
         alias = alias.strip()
+        # count(p) over a path variable counts matched paths — exactly
+        # count(*) with multiplicity folding; rewrite before the
+        # path-value check so only VALUE references of p raise
+        cp = re.match(r"^count\s*\(\s*(\w+)\s*\)$", raw, re.IGNORECASE)
+        if cp and cp.group(1) in all_path_vars:
+            raw = "count(*)"
         if raw in all_path_vars or re.search(r"\bnodes\s*\(", raw, re.IGNORECASE):
             raise NotImplementedError(
                 "cypher_lite does not return path values (RETURN p / "

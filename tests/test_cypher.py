@@ -637,3 +637,25 @@ def test_reference_corpus_sweep(spark):
             notimpl += 1
     # parse errors / analysis exceptions propagate and fail the test
     assert ok >= 28, (ok, notimpl)
+
+
+def test_count_path_variable_counts_paths(spark):
+    """count(p) over a bound path variable = number of matched paths
+    (count(*) with [*] multiplicity folded) — only VALUE references of
+    p raise."""
+    from github_miner_spark.graph.paths import closure_path_counts
+
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH p = (a:NodeModule {id: 2})-[:DEPENDS_ON*]->(b) "
+        "RETURN count(p) AS paths",
+    ).collect()[0]["paths"]
+    want = (
+        closure_path_counts(g.module_dep_edges(), roots=[2])
+        .agg(F.sum("paths"))
+        .collect()[0][0]
+    )
+    assert got == want and got > 0
+    with pytest.raises(NotImplementedError, match="path values"):
+        run_cypher(g, "MATCH p = (a)-[:DEPENDS_ON]->(b) RETURN p")
