@@ -107,3 +107,105 @@ def test_salted_count_is_exact_under_random_skew(spark, vals):
     }
     salted = {(r["dst"], r["n"]) for r in salted_count(df, "dst", salts=8).collect()}
     assert direct == salted
+
+
+def _dag_edges_strategy():
+    """Random DAG edges: (a, b) with a < b guarantees acyclicity while
+    still producing chains, diamonds, hubs and disconnected islands."""
+    return st.lists(
+        st.tuples(st.integers(0, 15), st.integers(1, 16))
+        .map(lambda t: (min(t[0], t[1] - 1) if t[0] == t[1] else min(t), max(t)))
+        .filter(lambda t: t[0] < t[1]),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+
+
+def _count_paths(edges: list[tuple[int, int]], root: int) -> dict[int, int]:
+    """Reference DP: number of distinct paths root ->* node (len >= 1),
+    topological order over the a<b DAG encoding."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    paths: dict[int, int] = defaultdict(int)
+    # nodes are 0..16 and every edge goes low -> high: iterate in order
+    reach = {root: 1}  # paths of length >= 0 from root
+    for v in range(0, 17):
+        if v not in reach:
+            continue
+        for w in out[v]:
+            reach[w] = reach.get(w, 0) + reach[v]
+            paths[w] += reach[v]
+    return dict(paths)
+
+
+@given(edges=_dag_edges_strategy(), root=st.integers(0, 15))
+@_settings
+def test_closure_path_counts_matches_dp(spark, edges, root):
+    """closure_path_counts vs an independent topological-order DP on
+    random DAGs — the path-MULTIPLICITY semantics the reference's jest
+    corpus pins (321,265 paths vs 347 distinct)."""
+    from github_miner_spark.graph.paths import closure_path_counts
+
+    want = _count_paths(edges, root)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["paths"]
+        for r in closure_path_counts(df, roots=[root]).collect()
+    }
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    root=st.integers(0, 12),
+)
+@_settings
+def test_bfs_depths_matches_python_bfs_on_cyclic_graphs(spark, edges, root):
+    """bfs_depths vs a plain Python BFS on random DIGRAPHS including
+    cycles and self-loops — min-depth semantics and cycle safety."""
+    from collections import defaultdict, deque
+
+    from github_miner_spark.graph.paths import bfs_depths
+
+    out = defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    want: dict[int, int] = {}
+    dq = deque([(root, 0)])
+    seen = {root}
+    while dq:
+        v, d = dq.popleft()
+        for w in out[v]:
+            if w not in seen:
+                seen.add(w)
+                want[w] = d + 1
+                dq.append((w, d + 1))
+    # the operator records depth >= 1 only (the root itself is depth 0
+    # and omitted) — but a cycle back INTO the root gives it a depth
+    if root in [b for _a, b in edges if _a in seen]:
+        # reachable back-edge into root: min over discovered depths
+        back = min(
+            (want.get(a, 0) + 1 if a != root else 1)
+            for a, b in edges
+            if b == root and (a == root or a in want)
+        )
+        want[root] = back
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["depth"] for r in bfs_depths(df, roots=[root]).collect()
+    }
+    assert got == want
