@@ -265,31 +265,24 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "asof-join", "window"),
 )
 def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.temporal import asof_join
+
     ev = load_table(spark, "events", sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("click_id"),
-        F.col("value").alias("pvalue"),
-        F.lit(0).alias("sort_click"),
-    )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("click_id"),
-        F.lit(None).cast("double").alias("pvalue"),
-        F.lit(1).alias("sort_click"),
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "sort_click", "pvalue")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = purchases.unionByName(clicks).withColumn(
-        "last_purchase_value", F.last("pvalue", ignorenulls=True).over(w)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
     )
     return (
-        tagged.filter(F.col("sort_click") == 1)
+        asof_join(
+            clicks,
+            purchases,
+            key_col="user_id",
+            ts_col="ts",
+            value_col="value",
+            out_col="last_purchase_value",
+        )
         .select("click_id", "user_id", "ts", "last_purchase_value")
         .orderBy("click_id")
     )

@@ -209,3 +209,42 @@ def test_bfs_depths_matches_python_bfs_on_cyclic_graphs(spark, edges, root):
         r["node"]: r["depth"] for r in bfs_depths(df, roots=[root]).collect()
     }
     assert got == want
+
+
+@given(
+    purchases=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(1, 9)),
+        max_size=15,
+    ),
+    clicks=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=15
+    ),
+)
+@_settings
+def test_asof_join_matches_python_reference(spark, purchases, clicks):
+    """asof_join (union-then-window) vs a plain Python scan: for every
+    left row, the right value with the largest ts <= left ts per key;
+    equal-ts right rows match, and the largest value wins among them."""
+    from github_miner_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(clicks)],
+        "key bigint, ts bigint, row_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in purchases],
+        "key bigint, ts bigint, value double",
+    )
+    got = {
+        r["row_id"]: r["asof_value"]
+        for r in asof_join(left, right, "key", "ts", "value").collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(clicks):
+        cands = [(pt, v) for pk, pt, v in purchases if pk == k and pt <= t]
+        if cands:
+            best_t = max(pt for pt, _ in cands)
+            want[i] = float(max(v for pt, v in cands if pt == best_t))
+        else:
+            want[i] = None
+    assert got == want
