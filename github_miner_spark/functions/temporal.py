@@ -62,3 +62,39 @@ def asof_join(
         .filter(F.col("__asof_side") == 1)
         .select(*lcols, out_col)
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization: the classic lag + running-sum session
+    assignment. One shuffle on the key; a new session starts where the
+    gap to the previous event exceeds ``gap_seconds``. Returns
+    (key, session_seq, n_events, session_start, session_end) with
+    session_seq numbering each key's sessions from 1 in time order.
+
+    The streaming twin is streaming/events.py sessionize_stream
+    (applyInPandasWithState); the oracle-checked query
+    events_sessionization is a thin call on this."""
+    order_cols = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    sessions = events.select(
+        F.col(key_col), F.col(ts_col), F.sum(new_session).over(run).alias("session_seq")
+    )
+    return (
+        sessions.groupBy(key_col, "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )

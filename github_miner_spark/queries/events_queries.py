@@ -66,25 +66,12 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "session"),
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.temporal import sessionize
+
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sessions = ev.select(
-        "user_id", "ts", F.sum(new_session).over(run).alias("session_seq")
-    )
-    return (
-        sessions.groupBy("user_id", "session_seq")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
-        .orderBy("user_id", "session_seq")
-    )
+    return sessionize(
+        ev, key_col="user_id", ts_col="ts", order_tiebreak="event_id", gap_seconds=1800
+    ).orderBy("user_id", "session_seq")
 
 
 @register(

@@ -248,3 +248,47 @@ def test_asof_join_matches_python_reference(spark, purchases, clicks):
         else:
             want[i] = None
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_sessionize_matches_python_reference(spark, events):
+    """sessionize (lag + running sum) vs a plain Python scan over
+    random keyed event streams: session boundaries at gap > threshold,
+    correct counts and extents per session."""
+    from github_miner_spark.functions.temporal import sessionize
+
+    gap = 100
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(events)],
+        "user_id bigint, ts bigint, event_id bigint",
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["session_start"], r["session_end"]
+        )
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+    want = {}
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, t) in enumerate(events):
+        by_key.setdefault(k, []).append((t, i))
+    for k, rows in by_key.items():
+        rows.sort()
+        seq, prev = 0, None
+        sess: list[list[int]] = []
+        for t, _i in rows:
+            if prev is None or t - prev > gap:
+                seq += 1
+                sess.append([])
+            sess[-1].append(t)
+            prev = t
+        for s_i, ts_list in enumerate(sess, start=1):
+            want[(k, s_i)] = (len(ts_list), min(ts_list), max(ts_list))
+    assert got == want
