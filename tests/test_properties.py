@@ -292,3 +292,48 @@ def test_sessionize_matches_python_reference(spark, events):
         for s_i, ts_list in enumerate(sess, start=1):
             want[(k, s_i)] = (len(ts_list), min(ts_list), max(ts_list))
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    root=st.integers(0, 10),
+    k=st.integers(1, 4),
+)
+@_settings
+def test_k_hop_walk_multiplicity_matches_dp(spark, edges, root, k):
+    """k_hop vs a walk-count DP on random digraphs (cycles included):
+    one row per (depth, node) walk of length <= k from the root —
+    WALK multiplicity, the documented bounded-var-length semantics."""
+    from collections import defaultdict
+
+    from github_miner_spark.graph.paths import k_hop
+
+    out = defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    # walks[d][v] = number of length-d walks root -> v
+    want: dict[tuple[int, int], int] = {}
+    cur = {root: 1}
+    for d in range(1, k + 1):
+        nxt: dict[int, int] = defaultdict(int)
+        for v, n in cur.items():
+            for w_ in out[v]:
+                nxt[w_] += n
+        for v, n in nxt.items():
+            want[(d, v)] = n
+        cur = nxt
+        if not cur:
+            break
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
+    )
+    rows = k_hop(df, [root], k, distinct_nodes=False).collect()
+    got: dict[tuple[int, int], int] = {}
+    for r in rows:
+        got[(r["depth"], r["node"])] = got.get((r["depth"], r["node"]), 0) + 1
+    assert got == want
