@@ -34,6 +34,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -107,6 +108,70 @@ class _loop_shuffle_partitions:
         return False
 
 
+# Driver fast-path gate for anchored closures: same hybrid pattern as
+# the SCC operator's driver-Tarjan threshold. An edge slice under this
+# many rows collects in well under a second and the topological DP is
+# O(roots x E) python — far under the distributed loop's
+# barriers-x-driver-latency floor (~3.5s at sf0.1). Beyond the
+# threshold (or with a large/unknown root set) the distributed frontier
+# loop engages unchanged.
+DRIVER_CLOSURE_EDGES = int(
+    os.environ.get("SPARK_GRAFT_CLOSURE_DRIVER_EDGES", "2000000")
+)
+DRIVER_CLOSURE_ROOTS = 128
+
+
+def _closure_in_driver(
+    edge_rows: list[tuple[int, int]], roots: list[int]
+) -> list[tuple[int, int, int]]:
+    """Topological-order path-count DP restricted to the subgraph
+    reachable from ``roots``; raises RuntimeError on a reachable cycle
+    (mirroring the distributed loop's non-convergence contract)."""
+    from collections import defaultdict, deque
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for a, b in edge_rows:
+        adj[a].append(b)
+    out: list[tuple[int, int, int]] = []
+    for root in roots:
+        reach = {root}
+        dq = deque([root])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if w not in reach:
+                    reach.add(w)
+                    dq.append(w)
+        indeg: dict[int, int] = defaultdict(int)
+        for v in reach:
+            for w in adj[v]:
+                if w in reach:
+                    indeg[w] += 1
+        order: list[int] = []
+        dq = deque(v for v in reach if indeg[v] == 0)
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w in reach:
+                    indeg[w] -= 1
+                    if indeg[w] == 0:
+                        dq.append(w)
+        if len(order) != len(reach):
+            raise RuntimeError(
+                "closure did not converge — cyclic input? use "
+                "reachable_set/bfs_depths (cycle-safe) or pass a depth bound"
+            )
+        paths: dict[int, int] = defaultdict(int)
+        paths[root] = 1  # length-0 seed, excluded from output
+        for v in order:
+            for w in adj[v]:
+                if w in reach:
+                    paths[w] += paths[v]
+        out.extend((root, v, n) for v, n in paths.items() if v != root)
+    return out
+
+
 def closure_path_counts(
     edges: DataFrame,
     roots=None,
@@ -114,6 +179,7 @@ def closure_path_counts(
     checkpoint_every: int = 7,
     broadcast_frontier: bool = False,
     checkpoint_edges: bool = True,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Transitive closure preserving path multiplicity.
 
@@ -123,6 +189,15 @@ def closure_path_counts(
 
     Raises RuntimeError if the frontier is still non-empty after
     ``max_iter`` levels (cyclic input without a depth bound).
+
+    Hybrid execution: with an explicit small root set (<=
+    ``DRIVER_CLOSURE_ROOTS``) and an edge slice under
+    ``driver_threshold`` rows (default ``DRIVER_CLOSURE_EDGES``), the
+    slice is collected and the DP runs in-driver — the SCC-style fast
+    path that skips the frontier loop's barrier floor entirely (same
+    results, same cycle contract; ``tests/test_paths.py`` pins parity
+    between the two paths). Distributed loop unchanged beyond the
+    threshold.
 
     ``checkpoint_every``: barrier cadence. Levels inside a window stay
     LAZY (no Spark job at all); each barrier materializes the WHOLE
@@ -154,6 +229,28 @@ def closure_path_counts(
     shape.
     """
     spark = edges.sparkSession
+    thr = driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
+    if roots is not None:
+        if isinstance(roots, DataFrame):
+            # a root FRAME under the cap collects to a scalar list (one
+            # tiny count + collect) so it can take the fast path too
+            if thr > 0 and roots.count() <= DRIVER_CLOSURE_ROOTS:
+                rcol = roots.columns[0]
+                roots = [int(r[rcol]) for r in roots.distinct().collect()]
+        else:
+            roots = [int(r) for r in roots]  # materialize once (generators)
+        if (
+            thr > 0
+            and not isinstance(roots, DataFrame)
+            and len(roots) <= DRIVER_CLOSURE_ROOTS
+        ):
+            e2 = edges.select("src", "dst")
+            if e2.count() <= thr:
+                rows = [(r["src"], r["dst"]) for r in e2.collect()]
+                out = _closure_in_driver(rows, roots)
+                return spark.createDataFrame(
+                    out or [], "root bigint, node bigint, paths bigint"
+                )
     with _loop_shuffle_partitions(spark, enabled=broadcast_frontier):
         edges = edges.select("src", "dst")
         if checkpoint_edges:

@@ -154,11 +154,18 @@ def test_closure_path_counts_matches_dp(spark, edges, root):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
     )
-    got = {
+    # default gate -> driver DP fast path; driver_threshold=0 forces
+    # the distributed frontier loop: BOTH must match the reference
+    got_driver = {
         r["node"]: r["paths"]
         for r in closure_path_counts(df, roots=[root]).collect()
     }
-    assert got == want
+    got_dist = {
+        r["node"]: r["paths"]
+        for r in closure_path_counts(df, roots=[root], driver_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
 
 
 @given(
