@@ -306,6 +306,43 @@ def closure_path_counts(
     return all_levels.groupBy("root", "node").agg(F.sum("paths").alias("paths"))
 
 
+def _bfs_in_driver(
+    edge_rows: list[tuple[int, int]], roots: list[int], max_iter: int
+) -> list[tuple[int, int, int]]:
+    """Level-synchronous min-depth BFS per root, capped at ``max_iter``
+    levels — the in-driver twin of the distributed loop (full map; no
+    until-early-stop, which only ever SHRINKS the distributed output
+    in ways its callers filter back out)."""
+    from collections import defaultdict, deque
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for a, b in edge_rows:
+        adj[a].append(b)
+    out: list[tuple[int, int, int]] = []
+    for root in roots:
+        seen = {root}
+        root_rediscovered = False
+        dq = deque([(root, 0)])
+        while dq:
+            v, d = dq.popleft()
+            if d >= max_iter:
+                continue
+            for w in adj[v]:
+                if w == root:
+                    # a cycle back INTO the root gives it a depth row
+                    # (the distributed loop's visited set never holds
+                    # the root at depth 0); its neighbors are already
+                    # the depth-1 frontier, so no re-expansion needed
+                    if not root_rediscovered:
+                        root_rediscovered = True
+                        out.append((root, root, d + 1))
+                elif w not in seen:
+                    seen.add(w)
+                    out.append((root, w, d + 1))
+                    dq.append((w, d + 1))
+    return out
+
+
 def bfs_depths(
     edges: DataFrame,
     roots=None,
@@ -313,6 +350,7 @@ def bfs_depths(
     until: int | None = None,
     broadcast_frontier: bool = False,
     checkpoint_every: int = 4,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Min-depth BFS: (root, node, depth) with the smallest hop count
     root ->* node (depth >= 1). Cycle-safe via per-root visited sets.
@@ -333,6 +371,32 @@ def bfs_depths(
     per level — measured 3x faster on the sf0.1 DAG probes)."""
     spark = edges.sparkSession
     edges = edges.select("src", "dst")
+    # driver fast path (same gate as closure_path_counts): a small
+    # explicit root set over a collectable edge slice runs the BFS
+    # in-driver and returns the FULL min-depth map — a superset of the
+    # until-early-stopped distributed output, which internal callers
+    # (all_shortest_paths_multi) filter identically either way
+    if (
+        driver_threshold != 0
+        and roots is not None
+    ):
+        if isinstance(roots, DataFrame):
+            thr_roots = roots
+            if thr_roots.count() <= DRIVER_CLOSURE_ROOTS:
+                rcol = thr_roots.columns[0]
+                roots = [int(r[rcol]) for r in thr_roots.distinct().collect()]
+        else:
+            roots = [int(r) for r in roots]
+        thr = (
+            driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
+        )
+        if not isinstance(roots, DataFrame) and len(roots) <= DRIVER_CLOSURE_ROOTS:
+            if edges.count() <= thr:
+                rows = [(r["src"], r["dst"]) for r in edges.collect()]
+                out = _bfs_in_driver(rows, roots, max_iter)
+                return spark.createDataFrame(
+                    out or [], "root bigint, node bigint, depth int"
+                )
     root_df = _as_root_df(edges, roots)
     until_set: set[int] | None = None
     if until is not None:
@@ -495,11 +559,71 @@ def all_shortest_paths(edges: DataFrame, src: int, dst: int, max_iter: int = 100
     )
 
 
+def _asp_in_driver(
+    edge_rows: list[tuple[int, int]],
+    src: int,
+    targets: list[int],
+    max_iter: int,
+) -> list[tuple[int, list[int], int]]:
+    """In-driver twin of the multi-target shortest-path enumeration:
+    forward/reverse BFS, per-target on-path restriction (fd + rd ==
+    length), then DFS over the shortest-path DAG — work proportional
+    to the OUTPUT (every explored edge is on some shortest path)."""
+    from collections import defaultdict, deque
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    radj: dict[int, list[int]] = defaultdict(list)
+    for a, b in edge_rows:
+        adj[a].append(b)
+        radj[b].append(a)
+
+    def bfs(start: int, graph: dict[int, list[int]], cap: int) -> dict[int, int]:
+        depth = {start: 0}
+        dq = deque([start])
+        while dq:
+            v = dq.popleft()
+            if depth[v] >= cap:
+                continue
+            for w in graph[v]:
+                if w not in depth:
+                    depth[w] = depth[v] + 1
+                    dq.append(w)
+        return depth
+
+    fd = bfs(src, adj, max_iter)
+    out: list[tuple[int, list[int], int]] = []
+    for t in targets:
+        if t == src:
+            out.append((t, [src], 0))
+            continue
+        if t not in fd:
+            continue
+        length = fd[t]
+        rd = bfs(t, radj, length)
+        onpath = {
+            v for v, d in fd.items() if d <= length and rd.get(v, 10**9) == length - d
+        }
+        # DFS over the shortest-path DAG only
+        stack: list[tuple[int, list[int]]] = [(src, [src])]
+        while stack:
+            v, path = stack.pop()
+            if v == t:
+                out.append((t, path, length))
+                continue
+            for w in adj[v]:
+                if w in onpath and fd[w] == fd[v] + 1:
+                    stack.append((w, path + [w]))
+    return out
+
+
 def all_shortest_paths_multi(
     edges: DataFrame, src: int, targets, max_iter: int = 1000
 ) -> DataFrame:
     """All shortest paths from ``src`` to EVERY id in ``targets`` in one
-    batched pass: (target, path, length).
+    batched pass: (target, path, length). Under the driver gate (small
+    target set, collectable edge slice) the whole construction runs
+    in-driver via :func:`_asp_in_driver`; the distributed two-sweep
+    pipeline below engages beyond it.
 
     Same shortest-path-DAG construction as :func:`all_shortest_paths`
     (forward BFS + reverse BFS + on-path filter), but the reverse BFS
@@ -513,6 +637,16 @@ def all_shortest_paths_multi(
     edges = edges.select("src", "dst")
     targets = [int(t) for t in targets]
     empty = spark.createDataFrame([], "target bigint, path array<bigint>, length int")
+    # driver fast path (same gate as closure/bfs): the whole DAG
+    # construction + enumeration is output-bounded python over a
+    # collectable slice, skipping both BFS sweeps AND the ~max_len
+    # expansion barriers
+    if len(targets) <= DRIVER_CLOSURE_ROOTS and edges.count() <= DRIVER_CLOSURE_EDGES:
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        out = _asp_in_driver(rows, int(src), targets, max_iter)
+        return spark.createDataFrame(
+            out or [], "target bigint, path array<bigint>, length int"
+        )
     # one forward sweep, early-exit once every target has a final depth
     fwd = bfs_depths(edges, [src], max_iter, until=targets, broadcast_frontier=True).select(
         "node", F.col("depth").alias("fd")

@@ -101,3 +101,29 @@ def test_all_shortest_paths_multi_src_in_targets(spark):
     # src is the only target: max_len == 0, expansion loop never runs
     only = all_shortest_paths_multi(e, 1, [1]).collect()
     assert [(r["target"], tuple(r["path"]), r["length"]) for r in only] == [(1, (1,), 0)]
+
+
+def test_asp_driver_path_matches_distributed(spark, monkeypatch):
+    """The driver fast path and the distributed two-sweep pipeline must
+    produce identical (target, path, length) sets on the real graph."""
+    import github_miner_spark.graph.paths as P
+    from github_miner_spark.graph.store import load_graph
+    from pyspark.sql import functions as F
+
+    g = load_graph(spark, "/root/testdata/sf0.001")
+    mm = g.module_dep_edges()
+    hub = mm.agg(
+        ((F.floor(F.max("dst") / 10) - 1) * 10 + 2).alias("h")
+    ).collect()[0]["h"]
+    targets = [int(hub), 132, 2]
+
+    driver = {
+        (r["target"], tuple(r["path"]), r["length"])
+        for r in P.all_shortest_paths_multi(mm, 2, targets).collect()
+    }
+    monkeypatch.setattr(P, "DRIVER_CLOSURE_EDGES", 0)
+    dist = {
+        (r["target"], tuple(r["path"]), r["length"])
+        for r in P.all_shortest_paths_multi(mm, 2, targets).collect()
+    }
+    assert driver == dist and len(driver) > 0

@@ -212,10 +212,17 @@ def test_bfs_depths_matches_python_bfs_on_cyclic_graphs(spark, edges, root):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
     )
-    got = {
+    # default gate -> driver BFS; driver_threshold=0 forces the
+    # distributed loop: BOTH must match the reference
+    got_driver = {
         r["node"]: r["depth"] for r in bfs_depths(df, roots=[root]).collect()
     }
-    assert got == want
+    got_dist = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(df, roots=[root], driver_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
 
 
 @given(
