@@ -711,3 +711,129 @@ def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def _matula_beck_coreness(edge_list: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact core numbers via the Matula-Beck O(E) bucket peel over an
+    in-memory undirected simple edge list (self-loops excluded by the
+    caller). Used only under the collect threshold — the driver twin of
+    the distributed h-index fixpoint, and the independent reference the
+    property tests pin it against."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    if not deg:
+        return {}
+    maxdeg = max(deg.values())
+    buckets: list[set[int]] = [set() for _ in range(maxdeg + 1)]
+    for v, d in deg.items():
+        buckets[d].add(v)
+    core: dict[int, int] = {}
+    k = 0
+    start = 0
+    for _ in range(len(deg)):
+        # smallest non-empty bucket; a peel can only lower a neighbor's
+        # degree by one, so the scan restarts at d-1, never 0 — the
+        # classic trick that keeps the whole peel O(E)
+        d = next(i for i in range(start, maxdeg + 1) if buckets[i])
+        k = max(k, d)
+        start = max(0, d - 1)
+        v = buckets[d].pop()
+        core[v] = k
+        for u in adj[v]:
+            if u in core:
+                continue
+            buckets[deg[u]].discard(u)
+            deg[u] -= 1
+            buckets[deg[u]].add(u)
+            adj[u].discard(v)
+    return core
+
+
+def coreness(
+    edges: DataFrame,
+    max_iter: int = 100,
+    loop_shuffle_width: int | None = None,
+    collect_threshold: int = 5_000_000,
+) -> DataFrame:
+    """k-core decomposition: core number per vertex of the UNDIRECTED
+    simple graph underlying ``edges`` (self-loops dropped). Returns
+    (id, core). The reference's plugin set ships algo.kcore alongside
+    the centrality procedures (bin/install_neo4j_plugins.sh:4).
+
+    Distributed path: the neighborhood h-index fixpoint (Lu, Zhang,
+    Yeung & Zhou, "The H-index of a network node and its relation to
+    degree and coreness", Nat. Commun. 2016): start c0(v) = degree(v),
+    iterate c(v) <- H({c(u) : u ~ v}); the sequence is monotone
+    non-increasing and its fixpoint is exactly the core number. Each
+    round is one equi-join + one per-vertex window + one aggregate, all
+    partitioned on the vertex id — no cartesian, state is one row per
+    vertex, so the shape survives any scale. Extra rounds past the
+    fixpoint are no-ops, which is what lets the DuckDB oracle unroll a
+    fixed round count and still hash-match exactly.
+
+    Under ``collect_threshold`` edges the slice collects and the exact
+    Matula-Beck bucket peel runs in-driver — the same hybrid policy as
+    SCC's driver-Tarjan (README: anchored-probe hybrid execution);
+    parity between the two paths is property-tested. RAISES if the
+    distributed fixpoint is not reached within ``max_iter`` rounds
+    rather than returning wrong numbers (the CC convergence contract).
+    """
+    from pyspark.sql import Window
+
+    from github_miner_spark.graph.paths import _loop_shuffle_partitions
+
+    und = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = und.count()
+    if n_edges == 0:
+        return edges.sparkSession.createDataFrame([], "id bigint, core bigint")
+    if n_edges <= collect_threshold:
+        rows = und.collect()
+        core = _matula_beck_coreness([(r["u"], r["v"]) for r in rows])
+        return edges.sparkSession.createDataFrame(
+            list(core.items()), "id bigint, core bigint"
+        )
+
+    with _loop_shuffle_partitions(
+        edges.sparkSession,
+        enabled=loop_shuffle_width is not None,
+        width=loop_shuffle_width or 8,
+        aqe_off=True,
+    ):
+        adj = und.select(F.col("u").alias("id"), F.col("v").alias("nb")).unionByName(
+            und.select(F.col("v").alias("id"), F.col("u").alias("nb"))
+        ).localCheckpoint(eager=True)
+        cur = adj.groupBy("id").agg(F.count("*").alias("core")).localCheckpoint(eager=True)
+        w = Window.partitionBy("id").orderBy(F.desc("cn"))
+        for _ in range(max_iter):
+            nxt = (
+                adj.join(
+                    cur.select(F.col("id").alias("nb"), F.col("core").alias("cn")), "nb"
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .groupBy("id")
+                # H-index of the neighbor multiset: with values sorted
+                # descending, H = max_i min(value_i, i)
+                .agg(F.max(F.least(F.col("cn"), F.col("rn"))).alias("core"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                nxt.join(cur.withColumnRenamed("core", "prev"), "id")
+                .filter(F.col("core") != F.col("prev"))
+                .count()
+            )
+            cur = nxt
+            if changed == 0:
+                return cur
+    raise RuntimeError(
+        f"coreness did not reach the h-index fixpoint within {max_iter} rounds; "
+        "refusing to return non-converged core numbers"
+    )

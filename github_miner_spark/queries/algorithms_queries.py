@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from github_miner_spark.graph.algorithms import (
     connected_components,
+    coreness,
     label_propagation,
     louvain,
     modularity,
@@ -856,4 +857,78 @@ def personalized_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "name", "rank")
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (algo.kcore of the installed plugin set,
+# bin/install_neo4j_plugins.sh:4): core number per vertex of the
+# undirected module graph, reported as a coreness histogram.
+# ---------------------------------------------------------------------------
+
+def _kcore_oracle_sql(rounds: int = 16) -> str:
+    """Unrolled neighborhood-h-index iteration as chained DuckDB CTEs.
+
+    Mirrors graph.algorithms.coreness exactly: c0 = degree, each round
+    c(v) <- H({c(u)}) computed as max(least(core, row_number)) over the
+    neighbor values sorted descending. The iteration is idempotent at
+    its fixpoint (= the true core numbers, Lu et al. 2016), so a fixed
+    unroll >= the convergence round count hash-matches the engine's
+    run-to-fixpoint loop; measured convergence is 13 rounds at sf0.01
+    (8 at sf0.001), so 16 carries margin and the extra rounds are
+    no-ops."""
+    parts = [
+        """
+, kund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM mm_edges WHERE src <> dst
+),
+kadj AS MATERIALIZED (
+  SELECT u AS id, v AS nb FROM kund UNION ALL SELECT v AS id, u AS nb FROM kund
+),
+kc0 AS MATERIALIZED (SELECT id, count(*) AS core FROM kadj GROUP BY id)
+"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+, kc{i} AS MATERIALIZED (
+  SELECT id, max(least(cn, rn)) AS core FROM (
+    SELECT a.id AS id, c.core AS cn,
+           row_number() OVER (PARTITION BY a.id ORDER BY c.core DESC) AS rn
+    FROM kadj a JOIN kc{i - 1} c ON c.id = a.nb
+  ) GROUP BY id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT core AS coreness, CAST(count(*) AS BIGINT) AS n_vertices
+FROM kc{rounds} GROUP BY core ORDER BY core
+"""
+    )
+    return GRAPH_ORACLE_CTES + "".join(parts)
+
+
+@register(
+    "k_core_decomposition",
+    oracle=_kcore_oracle_sql(),
+    description="k-core decomposition of the undirected module "
+    "dependency graph (algo.kcore of the plugin set the reference "
+    "installs): exact core number per vertex, reported as a coreness "
+    "histogram. Engine side runs the neighborhood h-index fixpoint "
+    "(one vertex-partitioned join + window + agg per round, state one "
+    "row per vertex) with the Matula-Beck driver peel under the "
+    "collect threshold — the same hybrid policy as SCC; the oracle "
+    "unrolls the h-index rounds, exact because rounds past the "
+    "fixpoint are no-ops.",
+    tags=("graph", "algorithm", "kcore"),
+)
+def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    core = coreness(g.module_dep_edges())
+    return (
+        core.groupBy("core")
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("core")
+        .select(F.col("core").alias("coreness"), "n_vertices")
     )

@@ -351,3 +351,47 @@ def test_k_hop_walk_multiplicity_matches_dp(spark, edges, root, k):
     for r in rows:
         got[(r["depth"], r["node"])] = got.get((r["depth"], r["node"]), 0) + 1
     assert got == want
+
+
+def _peel_coreness_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Naive O(V^2) reference: repeatedly delete ALL vertices of degree
+    < k for k = 1, 2, ... — the textbook k-core definition, independent
+    of both engine implementations (h-index fixpoint, Matula-Beck)."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    core = {v: 0 for v in adj}
+    alive = set(adj)
+    k = 1
+    while alive:
+        changed = True
+        while changed:
+            drop = {v for v in alive if sum(1 for u in adj[v] if u in alive) < k}
+            changed = bool(drop)
+            alive -= drop
+        for v in alive:
+            core[v] = k
+        k += 1
+    return core
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=50
+    )
+)
+@_settings
+def test_coreness_both_paths_match_peel_reference(spark, edges):
+    from github_miner_spark.graph.algorithms import coreness
+
+    want = _peel_coreness_reference(edges)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
+    )
+    driver = {r.id: r.core for r in coreness(df).collect()}
+    distributed = {r.id: r.core for r in coreness(df, collect_threshold=0).collect()}
+    assert driver == want
+    assert distributed == want
