@@ -932,3 +932,157 @@ def k_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("core")
         .select(F.col("core").alias("coreness"), "n_vertices")
     )
+
+
+# ---------------------------------------------------------------------------
+# Topology statistics: clustering coefficient and degree assortativity —
+# the summary statistics the reference's analysis notebook derives from
+# its exported degree tables (analysis/notebook.md), computed here
+# directly on the graph.
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_ORACLE = (
+    GRAPH_ORACLE_CTES
+    + """
+, cund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM mm_edges WHERE src <> dst
+),
+cadj AS (SELECT u AS id, v AS nb FROM cund UNION ALL SELECT v AS id, u AS nb FROM cund),
+cdeg AS (SELECT id, count(*) AS d FROM cadj GROUP BY id),
+ctri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM cund e1
+  JOIN cund e2 ON e2.u = e1.v
+  JOIN cund e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+cpn AS (
+  SELECT node, count(*) AS t
+  FROM (SELECT a AS node FROM ctri UNION ALL SELECT b FROM ctri UNION ALL SELECT c FROM ctri)
+  GROUP BY node
+)
+SELECT CAST((SELECT count(*) FROM ctri) AS BIGINT) AS n_triangles,
+       CAST((SELECT sum(d * (d - 1) / 2) FROM cdeg) AS BIGINT) AS n_wedges,
+       round(3.0 * (SELECT count(*) FROM ctri)
+             / (SELECT sum(d * (d - 1) / 2) FROM cdeg), 6) AS global_transitivity,
+       round((SELECT avg(coalesce(t.t, 0) * 2.0 / (g.d * (g.d - 1)))
+              FROM cdeg g LEFT JOIN cpn t ON t.node = g.id
+              WHERE g.d >= 2), 6) AS avg_local_clustering
+"""
+)
+
+
+@register(
+    "clustering_coefficient_summary",
+    oracle=_CLUSTERING_ORACLE,
+    description="Global transitivity (3*triangles/wedges) and average "
+    "local clustering coefficient (2*tri_v/(d_v*(d_v-1)), averaged over "
+    "vertices with degree >= 2) of the undirected module graph. Reuses "
+    "the compact-forward triangle enumeration (a<b<c canonical "
+    "ordering, two self-joins bounded by the smaller endpoint's "
+    "adjacency) plus one degree aggregate — no new join shape beyond "
+    "triangle_counts_top, so the same skew story holds at scale.",
+    tags=("graph", "algorithm", "clustering"),
+)
+def clustering_coefficient_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    e = g.module_dep_edges().filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("id"), F.col("v").alias("nb")).unionByName(
+        und.select(F.col("v").alias("id"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("id").agg(F.count("*").alias("d"))
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    totals = tri.agg(F.count("*").alias("n_triangles"))
+    wedges = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"))
+    local = (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, deg.id == per_node.node, "left_outer")
+        .select(
+            (
+                F.coalesce(F.col("t"), F.lit(0)) * 2.0 / (F.col("d") * (F.col("d") - 1))
+            ).alias("c")
+        )
+        .agg(F.avg("c").alias("avg_local"))
+    )
+    return (
+        totals.crossJoin(wedges)
+        .crossJoin(local)
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "global_transitivity"
+            ),
+            F.round(F.col("avg_local"), 6).alias("avg_local_clustering"),
+        )
+    )
+
+
+_ASSORTATIVITY_ORACLE = (
+    GRAPH_ORACLE_CTES
+    + """
+, aund AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM mm_edges WHERE src <> dst
+),
+aadj AS (SELECT u AS id, v AS nb FROM aund UNION ALL SELECT v AS id, u AS nb FROM aund),
+adeg AS (SELECT id, count(*) AS d FROM aadj GROUP BY id),
+pairs AS (
+  SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+  FROM aadj e JOIN adeg du ON du.id = e.id JOIN adeg dv ON dv.id = e.nb
+)
+SELECT CAST(count(*) AS BIGINT) AS n_endpoint_pairs,
+       round((avg(x * y) - avg(x) * avg(y))
+             / (avg(x * x) - avg(x) * avg(x)), 6) AS assortativity
+FROM pairs
+"""
+)
+
+
+@register(
+    "degree_assortativity",
+    oracle=_ASSORTATIVITY_ORACLE,
+    description="Degree assortativity of the undirected module graph: "
+    "Newman's r = Pearson correlation of endpoint degrees over every "
+    "oriented edge (each undirected edge contributes both directions, "
+    "which symmetrizes the marginals so the x/y variances coincide). "
+    "Two broadcast-able degree joins + one moment aggregate — no "
+    "iteration, no shuffle beyond the degree groupBy.",
+    tags=("graph", "algorithm", "assortativity"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    e = g.module_dep_edges().filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    adj = und.select(F.col("u").alias("id"), F.col("v").alias("nb")).unionByName(
+        und.select(F.col("v").alias("id"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("id").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("id"), F.col("d").cast("double").alias("x"))
+    dv = deg.select(F.col("id").alias("nb"), F.col("d").cast("double").alias("y"))
+    pairs = adj.join(du, "id").join(dv, "nb")
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_endpoint_pairs"),
+        F.round(
+            (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y"))
+            / (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")),
+            6,
+        ).alias("assortativity"),
+    )

@@ -409,3 +409,35 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "priority")
     )
+
+
+@register(
+    "lineitem_price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS q50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS q95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    description="Exact percentiles per group (the describe()/quantile "
+    "surface of the reference's pandas notebook, analysis/notebook.md): "
+    "Spark's exact percentile() against DuckDB quantile_cont — both "
+    "define quantiles by linear interpolation at rank (n-1)*p, so the "
+    "values agree bit-for-bit modulo the repo-wide 6dp float "
+    "convention. The exact form is a full sort per group; "
+    "percentile_approx (t-digest, mergeable, one pass) is the "
+    "documented 100 TB path when 1e-6 relative error is acceptable.",
+    tags=("relational", "agg", "quantiles"),
+)
+def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    q = lambda p, name: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {p})"), 6
+    ).alias(name)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q(0.25, "q25"), q(0.50, "q50"), q(0.75, "q75"), q(0.95, "q95"))
+        .orderBy("l_returnflag")
+    )

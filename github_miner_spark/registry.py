@@ -126,12 +126,16 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "cypher_top_used_modules",
     "cypher_unhosted_dependency_count",
     "cypher_hosted_on_outer",
+    # -- (e) new this round: topology statistics + exact quantiles ------
+    # (take the slots of four r01+r02 double-green relational canaries —
+    # parts_never_ordered, customers_with_open_orders,
+    # scalar_function_showcase, revenue_rollup — untouched since round 1
+    # and still pinned by the local oracle sweep)
+    "k_core_decomposition",
+    "clustering_coefficient_summary",
+    "degree_assortativity",
+    "lineitem_price_quantiles",
     # -- re-green: r02-only entries without a driver row since round 2 --
-    # relational
-    "parts_never_ordered",
-    "customers_with_open_orders",
-    "scalar_function_showcase",
-    "revenue_rollup",
     # graph
     "dependants_by_endpoint_label",
     "self_loops",
