@@ -33,6 +33,46 @@ def _vertex_ids(edges: DataFrame) -> DataFrame:
     )
 
 
+def _pagerank_driver(
+    weighted: DataFrame,
+    verts: DataFrame,
+    iterations: int,
+    damping: float,
+    sources: list[int] | None,
+) -> DataFrame:
+    """In-driver twin of the power-iteration loop: the collected
+    (src, dst, w) list becomes index arrays and each iteration is one
+    deterministic numpy scatter-add — same recurrence, same dangling-
+    mass decay, same personalization."""
+    import numpy as np
+
+    ids = sorted(r["id"] for r in verts.collect())
+    idx = {v: i for i, v in enumerate(ids)}
+    rows = weighted.collect()
+    src = np.fromiter((idx[r["src"]] for r in rows), dtype=np.int64, count=len(rows))
+    dst = np.fromiter((idx[r["dst"]] for r in rows), dtype=np.int64, count=len(rows))
+    w = np.fromiter((r["w"] for r in rows), dtype=np.float64, count=len(rows))
+    n = len(ids)
+    if sources is None:
+        rank = np.ones(n)
+        base = np.full(n, 1.0 - damping)
+    else:
+        srcs = {int(s) for s in sources}
+        p0 = 1.0 / len(srcs)
+        rank = np.zeros(n)
+        base = np.zeros(n)
+        for s in srcs:
+            rank[idx[s]] = p0
+            base[idx[s]] = (1.0 - damping) * p0
+    for _ in range(iterations):
+        msg = np.zeros(n)
+        np.add.at(msg, dst, rank[src] * w)
+        rank = base + damping * msg
+    return weighted.sparkSession.createDataFrame(
+        [(int(v), float(rank[i])) for v, i in idx.items()], "id bigint, rank double"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 20,
@@ -42,6 +82,7 @@ def pagerank(
     loop_shuffle_width: int | None = None,
     barrier_every: int = 5,
     sources: list[int] | None = None,
+    collect_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank, OUTGOING direction, non-normalized
     Brin-Page form: rank_v = (1-d) + d * sum(rank_u / outdeg_u) — the
@@ -86,6 +127,19 @@ def pagerank(
             "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
         ).localCheckpoint(eager=True)
 
+        # Hybrid fast path (README: anchored-probe hybrid execution):
+        # 20 power iterations cost 4+ driver barriers distributed; under
+        # the collect threshold the weighted edge list collects and the
+        # same recurrence runs as a numpy matvec. Ranks are genuine
+        # float sums, so the two paths agree to accumulation order —
+        # i.e. to the repo-wide 6dp rounding convention every consumer
+        # (and the DuckDB oracle, which sums in its own order) already
+        # applies; parity at that convention is pinned in tests.
+        if weighted.count() <= collect_threshold:
+            return _pagerank_driver(
+                weighted, verts, iterations, damping, sources
+            )
+
         if sources is None:
             init_col = F.lit(1.0)
             base_col = F.lit(1.0 - damping)
@@ -124,8 +178,37 @@ def pagerank(
     return ranks
 
 
+def _union_find_components(nodes: list[int], pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Path-compressed union-find; labels canonicalized to the min
+    member id — the same contract as the star-contraction loop."""
+    parent = {v: v for v in nodes}
+
+    def root(v: int) -> int:
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in pairs:
+        ra, rb = root(a), root(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for v in nodes:
+        comps.setdefault(root(v), []).append(v)
+    out = {}
+    for members in comps.values():
+        canon = min(members)
+        for v in members:
+            out[v] = canon
+    return out
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, loop_shuffle_width: int | None = None
+    edges: DataFrame,
+    max_iter: int = 50,
+    loop_shuffle_width: int | None = None,
+    collect_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Weakly-connected components via alternating large-star/small-star
     pointer doubling (the MapReduce CC algorithm of Kiveris et al.,
@@ -155,6 +238,19 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # Hybrid fast path (README: anchored-probe hybrid execution):
+        # under the collect threshold the deduped pair list collects and
+        # path-compressed union-find labels the graph exactly —
+        # integer work, bit-identical to the star-contraction result.
+        # The distributed O(log^2 n) loop engages unchanged beyond it.
+        if pairs.count() <= collect_threshold:
+            nodes = [r["id"] for r in verts.collect()]
+            comp = _union_find_components(
+                nodes, [(r["a"], r["b"]) for r in pairs.collect()]
+            )
+            return edges.sparkSession.createDataFrame(
+                list(comp.items()), "id bigint, component bigint"
+            )
         converged = pairs.isEmpty()
         for _ in range(max_iter):
             if converged:
@@ -582,12 +678,110 @@ def _louvain_phase1(
     return comm
 
 
+def _md5_parity(v: int) -> int:
+    """Driver twin of pmod(functions.text.token_hash(id), 2): first 8
+    hex chars of md5 of the decimal string, as an int, mod 2."""
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 2
+
+
+def _louvain_phase1_driver(
+    sym: list[tuple[int, int, float]], m2: float, max_sweeps: int, early_exit: bool
+) -> dict[int, int]:
+    """In-driver twin of _louvain_phase1 over a collected symmetric
+    weighted edge list. Bit-parity argument (same as the unrolled
+    oracle's): every aggregate is a sum of integer-valued doubles —
+    exact in IEEE-754 regardless of accumulation order — and the score
+    expression k_in - k * adj_tot / m2 is evaluated with the identical
+    operation tree, so every comparison (score DESC, community ASC)
+    resolves exactly as the distributed half-sweep does."""
+    from collections import defaultdict
+
+    k: dict[int, float] = defaultdict(float)
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for s, d, w in sym:
+        k[s] += w
+        if s != d:
+            adj[s].append((d, w))
+    comm = {v: v for v in k}
+    parity_of = {v: _md5_parity(v) for v in k}
+    for _ in range(max_sweeps):
+        moved_any = False
+        for parity in (0, 1):
+            tot: dict[int, float] = defaultdict(float)
+            for v, c in comm.items():
+                tot[c] += k[v]
+            new_comm = {}
+            for v, kv in k.items():
+                cur = comm[v]
+                kin: dict[int, float] = defaultdict(float)
+                for d, w in adj.get(v, ()):
+                    kin[comm[d]] += w
+                if cur not in kin:
+                    kin[cur] = 0.0
+                best_key = None
+                choice = cur
+                for opt, ki in kin.items():
+                    adj_tot = tot[opt] - (kv if opt == cur else 0.0)
+                    score = ki - kv * adj_tot / m2
+                    key = (-score, opt)
+                    if best_key is None or key < best_key:
+                        best_key, choice = key, opt
+                if parity_of[v] == parity and choice != cur:
+                    new_comm[v] = choice
+                    moved_any = True
+                else:
+                    new_comm[v] = cur
+            comm = new_comm
+        if early_exit and not moved_any:
+            break
+    return comm
+
+
+def _louvain_driver(
+    sym: list[tuple[int, int, float]],
+    m2: float,
+    max_sweeps: int,
+    levels: int,
+    early_exit: bool,
+) -> dict[int, int]:
+    """In-driver twin of _louvain_inner's level loop: aggregate
+    communities into super-nodes (weights summed, intra-community mass
+    as self-rows), re-run local moving with the ORIGINAL m2, map back,
+    then canonicalize community ids to the min member id."""
+    from collections import defaultdict
+
+    assignment = _louvain_phase1_driver(sym, m2, max_sweeps, early_exit)
+    cur_sym = sym
+    for _ in range(1, levels):
+        agg: dict[tuple[int, int], float] = defaultdict(float)
+        for s, d, w in cur_sym:
+            agg[(assignment[s], assignment[d])] += w
+        super_sym = [(s, d, w) for (s, d), w in agg.items()]
+        if not any(s != d for s, d, _ in super_sym):
+            break
+        super_assignment = _louvain_phase1_driver(super_sym, m2, max_sweeps, early_exit)
+        assignment = {v: super_assignment[c] for v, c in assignment.items()}
+        cur_sym = super_sym
+    members: dict[int, list[int]] = defaultdict(list)
+    for v, c in assignment.items():
+        members[c].append(v)
+    out = {}
+    for vs in members.values():
+        canon = min(vs)
+        for v in vs:
+            out[v] = canon
+    return out
+
+
 def louvain(
     edges: DataFrame,
     max_sweeps: int = 5,
     levels: int = 2,
     loop_shuffle_width: int | None = None,
     early_exit: bool = True,
+    collect_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Louvain community detection as DataFrame iteration — the real
     modularity-optimizing algorithm, not a label-propagation stand-in
@@ -610,16 +804,41 @@ def louvain(
         enabled=loop_shuffle_width is not None,
         width=loop_shuffle_width or 8,
     ):
-        return _louvain_inner(edges, max_sweeps, levels, early_exit)
+        return _louvain_inner(edges, max_sweeps, levels, early_exit, collect_threshold)
 
 
 def _louvain_inner(
-    edges: DataFrame, max_sweeps: int, levels: int, early_exit: bool = True
+    edges: DataFrame,
+    max_sweeps: int,
+    levels: int,
+    early_exit: bool = True,
+    collect_threshold: int = 2_000_000,
 ) -> DataFrame:
     sym = _symmetrize_weighted(edges)
     m2 = sym.agg(F.sum("w")).collect()[0][0]  # scalar 2m, loop constant
     if not m2:
         return edges.sparkSession.createDataFrame([], "id bigint, community bigint")
+
+    # Hybrid fast path (README: anchored-probe hybrid execution): the
+    # sweep loop pays 2 driver barriers per sweep per level, so under
+    # the collect threshold the symmetric edge list collects (it is
+    # already materialized for m2) and the exact same semi-synchronous
+    # schedule runs in-driver — bit-identical moves, see
+    # _louvain_phase1_driver. Beyond the threshold the distributed
+    # sweeps below engage unchanged; parity between the two paths is
+    # pinned by tests on the bench slice and randomized graphs.
+    if sym.count() <= collect_threshold:
+        rows = sym.collect()
+        comm = _louvain_driver(
+            [(r["src"], r["dst"], r["w"]) for r in rows],
+            float(m2),
+            max_sweeps,
+            levels,
+            early_exit,
+        )
+        return edges.sparkSession.createDataFrame(
+            list(comm.items()), "id bigint, community bigint"
+        )
 
     assignment = _louvain_phase1(sym, float(m2), max_sweeps, early_exit)
     for _ in range(1, levels):
@@ -653,13 +872,33 @@ def _louvain_inner(
     return assignment.join(canon, "community").select("id", F.col("canon").alias("community"))
 
 
-def modularity(edges: DataFrame, assignment: DataFrame) -> float:
+def modularity(
+    edges: DataFrame, assignment: DataFrame, collect_threshold: int = 2_000_000
+) -> float:
     """Newman modularity Q of ``assignment`` (id, community) on the
-    undirected simple graph induced by ``edges``."""
+    undirected simple graph induced by ``edges``. Under
+    ``collect_threshold`` symmetric edges the sums run in-driver (all
+    are sums of integer-valued doubles — exact in IEEE-754 in any
+    order — so the two paths return the identical float)."""
     sym = _symmetrize_weighted(edges)
     m2 = sym.agg(F.sum("w")).collect()[0][0]
     if not m2:
         return 0.0
+    if sym.count() <= collect_threshold:
+        comm = {r["id"]: r["community"] for r in assignment.collect()}
+        internal = 0.0
+        k: dict[int, float] = {}
+        for r in sym.collect():
+            s, d, w = r["src"], r["dst"], r["w"]
+            k[s] = k.get(s, 0.0) + w
+            if comm.get(s) == comm.get(d):
+                internal += w
+        tot: dict[int, float] = {}
+        for v, kv in k.items():
+            c = comm.get(v)
+            tot[c] = tot.get(c, 0.0) + kv
+        sq = sum(t * t for t in tot.values())
+        return float(internal) / m2 - sq / (m2 * m2)
     cmap_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("csrc"))
     cmap_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("cdst"))
     internal = (
@@ -679,12 +918,45 @@ def modularity(edges: DataFrame, assignment: DataFrame) -> float:
     return float(internal) / m2 - sq / (m2 * m2)
 
 
-def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
+def _label_propagation_driver(
+    vertices: list[int], sym: list[tuple[int, int]], iterations: int
+) -> dict[int, int]:
+    """In-driver twin of the synchronous label-propagation sweep: votes
+    are integer counts and the tie-break (votes DESC, label ASC) is
+    exact, so the two paths agree move-for-move."""
+    from collections import defaultdict
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in sym:
+        adj[s].append(d)
+    labels = {v: v for v in vertices}
+    for _ in range(iterations):
+        new_labels = {}
+        for v in vertices:
+            # votes arrive at v from its neighbors' labels (sym holds
+            # both directions, so adj[v] is the full neighborhood)
+            votes: dict[int, int] = defaultdict(int)
+            for u in adj.get(v, ()):
+                votes[labels[u]] += 1
+            if votes:
+                new_labels[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            else:
+                new_labels[v] = labels[v]
+        labels = new_labels
+    return labels
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 10, collect_threshold: int = 2_000_000
+) -> DataFrame:
     """Community detection via synchronous label propagation with a
     deterministic tie-break (most frequent neighbor label, ties -> min
     label) — the GraphFrames-style stand-in for the reference's Louvain
     procedure (documentation/queries.md:82-98; SURVEY.md §7 notes the
-    deviation). Returns (id, community)."""
+    deviation). Returns (id, community). Under ``collect_threshold``
+    symmetric edges the sweep runs in-driver (the hybrid policy shared
+    by SCC/closure/Louvain); the distributed loop engages unchanged
+    beyond it."""
     sym = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -692,7 +964,16 @@ def label_propagation(edges: DataFrame, iterations: int = 10) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = _vertex_ids(edges).select("id", F.col("id").alias("community"))
+    verts = _vertex_ids(edges)
+    if sym.count() <= collect_threshold:
+        vs = [r["id"] for r in verts.collect()]
+        labels_map = _label_propagation_driver(
+            vs, [(r["src"], r["dst"]) for r in sym.collect()], iterations
+        )
+        return edges.sparkSession.createDataFrame(
+            list(labels_map.items()), "id bigint, community bigint"
+        )
+    labels = verts.select("id", F.col("id").alias("community"))
     for _ in range(iterations):
         neighbor_labels = sym.join(labels, sym.src == labels.id).select(
             F.col("dst").alias("nid"), "community"

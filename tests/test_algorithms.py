@@ -46,12 +46,18 @@ def numpy_pagerank(pairs, n_ids, iterations, damping):
 )
 def test_pagerank_matches_numpy(spark, pairs):
     e = edges_df(spark, pairs)
+    # both hybrid paths: in-driver numpy matvec and the distributed loop
     got = {r.id: r.rank for r in pagerank(e, iterations=15, damping=0.85).collect()}
+    dist = {
+        r.id: r.rank
+        for r in pagerank(e, iterations=15, damping=0.85, collect_threshold=0).collect()
+    }
     ids = {a for a, _ in pairs} | {b for _, b in pairs}
     want = numpy_pagerank(pairs, ids, 15, 0.85)
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-9), f"node {v}"
+        assert dist[v] == pytest.approx(want[v], rel=1e-9), f"node {v} (distributed)"
 
 
 def test_connected_components_two_islands(spark):
@@ -67,7 +73,7 @@ def test_connected_components_long_path_converges(spark):
     # non-convergence now raises instead of returning bad components.
     n = 500
     e = edges_df(spark, [(i, i + 1) for i in range(n)])
-    got = {r.id: r.component for r in connected_components(e).collect()}
+    got = {r.id: r.component for r in connected_components(e, collect_threshold=0).collect()}
     assert got == {i: 0 for i in range(n + 1)}
 
 
@@ -211,10 +217,13 @@ def test_connected_components_converges_on_final_round(spark):
     must not raise — max_iter=4 is the empirically minimal budget for
     this 9-vertex path, so any off-by-one re-raises here."""
     e = edges_df(spark, [(i, i + 1) for i in range(1, 9)])
-    got = {r.id: r.component for r in connected_components(e, max_iter=4).collect()}
+    got = {
+        r.id: r.component
+        for r in connected_components(e, max_iter=4, collect_threshold=0).collect()
+    }
     assert set(got.values()) == {1}
     with pytest.raises(RuntimeError):
-        connected_components(e, max_iter=3)
+        connected_components(e, max_iter=3, collect_threshold=0)
 
 
 def test_scc_final_peel_round_not_forfeited(spark):
@@ -229,3 +238,36 @@ def test_scc_final_peel_round_not_forfeited(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_louvain_driver_path_matches_distributed(spark):
+    """The hybrid gate must be invisible: the in-driver semi-sync sweep
+    (collect_threshold hit) and the distributed half-sweeps must emit
+    the identical assignment on the real sf0.001 module graph."""
+    from github_miner_spark.graph.algorithms import louvain
+    from github_miner_spark.graph.store import load_graph
+
+    g = load_graph(spark, "/root/testdata/sf0.001")
+    mm = g.module_dep_edges()
+    fast = sorted(map(tuple, louvain(mm, max_sweeps=3, levels=2, early_exit=False).collect()))
+    slow = sorted(
+        map(
+            tuple,
+            louvain(
+                mm, max_sweeps=3, levels=2, early_exit=False, collect_threshold=0
+            ).collect(),
+        )
+    )
+    assert fast == slow and len(fast) > 0
+
+
+def test_label_propagation_driver_path_matches_distributed(spark):
+    from github_miner_spark.graph.store import load_graph
+
+    g = load_graph(spark, "/root/testdata/sf0.001")
+    mm = g.module_dep_edges()
+    fast = sorted(map(tuple, label_propagation(mm, iterations=8).collect()))
+    slow = sorted(
+        map(tuple, label_propagation(mm, iterations=8, collect_threshold=0).collect())
+    )
+    assert fast == slow and len(fast) > 0
