@@ -256,3 +256,81 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"))
         .orderBy("canonical_doc")
     )
+
+
+@register(
+    "leakage_free_split_assignment",
+    oracle=DUCK_SHINGLES_CTE
+    + """
+    , dup_edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8),
+    dsym AS (SELECT src, dst FROM dup_edges UNION SELECT dst, src FROM dup_edges),
+    reach(a, b) AS (
+        SELECT src, dst FROM dsym
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN dsym e ON e.src = r.b
+    ),
+    members AS (SELECT DISTINCT v FROM (SELECT src AS v FROM dup_edges
+                                        UNION ALL SELECT dst FROM dup_edges)),
+    comp AS (
+        SELECT m.v AS id, least(m.v, coalesce(min(r.b), m.v)) AS component
+        FROM members m LEFT JOIN reach r ON r.a = m.v
+        GROUP BY m.v
+    ),
+    assigned AS (
+        SELECT d.doc_id, c.component,
+               ('0x' || substr(md5(CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(component) AS BIGINT) AS n_clustered_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_dup_clusters
+    FROM assigned GROUP BY 1 ORDER BY split
+    """,
+    description="Leakage-free train/val/test assignment: the split "
+    "hash is taken over the NEAR-DUP CLUSTER canonical id (min doc_id "
+    "of the transitively-linked Jaccard>=0.8 group; singletons hash "
+    "their own id), so every near-duplicate lands in the same split "
+    "and no eval document has a training-set twin — the standard "
+    "contamination-control step when splitting a deduplicated corpus. "
+    "Deterministic md5 mod-100 gate (80/10/10), same portable hash as "
+    "the stratified sampler; the cluster map is dup-pair-bounded, so "
+    "the join side is tiny and broadcast at any corpus scale.",
+    tags=("dedup", "curation", "splits"),
+)
+def leakage_free_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_hash
+    from github_miner_spark.functions.text_store import load_shingle_index
+    from github_miner_spark.graph.algorithms import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = load_shingle_index(spark, sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.8, index=idx).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    assigned = docs.join(F.broadcast(comp), "doc_id", "left_outer").select(
+        "component",
+        (
+            token_hash(F.coalesce(F.col("component"), F.col("doc_id")).cast("string"))
+            % 100
+        ).alias("bucket"),
+    )
+    split = (
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+    )
+    return (
+        assigned.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("component").alias("n_clustered_docs"),
+            F.countDistinct("component").alias("n_dup_clusters"),
+        )
+        .orderBy("split")
+    )

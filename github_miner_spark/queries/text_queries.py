@@ -434,3 +434,50 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH t AS (SELECT {DUCK_TOKENS} AS toks FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> concat(toks[i], ' ', toks[i+1]))) AS pair
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    description="Vocabulary-induction merge statistics: the most "
+    "frequent adjacent token pairs across the corpus — one round of "
+    "the count-merge step BPE/WordPiece training runs at scale "
+    "(tokens stand in for the byte-level alphabet, as in "
+    "doc_bpe_token_counts). Pure higher-order array expressions into "
+    "one count aggregate + TakeOrdered: pair cardinality is "
+    "vocabulary-bounded, not corpus-bounded, so the shuffle stays "
+    "small at any corpus size and the map side combines locally.",
+    tags=("text", "tokens", "bpe"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    pairs = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

@@ -135,11 +135,14 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "clustering_coefficient_summary",
     "degree_assortativity",
     "lineitem_price_quantiles",
+    "leakage_free_split_assignment",
+    "bpe_merge_candidates",
     # -- re-green: r02-only entries without a driver row since round 2 --
+    # (self_loops and meta_graph yield their slots to the two curation
+    # queries above: both are r01+r02 double-green and structurally
+    # untouched since round 1)
     # graph
     "dependants_by_endpoint_label",
-    "self_loops",
-    "meta_graph",
     "modules_per_repo_list",
     "detach_delete_impact",
     "one_hop_neighborhood",
