@@ -312,3 +312,123 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts >= s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s2.t2
+      GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, min(e.ts) AS t4
+      FROM events e JOIN s3 ON s3.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s3.t3
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_clicked,
+           CAST((SELECT count(*) FROM s4) AS BIGINT) AS n_purchased,
+           round((SELECT count(*) FROM s4) * 1.0
+                 / (SELECT count(*) FROM s1), 6) AS conversion
+    """,
+    description="Ordered funnel analysis: signup -> first view at-or-"
+    "after signup -> first click after that view -> first purchase "
+    "after that click, with end-to-end conversion. Each stage is a "
+    "per-user min aggregate joined to the previous stage's timestamp "
+    "— all four stages shuffle on user_id, so Catalyst reuses one "
+    "partitioning end to end and the stage tables shrink "
+    "monotonically; no window over the full event stream is needed.",
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+
+    def stage(prev: DataFrame, etype: str, tprev: str, tout: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(tprev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tout))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = stage(s1, "view", "t1", "t2")
+    s3 = stage(s2, "click", "t2", "t3")
+    s4 = stage(s3, "purchase", "t3", "t4")
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in ((s1, "n_signup"), (s2, "n_viewed"), (s3, "n_clicked"), (s4, "n_purchased"))
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out.select(
+        "n_signup",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.round(F.col("n_purchased") * 1.0 / F.col("n_signup"), 6).alias("conversion"),
+    )
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM w)
+    SELECT c.cohort AS cohort_week,
+           a.week - c.cohort AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM active a JOIN cohorts c ON c.user_id = a.user_id
+    GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+    """,
+    description="Weekly retention cohorts: users grouped by the epoch "
+    "week of their first event, counted as active at each later week "
+    "offset — the standard cohort-retention matrix. One distinct over "
+    "(user, week), one min-aggregate for the cohort map (broadcast — "
+    "user-cardinality-bounded), one rollup; epoch-week arithmetic "
+    "(floor(epoch/604800)) is identical in both engines, unlike "
+    "locale-dependent week-of-year functions.",
+    tags=("events", "retention", "cohorts"),
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week"),
+    )
+    cohorts = w.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    active = w.distinct()
+    return (
+        active.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_week"),
+            (F.col("week") - F.col("cohort")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -137,6 +137,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "lineitem_price_quantiles",
     "leakage_free_split_assignment",
     "bpe_merge_candidates",
+    "events_funnel",
+    "events_weekly_retention",
     # -- re-green: r02-only entries without a driver row since round 2 --
     # (self_loops and meta_graph yield their slots to the two curation
     # queries above: both are r01+r02 double-green and structurally
@@ -144,10 +146,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # graph
     "dependants_by_endpoint_label",
     "modules_per_repo_list",
-    "detach_delete_impact",
     "one_hop_neighborhood",
-    # etl
-    "manifest_dependency_totals",
+    # (detach_delete_impact and manifest_dependency_totals yield their
+    # slots to events_funnel / events_weekly_retention: r01+r02
+    # double-green, untouched since round 1)
     # text analysis
     "doc_quality_scores",
     "language_id_confusion",
