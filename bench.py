@@ -52,6 +52,11 @@ HEADLINE = [
     "scc_summary",
     "louvain_communities",
     "all_shortest_paths_pairs",
+    # round 4: k-core + the curation additions, under the same
+    # regression watch as the rest
+    "k_core_decomposition",
+    "leakage_free_split_assignment",
+    "events_funnel",
 ]
 
 

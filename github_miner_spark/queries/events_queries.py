@@ -432,3 +432,63 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_error_anomaly_scores",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT hour, n_errors,
+             avg(n_errors) OVER tw AS mu,
+             stddev_samp(n_errors) OVER tw AS sigma,
+             count(*) OVER tw AS n_window
+      FROM h
+      WINDOW tw AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour, n_errors,
+           round(mu, 6) AS trailing_mean,
+           round((n_errors - mu) / sigma, 6) AS z_score
+    FROM scored
+    WHERE n_window = 24 AND sigma > 0
+    ORDER BY round((n_errors - mu) / sigma, 6) DESC, hour
+    LIMIT 5
+    """,
+    description="Error-rate anomaly scoring: hourly error counts "
+    "z-scored against the trailing 24-hour window (rows 24 preceding "
+    "to 1 preceding — the current hour never contaminates its own "
+    "baseline), top 5 by score. The ordered window runs over the "
+    "hour-grain rollup, whose cardinality is time-bounded, not "
+    "event-bounded — the aggregation below it is the only "
+    "corpus-sized pass; sort key is the 6dp-rounded score with the "
+    "hour tiebreak (the repo-wide float-ordering convention).",
+    tags=("events", "window-agg", "anomaly"),
+)
+def events_error_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.when(F.col("event_type") == "error", True)).alias("n_errors")
+    )
+    trailing = Window.orderBy("hour").rowsBetween(-24, -1)
+    scored = h.select(
+        "hour",
+        "n_errors",
+        F.avg("n_errors").over(trailing).alias("mu"),
+        F.stddev_samp("n_errors").over(trailing).alias("sigma"),
+        F.count("*").over(trailing).alias("n_window"),
+    ).filter((F.col("n_window") == 24) & (F.col("sigma") > 0))
+    z = F.round((F.col("n_errors") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        scored.select(
+            "hour",
+            "n_errors",
+            F.round("mu", 6).alias("trailing_mean"),
+            z.alias("z_score"),
+        )
+        .orderBy(F.col("z_score").desc(), "hour")
+        .limit(5)
+    )

@@ -139,12 +139,14 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "bpe_merge_candidates",
     "events_funnel",
     "events_weekly_retention",
+    "events_error_anomaly_scores",
     # -- re-green: r02-only entries without a driver row since round 2 --
     # (self_loops and meta_graph yield their slots to the two curation
     # queries above: both are r01+r02 double-green and structurally
     # untouched since round 1)
+    # (dependants_by_endpoint_label yields its slot to
+    # events_error_anomaly_scores: r01+r02 double-green, untouched)
     # graph
-    "dependants_by_endpoint_label",
     "modules_per_repo_list",
     "one_hop_neighborhood",
     # (detach_delete_impact and manifest_dependency_totals yield their
