@@ -62,10 +62,24 @@ from github_miner_spark.graph.model import PropertyGraph
 from github_miner_spark.graph.motif import find
 
 _UNSUPPORTED = {
-    "shortestpath": "shortest paths: use graph.paths.all_shortest_paths_multi",
+    # only forms the dedicated pre-pass below does NOT compile
+    # (undirected / bounded variants); the directed-unbounded Cypher
+    # form MATCH p = allShortestPaths((a)-[:R*]->(b)) RETURN p runs
+    "shortestpath": "this shortest-path form: use "
+    "graph.paths.all_shortest_paths_multi directly",
     "algo.": "graph-algorithm procedures: use graph.algorithms",
     "apoc.": "apoc procedures: see io.sinks (gephi) / graph.store",
 }
+
+# MATCH p = allShortestPaths((a ...)-[:R*]->(b ...)) RETURN ... — the
+# reference's shortest-path query shape (documentation/queries.md:74-79),
+# compiled onto graph.paths.all_shortest_paths (the shortest-path-DAG
+# enumerator) instead of the motif engine.
+_SHORTEST_RE = re.compile(
+    r"^MATCH\s+(?P<pv>\w+)\s*=\s*(?P<fn>allShortestPaths|shortestPath)\s*\(\s*"
+    r"(?P<a>\([^)]*\))\s*-\s*\[\s*:(?P<rel>\w+)\s*\*\s*\]\s*->\s*"
+    r"(?P<b>\([^)]*\))\s*\)\s*RETURN\s+(?P<ret>.+)$"
+)
 
 _NODE_RE = re.compile(r"\(\s*(?P<var>\w*)\s*(?::\s*(?P<label>\w+))?\s*(?P<props>\{[^}]*\})?\s*\)")
 _EDGE_BODY = r"\[\s*(?P<var>\w*)\s*(?::\s*(?P<rels>\w+(?:\s*\|\s*\w+)*))?\s*(?P<star>\*[\d\s.]*)?\]"
@@ -640,9 +654,79 @@ def _compile_block(
     return bound.drop(*borrowed) if borrowed else bound
 
 
+def _resolve_anchor(graph: PropertyGraph, node_text: str) -> list[int]:
+    """Resolve a node pattern like (a:GitRepo {name: 'x'}) to vertex
+    ids: label filter + property-map equality, with Neo4j's
+    missing-property-is-NULL semantics (a property the store does not
+    carry never matches)."""
+    nm = _NODE_RE.match(node_text)
+    if not nm:
+        raise ValueError(f"expected node pattern at: {node_text!r}")
+    v = graph.vertices
+    if nm.group("label"):
+        v = v.filter(F.col("label") == nm.group("label"))
+    if nm.group("props"):
+        body = nm.group("props")[1:-1]
+        for kv in _split_top_level(body, ","):
+            k, _, val = kv.partition(":")
+            if not _:
+                raise ValueError(f"bad property map entry: {kv!r}")
+            k, lit = k.strip(), _literal(val.strip())
+            col = F.col(k) if (k == "id" or k in v.columns) else F.lit(None).cast("string")
+            v = v.filter(col == F.lit(lit))
+    return [r["id"] for r in v.select("id").collect()]
+
+
+def _run_shortest_paths(graph: PropertyGraph, m: re.Match) -> DataFrame:
+    from github_miner_spark.graph.paths import all_shortest_paths
+
+    from github_miner_spark.graph.paths import all_shortest_paths_multi
+
+    pv, ret = m.group("pv"), m.group("ret").strip()
+    a_ids = _resolve_anchor(graph, m.group("a"))
+    b_ids = _resolve_anchor(graph, m.group("b"))
+    if len(a_ids) > 64:
+        raise NotImplementedError(
+            "shortest-path source anchor resolves to >64 vertices — "
+            "constrain it further, or call "
+            "graph.paths.all_shortest_paths_multi per source directly"
+        )
+    spark = graph.vertices.sparkSession
+    if not a_ids or not b_ids:
+        paths = spark.createDataFrame([], "path array<bigint>, length int")
+    else:
+        edges = graph.edges.filter(F.col("rel_type") == m.group("rel")).select("src", "dst")
+        if len(a_ids) == 1 and len(b_ids) == 1:
+            paths = all_shortest_paths(edges, a_ids[0], b_ids[0])
+        else:
+            # anchor SETS: one batched multi-target pass per source
+            # (2 BFS sweeps each), unioned
+            parts = [
+                all_shortest_paths_multi(edges, a, b_ids).select("path", "length")
+                for a in a_ids
+            ]
+            paths = parts[0]
+            for p in parts[1:]:
+                paths = paths.unionByName(p)
+    if m.group("fn") == "shortestPath":
+        paths = paths.orderBy("length", "path").limit(1)
+    cm = re.match(rf"^count\s*\(\s*{re.escape(pv)}\s*\)(?:\s+AS\s+(?P<al>\w+))?$", ret, re.IGNORECASE)
+    if cm:
+        return paths.agg(F.count("*").alias(cm.group("al") or f"count({pv})"))
+    if ret == pv:
+        return paths.orderBy("length", "path").select(F.col("path").alias(pv), "length")
+    raise NotImplementedError(
+        f"shortest-path RETURN supports the path variable or count() over "
+        f"it, got: {ret!r}"
+    )
+
+
 def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     """Execute a cypher_lite query against the property graph."""
     q = re.sub(r"\s+", " ", query.strip())
+    sp = _SHORTEST_RE.match(q)
+    if sp:
+        return _run_shortest_paths(graph, sp)
     low = q.lower()
     for marker, hint in _UNSUPPORTED.items():
         if marker in low:

@@ -636,7 +636,9 @@ def test_reference_corpus_sweep(spark):
         except NotImplementedError:
             notimpl += 1
     # parse errors / analysis exceptions propagate and fail the test
-    assert ok >= 28, (ok, notimpl)
+    # round 4: allShortestPaths((a)-[:R*]->(b)) now compiles onto
+    # graph.paths.all_shortest_paths, moving the corpus floor 28 -> 29
+    assert ok >= 29, (ok, notimpl)
 
 
 def test_count_path_variable_counts_paths(spark):
@@ -659,3 +661,38 @@ def test_count_path_variable_counts_paths(spark):
     assert got == want and got > 0
     with pytest.raises(NotImplementedError, match="path values"):
         run_cypher(g, "MATCH p = (a)-[:DEPENDS_ON]->(b) RETURN p")
+
+
+def test_all_shortest_paths_cypher_form(spark):
+    """MATCH p = allShortestPaths((a)-[:R*]->(b)) RETURN p — the
+    reference's shortest-path shape (documentation/queries.md:74-79) —
+    compiles onto graph.paths.all_shortest_paths; shortestPath returns
+    a single deterministic representative; count(p) aggregates; anchor
+    SETS fan out through all_shortest_paths_multi."""
+    g = load_graph(spark, SF)
+    mm = g.module_dep_edges()
+    row = mm.limit(1).collect()[0]
+    src, dst = row["src"], row["dst"]
+    q = (
+        f"MATCH p = allShortestPaths((a:NodeModule {{id: {src}}})"
+        f"-[:DEPENDS_ON*]->(b:NodeModule {{id: {dst}}})) RETURN p"
+    )
+    rows = run_cypher(g, q).collect()
+    assert rows and rows[0]["p"][0] == src and rows[0]["p"][-1] == dst
+    assert all(r["length"] == rows[0]["length"] for r in rows)
+
+    single = run_cypher(g, q.replace("allShortestPaths", "shortestPath")).collect()
+    assert len(single) == 1 and single[0]["p"] == min(r["p"] for r in rows)
+
+    n = run_cypher(g, q.replace("RETURN p", "RETURN count(p) AS n")).collect()[0]["n"]
+    assert n == len(rows)
+
+    # the reference's verbatim query: full_name is not a stored property,
+    # so Neo4j's missing-property-is-NULL semantics yield zero matches —
+    # it RUNS (no NotImplementedError), returning no paths
+    verbatim = (
+        "MATCH paths = allShortestPaths((a:GitRepo "
+        "{ full_name:'rossanthony/github-miner' })-[:DEPENDS_ON*]->"
+        "(b:NodeModule { name:'assert-plus' })) RETURN paths"
+    )
+    assert run_cypher(g, verbatim).count() == 0
