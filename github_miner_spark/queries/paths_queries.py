@@ -258,3 +258,44 @@ def all_shortest_paths_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.col("path").cast("array<string>")).alias("path"),
         F.col("length").cast("int").alias("length"),
     )
+
+
+@register(
+    "harmonic_centrality_roots",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , hroots AS (SELECT DISTINCT src FROM mm_edges WHERE src < 200),
+    hwalk(root, node, depth) AS (
+        SELECT e.src, e.dst, 1 FROM mm_edges e JOIN hroots r ON e.src = r.src
+        UNION ALL
+        SELECT w.root, e.dst, w.depth + 1 FROM hwalk w JOIN mm_edges e ON e.src = w.node
+    ),
+    hmind AS (SELECT root, node, min(depth) AS d FROM hwalk GROUP BY root, node)
+    SELECT root AS root,
+           CAST(count(*) AS BIGINT) AS reachable,
+           round(sum(1.0 / d), 6) AS harmonic
+    FROM hmind GROUP BY root
+    ORDER BY round(sum(1.0 / d), 6) DESC, root
+    LIMIT 20
+    """,
+    description="Outbound harmonic centrality for the anchored root set "
+    "(the closeness-family member of the plugin set the reference "
+    "installs that is defined on disconnected graphs): H(r) = sum of "
+    "1/min_depth over every node reachable from r. Reuses the batched "
+    "multi-root BFS (one frontier loop for ALL roots, root-keyed "
+    "state) plus one aggregate — no per-root sweeps; top 20 by the "
+    "6dp-rounded score with the root tiebreak.",
+    tags=("graph", "paths", "centrality", "iterative"),
+)
+def harmonic_centrality_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    roots = mm.filter(F.col("src") < 200).select(F.col("src").alias("root")).distinct()
+    depths = bfs_depths(mm, roots=roots, broadcast_frontier=True)
+    h = F.round(F.sum(1.0 / F.col("depth")), 6)
+    return (
+        depths.groupBy("root")
+        .agg(F.count("*").alias("reachable"), h.alias("harmonic"))
+        .orderBy(F.col("harmonic").desc(), "root")
+        .limit(20)
+    )

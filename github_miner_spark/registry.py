@@ -140,6 +140,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "events_funnel",
     "events_weekly_retention",
     "events_error_anomaly_scores",
+    "harmonic_centrality_roots",
     # -- re-green: r02-only entries without a driver row since round 2 --
     # (self_loops and meta_graph yield their slots to the two curation
     # queries above: both are r01+r02 double-green and structurally
@@ -152,8 +153,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # (detach_delete_impact and manifest_dependency_totals yield their
     # slots to events_funnel / events_weekly_retention: r01+r02
     # double-green, untouched since round 1)
-    # text analysis
-    "doc_quality_scores",
+    # text analysis (doc_quality_scores yields its slot to
+    # harmonic_centrality_roots: r01+r02 double-green, untouched)
     "language_id_confusion",
     # (left out, all carrying fresh r03 green rows and still in the
     # local oracle sweep: pricing_summary, shipping_priority,
