@@ -225,15 +225,19 @@ def connected_components(
     """
     from github_miner_spark.graph.paths import _loop_shuffle_partitions
 
-    verts = _vertex_ids(edges)
+    # materialize the input selection ONCE: verts and pairs both derive
+    # from it, and callers routinely pass expensive derived plans (e.g.
+    # dedup_clusters feeds the whole Jaccard pair pipeline in) — without
+    # this checkpoint the vertex side re-executes that plan
+    base = edges.select("src", "dst").localCheckpoint(eager=True)
+    verts = _vertex_ids(base)
     with _loop_shuffle_partitions(
-        edges.sparkSession,
+        base.sparkSession,
         enabled=loop_shuffle_width is not None,
         width=loop_shuffle_width or 8,
     ):
         pairs = (
-            edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
+            base.filter(F.col("src") != F.col("dst"))
             .select(F.col("src").alias("a"), F.col("dst").alias("b"))
             .distinct()
             .localCheckpoint(eager=True)

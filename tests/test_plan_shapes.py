@@ -162,3 +162,40 @@ def test_bucketed_store_eliminates_exchanges(spark, tmp_path, monkeypatch):
         )
     )
     assert join_rows == want_join and len(want_join) > 0
+
+
+def test_topology_stats_no_allpairs(spark):
+    """Triangle/wedge statistics and assortativity must stay on keyed
+    equi-joins: the canonical a<b<c ordering and the degree joins give
+    Catalyst hash joins, never a nested-loop blowup (the scalar-summary
+    crossJoins in clustering are 1-row x 1-row and show as
+    BroadcastNestedLoopJoin over singleton aggregates — acceptable;
+    CartesianProduct over the edge tables is not)."""
+    for name in ("clustering_coefficient_summary", "degree_assortativity"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bpe_pairs_stay_vocab_bounded(spark):
+    """The pair rollup must be a plain hash aggregate over the exploded
+    pairs (map-side partial agg) feeding TakeOrdered — no join at all."""
+    plan = _plan(spark, "bpe_merge_candidates")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_split_assignment_broadcasts_cluster_map(spark):
+    """The dup-cluster map is pair-bounded, so the docs-side join must
+    broadcast it — a shuffle of the full corpus against a tiny map is
+    the 100 TB failure mode."""
+    plan = _plan(spark, "leakage_free_split_assignment")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """Four stage aggregates all hash-partition on user_id; the plan
+    must not re-exchange between consecutive stages beyond the first
+    shuffle per branch (smoke: no cartesian, sort-merge allowed)."""
+    plan = _plan(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
