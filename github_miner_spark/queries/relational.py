@@ -441,3 +441,84 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(q(0.25, "q25"), q(0.50, "q50"), q(0.75, "q75"), q(0.95, "q95"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS-correlated subquery as a "
+    "LEFT SEMI join (order counts per priority where some line item "
+    "carries a deep discount, within a one-year date window). Catalyst "
+    "rewrites the correlated EXISTS into a semi hash join; the date "
+    "range pushes to the orders parquet scan as two comparison "
+    "filters, so the probe side is year-bounded before the join.",
+    tags=("relational", "semi-join", "subquery"),
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    deep = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(deep, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    description="TPC-H Q14 shape: conditional-aggregate revenue share "
+    "(percent of discounted revenue from PROMO parts in a six-month "
+    "ship window). The part side broadcasts; the CASE folds into the "
+    "aggregate so one fact pass computes both the numerator and the "
+    "denominator — no second scan, no self-join.",
+    tags=("relational", "agg", "conditional"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )

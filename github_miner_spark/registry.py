@@ -141,21 +141,25 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "events_weekly_retention",
     "events_error_anomaly_scores",
     "harmonic_centrality_roots",
+    "priority_order_counts",
+    "promo_revenue_share",
     # -- re-green: r02-only entries without a driver row since round 2 --
     # (self_loops and meta_graph yield their slots to the two curation
     # queries above: both are r01+r02 double-green and structurally
     # untouched since round 1)
     # (dependants_by_endpoint_label yields its slot to
     # events_error_anomaly_scores: r01+r02 double-green, untouched)
+    # (modules_per_repo_list yields its slot to the Q4/Q14-shape
+    # relational queries: its r02 green still witnesses the untouched
+    # implementation)
     # graph
-    "modules_per_repo_list",
     "one_hop_neighborhood",
     # (detach_delete_impact and manifest_dependency_totals yield their
     # slots to events_funnel / events_weekly_retention: r01+r02
     # double-green, untouched since round 1)
-    # text analysis (doc_quality_scores yields its slot to
-    # harmonic_centrality_roots: r01+r02 double-green, untouched)
-    "language_id_confusion",
+    # (doc_quality_scores and language_id_confusion — both r01+r02
+    # double-green, untouched — yielded the text-analysis re-green
+    # slots to harmonic_centrality_roots and the relational additions)
     # (left out, all carrying fresh r03 green rows and still in the
     # local oracle sweep: pricing_summary, shipping_priority,
     # regional_revenue, customer_order_stats_outer,
