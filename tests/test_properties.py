@@ -395,3 +395,22 @@ def test_coreness_both_paths_match_peel_reference(spark, edges):
     distributed = {r.id: r.core for r in coreness(df, collect_threshold=0).collect()}
     assert driver == want
     assert distributed == want
+
+
+def test_percentile_approx_matches_exact_within_tolerance(spark):
+    """The documented 100 TB path for lineitem_price_quantiles:
+    percentile_approx (one-pass, mergeable t-digest) must track the
+    exact sort-based percentile() within 1% relative error at the
+    default accuracy — the contract that makes swapping it in at scale
+    a latency decision, not a correctness one."""
+    from github_miner_spark.io.tables import load_table
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.01")
+    from pyspark.sql import functions as F
+
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("exact"),
+        F.expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("approx"),
+    ).collect()[0]
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) / e < 0.01, (e, a)
