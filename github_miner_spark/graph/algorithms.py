@@ -58,12 +58,16 @@ def _pagerank_driver(
         base = np.full(n, 1.0 - damping)
     else:
         srcs = {int(s) for s in sources}
-        p0 = 1.0 / len(srcs)
+        # p0 is over the WHOLE source list incl. duplicates and absent
+        # ids — the distributed path divides by len(list) and its
+        # isin() simply never matches an absent id, no renorm
+        p0 = 1.0 / len([int(s) for s in sources])
         rank = np.zeros(n)
         base = np.zeros(n)
         for s in srcs:
-            rank[idx[s]] = p0
-            base[idx[s]] = (1.0 - damping) * p0
+            if s in idx:
+                rank[idx[s]] = p0
+                base[idx[s]] = (1.0 - damping) * p0
     for _ in range(iterations):
         msg = np.zeros(n)
         np.add.at(msg, dst, rank[src] * w)

@@ -271,3 +271,20 @@ def test_label_propagation_driver_path_matches_distributed(spark):
         map(tuple, label_propagation(mm, iterations=8, collect_threshold=0).collect())
     )
     assert fast == slow and len(fast) > 0
+
+
+def test_personalized_pagerank_driver_matches_distributed_edge_cases(spark):
+    """Duplicate and absent personalization sources: the driver matvec
+    must mirror the distributed semantics exactly — p0 divides by the
+    source LIST length (duplicates included) and absent ids simply
+    receive no restart mass, no renormalization."""
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (1, 4)])
+    srcs = [1, 1, 99]  # duplicate + absent
+    fast = {r.id: r.rank for r in pagerank(e, iterations=10, sources=srcs).collect()}
+    dist = {
+        r.id: r.rank
+        for r in pagerank(e, iterations=10, sources=srcs, collect_threshold=0).collect()
+    }
+    assert set(fast) == set(dist)
+    for v in fast:
+        assert fast[v] == pytest.approx(dist[v], rel=1e-12), v
