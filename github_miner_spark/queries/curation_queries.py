@@ -485,3 +485,58 @@ def minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("eval_doc", "train_doc", "sig_agreement")
         .orderBy("eval_doc", "train_doc")
     )
+
+
+@register(
+    "corpus_mixture_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, len({{toks}}) AS n_tokens
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM per), 6) AS token_share,
+           round((1.0 / (SELECT count(*) FROM per))
+                 / (n_tokens * 1.0 / (SELECT sum(n_tokens) FROM per)), 6) AS uniform_multiplier
+    FROM per ORDER BY lang
+    """.replace("{toks}", "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"),
+    description="Training-mixture report: per-language document and "
+    "TOKEN counts, each stratum's token share of the corpus, and the "
+    "up/down-sampling multiplier that would equalize token shares — "
+    "data recipes weight strata by tokens, not documents "
+    "(stratified_sample_counts is the doc-count gate; this is the "
+    "token-weighted planning view feeding it). One tokenizing scan "
+    "into a language-bounded aggregate; the share denominators are "
+    "scalar subqueries over the per-stratum rollup, never a second "
+    "corpus pass.",
+    tags=("curation", "mixture", "tokens"),
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    per = (
+        docs.select("lang", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.count("*").alias("n_strata")
+    )
+    share = F.col("n_tokens") * 1.0 / F.col("tot_tokens")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((1.0 / F.col("n_strata")) / share, 6).alias("uniform_multiplier"),
+        )
+        .orderBy("lang")
+    )

@@ -143,17 +143,17 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "harmonic_centrality_roots",
     "priority_order_counts",
     "promo_revenue_share",
+    "corpus_mixture_report",
     # -- re-green: r02-only entries without a driver row since round 2 --
     # (self_loops and meta_graph yield their slots to the two curation
     # queries above: both are r01+r02 double-green and structurally
     # untouched since round 1)
     # (dependants_by_endpoint_label yields its slot to
     # events_error_anomaly_scores: r01+r02 double-green, untouched)
-    # (modules_per_repo_list yields its slot to the Q4/Q14-shape
-    # relational queries: its r02 green still witnesses the untouched
-    # implementation)
-    # graph
-    "one_hop_neighborhood",
+    # (modules_per_repo_list and one_hop_neighborhood yielded their
+    # slots to the Q4/Q14-shape relational queries and the mixture
+    # report: their r02 greens still witness the untouched
+    # implementations)
     # (detach_delete_impact and manifest_dependency_totals yield their
     # slots to events_funnel / events_weekly_retention: r01+r02
     # double-green, untouched since round 1)
