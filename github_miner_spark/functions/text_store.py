@@ -19,6 +19,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 STORE_ROOT = os.environ.get("SPARK_GRAFT_TEXT_STORE", "/tmp/spark-graft-text")
 
@@ -66,3 +67,52 @@ def load_shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) inverted index from the materialized store."""
     base = materialize_text_index(spark, sf_dir)
     return spark.read.parquet(os.path.join(base, "shingles.parquet"))
+
+
+def materialize_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, force: bool = False
+) -> str:
+    """Ensure the near-dup PAIR set (word-3-gram Jaccard >= threshold)
+    for ``sf_dir`` exists on disk; return its parquet path.
+
+    Pair detection is the second ETL boundary of the dedup pipeline:
+    the candidate join over the shingle index is the expensive pass,
+    and its product — (src, dst) doc pairs, dup-pair-bounded, tiny
+    relative to the corpus — feeds cluster resolution, canonical-keeper
+    selection AND split assignment. Same content-addressing as the
+    shingle index (the store dir key already folds in the documents
+    file's path/size/mtime), keyed additionally by the threshold;
+    atomic tmp+rename, idempotent."""
+    base = materialize_text_index(spark, sf_dir)
+    name = f"dup_pairs_t{int(round(threshold * 100))}.parquet"
+    target = os.path.join(base, name)
+    if os.path.isdir(target) and not force:
+        return target
+    from github_miner_spark.functions.dedup import jaccard_pairs
+    from github_miner_spark.io.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="building-pairs-", dir=STORE_ROOT)
+    try:
+        docs = load_table(spark, "documents", sf_dir)
+        idx = spark.read.parquet(os.path.join(base, "shingles.parquet"))
+        pairs = jaccard_pairs(docs, threshold=threshold, index=idx).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        out = os.path.join(tmp, name)
+        pairs.write.mode("overwrite").parquet(out)
+        if force and os.path.isdir(target):
+            shutil.rmtree(target)
+        try:
+            os.rename(out, target)
+        except OSError:
+            pass
+        return target
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def load_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """(src, dst) near-dup doc pairs from the materialized store."""
+    return spark.read.parquet(materialize_dup_pairs(spark, sf_dir, threshold))

@@ -241,15 +241,13 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard", "clusters", "graph"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text_store import load_dup_pairs
     from github_miner_spark.graph.algorithms import connected_components
 
-    docs = load_table(spark, "documents", sf_dir)
-    from github_miner_spark.functions.text_store import load_shingle_index
-
-    idx = load_shingle_index(spark, sf_dir)
-    pairs = jaccard_pairs(docs, threshold=0.8, index=idx).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    # the pair set is the dedup pipeline's second materialization
+    # boundary (after the shingle index): detected once per corpus,
+    # consumed by cluster resolution AND split assignment
+    pairs = load_dup_pairs(spark, sf_dir, threshold=0.8)
     comp = connected_components(pairs)
     return (
         comp.groupBy(F.col("component").alias("canonical_doc"))
@@ -302,14 +300,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def leakage_free_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_miner_spark.functions.text import token_hash
-    from github_miner_spark.functions.text_store import load_shingle_index
+    from github_miner_spark.functions.text_store import load_dup_pairs
     from github_miner_spark.graph.algorithms import connected_components
 
     docs = load_table(spark, "documents", sf_dir)
-    idx = load_shingle_index(spark, sf_dir)
-    pairs = jaccard_pairs(docs, threshold=0.8, index=idx).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    pairs = load_dup_pairs(spark, sf_dir, threshold=0.8)
     comp = connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
