@@ -125,3 +125,36 @@ def test_text_store_content_addressing(spark, tmp_path):
     assert p3 != p1
     idx = text_store.load_shingle_index(spark, str(src))
     assert idx.select("doc_id").distinct().count() <= 5
+
+
+def test_dup_pair_store_idempotent_and_matches_inline(spark, tmp_path, monkeypatch):
+    """The materialized near-dup pair set must (a) reuse its store on a
+    second call, (b) key on the Jaccard threshold, and (c) contain
+    exactly the pairs the inline candidate join detects."""
+    import shutil
+
+    from github_miner_spark.functions import text_store
+    from github_miner_spark.functions.dedup import jaccard_pairs
+    from github_miner_spark.io.tables import load_table
+
+    monkeypatch.setattr(text_store, "STORE_ROOT", str(tmp_path))
+    src = tmp_path / "corpus"
+    src.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src / "documents.parquet")
+
+    p1 = text_store.materialize_dup_pairs(spark, str(src), threshold=0.8)
+    p2 = text_store.materialize_dup_pairs(spark, str(src), threshold=0.8)
+    assert p1 == p2
+    p_low = text_store.materialize_dup_pairs(spark, str(src), threshold=0.5)
+    assert p_low != p1
+
+    stored = sorted(
+        map(tuple, text_store.load_dup_pairs(spark, str(src), 0.8).collect())
+    )
+    docs = load_table(spark, "documents", str(src))
+    idx = text_store.load_shingle_index(spark, str(src))
+    inline = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.8, index=idx).collect()
+    )
+    assert stored == inline and len(stored) > 0
