@@ -414,3 +414,23 @@ def test_percentile_approx_matches_exact_within_tolerance(spark):
     ).collect()[0]
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) / e < 0.01, (e, a)
+
+
+def test_sketch_distinct_contracts(spark):
+    """The documented 100 TB paths for distinct-user rollups
+    (events_daily_active_users computes exact counts; at scale the
+    swap-ins are approx_count_distinct and the MERGEABLE datasketches
+    HLL, whose per-partition sketches union without a second pass).
+    Both must track the exact distinct count within 5%."""
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.io.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.01")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("hll"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05, row
+    assert abs(row["hll"] - row["exact"]) / row["exact"] < 0.05, row
