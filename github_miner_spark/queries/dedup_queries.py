@@ -329,3 +329,49 @@ def leakage_free_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("split")
     )
+
+
+@register(
+    "near_dup_rate_by_source",
+    oracle=DUCK_SHINGLES_CTE
+    + """
+    , dup_edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.8),
+    dup_docs AS (SELECT DISTINCT v FROM (SELECT src AS v FROM dup_edges
+                                         UNION ALL SELECT dst FROM dup_edges))
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dd.v) AS BIGINT) AS n_near_dup,
+           round(count(dd.v) * 1.0 / count(*), 6) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.v = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    description="Near-duplication rate per ingest source: fraction of "
+    "each source's documents that participate in at least one "
+    "Jaccard>=0.8 pair — the per-provider quality signal a curation "
+    "pipeline tracks to decide which feeds need dedup attention. Reads "
+    "the materialized dup-pair store (pair detection is ETL, see "
+    "functions/text_store.py); the dup-doc set is pair-bounded and "
+    "broadcast into one corpus pass.",
+    tags=("dedup", "curation", "sources"),
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text_store import load_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = load_dup_pairs(spark, sf_dir, threshold=0.8)
+    dup_docs = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.join(F.broadcast(dup_docs), "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_dup").alias("n_near_dup"),
+            F.round(F.count("is_dup") * 1.0 / F.count("*"), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -522,3 +522,40 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "top_value_part_types",
+    oracle="""
+    SELECT p.p_type,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_type
+    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) >
+           (SELECT 0.1 * sum(l2.l_extendedprice * (1 - l2.l_discount)) FROM lineitem l2)
+    ORDER BY revenue DESC, p_type
+    """,
+    description="TPC-H Q11 shape: grouped revenue with a HAVING gate "
+    "against a scalar subquery (part types carrying more than 10% of "
+    "total discounted revenue). The scalar total is one extra "
+    "aggregate broadcast into the filter; the part dimension "
+    "broadcasts into the fact scan — two passes total, both "
+    "full-scan-shaped, no correlated re-execution.",
+    tags=("relational", "agg", "having"),
+)
+def top_value_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    total = li.agg((0.1 * F.sum(rev)).alias("gate"))
+    by_type = (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum(rev).alias("raw_revenue"))
+    )
+    return (
+        by_type.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_revenue") > F.col("gate"))
+        .select("p_type", F.round("raw_revenue", 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "p_type")
+    )

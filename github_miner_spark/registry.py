@@ -82,6 +82,11 @@ def load_all() -> None:
 # (pricing/shipping/regional/customer-outer/supplier-rollup relational
 # headliners plus the untouched r03 greens) carry fresh r03 rows and
 # stay in the local oracle sweep.
+# Registered AFTER this round's window filled (every slot re-witnesses
+# a changed implementation, a repaired red, or a query new this round):
+# top_value_part_types, near_dup_rate_by_source. They are green in the
+# local sf0.01 oracle sweep and MUST LEAD the round-5 rotation as its
+# "(a) never driver-verified" group.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-verified ------------------------------------
     "embedding_int8_topk",
