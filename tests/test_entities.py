@@ -52,3 +52,45 @@ def test_entity_graph_answers_reference_queries(spark):
     )
     reach = reachable_set(mm, roots=[mm.select("src").first()["src"]])
     assert reach.count() >= 3  # the 3-cycle fully explored, no hang
+
+
+def test_events_ts_loader_handles_us_and_ns_parquet(spark, tmp_path):
+    """Regression guard for round 3's one wrong-answer bug: the events
+    loader assumed parquet TIMESTAMP(NANOS) and divided every
+    microsecond timestamp by 1000, collapsing all sessions/days. The
+    footer-sniffed gate must (a) read the real timestamp[us] testdata
+    verbatim and (b) still rescale a genuinely ns-typed file to the
+    same instants (ns -> us truncation)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from github_miner_spark.io.tables import _events_ts_is_nanos, load_table
+
+    us_dir = tmp_path / "us"
+    us_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", us_dir / "events.parquet")
+    assert not _events_ts_is_nanos(str(us_dir / "events.parquet"))
+
+    tbl = pq.read_table(str(us_dir / "events.parquet"))
+    want = {
+        (i.as_py(), ts.as_py()) for i, ts in zip(tbl["event_id"], tbl["ts"])
+    }
+    got_us = {
+        (r["event_id"], r["ts"])
+        for r in load_table(spark, "events", str(us_dir)).select("event_id", "ts").collect()
+    }
+    assert got_us == want
+
+    ns_dir = tmp_path / "ns"
+    ns_dir.mkdir()
+    idx = tbl.schema.get_field_index("ts")
+    ns_tbl = tbl.set_column(idx, "ts", tbl["ts"].cast(pa.timestamp("ns")))
+    pq.write_table(ns_tbl, str(ns_dir / "events.parquet"), store_schema=False)
+    assert _events_ts_is_nanos(str(ns_dir / "events.parquet"))
+    got_ns = {
+        (r["event_id"], r["ts"])
+        for r in load_table(spark, "events", str(ns_dir)).select("event_id", "ts").collect()
+    }
+    assert got_ns == want
