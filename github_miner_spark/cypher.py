@@ -721,12 +721,123 @@ def _run_shortest_paths(graph: PropertyGraph, m: re.Match) -> DataFrame:
     )
 
 
+# MATCH p = (a ...)-[:R*]->(b ...) RETURN <p-as-value> — the unbounded
+# path-ENUMERATION forms of the reference corpus (RETURN dependencyGraph,
+# documentation/queries.md:25-28; the nodes(p) name-chain, :363-365).
+# count(p) over the same pattern stays with the main compiler's
+# closure-multiplicity fold; only VALUE references of the path variable
+# route here.
+_PATH_ENUM_RE = re.compile(
+    r"^MATCH\s+(?P<pv>\w+)\s*=\s*(?P<a>\([^)]*\))\s*-\s*\[\s*:(?P<rel>\w+)\s*\*\s*\]"
+    r"\s*->\s*(?P<b>\([^)]*\))\s*RETURN\s+(?P<ret>.+)$"
+)
+
+
+def _anchor_frame(graph: PropertyGraph, node_text: str) -> DataFrame:
+    """Vertices matching a node pattern, as a DataFrame (id) — the
+    non-collecting twin of _resolve_anchor for terminal-node filters."""
+    nm = _NODE_RE.match(node_text)
+    if not nm:
+        raise ValueError(f"expected node pattern at: {node_text!r}")
+    v = graph.vertices
+    if nm.group("label"):
+        v = v.filter(F.col("label") == nm.group("label"))
+    if nm.group("props"):
+        body = nm.group("props")[1:-1]
+        for kv in _split_top_level(body, ","):
+            k, _, val = kv.partition(":")
+            k, lit = k.strip(), _literal(val.strip())
+            col = F.col(k) if (k == "id" or k in v.columns) else F.lit(None).cast("string")
+            v = v.filter(col == F.lit(lit))
+    return v.select("id")
+
+
+def _run_path_enumeration(graph: PropertyGraph, m: re.Match) -> DataFrame:
+    from github_miner_spark.graph.paths import enumerate_simple_paths
+
+    pv, ret = m.group("pv"), m.group("ret").strip()
+    a_ids = _resolve_anchor(graph, m.group("a"))
+    if not a_ids:
+        paths = graph.vertices.sparkSession.createDataFrame(
+            [], "path array<bigint>, length int"
+        )
+    elif len(a_ids) > 64:
+        raise NotImplementedError(
+            "path-enumeration source anchor resolves to >64 vertices — "
+            "constrain it, or call graph.paths.enumerate_simple_paths per root"
+        )
+    else:
+        edges = graph.edges.filter(F.col("rel_type") == m.group("rel")).select("src", "dst")
+        end = _anchor_frame(graph, m.group("b"))
+        parts = [enumerate_simple_paths(edges, a, end_nodes=end) for a in a_ids]
+        paths = parts[0]
+        for p in parts[1:]:
+            paths = paths.unionByName(p)
+    if ret == pv:
+        return paths.orderBy("length", "path").select(F.col("path").alias(pv), "length")
+    # the depsChain form: <avar>.<prop>, [node in nodes(<pv>) | node.<prop>] AS <alias>
+    nm_a = _NODE_RE.match(m.group("a"))
+    avar = nm_a.group("var") if nm_a else ""
+    cm = re.match(
+        rf"^{re.escape(avar)}\.(?P<aprop>\w+)\s*,\s*\[\s*(?P<it>\w+)\s+in\s+nodes\s*\(\s*"
+        rf"{re.escape(pv)}\s*\)\s*\|\s*(?P=it)\.(?P<nprop>\w+)\s*\]"
+        rf"(?:\s+AS\s+(?P<al>\w+))?$",
+        ret,
+        re.IGNORECASE,
+    )
+    if not cm:
+        raise NotImplementedError(
+            f"path-value RETURN supports the path variable itself or "
+            f"'<a>.<prop>, [n in nodes({pv}) | n.<prop>] AS alias', got: {ret!r}"
+        )
+    nprop, alias = cm.group("nprop"), cm.group("al") or "depsChain"
+    names = graph.vertices.select(
+        "id",
+        (F.col(nprop) if nprop in graph.vertices.columns else F.lit(None).cast("string")).alias(
+            "_nprop"
+        ),
+    )
+    exploded = paths.select("path", F.posexplode("path").alias("pos", "id")).join(
+        names, "id", "left_outer"
+    )
+    chains = (
+        exploded.groupBy("path")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_nprop"))).alias("ps"))
+        .select(
+            "path", F.transform(F.col("ps"), lambda s: s["_nprop"]).alias(alias)
+        )
+    )
+    # the anchor property is constant over a unique anchor; resolve per
+    # path from its first node so multi-anchor unions stay correct
+    aprop = cm.group("aprop")
+    first = graph.vertices.select(
+        F.col("id").alias("_fid"),
+        (F.col(aprop) if aprop in graph.vertices.columns else F.lit(None).cast("string")).alias(
+            f"{avar}_{aprop}"
+        ),
+    )
+    return (
+        chains.join(first, chains["path"][0] == F.col("_fid"))
+        .select(f"{avar}_{aprop}", alias, "path")
+        .orderBy("path")
+        .drop("path")
+    )
+
+
 def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     """Execute a cypher_lite query against the property graph."""
     q = re.sub(r"\s+", " ", query.strip())
     sp = _SHORTEST_RE.match(q)
     if sp:
         return _run_shortest_paths(graph, sp)
+    pe = _PATH_ENUM_RE.match(q)
+    if pe and not re.match(
+        r"^count\s*\(", pe.group("ret").strip(), re.IGNORECASE
+    ) and (
+        pe.group("ret").strip() == pe.group("pv")
+        or re.search(rf"nodes\s*\(\s*{re.escape(pe.group('pv'))}\s*\)", pe.group("ret"))
+    ):
+        return _run_path_enumeration(graph, pe)
     low = q.lower()
     for marker, hint in _UNSUPPORTED.items():
         if marker in low:

@@ -734,3 +734,68 @@ def all_shortest_paths_multi(
         done.append(frontier.filter(F.col("node") == F.col("target")))
     out = reduce(lambda a, b: a.unionByName(b), done)
     return out.join(len_df, "target").select("target", "path", "length")
+
+
+def enumerate_simple_paths(
+    edges: DataFrame,
+    root: int,
+    max_iter: int = 1000,
+    end_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Enumerate EVERY simple path of length >= 1 out of ``root`` as a
+    node-id array: (path array<bigint>, length int) — Cypher's
+    ``MATCH p = (a)-[:R*]->(b) RETURN p`` with ``b`` unconstrained
+    binds every intermediate node, so every reachable prefix is a row
+    (reference documentation/queries.md:25-28 RETURN dependencyGraph;
+    :363-365 depsChain).
+
+    Simple-path (node-uniqueness) semantics: termination is structural
+    via the array_contains guard, with ``max_iter`` as the backstop.
+    Cypher's relationship-uniqueness coincides with this on acyclic
+    reachable subgraphs — the dependency-corpus case; the closure
+    operators' cycle contract (RuntimeError) covers the counting
+    surface. Work is proportional to the OUTPUT (the number of simple
+    paths), the same bound the reference's own 321k-path query pays.
+
+    ``end_nodes``: optional (id) DataFrame — keep only paths ENDING in
+    this set (a label-constrained terminal node), applied after
+    enumeration so intermediate expansion is unaffected."""
+    e = edges.select("src", "dst")
+    frontier = (
+        e.filter(F.col("src") == root)
+        .select(
+            F.col("dst").alias("node"),
+            F.array(F.lit(root).cast("bigint"), F.col("dst").cast("bigint")).alias("path"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier]
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        frontier = (
+            frontier.join(e, frontier.node == e.src)
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(
+                F.col("dst").alias("node"),
+                F.concat(F.col("path"), F.array(F.col("dst").cast("bigint"))).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if not frontier.isEmpty():
+            levels.append(frontier)
+        else:
+            break
+    else:
+        raise RuntimeError(
+            f"enumerate_simple_paths did not exhaust the frontier within "
+            f"{max_iter} levels — refusing to return a truncated path set"
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    if end_nodes is not None:
+        out = out.join(
+            end_nodes.select(F.col("id").alias("node")).distinct(), "node", "left_semi"
+        )
+    return out.select("path", (F.size("path") - 1).alias("length"))

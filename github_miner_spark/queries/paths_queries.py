@@ -299,3 +299,40 @@ def harmonic_centrality_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("harmonic").desc(), "root")
         .limit(20)
     )
+
+
+@register(
+    "dependency_graph_paths",
+    oracle=GRAPH_ORACLE_CTES
+    + f"""
+    , pwalk(node, chain) AS (
+        SELECT dst, [CAST({ANCHOR_MODULE} AS BIGINT), dst] FROM mm_edges
+        WHERE src = {ANCHOR_MODULE}
+        UNION ALL
+        SELECT e.dst, list_append(w.chain, e.dst)
+        FROM pwalk w JOIN mm_edges e ON e.src = w.node
+        WHERE NOT list_contains(w.chain, e.dst)
+    )
+    SELECT array_to_string(chain, '|') AS chain,
+           CAST(len(chain) - 1 AS INT) AS length
+    FROM pwalk ORDER BY chain
+    """,
+    description="The reference's FIRST documented query (MATCH "
+    "dependencyGraph=(a)-[:DEPENDS_ON*]->(child) RETURN dependencyGraph, "
+    "documentation/queries.md:25-28): EVERY simple path of length >= 1 "
+    "out of the anchor — each reachable prefix is a row, the "
+    "output-proportional enumeration behind the corpus's 321k-path "
+    "statistics. Engine = graph.paths.enumerate_simple_paths (frontier "
+    "loop, array-containment guard, one checkpoint per level); chains "
+    "'|'-serialized for the driver canonicalizer.",
+    tags=("graph", "paths", "enumeration", "iterative"),
+)
+def dependency_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.graph.paths import enumerate_simple_paths
+
+    g = load_graph(spark, sf_dir)
+    paths = enumerate_simple_paths(g.module_dep_edges(), ANCHOR_MODULE)
+    return paths.select(
+        F.concat_ws("|", F.col("path").cast("array<string>")).alias("chain"),
+        F.col("length").cast("int").alias("length"),
+    ).orderBy("chain")

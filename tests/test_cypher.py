@@ -636,9 +636,11 @@ def test_reference_corpus_sweep(spark):
         except NotImplementedError:
             notimpl += 1
     # parse errors / analysis exceptions propagate and fail the test
-    # round 4: allShortestPaths((a)-[:R*]->(b)) now compiles onto
-    # graph.paths.all_shortest_paths, moving the corpus floor 28 -> 29
-    assert ok >= 29, (ok, notimpl)
+    # round 4: allShortestPaths((a)-[:R*]->(b)) compiles onto
+    # graph.paths.all_shortest_paths, and the path-VALUE forms (RETURN
+    # dependencyGraph, the nodes(p) name-chain) onto
+    # enumerate_simple_paths — corpus floor 28 -> 31
+    assert ok >= 31, (ok, notimpl)
 
 
 def test_count_path_variable_counts_paths(spark):
@@ -694,5 +696,44 @@ def test_all_shortest_paths_cypher_form(spark):
         "MATCH paths = allShortestPaths((a:GitRepo "
         "{ full_name:'rossanthony/github-miner' })-[:DEPENDS_ON*]->"
         "(b:NodeModule { name:'assert-plus' })) RETURN paths"
+    )
+    assert run_cypher(g, verbatim).count() == 0
+
+
+def test_path_enumeration_cypher_forms(spark):
+    """MATCH p = (a)-[:R*]->(b) with p returned AS A VALUE compiles onto
+    enumerate_simple_paths: RETURN p yields (path, length) rows for
+    every reachable prefix, the nodes(p) comprehension maps ids to the
+    requested property, and count() over the same pattern still routes
+    to the closure fold — the two must agree on acyclic anchors."""
+    g = load_graph(spark, SF)
+    e = g.edges.filter(
+        "rel_type='DEPENDS_ON' and src_label='NodeModule'"
+    ).limit(1).collect()[0]
+    src = e["src"]
+    base = f"MATCH p=(n1:NodeModule {{id: {src}}})-[:DEPENDS_ON*]->(n2:NodeModule) "
+    rows = run_cypher(g, base + "RETURN p").collect()
+    assert rows and all(r["p"][0] == src for r in rows)
+    assert all(len(r["p"]) == r["length"] + 1 for r in rows)
+    assert all(len(set(r["p"])) == len(r["p"]) for r in rows)  # simple paths
+
+    chains = run_cypher(
+        g, base + "RETURN n1.name, [node in nodes(p) | node.name] as depsChain"
+    ).collect()
+    assert len(chains) == len(rows)
+    assert all(len(c["depsChain"]) >= 2 for c in chains)
+
+    counted = run_cypher(
+        g,
+        f"MATCH (a:NodeModule {{id: {src}}})-[:DEPENDS_ON*]->(b) RETURN count(b)",
+    ).collect()[0][0]
+    assert counted == len(rows)
+
+    # the reference's first documented query runs verbatim (full_name is
+    # not a stored property -> empty result, never a raise)
+    verbatim = (
+        "MATCH dependencyGraph=(a:GitRepo {\n"
+        "\tfull_name:'rossanthony/github-miner'\n"
+        "})-[:DEPENDS_ON*]->(child:NodeModule) RETURN dependencyGraph"
     )
     assert run_cypher(g, verbatim).count() == 0
