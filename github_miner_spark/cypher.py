@@ -824,12 +824,80 @@ def _run_path_enumeration(graph: PropertyGraph, m: re.Match) -> DataFrame:
     )
 
 
+# MATCH (p1 ...) MATCH (p2 ...) RETURN algo.linkprediction.<fn>(p1, p2)
+# — the Neo4j link-prediction function calls of the reference corpus
+# (documentation/queries.md:100-118), compiled onto the same degree /
+# common-neighbor aggregates as the link_prediction_scores operator
+# (queries/algorithms_queries.py). Neo4j's default: UNDIRECTED degree
+# over ALL relationship types.
+_LINKPRED_RE = re.compile(
+    r"^MATCH\s+(?P<n1>\([^)]*\))\s+MATCH\s+(?P<n2>\([^)]*\))\s+RETURN\s+"
+    r"algo\.linkprediction\.(?P<fn>\w+)\s*\(\s*(?P<v1>\w+)\s*,\s*(?P<v2>\w+)\s*\)"
+    r"(?:\s+AS\s+(?P<al>\w+))?$"
+)
+
+
+def _run_linkprediction(graph: PropertyGraph, m: re.Match) -> DataFrame:
+    import math
+
+    fn, alias = m.group("fn"), m.group("al") or "score"
+    a_ids = _resolve_anchor(graph, m.group("n1"))
+    b_ids = _resolve_anchor(graph, m.group("n2"))
+    spark = graph.vertices.sparkSession
+    if len(a_ids) != 1 or len(b_ids) != 1:
+        if not a_ids or not b_ids:
+            return spark.createDataFrame([], f"{alias} double")
+        raise NotImplementedError(
+            "algo.linkprediction anchors must resolve uniquely — use the "
+            "pairwise link_prediction_scores operator for candidate sets"
+        )
+    a, b = a_ids[0], b_ids[0]
+    und = (
+        graph.edges.select("src", "dst")
+        .unionByName(
+            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nbrs = {
+        v: {r["dst"] for r in und.filter(F.col("src") == v).collect()}
+        for v in (a, b)
+    }
+    if fn == "preferentialAttachment":
+        score = float(len(nbrs[a]) * len(nbrs[b]))
+    elif fn == "commonNeighbors":
+        score = float(len(nbrs[a] & nbrs[b]))
+    elif fn == "adamicAdar":
+        shared = nbrs[a] & nbrs[b]
+        if shared:
+            degs = {
+                r["src"]: r["n"]
+                for r in und.filter(F.col("src").isin(list(shared)))
+                .groupBy("src")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            score = float(sum(1.0 / math.log(degs[z]) for z in shared if degs.get(z, 0) > 1))
+        else:
+            score = 0.0
+    else:
+        raise NotImplementedError(
+            f"algo.linkprediction.{fn} — supported: preferentialAttachment, "
+            "commonNeighbors, adamicAdar (see link_prediction_scores)"
+        )
+    return spark.createDataFrame([(score,)], f"{alias} double")
+
+
 def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     """Execute a cypher_lite query against the property graph."""
     q = re.sub(r"\s+", " ", query.strip())
     sp = _SHORTEST_RE.match(q)
     if sp:
         return _run_shortest_paths(graph, sp)
+    lp = _LINKPRED_RE.match(q)
+    if lp:
+        return _run_linkprediction(graph, lp)
     pe = _PATH_ENUM_RE.match(q)
     if pe and not re.match(
         r"^count\s*\(", pe.group("ret").strip(), re.IGNORECASE
