@@ -244,3 +244,69 @@ def interval_join_stream(
         ),
         "inner",
     ).select("purchase_id", F.col("p_user").alias("user_id"), "vts")
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id bigint, stage_reached int, signup_ts timestamp, purchase_ts timestamp"
+)
+FUNNEL_STATE_SCHEMA = "t1 bigint, t2 bigint, t3 bigint, t4 bigint"
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming funnel: per-user signup -> view -> click ->
+    purchase stage machine via applyInPandasWithState — the streaming
+    twin of the batch events_funnel (queries/events_queries.py).
+
+    State per user = the four stage timestamps in epoch micros (-1 =
+    not reached). Each batch's events are concatenated and processed in
+    ts order (the sessionizer's multi-chunk lesson), and a stage fires
+    on the FIRST qualifying event at-or-after the previous stage's
+    time — which equals the batch twin's min-aggregate chain when
+    events arrive in order (an availableNow drain sees every event in
+    one sorted pass; in continuous mode a late earlier-stage event
+    cannot retract an already-advanced machine, the standard streaming
+    relaxation). Emits the user's current stage each batch; memory is
+    four longs per user, bounded by the user set."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def advance(key, pdf_iter, state: GroupState):
+        user_id = key[0]
+        t = list(state.get) if state.exists else [-1, -1, -1, -1]
+        chunks = [pdf[["ts", "event_type"]] for pdf in pdf_iter]
+        if chunks:
+            ev = pd.concat(chunks).sort_values("ts")
+            for ts, etype in zip(ev["ts"], ev["event_type"]):
+                if etype not in _FUNNEL_STAGES:
+                    continue
+                i = _FUNNEL_STAGES.index(etype)
+                us = int(ts.value // 1_000)
+                if i == 0:
+                    if t[0] < 0:
+                        t[0] = us
+                elif t[i] < 0 and t[i - 1] >= 0 and us >= t[i - 1]:
+                    t[i] = us
+        state.update(tuple(t))
+        stage = sum(1 for x in t if x >= 0)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "stage_reached": [stage],
+                "signup_ts": [pd.Timestamp(t[0], unit="us") if t[0] >= 0 else pd.NaT],
+                "purchase_ts": [pd.Timestamp(t[3], unit="us") if t[3] >= 0 else pd.NaT],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            advance,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

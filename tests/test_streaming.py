@@ -287,3 +287,35 @@ def test_sliding_window_stream_matches_batch(spark):
     assert set(got) == set(want) and len(want) > 0
     for k, (n, tv) in want.items():
         assert got[k][0] == n and abs(got[k][1] - tv) < 1e-6
+
+
+def test_stateful_funnel_stream_matches_batch(spark):
+    """The streaming stage machine drained with availableNow must agree
+    with the batch min-aggregate funnel: same per-stage user counts and
+    the same end-to-end converter set."""
+    from github_miner_spark.queries.events_queries import events_funnel
+    from github_miner_spark.streaming.events import funnel_stream
+
+    stream = funnel_stream(stream_events(spark, SF))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_funnel")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM t_funnel").collect()
+    # one availableNow batch -> exactly one row per user with events
+    assert len({r.user_id for r in rows}) == len(rows)
+    got = [sum(1 for r in rows if r.stage_reached >= k) for k in (1, 2, 3, 4)]
+    b = events_funnel(spark, SF).collect()[0]
+    assert got == [b["n_signup"], b["n_viewed"], b["n_clicked"], b["n_purchased"]], (
+        got,
+        b,
+    )
+    assert all(
+        r.purchase_ts is not None for r in rows if r.stage_reached == 4
+    )
