@@ -770,8 +770,9 @@ def enumerate_simple_paths(
         .localCheckpoint(eager=True)
     )
     levels = [frontier]
+    alive = not frontier.isEmpty()
     for _ in range(max_iter):
-        if frontier.isEmpty():
+        if not alive:
             break
         frontier = (
             frontier.join(e, frontier.node == e.src)
@@ -782,15 +783,18 @@ def enumerate_simple_paths(
             )
             .localCheckpoint(eager=True)
         )
-        if not frontier.isEmpty():
+        # ONE driver action per level: the checkpoint materialized the
+        # level, so count() is metadata-cheap and doubles as the
+        # emptiness probe
+        alive = frontier.count() > 0
+        if alive:
             levels.append(frontier)
-        else:
-            break
     else:
-        raise RuntimeError(
-            f"enumerate_simple_paths did not exhaust the frontier within "
-            f"{max_iter} levels — refusing to return a truncated path set"
-        )
+        if alive:
+            raise RuntimeError(
+                f"enumerate_simple_paths did not exhaust the frontier within "
+                f"{max_iter} levels — refusing to return a truncated path set"
+            )
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
