@@ -759,8 +759,51 @@ def enumerate_simple_paths(
 
     ``end_nodes``: optional (id) DataFrame — keep only paths ENDING in
     this set (a label-constrained terminal node), applied after
-    enumeration so intermediate expansion is unaffected."""
-    e = edges.select("src", "dst")
+    enumeration so intermediate expansion is unaffected.
+
+    Hybrid (README: anchored-probe policy): under the closure driver
+    gate (edge slice <= DRIVER_CLOSURE_EDGES) the slice collects and an
+    iterative DFS enumerates in-driver — identical path set, output-
+    proportional either way; the level loop below engages unchanged
+    beyond it."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    if e.count() <= DRIVER_CLOSURE_EDGES:
+        # keep duplicate (src, dst) rows: parallel relationships
+        # multiply paths in the distributed join exactly as in Cypher,
+        # and the driver twin must agree row-for-row
+        adj: dict[int, list[int]] = {}
+        for r in e.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        for ns in adj.values():
+            ns.sort()
+        keep = None
+        if end_nodes is not None:
+            keep = {r["id"] for r in end_nodes.select("id").distinct().collect()}
+        out_rows: list[tuple[list[int], int]] = []
+        stack: list[int] = [root]
+        on_path = {root}
+
+        def emit_from(node: int) -> None:
+            for nxt in adj.get(node, ()):
+                if nxt in on_path:
+                    continue
+                stack.append(nxt)
+                on_path.add(nxt)
+                if keep is None or nxt in keep:
+                    out_rows.append((list(stack), len(stack) - 1))
+                emit_from(nxt)
+                on_path.discard(stack.pop())
+
+        import sys as _sys
+
+        old_limit = _sys.getrecursionlimit()
+        _sys.setrecursionlimit(max(old_limit, 10_000))
+        try:
+            emit_from(root)
+        finally:
+            _sys.setrecursionlimit(old_limit)
+        return spark.createDataFrame(out_rows, "path array<bigint>, length int")
     frontier = (
         e.filter(F.col("src") == root)
         .select(

@@ -127,3 +127,29 @@ def test_asp_driver_path_matches_distributed(spark, monkeypatch):
         for r in P.all_shortest_paths_multi(mm, 2, targets).collect()
     }
     assert driver == dist and len(driver) > 0
+
+
+def test_enumerate_simple_paths_driver_matches_distributed(spark):
+    """The hybrid gate must be invisible for path enumeration: driver
+    DFS and the distributed level loop emit the identical path multiset
+    — including duplicate paths from PARALLEL edges, which multiply in
+    both paths exactly as Cypher relationship semantics require."""
+    import github_miner_spark.graph.paths as P
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (2, 4), (3, 4), (1, 4), (4, 5)],
+        "src bigint, dst bigint",
+    )
+    fast = sorted((tuple(r["path"]), r["length"]) for r in P.enumerate_simple_paths(edges, 1).collect())
+    saved = P.DRIVER_CLOSURE_EDGES
+    try:
+        P.DRIVER_CLOSURE_EDGES = 0
+        slow = sorted(
+            (tuple(r["path"]), r["length"])
+            for r in P.enumerate_simple_paths(edges, 1).collect()
+        )
+    finally:
+        P.DRIVER_CLOSURE_EDGES = saved
+    assert fast == slow and len(fast) > 0
+    # the doubled 1->2 edge doubles every path through it
+    assert fast.count(((1, 2), 1)) == 2
