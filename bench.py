@@ -57,6 +57,7 @@ HEADLINE = [
     "k_core_decomposition",
     "leakage_free_split_assignment",
     "events_funnel",
+    "dependency_graph_paths",
 ]
 
 
