@@ -81,6 +81,28 @@ _SHORTEST_RE = re.compile(
     r"(?P<b>\([^)]*\))\s*\)\s*RETURN\s+(?P<ret>.+)$"
 )
 
+# MATCH p = (a)-[:REL*0|*]->(b) [WHERE ...] [WITH p LIMIT n]
+# WITH collect(p) AS paths CALL apoc.gephi.add(host, ws, paths)
+# YIELD nodes, relationships, time RETURN nodes, relationships, time —
+# the reference's Gephi streaming shape (documentation/queries.md:
+# 200-210, 350-358), compiled onto io/sinks gephi event lines instead
+# of the apoc HTTP POST. apoc collects the paths on the server before
+# posting; this engine streams the DEDUPED node/edge event set straight
+# from the distributed frames (what Gephi renders anyway), so there is
+# no driver-side path collect at any scale.
+_GEPHI_RE = re.compile(
+    r"^MATCH\s+(?P<pv>\w+)\s*=\s*(?P<a>\([^)]*\))\s*-\s*\[\s*:(?P<rel>\w+)\s*"
+    r"\*\s*(?P<lo>\d+)?\s*\]\s*->\s*(?P<b>\([^)]*\))\s*"
+    r"(?:WHERE\s+(?P<where>.+?)\s+)?"
+    r"(?:WITH\s+(?P=pv)\s+LIMIT\s+(?P<cap>\d+)\s+)?"
+    r"WITH\s+collect\s*\(\s*(?P=pv)\s*\)\s+AS\s+(?P<pathsvar>\w+)\s+"
+    r"CALL\s+apoc\.gephi\.add\s*\(\s*'(?P<host>[^']*)'\s*,\s*'(?P<ws>[^']*)'\s*,"
+    r"\s*(?P=pathsvar)\s*\)\s+"
+    r"YIELD\s+nodes\s*,\s*relationships\s*,\s*time\s+"
+    r"RETURN\s+nodes\s*,\s*relationships\s*,\s*time$",
+    re.IGNORECASE,
+)
+
 _NODE_RE = re.compile(r"\(\s*(?P<var>\w*)\s*(?::\s*(?P<label>\w+))?\s*(?P<props>\{[^}]*\})?\s*\)")
 _EDGE_BODY = r"\[\s*(?P<var>\w*)\s*(?::\s*(?P<rels>\w+(?:\s*\|\s*\w+)*))?\s*(?P<star>\*[\d\s.]*)?\]"
 _EDGE_RIGHT_RE = re.compile(r"^-\s*" + _EDGE_BODY + r"\s*->")
@@ -889,9 +911,119 @@ def _run_linkprediction(graph: PropertyGraph, m: re.Match) -> DataFrame:
     return spark.createDataFrame([(score,)], f"{alias} double")
 
 
+def _run_gephi_stream(graph: PropertyGraph, m: re.Match) -> DataFrame:
+    """Compile the apoc.gephi.add path-streaming CALL onto the Gephi
+    event sink (io/sinks.py): the matched sub-graph's DEDUPED add-node /
+    add-edge event lines are written to
+    ``$SPARK_GRAFT_GEPHI_DIR/<workspace>/`` (the on-disk stand-in for
+    the live POST, like every other network edge in this sandbox), and
+    the query returns apoc's YIELD row (nodes, relationships, time).
+
+    apoc collects every path on the server first (``collect(p)``); this
+    engine never materializes paths — the streamed set is the reachable
+    edge frontier, computed distributed and deduped, which is exactly
+    the graph Gephi ends up rendering. The WITH p LIMIT cap therefore
+    bounds apoc's server-side collect, not this sink's event set.
+    """
+    import os as _os
+    import time as _time
+
+    from github_miner_spark.io.sinks import gephi_events, gephi_node_events
+
+    t0 = _time.perf_counter()
+    a_m = _NODE_RE.match(m.group("a").strip())
+    b_m = _NODE_RE.match(m.group("b").strip())
+    if not a_m or not b_m:
+        raise ValueError(f"expected node patterns: {m.group('a')!r} {m.group('b')!r}")
+    if b_m.group("props"):
+        raise NotImplementedError(
+            "cypher_lite gephi stream: property maps on the terminal "
+            "node are not covered — anchor the pattern on the left node"
+        )
+    avar = a_m.group("var")
+    v = graph.vertices
+    if a_m.group("label"):
+        v = v.filter(F.col("label") == a_m.group("label"))
+    if a_m.group("props"):
+        body = a_m.group("props")[1:-1]
+        for kv in _split_top_level(body, ","):
+            k, _, val = kv.partition(":")
+            k, lit = k.strip(), _literal(val.strip())
+            col = F.col(k) if (k == "id" or k in v.columns) else F.lit(None).cast("string")
+            v = v.filter(col == F.lit(lit))
+    if m.group("where"):
+        disj: Column | None = None
+        for term in re.split(r"\s+OR\s+", m.group("where"), flags=re.IGNORECASE):
+            tm = re.match(r"^(\w+)\.(\w+)\s*=\s*(\S+)$", term.strip())
+            if not tm or tm.group(1) != avar:
+                raise NotImplementedError(
+                    "cypher_lite gephi stream WHERE covers OR-joined "
+                    "<anchor>.<prop> = <literal> terms only"
+                )
+            # missing property (e.g. plugin-written n.community) is
+            # NULL: never equal, Neo4j semantics
+            col = (
+                F.col(tm.group(2))
+                if tm.group(2) in graph.vertices.columns
+                else F.lit(None).cast("string")
+            )
+            cond = col == F.lit(_literal(tm.group(3)))
+            disj = cond if disj is None else (disj | cond)
+        v = v.filter(disj)
+    anchors = v.select("id")
+
+    out_dir = _os.path.join(
+        _os.environ.get("SPARK_GRAFT_GEPHI_DIR", "/tmp/spark_graft_gephi"),
+        m.group("ws"),
+    )
+    lo = m.group("lo")
+    if lo == "0":
+        # zero-length paths: each path IS one matched node; the terminal
+        # pattern must hold on the same node
+        if b_m.group("label"):
+            anchors = v.filter(F.col("label") == b_m.group("label")).select("id")
+        if m.group("cap"):
+            anchors = anchors.limit(int(m.group("cap")))
+        n_nodes = anchors.distinct().count()
+        n_rels = 0
+        gephi_node_events(anchors).write.mode("overwrite").text(out_dir)
+    elif lo is None:
+        from github_miner_spark.graph.paths import reachable_set
+
+        e = graph.edges.filter(F.col("rel_type") == m.group("rel"))
+        if b_m.group("label"):
+            e = e.filter(F.col("dst_label") == b_m.group("label"))
+        ee = e.select("src", "dst")
+        reach = reachable_set(ee, anchors).select(F.col("node").alias("id"))
+        srcs = anchors.unionByName(reach).distinct().withColumnRenamed("id", "src")
+        sub = e.select("src", "dst", "rel_type").join(srcs, "src", "left_semi").distinct()
+        n_rels = sub.count()
+        n_nodes = (
+            sub.select(F.col("src").alias("id"))
+            .unionByName(sub.select(F.col("dst").alias("id")))
+            .distinct()
+            .count()
+        )
+        gephi_events(sub).write.mode("overwrite").text(out_dir)
+    else:
+        raise NotImplementedError(
+            "cypher_lite gephi stream covers [*0] and unbounded [*] — "
+            "fixed-k sub-graphs come from graph.paths.k_hop"
+        )
+    elapsed_ms = int((_time.perf_counter() - t0) * 1000)
+    spark = graph.vertices.sparkSession
+    return spark.createDataFrame(
+        [(n_nodes, n_rels, elapsed_ms)],
+        "nodes bigint, relationships bigint, time bigint",
+    )
+
+
 def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     """Execute a cypher_lite query against the property graph."""
     q = re.sub(r"\s+", " ", query.strip())
+    gm = _GEPHI_RE.match(q)
+    if gm:
+        return _run_gephi_stream(graph, gm)
     sp = _SHORTEST_RE.match(q)
     if sp:
         return _run_shortest_paths(graph, sp)
@@ -911,11 +1043,16 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
         if marker in low:
             raise NotImplementedError(f"cypher_lite does not cover {marker!r} — {hint}")
     if re.search(r"\b(detach\s+)?delete\b", low):
-        raise NotImplementedError(
-            "cypher_lite is read-only — deletes are the dedicated engine "
-            "operators (queries/graph_queries.py detach_delete_impact; "
-            "graph store rewrites in graph/store.py)"
+        # Writes return Neo4j-style update counters (one row); the
+        # mutated graph itself is available via
+        # graph.mutations.apply_cypher_deletes for chaining.
+        from github_miner_spark.graph.mutations import (
+            apply_cypher_deletes,
+            delete_counters_df,
         )
+
+        result = apply_cypher_deletes(graph, q)
+        return delete_counters_df(graph.vertices.sparkSession, result)
 
     # group clauses into WITH-terminated segments + the final RETURN
     clauses = _scan_clauses(q)

@@ -167,3 +167,22 @@ def gephi_stream_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def gephi_node_events(node_ids: DataFrame) -> DataFrame:
+    """Add-node event lines for a node-only sub-graph (the ``[*0]``
+    zero-length-path stream shape, reference documentation/
+    queries.md:200-210): one ``{"an": ...}`` line per node, no edges."""
+    return (
+        node_ids.select(F.col(node_ids.columns[0]).cast("string").alias("id"))
+        .distinct()
+        .select(
+            F.to_json(
+                F.struct(
+                    F.create_map(
+                        F.col("id"), F.struct(F.col("id").alias("label"))
+                    ).alias("an")
+                )
+            ).alias("value")
+        )
+    )

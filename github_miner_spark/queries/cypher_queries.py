@@ -159,3 +159,33 @@ def cypher_subdeps_per_devdep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count(n2) AS numOfDependencies "
         "ORDER BY numOfDependencies DESC, devDependency",
     )
+
+
+@register(
+    "cypher_delete_counters",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT
+      (SELECT count(*) FROM vertices
+       WHERE label IN ('GitUser', 'GitRepo')) AS nodes_deleted,
+      (SELECT count(*) FROM edges
+       WHERE src_label = 'GitRepo' OR dst_label = 'GitRepo') AS relationships_deleted
+    """,
+    description="The reference's graph-teardown script "
+    "(documentation/queries.md:246-252) as Cypher writes through "
+    "cypher_lite: DELETE compiles to anti-joins over a new immutable "
+    "(vertices, edges) pair (graph/mutations.py), returning Neo4j-style "
+    "update counters. The final statement is DETACH DELETE because this "
+    "graph's repos still source DEPENDS_ON edges — the plain DELETE "
+    "raises the same constraint error Neo4j would.",
+    tags=("cypher", "graph", "delete"),
+)
+def cypher_delete_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        "MATCH (:GitUser)-[r:OWNS]-(:GitRepo) DELETE r "
+        "MATCH (:NodeModule)-[r:HOSTED_ON]-(:GitRepo) DELETE r "
+        "MATCH (g:GitUser) DELETE g "
+        "MATCH (g:GitRepo) DETACH DELETE g",
+    )

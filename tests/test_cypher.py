@@ -635,16 +635,27 @@ def test_reference_corpus_sweep(spark):
             ok += 1
         except NotImplementedError:
             notimpl += 1
+        except ValueError as e:
+            # the reference's 4-statement teardown plain-DELETEs GitRepo
+            # nodes; on THIS graph repos still source DEPENDS_ON edges,
+            # so the faithful outcome is Neo4j's constraint error —
+            # behavior parity, not a gap
+            assert "DELETE" in q.upper() and "still has relationships" in str(e), (q, e)
+            ok += 1
     # parse errors / analysis exceptions propagate and fail the test
     # round 4: allShortestPaths((a)-[:R*]->(b)) compiles onto
     # graph.paths.all_shortest_paths, the path-VALUE forms (RETURN
     # dependencyGraph, the nodes(p) name-chain) onto
-    # enumerate_simple_paths, and algo.linkprediction.* function calls
-    # onto the link-prediction aggregates — corpus floor 28 -> 33; the
-    # 4 remaining raises are writes (DELETE/DETACH DELETE) and apoc
-    # streaming CALLs, which a read-only analytics engine refuses by
-    # design (the Gephi sink is io/sinks.gephi_stream_sink)
-    assert ok >= 33, (ok, notimpl)
+    # enumerate_simple_paths, algo.linkprediction.* function calls onto
+    # the link-prediction aggregates, DELETE / DETACH DELETE onto
+    # graph/mutations.py anti-joins (MATCH (n) DETACH DELETE n runs
+    # verbatim; the 4-statement teardown refuses at its GitRepo plain
+    # DELETE exactly where Neo4j would on this graph), and the two
+    # apoc.gephi.add path-streaming CALLs onto the Gephi event sink —
+    # EVERY query in the corpus now runs (or, for the teardown, refuses
+    # with Neo4j's own error on this graph); notimpl must be zero
+    assert notimpl == 0, (ok, notimpl)
+    assert ok == len(qs), (ok, len(qs))
 
 
 def test_count_path_variable_counts_paths(spark):
@@ -776,3 +787,151 @@ def test_linkprediction_function_calls(spark):
         "RETURN algo.linkprediction.preferentialAttachment(p1, p2) AS score"
     )
     assert run_cypher(g, verbatim).count() == 0
+
+
+def test_delete_relationship_by_type(spark):
+    """DELETE r removes exactly the matched rel_type edges (either
+    orientation for an undirected hop) and nothing else."""
+    from github_miner_spark.graph.mutations import apply_cypher_deletes
+
+    g = load_graph(spark, SF)
+    n_owns = g.edges.filter(F.col("rel_type") == "OWNS").count()
+    res = apply_cypher_deletes(g, "MATCH (:GitUser)-[r:OWNS]-(:GitRepo) DELETE r")
+    assert res.relationships_deleted == n_owns
+    assert res.nodes_deleted == 0
+    assert res.graph.edges.filter(F.col("rel_type") == "OWNS").count() == 0
+    assert res.graph.edges.count() == g.edges.count() - n_owns
+    assert res.graph.vertices.count() == g.vertices.count()
+
+
+def test_delete_node_refuses_with_relationships(spark):
+    """Plain DELETE of a connected node raises Neo4j's constraint error."""
+    from github_miner_spark.graph.mutations import apply_cypher_deletes
+
+    g = load_graph(spark, SF)
+    with pytest.raises(ValueError, match="still has relationships"):
+        apply_cypher_deletes(g, "MATCH (g:GitRepo) DELETE g")
+
+
+def test_detach_delete_everything(spark):
+    """MATCH (n) DETACH DELETE n (reference documentation/
+    queries.md:410-413) leaves an empty graph, counters = full size."""
+    from github_miner_spark.graph.mutations import apply_cypher_deletes
+
+    g = load_graph(spark, SF)
+    res = apply_cypher_deletes(g, "MATCH (n) DETACH DELETE n")
+    assert res.nodes_deleted == g.vertices.count()
+    assert res.relationships_deleted == g.edges.count()
+    assert res.graph.vertices.count() == 0
+    assert res.graph.edges.count() == 0
+
+
+def test_delete_script_sequential_semantics(spark):
+    """The teardown script's statements see the graph left by the
+    previous statement; the result graph has no dangling edges."""
+    from github_miner_spark.graph.mutations import apply_cypher_deletes
+
+    g = load_graph(spark, SF)
+    res = apply_cypher_deletes(
+        g,
+        "MATCH (:GitUser)-[r:OWNS]-(:GitRepo) DELETE r "
+        "MATCH (:NodeModule)-[r:HOSTED_ON]-(:GitRepo) DELETE r "
+        "MATCH (g:GitUser) DELETE g "
+        "MATCH (g:GitRepo) DETACH DELETE g",
+    )
+    n_users = g.vertices.filter(F.col("label") == "GitUser").count()
+    n_repos = g.vertices.filter(F.col("label") == "GitRepo").count()
+    assert res.nodes_deleted == n_users + n_repos
+    touched = g.edges.filter(
+        (F.col("src_label") == "GitRepo") | (F.col("dst_label") == "GitRepo")
+    ).count()
+    assert res.relationships_deleted == touched
+    # no dangling edges: every surviving endpoint is a surviving vertex
+    v = res.graph.vertices.select("id")
+    dangling = (
+        res.graph.edges.join(v.withColumnRenamed("id", "src"), "src", "left_anti").count()
+        + res.graph.edges.join(v.withColumnRenamed("id", "dst"), "dst", "left_anti").count()
+    )
+    assert dangling == 0
+
+
+def test_delete_directed_endpoint_node(spark):
+    """DETACH DELETE of a hop endpoint: only nodes matched through the
+    directed pattern go, incident edges go with them."""
+    from github_miner_spark.graph.mutations import apply_cypher_deletes
+
+    g = load_graph(spark, SF)
+    res = apply_cypher_deletes(
+        g, "MATCH (u:GitUser)-[:OWNS]->(:GitRepo) DETACH DELETE u"
+    )
+    owners = g.edges.filter(F.col("rel_type") == "OWNS").select("src").distinct().count()
+    assert res.nodes_deleted == owners
+    assert res.graph.vertices.filter(F.col("label") == "GitUser").count() == (
+        g.vertices.filter(F.col("label") == "GitUser").count() - owners
+    )
+
+
+def test_run_cypher_delete_returns_counters(spark):
+    """run_cypher on a write returns the one-row update-counter frame."""
+    g = load_graph(spark, SF)
+    row = run_cypher(g, "MATCH (n:GitUser) DETACH DELETE n").collect()[0]
+    n_users = g.vertices.filter(F.col("label") == "GitUser").count()
+    assert row["nodes_deleted"] == n_users
+    assert row["relationships_deleted"] == g.edges.filter(
+        (F.col("src_label") == "GitUser") | (F.col("dst_label") == "GitUser")
+    ).count()
+
+
+def test_gephi_stream_call_counts_and_sink(spark, tmp_path, monkeypatch):
+    """The apoc.gephi.add CALL (reference documentation/queries.md:
+    200-210, 350-358) compiles onto the Gephi event sink: YIELDed
+    counts equal the reachable sub-graph, event lines land on disk."""
+    monkeypatch.setenv("SPARK_GRAFT_GEPHI_DIR", str(tmp_path))
+    g = load_graph(spark, SF)
+    name = (
+        g.vertices.filter(F.col("label") == "NodeModule").select("name").first()[0]
+    )
+    row = run_cypher(
+        g,
+        f"MATCH p=(n1:NodeModule {{name:'{name}'}})-[:DEPENDS_ON*]->"
+        "(n2:NodeModule) with collect(p) as paths "
+        "call apoc.gephi.add('host','ws', paths) "
+        "yield nodes, relationships, time "
+        "return nodes, relationships, time",
+    ).collect()[0]
+    # independent reachable-subgraph computation
+    from github_miner_spark.graph.paths import reachable_set
+
+    anchors = g.vertices.filter(
+        (F.col("label") == "NodeModule") & (F.col("name") == name)
+    ).select("id")
+    ee = g.edges.filter(
+        (F.col("rel_type") == "DEPENDS_ON") & (F.col("dst_label") == "NodeModule")
+    ).select("src", "dst")
+    reach = reachable_set(ee, anchors).select(F.col("node").alias("id"))
+    srcs = anchors.unionByName(reach).distinct().withColumnRenamed("id", "src")
+    sub = ee.join(srcs, "src", "left_semi").distinct()
+    want_rels = sub.count()
+    want_nodes = (
+        sub.select(F.col("src").alias("id"))
+        .unionByName(sub.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert row["nodes"] == want_nodes
+    assert row["relationships"] == want_rels
+    assert row["time"] >= 0
+    lines = spark.read.text(str(tmp_path / "ws")).count()
+    assert lines == want_nodes + want_rels
+
+    # the community-filtered [*0] form: community is a plugin-written
+    # property this store never materializes -> NULL -> empty stream
+    row0 = run_cypher(
+        g,
+        "match p = (n:NodeModule)-[:DEPENDS_ON*0]->(:NodeModule) "
+        "WHERE n.community=6 OR n.community=2 "
+        "WITH p LIMIT 100000 with collect(p) as paths "
+        "call apoc.gephi.add('host','ws0', paths) "
+        "yield nodes, relationships, time return nodes, relationships, time",
+    ).collect()[0]
+    assert (row0["nodes"], row0["relationships"]) == (0, 0)
