@@ -156,3 +156,39 @@ def minhash_signature(shingles_hashed: Column, k: int = 16) -> Column:
 
     sig = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), lambda i: perm(i.cast("bigint")))
     return F.transform(sig, lambda v: F.coalesce(v, F.lit(MINHASH_PRIME)))
+
+
+# PII patterns, deliberately written in the common RE2/Java subset so the
+# Spark (java.util.regex) and DuckDB (RE2) engines match identical spans.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email addresses and IPv4 literals with typed placeholder
+    tags — the standard pre-training privacy scrub (e.g. the C4 /
+    FineWeb pipelines). Pure ``regexp_replace`` expressions: JVM-side,
+    codegen'd, no Python in the row path."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_ipv4) match counts per document."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(text, F.lit(PII_IPV4_RE)),
+    )
+
+
+def token_windows(tokens: Column, w: int) -> Column:
+    """Consecutive ``w``-token windows as space-joined strings; a doc
+    shorter than ``w`` yields an EMPTY list (Spark's sequence(1, 0) is
+    the descending [1, 0], so the short case must be explicit)."""
+    return F.when(
+        F.size(tokens) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -540,3 +540,54 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pii_redaction_stats",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(sum(n_ips) AS BIGINT) AS n_ips
+    FROM c GROUP BY source ORDER BY source
+    """,
+    description="PII scrub accounting — the privacy pass every "
+    "pre-training pipeline runs before export (C4/FineWeb-style): "
+    "per-source counts of email / IPv4 matches under the same patterns "
+    "functions/text.py redact_pii rewrites with. One scan, "
+    "source-keyed agg; the patterns live in the RE2/Java common subset "
+    "so both engines match identical spans (redaction itself is "
+    "unit-tested on crafted fixtures — this synthetic corpus is "
+    "PII-free, and the all-zero counts prove it on both engines).",
+    tags=("curation", "pii", "text"),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import pii_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_emails, n_ips = pii_counts(F.col("text"))
+    c = docs.select(
+        "source", n_emails.alias("n_emails"), n_ips.alias("n_ips")
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(((F.col("n_emails") + F.col("n_ips")) > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("n_emails").cast("bigint").alias("n_emails"),
+            F.sum("n_ips").cast("bigint").alias("n_ips"),
+        )
+        .orderBy("source")
+    )

@@ -375,3 +375,78 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "duplicated_span_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(str_split(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+               FROM documents),
+    wins AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS win
+      FROM t, unnest(CASE WHEN len(toks) >= 5
+                          THEN range(1, len(toks) - 3)
+                          ELSE [] END) AS u(i)
+    ),
+    dupw AS (
+      SELECT win FROM (SELECT win, count(DISTINCT doc_id) AS c
+                       FROM wins GROUP BY win)
+      WHERE c >= 2
+    ),
+    perdoc AS (
+      SELECT w.doc_id,
+             count(*) AS n_windows,
+             CAST(sum(CASE WHEN d.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+      FROM wins w LEFT JOIN dupw d USING (win)
+      GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_windows, n_dup_windows,
+           round(n_dup_windows / n_windows::DOUBLE, 6) AS dup_fraction
+    FROM perdoc WHERE n_dup_windows > 0
+    ORDER BY doc_id
+    """,
+    description="Cross-document duplicated-span detection — the "
+    "window-hash approximation of exact-substring training-data dedup "
+    "(Lee et al., 'Deduplicating Training Data Makes Language Models "
+    "Better'): every consecutive 5-token window, flagged when its text "
+    "recurs in another document; per-doc duplicated-window fraction is "
+    "the removal signal. One explode + one window-keyed groupBy + one "
+    "semi-shaped join — O(corpus tokens) shuffle, no pairwise doc "
+    "comparison anywhere. At 100 TB the window string key becomes "
+    "xxhash64(win) to cut shuffle bytes (string kept here so the DuckDB "
+    "oracle groups on identical keys).",
+    tags=("dedup", "spans", "curation"),
+)
+def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_windows, tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    wins = toks.select(
+        "doc_id", F.explode(token_windows(F.col("toks"), 5)).alias("win")
+    )
+    dupw = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("win", F.lit(1).alias("is_dup"))
+    )
+    per = (
+        wins.join(dupw, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        )
+    )
+    return (
+        per.filter(F.col("n_dup_windows") > 0)
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_windows") / F.col("n_windows").cast("double"), 6),
+        )
+        .orderBy("doc_id")
+    )

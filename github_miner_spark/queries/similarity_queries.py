@@ -562,3 +562,70 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "semantic_dedup_candidates",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    par AS (
+      SELECT CAST(ceil(count(*) / floor(sqrt(count(*)))) AS BIGINT) AS stride FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cid, ev AS cvec FROM e
+      WHERE vec_id % (SELECT stride FROM par) = 0
+    ),
+    asg AS (
+      SELECT vec_id, ev, cid AS list_id FROM (
+        SELECT e.vec_id, e.ev, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dcos('e.ev', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.list_id, a.vec_id AS a, b.vec_id AS b,
+             {_dcos('a.ev', 'b.ev')} AS cos_sim
+      FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    )
+    SELECT list_id, a, b, cos_sim,
+           CASE WHEN cos_sim >= 0.45 THEN 1 ELSE 0 END AS would_remove
+    FROM pairs
+    ORDER BY cos_sim DESC, a, b
+    LIMIT 20
+    """,
+    description="SemDeDup-style semantic deduplication (Abbas et al.): "
+    "cluster the embedding space (the materialized IVF quantizer doubles "
+    "as the k-means step), then compare ONLY within-cluster pairs — "
+    "pairwise work drops from O(n^2) to sum of squared list sizes "
+    "(~n^1.5 at sqrt(n) lists, and ~n * cluster_cap once lists are "
+    "size-capped at real scale). Returns the top intra-list cosine "
+    "pairs with the greedy keep-lowest-id removal flag at the 0.45 "
+    "demo threshold (production embedding dedup uses ~0.95+; the "
+    "synthetic corpus tops out near 0.5).",
+    tags=("similarity", "dedup", "semdedup", "ivf"),
+)
+def semantic_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ivf_store import load_ivf_index
+    from github_miner_spark.functions.similarity import cosine
+
+    asg, _cents = load_ivf_index(spark, sf_dir)
+    a = asg.select("list_id", F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = asg.select("list_id", F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, "list_id")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "list_id",
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "would_remove", (F.col("cos_sim") >= F.lit(0.45)).cast("int")
+        )
+        .orderBy(F.desc("cos_sim"), "a", "b")
+        .limit(20)
+    )

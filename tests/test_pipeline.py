@@ -158,3 +158,48 @@ def test_dup_pair_store_idempotent_and_matches_inline(spark, tmp_path, monkeypat
         for r in jaccard_pairs(docs, threshold=0.8, index=idx).collect()
     )
     assert stored == inline and len(stored) > 0
+
+
+def test_redact_pii_crafted(spark):
+    """redact_pii rewrites exactly the spans pii_counts counts."""
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@example.co.uk and ops@corp.io now", 2, 0),
+            ("server at 10.0.0.1 and 192.168.1.255", 0, 2),
+            ("version 1.2.3 is not an address", 0, 0),
+            ("no pii at all", 0, 0),
+        ],
+        "text string, want_e int, want_i int",
+    )
+    e, i = pii_counts(F.col("text"))
+    rows = df.select(
+        "text", "want_e", "want_i", e.alias("e"), i.alias("i"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    for r in rows:
+        assert (r["e"], r["i"]) == (r["want_e"], r["want_i"]), r
+        assert ("<EMAIL>" in r["red"]) == (r["want_e"] > 0)
+        assert ("<IP>" in r["red"]) == (r["want_i"] > 0)
+        assert "@" not in r["red"]
+
+
+def test_token_windows_short_and_exact(spark):
+    """token_windows: empty below w (sequence(1,0) would be [1,0]!),
+    one window at exactly w, sliding count above."""
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.functions.text import token_windows
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b c",), ("a b c d e",)], "text string"
+    )
+    out = df.select(
+        token_windows(F.split(F.col("text"), " "), 3).alias("w")
+    ).collect()
+    assert list(out[0]["w"]) == []
+    assert list(out[1]["w"]) == ["a b c"]
+    assert list(out[2]["w"]) == ["a b c", "b c d", "c d e"]

@@ -199,3 +199,19 @@ def test_funnel_reuses_user_partitioning(spark):
     shuffle per branch (smoke: no cartesian, sort-merge allowed)."""
     plan = _plan(spark, "events_funnel")
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_join_on_list_id(spark):
+    # SemDeDup's pair generation must stay an equi-join on list_id —
+    # never an all-pairs comparison over the corpus
+    plan = _plan(spark, "semantic_dedup_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_spans_no_allpairs(spark):
+    # span dedup is explode + window-keyed agg + one left join:
+    # O(corpus tokens), no pairwise doc comparison
+    plan = _plan(spark, "duplicated_span_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
