@@ -153,6 +153,65 @@ def _matched_edges(g: PropertyGraph, m: re.Match) -> DataFrame:
     return out.distinct()
 
 
+def _hop_filter_condition(m: re.Match):
+    """Boolean edge-table condition for a hop whose endpoints carry NO
+    property maps: rel_type / src_label / dst_label are columns on the
+    edge table, so the matched set is a pure filter — no join, no
+    distinct shuffle. Returns None when a property map forces the
+    vertex-join path."""
+    if _parse_props(m.group("aprops")) or _parse_props(m.group("bprops")):
+        return None
+    rels = m.group("rels")
+    cond = F.lit(True)
+    if rels:
+        cond = F.col("rel_type").isin([r.strip() for r in rels.split("|")])
+    al, bl = m.group("alabel"), m.group("blabel")
+
+    def orient(sl, dl):
+        c = F.lit(True)
+        if sl:
+            c = c & (F.col("src_label") == sl)
+        if dl:
+            c = c & (F.col("dst_label") == dl)
+        return c
+
+    if m.group("rarrow"):
+        return cond & orient(al, bl)
+    if m.group("larrow"):
+        return cond & orient(bl, al)
+    return cond & (orient(al, bl) | orient(bl, al))
+
+
+def _delete_nodes_by_label(
+    g: PropertyGraph, label: str | None, detach: bool
+) -> tuple[PropertyGraph, int, int]:
+    """Node delete for a props-free bare pattern: the matched set is a
+    label column predicate on BOTH tables, so the whole delete — the
+    incident-edge check included — is filter + count, join-free."""
+    vcond = (F.col("label") == label) if label else F.lit(True)
+    touch = (
+        ((F.col("src_label") == label) | (F.col("dst_label") == label))
+        if label
+        else F.lit(True)
+    )
+    n_nodes = g.vertices.filter(vcond).count()
+    if n_nodes == 0:
+        return g, 0, 0
+    if not detach:
+        if g.edges.filter(touch).limit(1).count():
+            raise ValueError(
+                "Cannot delete node, because it still has relationships. "
+                "To delete this node, you must first delete its "
+                "relationships (or use DETACH DELETE)."
+            )
+        n_rels = 0
+        edges = g.edges
+    else:
+        n_rels = g.edges.filter(touch).count()
+        edges = g.edges.filter(~touch)
+    return PropertyGraph(vertices=g.vertices.filter(~vcond), edges=edges), n_nodes, n_rels
+
+
 def _delete_nodes(g: PropertyGraph, ids: DataFrame, detach: bool) -> tuple[PropertyGraph, int, int]:
     ids = ids.distinct()
     n_nodes = ids.count()
@@ -201,82 +260,127 @@ def apply_cypher_deletes(graph: PropertyGraph, query: str) -> DeleteResult:
     g = graph
     nodes_deleted = 0
     rels_deleted = 0
-    for stmt in parts:
-        sm = _STMT_RE.match(stmt)
-        if not sm:
-            if re.search(r"\bWHERE\b", stmt, re.IGNORECASE):
-                raise NotImplementedError(
-                    "cypher_lite DELETE does not take WHERE — fold the "
-                    "condition into a {prop: value} map, or compose the "
-                    "anti-join directly (graph/mutations.py)"
-                )
-            raise ValueError(f"unparseable delete statement: {stmt!r}")
-        detach = bool(sm.group("detach"))
-        targets = [t.strip() for t in sm.group("targets").split(",")]
-        pattern = sm.group("pattern").strip()
+    # Each statement's result is persisted while the script runs:
+    # statement k+1's matches and counts would otherwise re-execute the
+    # whole anti-join chain of statements 1..k on every action. (At
+    # real scale a delete rewrites the materialized store — graph/
+    # store.py — so the script depth never compounds; the cache plays
+    # that role for the in-session chain and is dropped on return,
+    # leaving the result graph's lineage intact.)
+    cached: list[DataFrame] = []
 
-        bare = _BARE_NODE_RE.match(pattern)
-        hop = _HOP_RE.match(pattern)
-        if bare:
-            var = bare.group("var")
-            if targets != [var] or not var:
-                raise ValueError(
-                    f"DELETE targets {targets} not bound by pattern {pattern!r}"
-                )
-            g, dn, dr = _delete_nodes(
-                g, _vertex_ids(g, bare.group("label"), bare.group("props")), detach
-            )
-            nodes_deleted += dn
-            rels_deleted += dr
-        elif hop:
-            evar, avar, bvar = hop.group("evar"), hop.group("avar"), hop.group("bvar")
-            node_targets = [t for t in targets if t in (avar, bvar) and t]
-            edge_targets = [t for t in targets if t == evar and t]
-            unknown = [t for t in targets if t not in node_targets + edge_targets]
-            if unknown:
-                raise ValueError(
-                    f"DELETE targets {unknown} not bound by pattern {pattern!r}"
-                )
-            if edge_targets and node_targets:
-                raise NotImplementedError(
-                    "cypher_lite DELETE covers either the relationship "
-                    "variable or the node variables of one hop, not both "
-                    "in one statement"
-                )
-            matched = _matched_edges(g, hop)
-            if edge_targets:
-                before = g.edges.count()
-                edges = g.edges.join(
-                    matched, ["src", "dst", "rel_type"], "left_anti"
-                )
-                rels_deleted += before - edges.count()
-                g = PropertyGraph(vertices=g.vertices, edges=edges)
-            if node_targets:
-                if not (hop.group("rarrow") or hop.group("larrow")):
-                    # an undirected matched-edge set loses which endpoint
-                    # the variable bound to — only edge deletes are
-                    # orientation-agnostic
+    def swap(new_g: PropertyGraph, persist: bool = True) -> PropertyGraph:
+        # filter-built graphs skip the cache: stacked NOT-predicates
+        # collapse into the base scan, so there is nothing to save
+        if persist and new_g is not g:
+            for df in (new_g.vertices, new_g.edges):
+                df.persist()
+                cached.append(df)
+        return new_g
+
+    try:
+        for stmt in parts:
+            sm = _STMT_RE.match(stmt)
+            if not sm:
+                if re.search(r"\bWHERE\b", stmt, re.IGNORECASE):
                     raise NotImplementedError(
-                        "cypher_lite DELETE of a node variable needs a "
-                        "directed hop — direct the pattern"
+                        "cypher_lite DELETE does not take WHERE — fold the "
+                        "condition into a {prop: value} map, or compose the "
+                        "anti-join directly (graph/mutations.py)"
                     )
-                ids = None
-                for t in node_targets:
-                    side = "src" if t == avar else "dst"
-                    if hop.group("larrow"):
-                        side = "dst" if side == "src" else "src"
-                    part_ids = matched.select(F.col(side).alias("id"))
-                    ids = part_ids if ids is None else ids.unionByName(part_ids)
-                g, dn, dr = _delete_nodes(g, ids, detach)
+                raise ValueError(f"unparseable delete statement: {stmt!r}")
+            detach = bool(sm.group("detach"))
+            targets = [t.strip() for t in sm.group("targets").split(",")]
+            pattern = sm.group("pattern").strip()
+
+            bare = _BARE_NODE_RE.match(pattern)
+            hop = _HOP_RE.match(pattern)
+            if bare:
+                var = bare.group("var")
+                if targets != [var] or not var:
+                    raise ValueError(
+                        f"DELETE targets {targets} not bound by pattern {pattern!r}"
+                    )
+                if not _parse_props(bare.group("props")):
+                    new_g, dn, dr = _delete_nodes_by_label(
+                        g, bare.group("label"), detach
+                    )
+                    g = swap(new_g, persist=False)
+                else:
+                    new_g, dn, dr = _delete_nodes(
+                        g, _vertex_ids(g, bare.group("label"), bare.group("props")), detach
+                    )
+                    g = swap(new_g)
                 nodes_deleted += dn
                 rels_deleted += dr
-        else:
-            raise NotImplementedError(
-                "cypher_lite DELETE covers bare-node and single-hop "
-                "patterns (the reference's teardown shapes, "
-                "documentation/queries.md:246-252,410-413) — compose "
-                "multi-hop deletes from the matched frame directly"
-            )
+            elif hop:
+                evar, avar, bvar = hop.group("evar"), hop.group("avar"), hop.group("bvar")
+                node_targets = [t for t in targets if t in (avar, bvar) and t]
+                edge_targets = [t for t in targets if t == evar and t]
+                unknown = [t for t in targets if t not in node_targets + edge_targets]
+                if unknown:
+                    raise ValueError(
+                        f"DELETE targets {unknown} not bound by pattern {pattern!r}"
+                    )
+                if edge_targets and node_targets:
+                    raise NotImplementedError(
+                        "cypher_lite DELETE covers either the relationship "
+                        "variable or the node variables of one hop, not both "
+                        "in one statement"
+                    )
+                if edge_targets:
+                    cond = _hop_filter_condition(hop)
+                    if cond is not None:
+                        # props-free endpoints: the matched set is a pure
+                        # edge-column predicate — one filter count, no join
+                        rels_deleted += g.edges.filter(cond).count()
+                        g = swap(
+                            PropertyGraph(vertices=g.vertices, edges=g.edges.filter(~cond)),
+                            persist=False,
+                        )
+                    else:
+                        matched = _matched_edges(g, hop)
+                        # rows removed = one semi-join count against the
+                        # (small, distinct) matched set — not a before/after
+                        # count pair, which would scan the edge chain twice
+                        rels_deleted += g.edges.join(
+                            matched, ["src", "dst", "rel_type"], "left_semi"
+                        ).count()
+                        edges = g.edges.join(
+                            matched, ["src", "dst", "rel_type"], "left_anti"
+                        )
+                        g = swap(PropertyGraph(vertices=g.vertices, edges=edges))
+                if node_targets:
+                    if not (hop.group("rarrow") or hop.group("larrow")):
+                        # an undirected matched-edge set loses which endpoint
+                        # the variable bound to — only edge deletes are
+                        # orientation-agnostic
+                        raise NotImplementedError(
+                            "cypher_lite DELETE of a node variable needs a "
+                            "directed hop — direct the pattern"
+                        )
+                    matched = _matched_edges(g, hop)
+                    ids = None
+                    for t in node_targets:
+                        side = "src" if t == avar else "dst"
+                        if hop.group("larrow"):
+                            side = "dst" if side == "src" else "src"
+                        part_ids = matched.select(F.col(side).alias("id"))
+                        ids = part_ids if ids is None else ids.unionByName(part_ids)
+                    new_g, dn, dr = _delete_nodes(g, ids, detach)
+                    g = swap(new_g)
+                    nodes_deleted += dn
+                    rels_deleted += dr
+            else:
+                raise NotImplementedError(
+                    "cypher_lite DELETE covers bare-node and single-hop "
+                    "patterns (the reference's teardown shapes, "
+                    "documentation/queries.md:246-252,410-413) — compose "
+                    "multi-hop deletes from the matched frame directly"
+                )
+    finally:
+        for df in cached:
+            df.unpersist()
     return DeleteResult(graph=g, nodes_deleted=nodes_deleted, relationships_deleted=rels_deleted)
 
 
