@@ -102,11 +102,21 @@ def ivf_topk_from_store(
     selection (|q| x sqrt(n) against broadcast centroids) plus a scan
     of the n_probe inverted lists. Returns (query_id, neighbor_id,
     score, rank) identical to ``similarity.ivf_topk``."""
+    assigned, cents = load_ivf_index(spark, sf_dir)
+    return _ivf_search(assigned, cents, query_ids, k, n_probe)
+
+
+def _ivf_search(
+    assigned: DataFrame,
+    cents: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_probe: int,
+) -> DataFrame:
     from pyspark.sql.window import Window
 
     from github_miner_spark.functions.similarity import cosine
 
-    assigned, cents = load_ivf_index(spark, sf_dir)
     q = assigned.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -192,3 +202,91 @@ def ivf_int8_topk_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qscore", "rank")
     )
+
+
+def lloyd_refined_centroids(
+    emb: DataFrame, cents: DataFrame, n_iter: int = 1
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the IVF quantizer as DataFrame ops.
+
+    Each iteration: assign every vector to its nearest centroid (the
+    map-side-combinable argmax of ``similarity.assign_lists``), then
+    recompute each centroid as the element-wise mean of its list —
+    posexplode to (list_id, pos, val) rows, one keyed avg, and an
+    ordered re-assembly. The shuffle is n*dims skinny rows per
+    iteration (the same exchange Spark MLlib's KMeans pays), never a
+    collect. Means are rounded to the repo-wide 6dp convention so the
+    DuckDB oracle (avg + array_agg ORDER BY pos) reproduces the
+    centroids exactly; empty lists simply drop out (their seed attracts
+    nothing), matching the SQL GROUP BY.
+    """
+    from github_miner_spark.functions.similarity import assign_lists
+
+    for _ in range(n_iter):
+        asg = assign_lists(emb, cents)
+        flat = asg.select("list_id", F.posexplode("embedding").alias("pos", "val"))
+        means = flat.groupBy("list_id", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
+        cents = (
+            means.groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("list_id").alias("cid"),
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+            )
+        )
+    return cents
+
+
+def materialize_ivf_lloyd_index(
+    spark: SparkSession, sf_dir: str, n_iter: int = 1, force: bool = False
+) -> str:
+    """Lloyd-refined variant of the IVF store: same content-addressed
+    directory, files suffixed by iteration count. Seeded from the plain
+    stride-sample index (built on demand)."""
+    base = materialize_ivf_index(spark, sf_dir, force=force)
+    a_path = os.path.join(base, f"assignment_lloyd{n_iter}.parquet")
+    c_path = os.path.join(base, f"centroids_lloyd{n_iter}.parquet")
+    if os.path.isdir(a_path) and not force:
+        return base
+    from github_miner_spark.functions.similarity import assign_lists
+    from github_miner_spark.io.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents0 = spark.read.parquet(os.path.join(base, "centroids.parquet"))
+    cents = lloyd_refined_centroids(emb, cents0, n_iter=n_iter)
+    tmp_c = os.path.join(base, f"building_c{n_iter}")
+    tmp_a = os.path.join(base, f"building_a{n_iter}")
+    cents.write.mode("overwrite").parquet(tmp_c)
+    refined = spark.read.parquet(tmp_c)
+    assign_lists(emb, refined).sortWithinPartitions("list_id").write.mode(
+        "overwrite"
+    ).parquet(tmp_a)
+    for tmp, final in ((tmp_c, c_path), (tmp_a, a_path)):
+        if force and os.path.isdir(final):
+            shutil.rmtree(final)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return base
+
+
+def ivf_lloyd_topk_from_store(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 3,
+    n_iter: int = 1,
+) -> DataFrame:
+    """IVF-flat top-k over the Lloyd-refined quantizer — identical
+    search shape to ``ivf_topk_from_store``, sharper lists."""
+    base = materialize_ivf_lloyd_index(spark, sf_dir, n_iter=n_iter)
+    assigned = spark.read.parquet(
+        os.path.join(base, f"assignment_lloyd{n_iter}.parquet")
+    )
+    cents = spark.read.parquet(os.path.join(base, f"centroids_lloyd{n_iter}.parquet"))
+    return _ivf_search(assigned, cents, query_ids, k, n_probe)

@@ -629,3 +629,85 @@ def semantic_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "embedding_ivf_lloyd_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    par AS (
+      SELECT CAST(ceil(count(*) / floor(sqrt(count(*)))) AS BIGINT) AS stride FROM e
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, ev AS cvec FROM e
+      WHERE vec_id % (SELECT stride FROM par) = 0
+    ),
+    a0 AS (
+      SELECT vec_id, ev, cid AS list_id FROM (
+        SELECT e.vec_id, e.ev, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dcos('e.ev', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c0 c
+      ) WHERE rn = 1
+    ),
+    flat AS (
+      SELECT list_id, i AS pos, ev[i] AS val
+      FROM a0, unnest(generate_series(1, len(ev))) AS g(i)
+    ),
+    m AS (
+      SELECT list_id, pos, round(avg(val), 6) AS mv
+      FROM flat GROUP BY list_id, pos
+    ),
+    c1 AS (
+      SELECT list_id AS cid, array_agg(mv ORDER BY pos) AS cvec
+      FROM m GROUP BY list_id
+    ),
+    a1 AS (
+      SELECT vec_id, ev, cid AS list_id FROM (
+        SELECT e.vec_id, e.ev, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dcos('e.ev', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c1 c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT query_id, qv, cid AS list_id FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_dcos('q.qv', 'c.cvec')} DESC, c.cid) AS rn
+        FROM q CROSS JOIN c1 c
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_dcos('p.qv', 'a.ev')} AS score
+      FROM a1 a JOIN probes p ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    description="IVF top-5 over a Lloyd-REFINED quantizer: one k-means "
+    "iteration as pure DataFrame ops (assign -> posexplode -> keyed "
+    "elementwise avg -> ordered reassembly; the n*dims skinny-row "
+    "shuffle Spark MLlib's KMeans pays, no collect), centroids and "
+    "re-assignment materialized beside the stride-sample index in the "
+    "content-addressed store. Means round to the repo-wide 6dp "
+    "convention so the refined centroids reproduce EXACTLY in SQL "
+    "(avg + array_agg ORDER BY pos) — the full k-means step is "
+    "oracle-checked, not just the search. Production runs more "
+    "iterations; one keeps the unrolled oracle tractable.",
+    tags=("similarity", "ann", "ivf", "kmeans", "iterative"),
+)
+def embedding_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ivf_store import ivf_lloyd_topk_from_store
+
+    return ivf_lloyd_topk_from_store(spark, sf_dir, PROBE_IDS, k=5, n_probe=3).orderBy(
+        "query_id", "rank"
+    )

@@ -325,3 +325,69 @@ def test_ivf_int8_scores_agree_with_int8_bruteforce(spark, tmp_path, monkeypatch
     }
     for r in got:
         assert exact[(r.query_id, r.neighbor_id)] == r.qscore
+
+
+def test_lloyd_refined_ivf_objective_and_recall(spark):
+    """The k-means contract: one Lloyd iteration must IMPROVE the
+    quantization objective (mean assignment cosine — means point closer
+    to their members than arbitrary corpus seeds), must actually move
+    the centroids, and must not catastrophically regress search recall
+    at the same probe budget (on clusterless uniform data a single
+    step may trade ±1 neighbor, so the recall bound is a tolerance,
+    not monotonicity)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.functions.ivf_store import (
+        ivf_lloyd_topk_from_store,
+        ivf_topk_from_store,
+        materialize_ivf_lloyd_index,
+    )
+    from github_miner_spark.functions.similarity import brute_force_topk
+    from github_miner_spark.io.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    probes = list(range(10))
+    k = 5
+    emb = load_table(spark, "embeddings", sf).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, probes, k=k).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_from_store(spark, sf, probes, k=k, n_probe=3).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_lloyd_topk_from_store(spark, sf, probes, k=k, n_probe=3).collect()
+    }
+    assert len(bf & refined) >= len(bf & plain) - 3
+
+    base = materialize_ivf_lloyd_index(spark, sf, n_iter=1)
+    seeds = spark.read.parquet(os.path.join(base, "centroids.parquet"))
+    moved = spark.read.parquet(os.path.join(base, "centroids_lloyd1.parquet"))
+    assert moved.count() > 0
+    joined = seeds.join(
+        moved.withColumnRenamed("cvec", "mvec"), "cid"
+    ).filter(F.col("cvec") != F.col("mvec"))
+    assert joined.count() > 0
+
+    # quantization objective: mean cosine(vector, its centroid)
+    from github_miner_spark.functions.similarity import cosine
+
+    def objective(cent_file: str, assign_file: str) -> float:
+        cents = spark.read.parquet(os.path.join(base, cent_file))
+        asg = spark.read.parquet(os.path.join(base, assign_file))
+        return (
+            asg.join(cents.withColumnRenamed("cid", "list_id"), "list_id")
+            .agg(F.avg(cosine(F.col("embedding"), F.col("cvec"))).alias("o"))
+            .collect()[0]["o"]
+        )
+
+    before = objective("centroids.parquet", "assignment.parquet")
+    after = objective("centroids_lloyd1.parquet", "assignment_lloyd1.parquet")
+    assert after > before, (before, after)
