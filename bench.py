@@ -58,6 +58,13 @@ HEADLINE = [
     "leakage_free_split_assignment",
     "events_funnel",
     "dependency_graph_paths",
+    # round 4 close-out: span dedup (O(corpus tokens) explode+agg),
+    # SemDeDup over IVF lists, the Lloyd-refined IVF search, and the
+    # Cypher delete script (filter-compiled teardown)
+    "duplicated_span_stats",
+    "semantic_dedup_candidates",
+    "embedding_ivf_lloyd_topk",
+    "cypher_delete_counters",
 ]
 
 

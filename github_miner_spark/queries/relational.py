@@ -559,3 +559,115 @@ def top_value_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_type", F.round("raw_revenue", 6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "p_type")
     )
+
+
+@register(
+    "nation_volume_shipping",
+    oracle="""
+    WITH v AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM v GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    description="TPC-H Q7 shape (volume shipping): bilateral "
+    "supplier-nation x customer-nation revenue by ship year. The two "
+    "nation dims and supplier/customer join in as broadcasts around "
+    "one lineitem->orders hash join; the nation-pair predicate "
+    "semi-filters both sides before the fact join, so the only real "
+    "shuffle is fact-to-fact on orderkey.",
+    tags=("relational", "join", "agg"),
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    pair = ["NATION_1", "NATION_2"]
+    n1 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = s.join(F.broadcast(n1), "s_nationkey").select(
+        F.col("s_suppkey").alias("l_suppkey"), "supp_nation"
+    )
+    cust = c.join(F.broadcast(n2), "c_nationkey").select(
+        F.col("c_custkey").alias("o_custkey"), "cust_nation"
+    )
+    return (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .join(
+            o.join(F.broadcast(cust), "o_custkey").select(
+                F.col("o_orderkey").alias("l_orderkey"), "cust_nation"
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS tq
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(b.tq, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    description="TPC-H Q18 shape (large-volume customers): HAVING over "
+    "a fact-table rollup, then the surviving keys drive the joins — "
+    "the per-order quantity sum is map-side combined, the HAVING "
+    "filter shrinks the rollup to the big orders BEFORE any join, and "
+    "orders/customer attach by hash join on the reduced set.",
+    tags=("relational", "agg", "having", "topk"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy(F.col("l_orderkey"))
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 200)
+        .select(F.col("l_orderkey").alias("o_orderkey"), "tq")
+    )
+    return (
+        big.join(o, "o_orderkey")
+        .join(c.select(F.col("c_custkey").alias("o_custkey"), "c_name"), "o_custkey")
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("tq"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
