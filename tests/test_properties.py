@@ -434,3 +434,53 @@ def test_sketch_distinct_contracts(spark):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05, row
     assert abs(row["hll"] - row["exact"]) / row["exact"] < 0.05, row
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 14),
+            st.integers(0, 14),
+            st.sampled_from(["OWNS", "DEPENDS_ON", "HOSTED_ON"]),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    rel=st.sampled_from(["OWNS", "DEPENDS_ON", "HOSTED_ON"]),
+    del_label=st.sampled_from(["A", "B"]),
+)
+@_settings
+def test_cypher_delete_matches_set_model(spark, edges, rel, del_label):
+    """DELETE-by-rel-type then DETACH-DELETE-by-label on a randomized
+    graph must equal the pure set-difference model: the engine is
+    anti-joins over immutable frames, the model is Python sets."""
+    from github_miner_spark.graph.model import PropertyGraph
+    from github_miner_spark.graph.mutations import apply_cypher_deletes
+
+    nodes = sorted({v for e in edges for v in e[:2]} | {0, 1})
+    label = {v: ("A" if v % 2 == 0 else "B") for v in nodes}
+    vdf = spark.createDataFrame(
+        [(v, label[v], f"n{v}") for v in nodes], "id long, label string, name string"
+    )
+    edf = spark.createDataFrame(
+        [(s, d, r, label[s], label[d]) for s, d, r in edges]
+        or [(0, 1, "OWNS", label[0], label[1])],
+        "src long, dst long, rel_type string, src_label string, dst_label string",
+    )
+    rows = [tuple(r) for r in edf.collect()]
+    g = PropertyGraph(vertices=vdf, edges=edf)
+
+    res = apply_cypher_deletes(
+        g,
+        f"MATCH ()-[r:{rel}]->() DELETE r "
+        f"MATCH (n:{del_label}) DETACH DELETE n",
+    )
+    # model
+    after_rel = [e for e in rows if e[2] != rel]
+    survivors = [v for v in nodes if label[v] != del_label]
+    after_all = [e for e in after_rel if label[e[0]] != del_label and label[e[1]] != del_label]
+    want_rels_deleted = (len(rows) - len(after_rel)) + (len(after_rel) - len(after_all))
+    assert res.nodes_deleted == len(nodes) - len(survivors)
+    assert res.relationships_deleted == want_rels_deleted
+    assert sorted(r["id"] for r in res.graph.vertices.collect()) == survivors
+    assert sorted(tuple(r) for r in res.graph.edges.collect()) == sorted(after_all)
