@@ -415,9 +415,11 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recurs in another document; per-doc duplicated-window fraction is "
     "the removal signal. One explode + one window-keyed groupBy + one "
     "semi-shaped join — O(corpus tokens) shuffle, no pairwise doc "
-    "comparison anywhere. At 100 TB the window string key becomes "
-    "xxhash64(win) to cut shuffle bytes (string kept here so the DuckDB "
-    "oracle groups on identical keys).",
+    "comparison anywhere. The shuffle key is xxhash64(window), 8 bytes "
+    "instead of the window text: hashing preserves the equality the "
+    "aggregation needs, and only the per-doc counts are compared "
+    "against the oracle (which groups on the raw text), so the key "
+    "representation is engine-local.",
     tags=("dedup", "spans", "curation"),
 )
 def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,17 +427,23 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # group/join on xxhash64(window), not the window text: hashing
+    # preserves the equality the aggregation needs (64-bit collisions
+    # are negligible) and shuffles 8-byte keys instead of ~30-byte
+    # strings. The oracle groups on the raw text — only the final
+    # per-doc counts are compared, so the key representation is free
+    # to differ per engine.
     wins = toks.select(
         "doc_id", F.explode(token_windows(F.col("toks"), 5)).alias("win")
-    )
+    ).select("doc_id", F.xxhash64("win").alias("wh"))
     dupw = (
-        wins.groupBy("win")
+        wins.groupBy("wh")
         .agg(F.countDistinct("doc_id").alias("c"))
         .filter(F.col("c") >= 2)
-        .select("win", F.lit(1).alias("is_dup"))
+        .select("wh", F.lit(1).alias("is_dup"))
     )
     per = (
-        wins.join(dupw, "win", "left")
+        wins.join(dupw, "wh", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),
