@@ -215,3 +215,20 @@ def test_duplicated_spans_no_allpairs(spark):
     plan = _plan(spark, "duplicated_span_stats")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_shape_broadcasts_dims(spark):
+    # nation/supplier/customer sides broadcast; the only real shuffle
+    # join is fact-to-fact on orderkey
+    plan = _plan(spark, "nation_volume_shipping")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_having_before_joins(spark):
+    # the per-order rollup + HAVING runs before orders/customer attach:
+    # the aggregate must appear below the joins in the plan
+    plan = _plan(spark, "large_order_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
