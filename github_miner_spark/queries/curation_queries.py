@@ -591,3 +591,109 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_chunk_plan",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(str_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n_tokens, CAST(i AS INTEGER) AS chunk_id,
+             CAST(1 + i * 24 AS BIGINT) AS start_token,
+             CAST(least(1 + i * 24 + 31, n_tokens) AS BIGINT) AS end_token
+      FROM t, unnest(range(0, CAST(CASE WHEN n_tokens <= 32 THEN 1
+                       ELSE ceil((n_tokens - 8) / 24.0) END AS BIGINT))) AS u(i)
+      WHERE n_tokens > 0
+    )
+    SELECT doc_id, chunk_id, start_token, end_token,
+           end_token - start_token + 1 AS chunk_tokens
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+    description="Embedding-pipeline chunk plan: split every document "
+    "into 32-token chunks with 8-token overlap (stride 24) — the "
+    "windowing an embedding/RAG export runs before encoding. Pure "
+    "arithmetic on per-doc token counts (no window content shuffles): "
+    "n_chunks = ceil((n - overlap) / stride), one explode, no joins. "
+    "The last chunk clamps to the doc end; docs at or under one chunk "
+    "produce exactly one.",
+    tags=("curation", "chunking", "export"),
+)
+def doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunk, overlap = 32, 8
+    stride = chunk - overlap
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    n_chunks = F.when(F.col("n_tokens") <= chunk, F.lit(1)).otherwise(
+        F.ceil((F.col("n_tokens") - F.lit(overlap)) / F.lit(float(stride)))
+    )
+    return (
+        t.withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.lit(1) + F.col("chunk_id") * stride).cast("bigint").alias("start_token"),
+            F.least(
+                F.lit(1) + F.col("chunk_id") * stride + F.lit(chunk - 1),
+                F.col("n_tokens"),
+            )
+            .cast("bigint")
+            .alias("end_token"),
+        )
+        .withColumn("chunk_tokens", F.col("end_token") - F.col("start_token") + 1)
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "shuffled_export_order",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('seed42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS order_key
+      FROM documents
+    )
+    SELECT doc_id, order_key,
+           CAST(row_number() OVER (ORDER BY order_key, doc_id) AS BIGINT) AS pos
+    FROM h ORDER BY pos LIMIT 50
+    """,
+    description="Deterministic training-order shuffle: order_key = "
+    "md5-prefix of (seed, doc_id) — the reproducible pseudo-random "
+    "permutation a training export writes shards in, identical across "
+    "engines, retries and partitionings (same portable hash the dedup "
+    "family uses). At scale the global row_number becomes "
+    "repartitionByRange(order_key) + per-shard local positions (the "
+    "write_training_shards path); the windowed form here is the "
+    "cross-engine contract.",
+    tags=("curation", "export", "shuffle"),
+)
+def shuffled_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("seed42|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("order_key"),
+    )
+    w = Window.orderBy("order_key", "doc_id")
+    return (
+        h.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .orderBy("pos")
+        .limit(50)
+    )
