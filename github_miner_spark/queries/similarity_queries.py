@@ -711,3 +711,71 @@ def embedding_ivf_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_lloyd_topk_from_store(spark, sf_dir, PROBE_IDS, k=5, n_probe=3).orderBy(
         "query_id", "rank"
     )
+
+
+@register(
+    "embedding_decontamination",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, ev AS qv FROM e WHERE vec_id < 25),
+    tr AS (SELECT vec_id, ev FROM e WHERE vec_id >= 25),
+    scored AS (
+      SELECT ev.eval_id, tr.vec_id AS train_id,
+             {_dcos('ev.qv', 'tr.ev')} AS cos_sim
+      FROM ev CROSS JOIN tr
+    ),
+    best AS (
+      SELECT eval_id, train_id, cos_sim,
+             row_number() OVER (PARTITION BY eval_id
+                                ORDER BY cos_sim DESC, train_id) AS rn
+      FROM scored
+    )
+    SELECT eval_id, train_id AS nearest_train_id, cos_sim,
+           CASE WHEN cos_sim >= 0.45 THEN 1 ELSE 0 END AS contaminated
+    FROM best WHERE rn = 1
+    ORDER BY eval_id
+    """,
+    description="Embedding-space decontamination — the third leg of the "
+    "triad beside exact n-gram overlap (benchmark_decontamination) and "
+    "MinHash near-dup (minhash_decontamination): each eval item's "
+    "nearest training embedding by cosine, flagged above the demo 0.45 "
+    "threshold. Eval side is broadcast (eval sets are small by nature), "
+    "so the scan is one pass over the training corpus with a "
+    "map-side-combinable per-eval argmax — at 100 TB the same query "
+    "runs against the IVF store's probed lists instead of the full "
+    "scan (embedding_ivf_topk's path), trading exactness for "
+    "n_probe/sqrt(n) cost.",
+    tags=("similarity", "curation", "decontamination"),
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.similarity import cosine
+    from github_miner_spark.io.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev"),
+    )
+    ev = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("eval_id"), F.col("ev").alias("qv")
+    )
+    tr = emb.filter(F.col("vec_id") >= 25)
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "eval_id",
+        F.col("vec_id").alias("train_id"),
+        F.round(cosine(F.col("qv"), F.col("ev")), 6).alias("cos_sim"),
+    )
+    best = scored.groupBy("eval_id").agg(
+        F.max_by(
+            F.struct("train_id", "cos_sim"),
+            F.struct(F.col("cos_sim"), (-F.col("train_id")).alias("neg")),
+        ).alias("b")
+    )
+    return (
+        best.select(
+            "eval_id",
+            F.col("b.train_id").alias("nearest_train_id"),
+            F.col("b.cos_sim").alias("cos_sim"),
+            (F.col("b.cos_sim") >= F.lit(0.45)).cast("int").alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )

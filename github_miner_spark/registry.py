@@ -88,7 +88,8 @@ def load_all() -> None:
 # dependency_graph_paths, cypher_delete_counters, duplicated_span_stats,
 # semantic_dedup_candidates, pii_redaction_stats,
 # embedding_ivf_lloyd_topk, nation_volume_shipping,
-# large_order_customers, doc_chunk_plan, shuffled_export_order.
+# large_order_customers, doc_chunk_plan, shuffled_export_order,
+# embedding_decontamination.
 # They are green in the
 # local sf0.01 oracle sweep and MUST LEAD the round-5 rotation as its
 # "(a) never driver-verified" group.
