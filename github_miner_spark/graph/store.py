@@ -81,3 +81,38 @@ def load_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         vertices=spark.read.parquet(os.path.join(base, "vertices.parquet")),
         edges=spark.read.parquet(os.path.join(base, "edges.parquet")),
     )
+
+
+def save_graph(graph: PropertyGraph, path: str) -> str:
+    """Persist a (possibly mutated) PropertyGraph as a new store at
+    ``path`` — the scale-path counterpart of Cypher writes: a delete
+    script (graph/mutations.py) produces new immutable frames, and
+    committing them IS a store rewrite, exactly like the reference's
+    neo4j-admin dump of a modified database. Atomic tmp-dir + rename;
+    edges keep the dst sort so the rewritten store prunes like the
+    original."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="building-", dir=parent)
+    try:
+        graph.vertices.write.mode("overwrite").parquet(
+            os.path.join(tmp, "vertices.parquet")
+        )
+        graph.edges.sortWithinPartitions("dst").write.mode("overwrite").parquet(
+            os.path.join(tmp, "edges.parquet")
+        )
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        return path
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def load_graph_from(spark: SparkSession, path: str) -> PropertyGraph:
+    """Read a store previously written by :func:`save_graph`."""
+    return PropertyGraph(
+        vertices=spark.read.parquet(os.path.join(path, "vertices.parquet")),
+        edges=spark.read.parquet(os.path.join(path, "edges.parquet")),
+    )

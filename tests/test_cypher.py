@@ -935,3 +935,29 @@ def test_gephi_stream_call_counts_and_sink(spark, tmp_path, monkeypatch):
         "yield nodes, relationships, time return nodes, relationships, time",
     ).collect()[0]
     assert (row0["nodes"], row0["relationships"]) == (0, 0)
+
+
+def test_delete_then_store_rewrite_roundtrip(spark, tmp_path):
+    """The 100 TB delete path: run the write script, COMMIT the mutated
+    graph as a new store (graph/store.py save_graph), reload, and get
+    byte-equal vertices/edges — deletes are store rewrites, not
+    in-place row mutations."""
+    from github_miner_spark.graph.mutations import apply_cypher_deletes
+    from github_miner_spark.graph.store import load_graph_from, save_graph
+
+    g = load_graph(spark, SF)
+    res = apply_cypher_deletes(
+        g, "MATCH (:GitUser)-[r:OWNS]-(:GitRepo) DELETE r MATCH (u:GitUser) DELETE u"
+    )
+    out = str(tmp_path / "mutated_store")
+    save_graph(res.graph, out)
+    back = load_graph_from(spark, out)
+    assert back.vertices.count() == res.graph.vertices.count()
+    assert back.edges.count() == res.graph.edges.count()
+    assert back.edges.filter(F.col("rel_type") == "OWNS").count() == 0
+    assert back.vertices.filter(F.col("label") == "GitUser").count() == 0
+    # the rewritten store is a full store: queries run against it
+    deg = back.edges.groupBy("rel_type").count().collect()
+    assert {r["rel_type"] for r in deg} <= {
+        "DEPENDS_ON", "DEV_DEPENDS_ON", "PEER_DEPENDS_ON", "HOSTED_ON"
+    }
