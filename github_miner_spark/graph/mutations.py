@@ -390,3 +390,30 @@ def delete_counters_df(spark: SparkSession, result: DeleteResult) -> DataFrame:
         [(result.nodes_deleted, result.relationships_deleted)],
         "nodes_deleted bigint, relationships_deleted bigint",
     )
+
+
+def with_vertex_property(
+    graph: PropertyGraph,
+    prop: str,
+    values: DataFrame,
+    id_col: str = "id",
+    val_col: str | None = None,
+) -> PropertyGraph:
+    """Attach a computed vertex property — the engine's analog of the
+    Neo4j plugin procedures' ``writeProperty`` (reference
+    documentation/queries.md:180-182 writes ``pagerank``, :86-90 writes
+    ``community``/``partition``): the algorithm result joins on as a
+    new vertex column, producing a new immutable graph whose Cypher
+    reads of ``n.<prop>`` see REAL values instead of Neo4j's
+    missing-property NULL. Vertices absent from ``values`` keep NULL —
+    exactly what Neo4j returns for nodes outside the algorithm's
+    projection. Left join on the vertex id; committing the result is a
+    store rewrite (graph/store.py save_graph)."""
+    val_col = val_col or prop
+    cols = values.columns
+    if id_col not in cols or val_col not in cols:
+        raise ValueError(f"values needs columns ({id_col!r}, {val_col!r}); has {cols}")
+    payload = values.select(F.col(id_col).alias("id"), F.col(val_col).alias(prop))
+    return PropertyGraph(
+        vertices=graph.vertices.join(payload, "id", "left"), edges=graph.edges
+    )

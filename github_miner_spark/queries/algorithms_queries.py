@@ -34,7 +34,9 @@ from github_miner_spark.graph.model import (
 from github_miner_spark.graph.store import load_graph
 from github_miner_spark.registry import register
 
-def _pagerank_oracle_sql(iterations: int = 20, damping: float = 0.85) -> str:
+def _pagerank_oracle_sql(
+    iterations: int = 20, damping: float = 0.85, final_select: str | None = None
+) -> str:
     """Unrolled power-iteration PageRank as chained DuckDB CTEs.
 
     Same non-normalized Brin-Page recurrence as graph.algorithms.pagerank
@@ -77,7 +79,8 @@ def _pagerank_oracle_sql(iterations: int = 20, damping: float = 0.85) -> str:
     """
         )
     parts.append(
-        f"""
+        final_select
+        or f"""
     SELECT p.id AS id, v.name AS name, round(p.rank, 6) AS rank
     FROM pr{iterations} p JOIN vertices v ON v.id = p.id
     ORDER BY round(p.rank, 6) DESC, p.id

@@ -189,3 +189,49 @@ def cypher_delete_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (g:GitUser) DELETE g "
         "MATCH (g:GitRepo) DETACH DELETE g",
     )
+
+
+def _pagerank_readback_oracle() -> str:
+    from github_miner_spark.queries.algorithms_queries import _pagerank_oracle_sql
+
+    return _pagerank_oracle_sql(
+        iterations=20,
+        damping=0.85,
+        final_select="""
+    SELECT v.name AS name, round(p.rank, 6) AS pagerank
+    FROM pr20 p JOIN vertices v ON v.id = p.id AND v.label = 'NodeModule'
+    ORDER BY pagerank DESC, name
+    LIMIT 10
+    """,
+    )
+
+
+@register(
+    "cypher_pagerank_readback",
+    oracle=_pagerank_readback_oracle(),
+    description="The reference's full PageRank workflow "
+    "(documentation/queries.md:177-190): the algorithm WRITES the "
+    "pagerank property, then plain Cypher READS it back top-10. Here "
+    "the write is graph/mutations.py with_vertex_property — the "
+    "algorithm result joins on as a new vertex column of an immutable "
+    "graph — and the verbatim read-back query runs through cypher_lite "
+    "seeing real values. Oracle = the 20-CTE unrolled power iteration "
+    "with the read-back's own final projection.",
+    tags=("cypher", "graph", "algorithm", "write-back"),
+)
+def cypher_pagerank_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.graph.algorithms import pagerank
+    from github_miner_spark.graph.mutations import with_vertex_property
+
+    g = load_graph(spark, sf_dir)
+    ranks = pagerank(
+        g.module_dep_edges(), iterations=20, damping=0.85, loop_shuffle_width=8
+    ).select("id", F.round("rank", 6).alias("pagerank"))
+    written = with_vertex_property(g, "pagerank", ranks)
+    return run_cypher(
+        written,
+        "MATCH (n:NodeModule) RETURN n.name AS name, n.pagerank AS pagerank "
+        "ORDER BY pagerank DESC, name LIMIT 10",
+    )

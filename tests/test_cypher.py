@@ -961,3 +961,30 @@ def test_delete_then_store_rewrite_roundtrip(spark, tmp_path):
     assert {r["rel_type"] for r in deg} <= {
         "DEPENDS_ON", "DEV_DEPENDS_ON", "PEER_DEPENDS_ON", "HOSTED_ON"
     }
+
+
+def test_property_writeback_readback(spark):
+    """The plugin writeProperty loop: before write-back, n.pagerank is
+    Neo4j's missing-property NULL; after with_vertex_property, the
+    verbatim read-back query sees real values in rank order."""
+    from github_miner_spark.graph.algorithms import pagerank
+    from github_miner_spark.graph.mutations import with_vertex_property
+
+    g = load_graph(spark, SF)
+    q = (
+        "MATCH (n:NodeModule) RETURN n.name AS name, n.pagerank AS pagerank "
+        "ORDER BY pagerank DESC, name LIMIT 5"
+    )
+    before = run_cypher(g, q).collect()
+    assert all(r["pagerank"] is None for r in before)
+
+    ranks = pagerank(g.module_dep_edges(), iterations=5, damping=0.85).select(
+        "id", F.round("rank", 6).alias("pagerank")
+    )
+    written = with_vertex_property(g, "pagerank", ranks)
+    after = run_cypher(written, q).collect()
+    assert all(r["pagerank"] is not None for r in after)
+    vals = [r["pagerank"] for r in after]
+    assert vals == sorted(vals, reverse=True)
+    # the write never touches the original graph
+    assert "pagerank" not in g.vertices.columns
