@@ -235,3 +235,71 @@ def cypher_pagerank_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (n:NodeModule) RETURN n.name AS name, n.pagerank AS pagerank "
         "ORDER BY pagerank DESC, name LIMIT 10",
     )
+
+
+def _community_readback_oracle() -> str:
+    from github_miner_spark.queries.algorithms_queries import _louvain_summary_parts
+
+    body = _louvain_summary_parts(
+        "SELECT src, dst FROM mm_edges "
+        "WHERE src >= 1002 AND src < 5002 AND dst >= 1002 AND dst < 5002",
+        "l",
+        3,
+    )
+    body.append(
+        """
+    , nm AS (SELECT count(*) AS n FROM vertices WHERE label = 'NodeModule')
+    SELECT community, size_of_community FROM (
+      SELECT CAST(l.community AS BIGINT) AS community,
+             l.sz AS size_of_community
+      FROM lsizes l
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT),
+             (SELECT n FROM nm) - (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT)
+                                   FROM lsizes)
+    )
+    ORDER BY size_of_community DESC, community
+    LIMIT 10
+    """
+    )
+    from github_miner_spark.graph.model import GRAPH_ORACLE_CTES
+
+    return GRAPH_ORACLE_CTES + "".join(body)
+
+
+@register(
+    "cypher_community_readback",
+    oracle=_community_readback_oracle(),
+    description="The reference's Louvain workflow end to end "
+    "(documentation/queries.md:82-98): algo.louvain.stream writes "
+    "community, then Cypher reads the community-size top-10. The write "
+    "is with_vertex_property over the bounded-slice Louvain run (same "
+    "schedule as louvain_communities), so the verbatim read-back "
+    "groups REAL community ids — modules outside the algorithm's "
+    "projection read NULL, exactly Neo4j's behavior, and form their "
+    "own (largest) group. Oracle = the unrolled two-level Louvain with "
+    "the read-back's histogram projection: this pins ID-LEVEL "
+    "assignment parity across engines, which the summary-only Louvain "
+    "oracles never witnessed.",
+    tags=("cypher", "graph", "algorithm", "write-back", "community"),
+)
+def cypher_community_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.graph.algorithms import louvain
+    from github_miner_spark.graph.mutations import with_vertex_property
+
+    g = load_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    sub = mm.filter(
+        (F.col("src") >= 1002) & (F.col("src") < 5002)
+        & (F.col("dst") >= 1002) & (F.col("dst") < 5002)
+    )
+    comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8, early_exit=False)
+    written = with_vertex_property(g, "community", comm)
+    return run_cypher(
+        written,
+        "MATCH (n:NodeModule) RETURN n.community AS community, "
+        "count(*) AS size_of_community "
+        "ORDER BY size_of_community DESC, community LIMIT 10",
+    )
