@@ -303,3 +303,59 @@ def cypher_community_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count(*) AS size_of_community "
         "ORDER BY size_of_community DESC, community LIMIT 10",
     )
+
+
+def _scc_readback_oracle() -> str:
+    from github_miner_spark.queries.algorithms_queries import _SCC_ORACLE_BASE
+
+    return (
+        _SCC_ORACLE_BASE
+        + """
+    , nm AS (SELECT count(*) AS n FROM vertices WHERE label = 'NodeModule')
+    SELECT "partition", size_of_partition FROM (
+      SELECT CAST(component AS BIGINT) AS "partition",
+             sz AS size_of_partition
+      FROM sizes
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT),
+             (SELECT n FROM nm) - (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT)
+                                   FROM sizes)
+    )
+    WHERE size_of_partition > 0
+    ORDER BY size_of_partition DESC, "partition"
+    LIMIT 10
+    """
+    )
+
+
+@register(
+    "cypher_scc_readback",
+    oracle=_scc_readback_oracle(),
+    description="The reference's SCC workflow end to end "
+    "(documentation/queries.md:120-167): algo.scc writes the partition "
+    "property, then Cypher reads the top-10 partition sizes. The "
+    "write-back attaches the SCC labels over the cyclified module "
+    "graph; modules outside the projection read NULL and form their "
+    "own group. Oracle = the recursive mutual-reachability SCC with "
+    "the read-back's histogram projection — ID-level component parity, "
+    "like the community read-back.",
+    tags=("cypher", "graph", "algorithm", "write-back"),
+)
+def cypher_scc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.graph.algorithms import strongly_connected_components
+    from github_miner_spark.graph.model import cyclic_module_edges
+
+    g = load_graph(spark, sf_dir)
+    ce = cyclic_module_edges(spark, sf_dir, mm=g.module_dep_edges())
+    comp = strongly_connected_components(ce, loop_shuffle_width=8)
+    from github_miner_spark.graph.mutations import with_vertex_property
+
+    written = with_vertex_property(g, "partition", comp, val_col="component")
+    return run_cypher(
+        written,
+        "MATCH (n:NodeModule) RETURN n.partition AS partition, "
+        "count(*) AS size_of_partition "
+        "ORDER BY size_of_partition DESC, partition LIMIT 10",
+    )
