@@ -1018,9 +1018,81 @@ def _run_gephi_stream(graph: PropertyGraph, m: re.Match) -> DataFrame:
     )
 
 
+# CALL algo.<proc>('Label', 'REL', {opts}) YIELD a, b, ... — the
+# reference's procedure invocations (documentation/queries.md:88-90,
+# 124-127, 180-182), compiled onto graph/procedures.py. The written
+# graph is returned to callers via apply_cypher_call; run_cypher
+# returns the YIELD row.
+_ALGO_CALL_RE = re.compile(
+    r"^CALL\s+(?P<proc>algo\.[\w.]+)\s*\(\s*"
+    r"'(?P<label>\w+)'\s*,\s*'(?P<rel>\w+)'\s*"
+    r"(?:,\s*\{(?P<opts>[^}]*)\}\s*)?\)\s*"
+    r"(?:YIELD\s+(?P<yield>[\w\s,]+?))?\s*;?$",
+    re.IGNORECASE,
+)
+
+_META_CALL_RE = re.compile(r"^CALL\s+apoc\.meta\.graph\s*\(\s*\)\s*;?$", re.IGNORECASE)
+
+_OPT_RE = re.compile(r"(\w+)\s*:\s*(?:'([^']*)'|([\w.]+))")
+
+
+def apply_cypher_call(graph: PropertyGraph, query: str) -> tuple[PropertyGraph, DataFrame]:
+    """Execute a ``CALL algo.*`` statement; returns (graph after the
+    write-back, YIELD row as a one-row DataFrame). The reference's
+    two-step workflows chain this graph into the MATCH read-back."""
+    from github_miner_spark.graph.procedures import call_procedure
+
+    q = re.sub(r"\s+", " ", query.strip())
+    m = _ALGO_CALL_RE.match(q)
+    if not m:
+        raise ValueError(f"not a CALL algo.* statement: {query!r}")
+    opts: dict = {}
+    for om in _OPT_RE.finditer(m.group("opts") or ""):
+        key = om.group(1)
+        if om.group(2) is not None:
+            opts[key] = om.group(2)
+        else:
+            raw = om.group(3)
+            low = raw.lower()
+            if low in ("true", "false"):
+                opts[key] = low == "true"
+            elif re.fullmatch(r"-?\d+", raw):
+                opts[key] = int(raw)
+            elif re.fullmatch(r"-?\d*\.\d+", raw):
+                opts[key] = float(raw)
+            else:
+                opts[key] = raw
+    out, row = call_procedure(graph, m.group("proc"), m.group("label"), m.group("rel"), opts)
+    wanted = (
+        [c.strip() for c in m.group("yield").split(",")]
+        if m.group("yield")
+        else sorted(row)
+    )
+    missing = [c for c in wanted if c not in row]
+    if missing:
+        raise ValueError(
+            f"{m.group('proc')} cannot YIELD {missing}; available: {sorted(row)}"
+        )
+    spark = graph.vertices.sparkSession
+    types = {bool: "boolean", int: "bigint", float: "double", str: "string"}
+    schema = ", ".join(f"{c} {types[type(row[c])]}" for c in wanted)
+    return out, spark.createDataFrame([tuple(row[c] for c in wanted)], schema)
+
+
 def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     """Execute a cypher_lite query against the property graph."""
     q = re.sub(r"\s+", " ", query.strip())
+    if _META_CALL_RE.match(q):
+        # CALL apoc.meta.graph() (documentation/queries.md:1-4): the
+        # schema meta-graph — label nodes, (src_label, rel_type,
+        # dst_label) edges with counts (the G9 operator)
+        return (
+            graph.edges.groupBy("src_label", "rel_type", "dst_label")
+            .agg(F.count("*").alias("edge_count"))
+            .orderBy("src_label", "rel_type", "dst_label")
+        )
+    if _ALGO_CALL_RE.match(q):
+        return apply_cypher_call(graph, q)[1]
     gm = _GEPHI_RE.match(q)
     if gm:
         return _run_gephi_stream(graph, gm)

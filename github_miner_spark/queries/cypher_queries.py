@@ -359,3 +359,21 @@ def cypher_scc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count(*) AS size_of_partition "
         "ORDER BY size_of_partition DESC, partition LIMIT 10",
     )
+
+
+@register(
+    "cypher_meta_graph_call",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT src_label, rel_type, dst_label, count(*) AS edge_count
+    FROM edges GROUP BY src_label, rel_type, dst_label
+    """,
+    description="The corpus's FIRST query, CALL apoc.meta.graph() "
+    "(documentation/queries.md:1-4), as verbatim procedure text "
+    "through cypher_lite — compiled onto the G9 schema meta-graph "
+    "aggregation (one edge-table groupBy on label columns).",
+    tags=("cypher", "graph", "procedure"),
+)
+def cypher_meta_graph_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    return run_cypher(g, "CALL apoc.meta.graph()")

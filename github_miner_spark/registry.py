@@ -90,7 +90,8 @@ def load_all() -> None:
 # embedding_ivf_lloyd_topk, nation_volume_shipping,
 # large_order_customers, doc_chunk_plan, shuffled_export_order,
 # embedding_decontamination, cypher_pagerank_readback,
-# cypher_community_readback, cypher_scc_readback.
+# cypher_community_readback, cypher_scc_readback,
+# cypher_meta_graph_call.
 # They are green in the
 # local sf0.01 oracle sweep and MUST LEAD the round-5 rotation as its
 # "(a) never driver-verified" group.

@@ -620,13 +620,15 @@ def test_reference_corpus_sweep(spark):
     qs = []
     for b in _re.findall(r"```\n(.*?)```", text, _re.S):
         b = b.strip()
-        if not b.upper().startswith(("MATCH", "OPTIONAL")):
+        if not b.upper().startswith(("MATCH", "OPTIONAL", "CALL")):
             continue
         for part in _re.split(r"\n\s*\n", b):
             part = part.strip()
-            if part.upper().startswith(("MATCH", "OPTIONAL")):
+            if part.upper().startswith(("MATCH", "OPTIONAL", "CALL")):
                 qs.append(part)
-    assert len(qs) >= 35
+    # 37 MATCH-leading + apoc.meta.graph + the three algo.* procedure
+    # invocations (louvain.stream / scc / pageRank write-backs)
+    assert len(qs) >= 41
     g = load_graph(spark, SF)
     ok, notimpl = 0, 0
     for q in qs:
@@ -988,3 +990,76 @@ def test_property_writeback_readback(spark):
     assert vals == sorted(vals, reverse=True)
     # the write never touches the original graph
     assert "pagerank" not in g.vertices.columns
+
+
+def test_call_procedure_workflows_verbatim(spark):
+    """The reference's two-step procedure workflows run as pure Cypher
+    text: CALL algo.* writes the property (deterministic YIELD fields
+    checked against the programmatic algorithms), and the MATCH
+    read-back on the returned graph sees it."""
+    from github_miner_spark.cypher import apply_cypher_call
+    from github_miner_spark.graph.algorithms import strongly_connected_components
+
+    g = load_graph(spark, SF)
+
+    # pageRank: corpus text documentation/queries.md:180-182
+    g2, row_df = apply_cypher_call(
+        g,
+        "CALL algo.pageRank('NodeModule', 'DEPENDS_ON', "
+        "{direction:'OUTGOING', iterations:5, dampingFactor:0.85, "
+        "write: true, writeProperty:'pagerank'}) "
+        "YIELD nodes, iterations, dampingFactor, write, writeProperty",
+    )
+    row = row_df.collect()[0]
+    mm = g.module_dep_edges()
+    n_ranked = (
+        mm.select(F.col("src").alias("id"))
+        .unionByName(mm.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert tuple(row) == (n_ranked, 5, 0.85, True, "pagerank")
+    read = run_cypher(
+        g2,
+        "MATCH (n:NodeModule) RETURN n.pagerank AS pagerank "
+        "ORDER BY pagerank DESC LIMIT 1",
+    ).collect()
+    assert read[0]["pagerank"] is not None
+
+    # scc: setCount/maxSetSize/minSetSize match the programmatic run
+    scc_row = run_cypher(
+        g,
+        "CALL algo.scc('NodeModule', 'DEPENDS_ON', "
+        "{write:true,writeProperty:'partition',concurrency:4, graph:'huge'}) "
+        "YIELD loadMillis, computeMillis, writeMillis, setCount, maxSetSize, minSetSize",
+    ).collect()[0]
+    proj = g.edges.filter(
+        (F.col("rel_type") == "DEPENDS_ON")
+        & (F.col("src_label") == "NodeModule")
+        & (F.col("dst_label") == "NodeModule")
+    ).select("src", "dst")
+    comp = strongly_connected_components(proj)
+    sizes = comp.groupBy("component").count()
+    assert scc_row["setCount"] == sizes.count()
+    assert scc_row["maxSetSize"] == sizes.agg(F.max("count")).collect()[0][0]
+    assert scc_row["loadMillis"] >= 0
+
+    # louvain.stream: corpus text with write-back, community readable
+    g3, lrow = apply_cypher_call(
+        g,
+        "CALL algo.louvain.stream('NodeModule', 'DEPENDS_ON', "
+        "{write:true, writeProperty:'community'}) "
+        "YIELD nodes, communityCount, iterations",
+    )
+    l = lrow.collect()[0]
+    assert l["nodes"] == n_ranked and l["communityCount"] >= 1
+    hist = run_cypher(
+        g3,
+        "MATCH (n:NodeModule) RETURN n.community AS community, count(*) AS n "
+        "ORDER BY n DESC, community LIMIT 3",
+    ).collect()
+    assert len(hist) == 3
+
+    # unknown procedure still refuses with a pointer
+    with pytest.raises(NotImplementedError, match="procedures"):
+        run_cypher(g, "CALL algo.betweenness('NodeModule', 'DEPENDS_ON', {})")
