@@ -1062,12 +1062,25 @@ def apply_cypher_call(graph: PropertyGraph, query: str) -> tuple[PropertyGraph, 
                 opts[key] = float(raw)
             else:
                 opts[key] = raw
-    out, row = call_procedure(graph, m.group("proc"), m.group("label"), m.group("rel"), opts)
-    wanted = (
-        [c.strip() for c in m.group("yield").split(",")]
-        if m.group("yield")
-        else sorted(row)
+    wanted_raw = (
+        [c.strip() for c in m.group("yield").split(",")] if m.group("yield") else None
     )
+    # true .stream semantics: YIELD nodeId, community returns the
+    # per-node assignment rows, not the summary (Neo4j's actual
+    # algo.*.stream contract; the reference's own text YIELDs summary
+    # fields, which the summary branch below serves)
+    if (
+        m.group("proc").endswith(".stream")
+        and wanted_raw
+        and set(wanted_raw) <= {"nodeId", "community"}
+    ):
+        from github_miner_spark.graph.procedures import stream_rows
+
+        return graph, stream_rows(
+            graph, m.group("proc"), m.group("label"), m.group("rel"), opts
+        ).select(*wanted_raw)
+    out, row = call_procedure(graph, m.group("proc"), m.group("label"), m.group("rel"), opts)
+    wanted = wanted_raw if wanted_raw else sorted(row)
     missing = [c for c in wanted if c not in row]
     if missing:
         raise ValueError(

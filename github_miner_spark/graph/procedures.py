@@ -138,3 +138,25 @@ def call_procedure(
         {"loadMillis": load_ms, "computeMillis": compute_ms, "writeMillis": write_ms}
     )
     return out, row
+
+
+def stream_rows(
+    g: PropertyGraph, proc: str, label: str, rel: str, opts: dict
+) -> DataFrame:
+    """algo.*.stream with YIELD nodeId, community — the per-node
+    assignment rows Neo4j streams (no write-back)."""
+    sub = _edge_projection(g, label, rel)
+    if proc == "algo.louvain.stream":
+        from github_miner_spark.graph.algorithms import louvain
+
+        result = louvain(sub, max_sweeps=int(opts.get("iterations", 3)), early_exit=False)
+    elif proc == "algo.labelPropagation.stream":
+        from github_miner_spark.graph.algorithms import label_propagation
+
+        result = label_propagation(sub, iterations=int(opts.get("iterations", 10)))
+    else:
+        raise NotImplementedError(
+            f"stream rows for {proc!r} — supported: algo.louvain.stream, "
+            "algo.labelPropagation.stream (graph/procedures.py)"
+        )
+    return result.select(F.col("id").alias("nodeId"), F.col("community").alias("community"))

@@ -1063,3 +1063,23 @@ def test_call_procedure_workflows_verbatim(spark):
     # unknown procedure still refuses with a pointer
     with pytest.raises(NotImplementedError, match="procedures"):
         run_cypher(g, "CALL algo.betweenness('NodeModule', 'DEPENDS_ON', {})")
+
+
+def test_louvain_stream_yields_assignment_rows(spark):
+    """YIELD nodeId, community returns the per-node stream rows (real
+    Neo4j .stream contract), identical to the programmatic run."""
+    from github_miner_spark.graph.algorithms import louvain
+
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "CALL algo.louvain.stream('NodeModule', 'DEPENDS_ON', {}) "
+        "YIELD nodeId, community",
+    )
+    proj = g.edges.filter(
+        (F.col("rel_type") == "DEPENDS_ON")
+        & (F.col("src_label") == "NodeModule")
+        & (F.col("dst_label") == "NodeModule")
+    ).select("src", "dst")
+    want = louvain(proj, max_sweeps=3, early_exit=False)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
