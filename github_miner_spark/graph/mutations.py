@@ -99,10 +99,6 @@ def _vertex_ids(g: PropertyGraph, label: str | None, props: str | None) -> DataF
     return v.select("id")
 
 
-def _endpoint_constrained(label: str | None, props: str | None) -> bool:
-    return bool(label) or bool(_parse_props(props))
-
-
 def _matched_edges(g: PropertyGraph, m: re.Match) -> DataFrame:
     """Edges matched by one ``(a)-[r:REL]-(b)`` hop, as distinct
     (src, dst, rel_type) triples. Label-only endpoints compile to edge
