@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from github_miner_spark.graph.model import PropertyGraph
 from github_miner_spark.graph.mutations import with_vertex_property
 
-PROCEDURES = ("algo.pageRank", "algo.scc", "algo.louvain.stream", "algo.labelPropagation")
+PROCEDURES = (
+    "algo.pageRank",
+    "algo.scc",
+    "algo.unionFind",
+    "algo.louvain.stream",
+    "algo.labelPropagation",
+)
 
 
 def _edge_projection(g: PropertyGraph, label: str, rel: str) -> DataFrame:
@@ -83,6 +89,26 @@ def call_procedure(
         from github_miner_spark.graph.algorithms import strongly_connected_components
 
         result = strongly_connected_components(sub).select(
+            "id", F.col("component").alias("value")
+        )
+        sizes = result.groupBy("value").agg(F.count("*").alias("sz"))
+        stats = sizes.agg(
+            F.count("*").alias("setCount"),
+            F.max("sz").alias("maxSetSize"),
+            F.min("sz").alias("minSetSize"),
+        ).collect()[0]
+        compute_ms = int((time.perf_counter() - t1) * 1000)
+        row = {
+            "setCount": stats["setCount"],
+            "maxSetSize": stats["maxSetSize"],
+            "minSetSize": stats["minSetSize"],
+        }
+    elif proc == "algo.unionFind":
+        # the 3.5 plugin's connected-components procedure (weakly
+        # connected; the undirected twin of algo.scc)
+        from github_miner_spark.graph.algorithms import connected_components
+
+        result = connected_components(sub).select(
             "id", F.col("component").alias("value")
         )
         sizes = result.groupBy("value").agg(F.count("*").alias("sz"))

@@ -1083,3 +1083,34 @@ def test_louvain_stream_yields_assignment_rows(spark):
     ).select("src", "dst")
     want = louvain(proj, max_sweeps=3, early_exit=False)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_union_find_procedure(spark):
+    """algo.unionFind (the 3.5 plugin's weakly-connected-components
+    procedure) yields stats matching the programmatic CC run and
+    writes the component property."""
+    from github_miner_spark.cypher import apply_cypher_call
+    from github_miner_spark.graph.algorithms import connected_components
+
+    g = load_graph(spark, SF)
+    g2, row_df = apply_cypher_call(
+        g,
+        "CALL algo.unionFind('NodeModule', 'DEPENDS_ON', "
+        "{write:true, writeProperty:'component'}) "
+        "YIELD setCount, maxSetSize, minSetSize",
+    )
+    row = row_df.collect()[0]
+    proj = g.edges.filter(
+        (F.col("rel_type") == "DEPENDS_ON")
+        & (F.col("src_label") == "NodeModule")
+        & (F.col("dst_label") == "NodeModule")
+    ).select("src", "dst")
+    sizes = connected_components(proj).groupBy("component").count()
+    assert row["setCount"] == sizes.count()
+    assert row["maxSetSize"] == sizes.agg(F.max("count")).collect()[0][0]
+    got = run_cypher(
+        g2,
+        "MATCH (n:NodeModule) RETURN n.component AS component, count(*) AS n "
+        "ORDER BY n DESC, component LIMIT 1",
+    ).collect()[0]
+    assert got["n"] >= row["maxSetSize"]  # NULL group of unprojected modules may lead
