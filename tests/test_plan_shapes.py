@@ -232,3 +232,24 @@ def test_q18_having_before_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_embedding_decon_broadcasts_eval_side(spark):
+    # the eval probes broadcast into one pass over the training scan;
+    # the nested-loop join IS the intended broadcast-cross (bounded by
+    # the small eval side), and the per-eval argmax must be an
+    # aggregate, not a window over the scored scan
+    plan = _plan(spark, "embedding_decontamination")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_chunk_plan_prunes_to_two_columns(spark):
+    # the chunk plan needs only (doc_id, text) — pruning must reach
+    # the documents scan
+    plan = _plan(spark, "doc_chunk_plan")
+    import re as _re
+
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    doc_schema = next(s for s in schemas if "text" in s)
+    assert "lang" not in doc_schema and "source" not in doc_schema
