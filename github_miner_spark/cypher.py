@@ -1072,7 +1072,7 @@ def apply_cypher_call(graph: PropertyGraph, query: str) -> tuple[PropertyGraph, 
     if (
         m.group("proc").endswith(".stream")
         and wanted_raw
-        and set(wanted_raw) <= {"nodeId", "community"}
+        and set(wanted_raw) <= {"nodeId", "community", "score"}
     ):
         from github_miner_spark.graph.procedures import stream_rows
 

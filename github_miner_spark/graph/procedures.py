@@ -172,6 +172,17 @@ def stream_rows(
     """algo.*.stream with YIELD nodeId, community — the per-node
     assignment rows Neo4j streams (no write-back)."""
     sub = _edge_projection(g, label, rel)
+    if proc == "algo.pageRank.stream":
+        from github_miner_spark.graph.algorithms import pagerank
+
+        ranks = pagerank(
+            sub,
+            iterations=int(opts.get("iterations", 20)),
+            damping=float(opts.get("dampingFactor", 0.85)),
+        )
+        return ranks.select(
+            F.col("id").alias("nodeId"), F.round("rank", 6).alias("score")
+        )
     if proc == "algo.louvain.stream":
         from github_miner_spark.graph.algorithms import louvain
 
@@ -182,7 +193,8 @@ def stream_rows(
         result = label_propagation(sub, iterations=int(opts.get("iterations", 10)))
     else:
         raise NotImplementedError(
-            f"stream rows for {proc!r} — supported: algo.louvain.stream, "
-            "algo.labelPropagation.stream (graph/procedures.py)"
+            f"stream rows for {proc!r} — supported: algo.pageRank.stream, "
+            "algo.louvain.stream, algo.labelPropagation.stream "
+            "(graph/procedures.py)"
         )
     return result.select(F.col("id").alias("nodeId"), F.col("community").alias("community"))

@@ -1114,3 +1114,25 @@ def test_union_find_procedure(spark):
         "ORDER BY n DESC, component LIMIT 1",
     ).collect()[0]
     assert got["n"] >= row["maxSetSize"]  # NULL group of unprojected modules may lead
+
+
+def test_pagerank_stream_rows(spark):
+    """algo.pageRank.stream YIELD nodeId, score = the per-node rank
+    rows, equal to the programmatic power iteration."""
+    from github_miner_spark.graph.algorithms import pagerank
+
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "CALL algo.pageRank.stream('NodeModule', 'DEPENDS_ON', "
+        "{iterations:5, dampingFactor:0.85}) YIELD nodeId, score",
+    )
+    proj = g.edges.filter(
+        (F.col("rel_type") == "DEPENDS_ON")
+        & (F.col("src_label") == "NodeModule")
+        & (F.col("dst_label") == "NodeModule")
+    ).select("src", "dst")
+    want = pagerank(proj, iterations=5, damping=0.85).select(
+        F.col("id"), F.round("rank", 6).alias("score")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
