@@ -697,3 +697,113 @@ def shuffled_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .limit(50)
     )
+
+
+def _logreg_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled full-batch GD logistic regression as chained CTEs —
+    the SQL twin of functions/ml.py logistic_regression_gd for a fixed
+    schedule (zero init, lr=1, 6dp weight rounding per update), the
+    same mechanically-generated-oracle trick as PageRank and Lloyd."""
+    toks = (
+        "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+        " ' '), x -> x <> '')"
+    )
+    parts = [
+        f"""
+    WITH f AS MATERIALIZED (
+      SELECT len({toks}) / 100.0 AS x1,
+             n_chars / 500.0 AS x2,
+             CASE WHEN len({toks}) BETWEEN 30 AND 100
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ),
+    nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM f),
+    w0 AS MATERIALIZED (SELECT 0.0::DOUBLE AS wb, 0.0::DOUBLE AS w1, 0.0::DOUBLE AS w2)
+    """
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""
+    , p{i} AS MATERIALIZED (
+        SELECT f.*, 1.0 / (1.0 + exp(-((SELECT wb FROM {prev})
+               + (SELECT w1 FROM {prev}) * x1
+               + (SELECT w2 FROM {prev}) * x2))) AS p
+        FROM f
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT round((SELECT wb FROM {prev})
+                     - (SELECT sum(p - y) FROM p{i}) / (SELECT n FROM nn), 6) AS wb,
+               round((SELECT w1 FROM {prev})
+                     - (SELECT sum((p - y) * x1) FROM p{i}) / (SELECT n FROM nn), 6) AS w1,
+               round((SELECT w2 FROM {prev})
+                     - (SELECT sum((p - y) * x2) FROM p{i}) / (SELECT n FROM nn), 6) AS w2
+    )
+    """
+        )
+    last = f"w{iterations}"
+    parts.append(
+        f"""
+    , scored AS MATERIALIZED (
+        SELECT f.y, 1.0 / (1.0 + exp(-((SELECT wb FROM {last})
+               + (SELECT w1 FROM {last}) * x1
+               + (SELECT w2 FROM {last}) * x2))) AS p
+        FROM f
+    )
+    SELECT (SELECT wb FROM {last}) AS w_bias,
+           (SELECT w1 FROM {last}) AS w_ntokens,
+           (SELECT w2 FROM {last}) AS w_nchars,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n_rows,
+           round(sum(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END)
+                 / (SELECT n FROM nn), 6) AS accuracy
+    FROM scored
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "quality_logreg_weights",
+    oracle=_logreg_oracle_sql(iterations=3),
+    description="Distributed TRAINING of a quality classifier — "
+    "full-batch gradient-descent logistic regression as DataFrame "
+    "aggregation (functions/ml.py): each step is one scan + one "
+    "partial-agg shuffle of k+1 gradient doubles (MLlib's "
+    "treeAggregate shape); the corpus never moves, the weight vector "
+    "lives on the driver. Weak labels = token-band rule; features = "
+    "scaled token and char counts. Weights round to 6dp per update so "
+    "the unrolled SQL schedule reproduces them exactly — TRAINING "
+    "itself is hash-checked, like the unrolled PageRank/Lloyd oracles. "
+    "Returns the learned weights + training accuracy.",
+    tags=("curation", "ml", "training", "iterative"),
+)
+def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ml import (
+        logistic_regression_gd,
+        score_logistic,
+    )
+    from github_miner_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    f = docs.select(
+        (F.size(tokenize(F.col("text"))) / F.lit(100.0)).alias("x1"),
+        (F.col("n_chars") / F.lit(500.0)).alias("x2"),
+        F.when(
+            F.size(tokenize(F.col("text"))).between(30, 100), F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    w = logistic_regression_gd(f, ["x1", "x2"], "y", iterations=3, lr=1.0)
+    p = score_logistic(f, ["x1", "x2"], w)
+    correct = F.when((p >= 0.5) == (F.col("y") == 1.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    n = f.count()
+    return f.agg(
+        F.lit(w[0]).alias("w_bias"),
+        F.lit(w[1]).alias("w_ntokens"),
+        F.lit(w[2]).alias("w_nchars"),
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.round(F.sum(correct) / F.lit(float(n)), 6).alias("accuracy"),
+    )

@@ -203,3 +203,36 @@ def test_token_windows_short_and_exact(spark):
     assert list(out[0]["w"]) == []
     assert list(out[1]["w"]) == ["a b c"]
     assert list(out[2]["w"]) == ["a b c", "b c d", "c d e"]
+
+
+def test_logreg_gd_learns_separable_labels(spark):
+    """Full-batch GD on a linearly separable toy set: training
+    accuracy beats the majority class and more iterations do not hurt
+    (the loss is convex; with a fixed lr the 3->6 iteration accuracy
+    is monotone non-decreasing on this data)."""
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.functions.ml import (
+        logistic_regression_gd,
+        score_logistic,
+    )
+
+    rows = [(float(i), 1.0 if i >= 10 else 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "x double, y double").withColumn(
+        "x", F.col("x") / 10.0
+    )
+
+    def acc(iters):
+        w = logistic_regression_gd(df, ["x"], "y", iterations=iters, lr=2.0)
+        p = score_logistic(df, ["x"], w)
+        return (
+            df.select(
+                F.avg(
+                    F.when((p >= 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+                ).alias("a")
+            ).collect()[0]["a"]
+        )
+
+    a3, a6 = acc(3), acc(6)
+    assert a3 > 0.5
+    assert a6 >= a3
