@@ -481,3 +481,80 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(str_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+      FROM t, unnest(CASE WHEN len(toks) >= 2
+                          THEN range(1, len(toks))
+                          ELSE [] END) AS u(i)
+    ),
+    bfreq AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    pfreq AS (
+      SELECT str_split(bigram, ' ')[1] AS prefix, sum(c) AS pc
+      FROM bfreq GROUP BY prefix
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             -ln(bf.c / pf.pc::DOUBLE) AS surprisal
+      FROM bg
+      JOIN bfreq bf ON bf.bigram = bg.bigram
+      JOIN pfreq pf ON pf.prefix = str_split(bg.bigram, ' ')[1]
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(surprisal), 6) AS mean_surprisal
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    description="Bigram-conditional surprisal — the next rung of the "
+    "perplexity-proxy ladder above doc_unigram_surprisal: each bigram "
+    "scored -ln(c(w1 w2) / c(w1-as-prefix)), averaged per doc. Same "
+    "join-the-distribution shape (bigram stats and prefix stats are "
+    "keyed aggregations over the exploded windows, then one keyed "
+    "score join + doc rollup — never a collected vocabulary), so an "
+    "open bigram vocabulary at 100 TB works unchanged. Repetitive "
+    "docs score near zero (their bigrams are self-predicting); "
+    "shuffled/gibberish text scores high even when its unigrams are "
+    "common — the signal unigram surprisal cannot see.",
+    tags=("text", "quality", "scoring", "ngram"),
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_windows
+
+    docs = load_table(spark, "documents", sf_dir)
+    bg = docs.select(
+        "doc_id",
+        F.explode(token_windows(tokenize(F.col("text")), 2)).alias("bigram"),
+    )
+    bfreq = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    pfreq = (
+        bfreq.groupBy(F.split(F.col("bigram"), " ")[0].alias("prefix"))
+        .agg(F.sum("c").alias("pc"))
+    )
+    scored = (
+        bg.join(bfreq, "bigram")
+        .join(pfreq, F.split(F.col("bigram"), " ")[0] == F.col("prefix"))
+        .select(
+            "doc_id",
+            (-F.log(F.col("c") / F.col("pc").cast("double"))).alias("surprisal"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("surprisal"), 6).alias("mean_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

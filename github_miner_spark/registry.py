@@ -91,7 +91,8 @@ def load_all() -> None:
 # large_order_customers, doc_chunk_plan, shuffled_export_order,
 # embedding_decontamination, cypher_pagerank_readback,
 # cypher_community_readback, cypher_scc_readback,
-# cypher_meta_graph_call, quality_logreg_weights.
+# cypher_meta_graph_call, quality_logreg_weights,
+# doc_bigram_surprisal.
 # They are green in the
 # local sf0.01 oracle sweep and MUST LEAD the round-5 rotation as its
 # "(a) never driver-verified" group.
