@@ -807,3 +807,67 @@ def quality_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n_rows"),
         F.round(F.sum(correct) / F.lit(float(n)), 6).alias("accuracy"),
     )
+
+
+def _logreg_scores_oracle_sql(iterations: int = 3) -> str:
+    """Train (the unrolled schedule) then SCORE every document —
+    per-doc inference under the exact trained weights."""
+    base = _logreg_oracle_sql(iterations)
+    head, _, _tail = base.rpartition(", scored AS MATERIALIZED")
+    toks = (
+        "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+        " ' '), x -> x <> '')"
+    )
+    last = f"w{iterations}"
+    return (
+        head
+        + f"""
+    , fd AS (
+      SELECT doc_id,
+             len({toks}) / 100.0 AS x1,
+             n_chars / 500.0 AS x2
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-((SELECT wb FROM {last})
+                 + (SELECT w1 FROM {last}) * x1
+                 + (SELECT w2 FROM {last}) * x2))), 6) AS quality_prob
+    FROM fd
+    ORDER BY doc_id
+    """
+    )
+
+
+@register(
+    "doc_classifier_scores",
+    oracle=_logreg_scores_oracle_sql(iterations=3),
+    description="Train-then-score: the GD-trained quality classifier "
+    "(quality_logreg_weights) applied to every document — inference is "
+    "a pure expression over the scan (sigmoid of the dot product with "
+    "the driver-held weight vector), the downstream filter a pipeline "
+    "would actually gate exports on. Scores reproduce exactly in SQL "
+    "from the unrolled training schedule.",
+    tags=("curation", "ml", "scoring"),
+)
+def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ml import (
+        logistic_regression_gd,
+        score_logistic,
+    )
+    from github_miner_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    f = docs.select(
+        "doc_id",
+        (F.size(tokenize(F.col("text"))) / F.lit(100.0)).alias("x1"),
+        (F.col("n_chars") / F.lit(500.0)).alias("x2"),
+        F.when(
+            F.size(tokenize(F.col("text"))).between(30, 100), F.lit(1.0)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    w = logistic_regression_gd(f, ["x1", "x2"], "y", iterations=3, lr=1.0)
+    return f.select(
+        "doc_id", F.round(score_logistic(f, ["x1", "x2"], w), 6).alias("quality_prob")
+    ).orderBy("doc_id")
