@@ -558,3 +558,77 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(str_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT unnest(toks) AS term FROM t),
+    freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    ranked AS (
+      SELECT ln(row_number() OVER (ORDER BY c DESC, term)) AS lx,
+             ln(c::DOUBLE) AS ly
+      FROM freq
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n, avg(lx) AS mx, avg(ly) AS my,
+             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((sxy - n * mx * my) / (sxx - n * mx * mx), 6) AS zipf_slope,
+           round(my - (sxy - n * mx * my) / (sxx - n * mx * mx) * mx, 6)
+             AS intercept,
+           round(pow(sxy - n * mx * my, 2)
+                 / ((sxx - n * mx * mx) * (syy - n * my * my)), 6) AS r2
+    FROM m
+    """,
+    description="Zipf-law fit of the corpus term distribution — the "
+    "classic corpus-health diagnostic (natural text fits log-freq ~ "
+    "-1 * log-rank with high r2; template/generated corpora deviate). "
+    "Closed-form OLS as ONE aggregation over the ranked frequency "
+    "table: slope = cov/var from five running sums — no iterative "
+    "fitting, no collect; the rank window runs on the term-frequency "
+    "rollup (vocabulary-sized), never the token stream.",
+    tags=("text", "statistics", "corpus"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    m = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("lx").alias("mx"),
+        F.avg("ly").alias("my"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+        F.round(
+            F.pow(F.col("sxy") - F.col("n") * F.col("mx") * F.col("my"), F.lit(2.0))
+            / (
+                (F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx"))
+                * (F.col("syy") - F.col("n") * F.col("my") * F.col("my"))
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -1136,3 +1136,25 @@ def test_pagerank_stream_rows(spark):
         F.col("id"), F.round("rank", 6).alias("score")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_label_propagation_procedure(spark):
+    """algo.labelPropagation CALL yields node count + iterations and
+    writes the community property."""
+    from github_miner_spark.cypher import apply_cypher_call
+
+    g = load_graph(spark, SF)
+    g2, row_df = apply_cypher_call(
+        g,
+        "CALL algo.labelPropagation('NodeModule', 'DEPENDS_ON', "
+        "{iterations:5, write:true, writeProperty:'community'}) "
+        "YIELD nodes, iterations",
+    )
+    row = row_df.collect()[0]
+    assert row["iterations"] == 5 and row["nodes"] > 0
+    top = run_cypher(
+        g2,
+        "MATCH (n:NodeModule) RETURN n.community AS community, count(*) AS n "
+        "ORDER BY n DESC, community LIMIT 1",
+    ).collect()[0]
+    assert top["n"] > 0
