@@ -671,3 +671,57 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    description="TPC-H Q10 shape (returned-item reporting): top-20 "
+    "customers by lost revenue on returned line items in a half-year "
+    "window. The returnflag filter pushes to the lineitem scan and the "
+    "date window to the orders scan BEFORE the fact-fact orderkey "
+    "join; customer and nation attach as broadcasts on the reduced "
+    "rollup.",
+    tags=("relational", "join", "agg", "topk"),
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(
+            o.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")), "c_custkey")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+            "c_nationkey",
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

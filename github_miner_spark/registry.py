@@ -92,7 +92,8 @@ def load_all() -> None:
 # embedding_decontamination, cypher_pagerank_readback,
 # cypher_community_readback, cypher_scc_readback,
 # cypher_meta_graph_call, quality_logreg_weights,
-# doc_bigram_surprisal, doc_classifier_scores, corpus_zipf_fit.
+# doc_bigram_surprisal, doc_classifier_scores, corpus_zipf_fit,
+# returned_item_customers.
 # They are green in the
 # local sf0.01 oracle sweep and MUST LEAD the round-5 rotation as its
 # "(a) never driver-verified" group.
