@@ -492,3 +492,38 @@ def events_error_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("z_score").desc(), "hour")
         .limit(5)
     )
+
+
+@register(
+    "events_type_trend",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type, h, n,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY h) AS delta
+    FROM hourly
+    ORDER BY event_type, h
+    LIMIT 200
+    """,
+    description="Hour-over-hour trend per event type: LAG over the "
+    "hour-grain rollup — the window runs on the time-bounded aggregate "
+    "(types x hours rows), never the raw event stream, so the ordered "
+    "window state is trivially bounded at any scale.",
+    tags=("events", "window", "trend"),
+)
+def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        hourly.withColumn("delta", F.col("n") - F.lag("n").over(w))
+        .orderBy("event_type", "h")
+        .limit(200)
+    )
