@@ -187,3 +187,44 @@ def test_run_mining_job_end_to_end(spark, tmp_path):
     n3 = run_mining_job(spark, wider, state, lake, fetcher=fake_fetcher)
     new_keys = {p.key for p in wider} - {p.key for p in parts}
     assert n3 == len(new_keys)
+
+
+def test_reference_golden_pair_parse(spark):
+    """The reference repo's ONE input->output golden pair
+    (examples/example-package.json -> examples/example-parsed-package.json,
+    exercised by its tests/InsertDataHelper.test.ts:44-59): our
+    parse_manifests + project_manifest over the verbatim input must
+    reproduce every field of the published parsed form (username/repo
+    are injected by the caller there, as by read_manifest_lake here)."""
+    import json
+    import os
+
+    import pytest
+
+    src = "/root/reference/examples/example-package.json"
+    want_path = "/root/reference/examples/example-parsed-package.json"
+    if not (os.path.exists(src) and os.path.exists(want_path)):
+        pytest.skip("reference examples not available")
+    raw = open(src).read()
+    want = json.load(open(want_path))
+
+    from github_miner_spark.etl.package_json import parse_manifests, project_manifest
+
+    df = spark.createDataFrame([(raw,)], "raw_json string")
+    row = project_manifest(parse_manifests(df)).collect()[0]
+
+    assert row["name"] == want["name"]
+    assert row["description"] == want["description"]
+    assert list(row["maintainers"]) == want["maintainers"]
+    assert row["author"] == want["author"]
+    assert row["repository"]["type"] == want["repository"]["type"]
+    assert row["repository"]["url"] == want["repository"]["url"]
+    assert row["modified"] == want["modified"]
+    assert row["created"] == want["created"]
+    assert dict(row["dependencies"]) == want["dependencies"]
+    assert dict(row["devDependencies"]) == want["devDependencies"]
+    assert dict(row["peerDependencies"] or {}) == want["peerDependencies"]
+    assert row["version"] == want["version"]
+    assert row["homepage"] == want["homepage"]
+    assert list(row["keywords"]) == want["keywords"]
+    assert dict(row["engines"]) == want["engines"]
