@@ -776,3 +776,37 @@ def brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape (forecast revenue change): one fact "
+    "scan, every predicate pushed to parquet (date range, discount "
+    "band, quantity cap all appear in PushedFilters), one map-side-"
+    "combined sum — the canonical scan-dominated query whose plan at "
+    "100 TB is purely I/O-bound.",
+    tags=("relational", "scan", "agg"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            )
+        )
+    )
