@@ -94,7 +94,7 @@ def load_all() -> None:
 # cypher_meta_graph_call, quality_logreg_weights,
 # doc_bigram_surprisal, doc_classifier_scores, corpus_zipf_fit,
 # returned_item_customers, brand_discount_revenue, events_type_trend,
-# forecast_revenue_change.
+# forecast_revenue_change, top_supplier_revenue.
 # They are green in the
 # local sf0.01 oracle sweep and MUST LEAD the round-5 rotation as its
 # "(a) never driver-verified" group.
