@@ -65,6 +65,31 @@ HEADLINE = [
     "semantic_dedup_candidates",
     "embedding_ivf_lloyd_topk",
     "cypher_delete_counters",
+    # round 5 (VERDICT r4 item 4): the relational Q-shapes and the
+    # PII/chunk/shuffle curation passes join the regression watch
+    "nation_volume_shipping",
+    "large_order_customers",
+    "returned_item_customers",
+    "brand_discount_revenue",
+    "top_value_part_types",
+    "pii_redaction_stats",
+]
+
+# Second lane (VERDICT r4 item 3): the iterative family re-timed with
+# SPARK_GRAFT_FORCE_DISTRIBUTED=1, which zeroes every driver-collect
+# gate (graph/algorithms.py:_gate, graph/paths.py:_gate) so the
+# DISTRIBUTED loops — the only code path that runs at 100 TB — have a
+# per-round timed floor next to the hybrid numbers, not just parity
+# tests.
+DISTRIBUTED_LANE = [
+    "closure_counts_from_anchor",
+    "pagerank_top20",
+    "scc_summary",
+    "louvain_communities",
+    "all_shortest_paths_pairs",
+    "k_core_decomposition",
+    "connected_components_summary",
+    "dependency_graph_paths",
 ]
 
 
@@ -104,19 +129,62 @@ def main() -> None:
     # round-3 "regression" was exactly this), so the recorded number is
     # the median, with per-pass samples kept for transparency
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(passes):
-        for name in names:
-            t0 = time.perf_counter()
-            df = specs[name].spark(spark, SF_DIR)
-            df.count()
-            samples[name].append(round(time.perf_counter() - t0, 3))
-    timings = {
-        name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()
-    }
+
+    def run_lane(lane_names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
+        lane_samples: dict[str, list[float]] = {n: [] for n in lane_names}
+        for _ in range(passes):
+            for name in lane_names:
+                t0 = time.perf_counter()
+                specs[name].spark(spark, SF_DIR).count()
+                lane_samples[name].append(round(time.perf_counter() - t0, 3))
+        lane_timings = {
+            name: sorted(ts)[len(ts) // 2] for name, ts in lane_samples.items()
+        }
+        return lane_timings, lane_samples
+
+    timings, samples = run_lane(names)
+
+    # Second lane: force every driver-collect gate to 0 and re-time the
+    # iterative family so the distributed loops have a recorded floor
+    # each round (VERDICT r4 item 3). Skipped when the whole run is
+    # already forced-distributed via the environment.
+    dist_timings: dict[str, float] = {}
+    dist_samples: dict[str, list[float]] = {}
+    if not os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED") and not os.environ.get(
+        "SPARK_GRAFT_SKIP_DISTRIBUTED_LANE"
+    ):
+        dist_names = [n for n in DISTRIBUTED_LANE if n in specs]
+        os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"] = "1"
+        try:
+            for name in dist_names:  # warmup pass
+                specs[name].spark(spark, SF_DIR).count()
+            dist_timings, dist_samples = run_lane(dist_names)
+        finally:
+            del os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"]
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Per-pass samples go to a SIDE file, never the summary line: the
+    # driver tail-captures the last stdout line, and the r04 samples
+    # blob pushed the line past that window ("parsed": null). The final
+    # stdout line is the compact summary ONLY.
+    side = {
+        "samples": samples,
+        "distributed_lane": {
+            "note": "SPARK_GRAFT_FORCE_DISTRIBUTED=1, all driver gates 0",
+            "queries": dist_timings,
+            "samples": dist_samples,
+        },
+    }
+    side_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SAMPLES",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_samples.json"),
+    )
+    with open(side_path, "w") as f:
+        json.dump(side, f, indent=1)
+    print(f"per-pass samples + distributed lane written to {side_path}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -126,7 +194,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "timing": f"median of {passes} timed passes per query",
-                "samples": samples,
+                "distributed": dist_timings,
             }
         )
     )

@@ -121,6 +121,17 @@ DRIVER_CLOSURE_EDGES = int(
 DRIVER_CLOSURE_ROOTS = 128
 
 
+def _gate(threshold: int) -> int:
+    """Call-time gate override: SPARK_GRAFT_FORCE_DISTRIBUTED=1 zeroes
+    every driver fast-path gate so the distributed loops (the 100-TB
+    path) are timed by bench.py's second lane and exercised by tests
+    without touching call sites."""
+    if os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED"):
+        return 0
+    return threshold
+
+
+
 def _closure_in_driver(
     edge_rows: list[tuple[int, int]], roots: list[int]
 ) -> list[tuple[int, int, int]]:
@@ -229,7 +240,7 @@ def closure_path_counts(
     shape.
     """
     spark = edges.sparkSession
-    thr = driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
+    thr = _gate(driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES)
     if roots is not None:
         if isinstance(roots, DataFrame):
             # a root FRAME under the cap collects to a scalar list (one
@@ -387,7 +398,7 @@ def bfs_depths(
                 roots = [int(r[rcol]) for r in thr_roots.distinct().collect()]
         else:
             roots = [int(r) for r in roots]
-        thr = (
+        thr = _gate(
             driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
         )
         if not isinstance(roots, DataFrame) and len(roots) <= DRIVER_CLOSURE_ROOTS:
@@ -641,7 +652,7 @@ def all_shortest_paths_multi(
     # construction + enumeration is output-bounded python over a
     # collectable slice, skipping both BFS sweeps AND the ~max_len
     # expansion barriers
-    if len(targets) <= DRIVER_CLOSURE_ROOTS and edges.count() <= DRIVER_CLOSURE_EDGES:
+    if len(targets) <= DRIVER_CLOSURE_ROOTS and edges.count() <= _gate(DRIVER_CLOSURE_EDGES):
         rows = [(r["src"], r["dst"]) for r in edges.collect()]
         out = _asp_in_driver(rows, int(src), targets, max_iter)
         return spark.createDataFrame(
@@ -768,7 +779,7 @@ def enumerate_simple_paths(
     beyond it."""
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     spark = edges.sparkSession
-    if e.count() <= DRIVER_CLOSURE_EDGES:
+    if e.count() <= _gate(DRIVER_CLOSURE_EDGES):
         # keep duplicate (src, dst) rows: parallel relationships
         # multiply paths in the distributed join exactly as in Cypher,
         # and the driver twin must agree row-for-row
