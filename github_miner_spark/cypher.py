@@ -860,8 +860,6 @@ _LINKPRED_RE = re.compile(
 
 
 def _run_linkprediction(graph: PropertyGraph, m: re.Match) -> DataFrame:
-    import math
-
     fn, alias = m.group("fn"), m.group("al") or "score"
     a_ids = _resolve_anchor(graph, m.group("n1"))
     b_ids = _resolve_anchor(graph, m.group("n2"))
@@ -882,32 +880,40 @@ def _run_linkprediction(graph: PropertyGraph, m: re.Match) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    nbrs = {
-        v: {r["dst"] for r in und.filter(F.col("src") == v).collect()}
-        for v in (a, b)
-    }
-    if fn == "preferentialAttachment":
-        score = float(len(nbrs[a]) * len(nbrs[b]))
-    elif fn == "commonNeighbors":
-        score = float(len(nbrs[a] & nbrs[b]))
-    elif fn == "adamicAdar":
-        shared = nbrs[a] & nbrs[b]
-        if shared:
-            degs = {
-                r["src"]: r["n"]
-                for r in und.filter(F.col("src").isin(list(shared)))
-                .groupBy("src")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            score = float(sum(1.0 / math.log(degs[z]) for z in shared if degs.get(z, 0) > 1))
-        else:
-            score = 0.0
-    else:
+    if fn not in ("preferentialAttachment", "commonNeighbors", "adamicAdar"):
         raise NotImplementedError(
             f"algo.linkprediction.{fn} — supported: preferentialAttachment, "
             "commonNeighbors, adamicAdar (see link_prediction_scores)"
         )
+    # One groupBy + one scalar aggregate = a single Spark action for the
+    # whole CALL (the old shape did a per-anchor filter().collect() of
+    # neighbor sets, two driver collects bounded only by max degree —
+    # ADVICE/VERDICT r4 item 6). Per neighbor z: adjacency flags to each
+    # anchor plus its undirected degree (und is symmetric, so rows with
+    # dst == z count z's degree) carry everything all three Neo4j
+    # functions need.
+    stats = und.groupBy(F.col("dst").alias("z")).agg(
+        F.max((F.col("src") == F.lit(a)).cast("int")).alias("adj_a"),
+        F.max((F.col("src") == F.lit(b)).cast("int")).alias("adj_b"),
+        F.count("*").alias("deg"),
+    )
+    row = stats.agg(
+        F.sum("adj_a").alias("deg_a"),
+        F.sum("adj_b").alias("deg_b"),
+        F.sum(F.col("adj_a") * F.col("adj_b")).alias("common"),
+        F.sum(
+            F.when(
+                (F.col("adj_a") == 1) & (F.col("adj_b") == 1) & (F.col("deg") > 1),
+                F.lit(1.0) / F.log(F.col("deg").cast("double")),
+            ).otherwise(F.lit(0.0))
+        ).alias("aa"),
+    ).collect()[0]
+    if fn == "preferentialAttachment":
+        score = float((row["deg_a"] or 0) * (row["deg_b"] or 0))
+    elif fn == "commonNeighbors":
+        score = float(row["common"] or 0)
+    else:
+        score = float(row["aa"] or 0.0)
     return spark.createDataFrame([(score,)], f"{alias} double")
 
 
@@ -990,13 +996,36 @@ def _run_gephi_stream(graph: PropertyGraph, m: re.Match) -> DataFrame:
     elif lo is None:
         from github_miner_spark.graph.paths import reachable_set
 
+        # Neo4j semantics for (a)-[:REL*]->(b:Label): only the FINAL
+        # node of each path carries the label — intermediates are
+        # unconstrained (ADVICE r4: the old dst_label filter on every
+        # hop constrained them). Reachability runs over rel-type-
+        # filtered edges only; the terminal label then prunes the
+        # streamed graph to edges on some anchor->terminal path: src
+        # forward-reachable from an anchor AND dst backward-reaching a
+        # (>=1-hop-reachable, label-matching) terminal.
         e = graph.edges.filter(F.col("rel_type") == m.group("rel"))
-        if b_m.group("label"):
-            e = e.filter(F.col("dst_label") == b_m.group("label"))
         ee = e.select("src", "dst")
-        reach = reachable_set(ee, anchors).select(F.col("node").alias("id"))
-        srcs = anchors.unionByName(reach).distinct().withColumnRenamed("id", "src")
-        sub = e.select("src", "dst", "rel_type").join(srcs, "src", "left_semi").distinct()
+        reach = reachable_set(ee, anchors).select(F.col("node").alias("id")).distinct()
+        fwd = anchors.unionByName(reach).distinct().withColumnRenamed("id", "src")
+        sub = e.select("src", "dst", "rel_type").join(fwd, "src", "left_semi").distinct()
+        if b_m.group("label"):
+            terminals = reach.join(
+                graph.vertices.filter(
+                    F.col("label") == b_m.group("label")
+                ).select("id"),
+                "id",
+                "left_semi",
+            )
+            rev = ee.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            bwd = (
+                terminals.unionByName(
+                    reachable_set(rev, terminals).select(F.col("node").alias("id"))
+                )
+                .distinct()
+                .withColumnRenamed("id", "dst")
+            )
+            sub = sub.join(bwd, "dst", "left_semi").select("src", "dst", "rel_type")
         n_rels = sub.count()
         n_nodes = (
             sub.select(F.col("src").alias("id"))
@@ -1104,7 +1133,23 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
             .agg(F.count("*").alias("edge_count"))
             .orderBy("src_label", "rel_type", "dst_label")
         )
-    if _ALGO_CALL_RE.match(q):
+    am = _ALGO_CALL_RE.match(q)
+    if am:
+        if re.search(r"\bwrite\s*:\s*true\b", am.group("opts") or "", re.IGNORECASE):
+            # run_cypher returns only the YIELD row — the graph carrying
+            # the written property is dropped here, and a follow-up
+            # MATCH read-back through this entry point would see NULLs.
+            # Warn (not raise: YIELD-only summaries of a write:true
+            # corpus statement are legitimate); the two-step reference
+            # workflows chain through apply_cypher_call (ADVICE r4).
+            import warnings
+
+            warnings.warn(
+                "CALL with write:true through run_cypher discards the "
+                "mutated graph; use apply_cypher_call(graph, query) and "
+                "chain its returned graph into the MATCH read-back",
+                stacklevel=2,
+            )
         return apply_cypher_call(graph, q)[1]
     gm = _GEPHI_RE.match(q)
     if gm:

@@ -244,9 +244,13 @@ def materialize_ivf_lloyd_index(
     directory, files suffixed by iteration count. Seeded from the plain
     stride-sample index (built on demand)."""
     base = materialize_ivf_index(spark, sf_dir, force=force)
-    a_path = os.path.join(base, f"assignment_lloyd{n_iter}.parquet")
-    c_path = os.path.join(base, f"centroids_lloyd{n_iter}.parquet")
-    if os.path.isdir(a_path) and not force:
+    # Both parquet dirs live under ONE versioned directory that is
+    # renamed into place in a single os.rename — a crash mid-build can
+    # never leave a mismatched centroid/assignment pair on disk for
+    # ivf_lloyd_topk_from_store to silently probe wrong lists with
+    # (ADVICE r4; same staging pattern as graph/store.py:save_graph).
+    final = os.path.join(base, f"lloyd{n_iter}")
+    if os.path.isdir(final) and not force:
         return base
     from github_miner_spark.functions.similarity import assign_lists
     from github_miner_spark.io.tables import load_table
@@ -257,20 +261,22 @@ def materialize_ivf_lloyd_index(
     )
     cents0 = spark.read.parquet(os.path.join(base, "centroids.parquet"))
     cents = lloyd_refined_centroids(emb, cents0, n_iter=n_iter)
-    tmp_c = os.path.join(base, f"building_c{n_iter}")
-    tmp_a = os.path.join(base, f"building_a{n_iter}")
-    cents.write.mode("overwrite").parquet(tmp_c)
-    refined = spark.read.parquet(tmp_c)
+    stage = os.path.join(base, f"building_lloyd{n_iter}-{os.getpid()}")
+    cents.write.mode("overwrite").parquet(os.path.join(stage, "centroids.parquet"))
+    refined = spark.read.parquet(os.path.join(stage, "centroids.parquet"))
     assign_lists(emb, refined).sortWithinPartitions("list_id").write.mode(
         "overwrite"
-    ).parquet(tmp_a)
-    for tmp, final in ((tmp_c, c_path), (tmp_a, a_path)):
-        if force and os.path.isdir(final):
-            shutil.rmtree(final)
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+    ).parquet(os.path.join(stage, "assignment.parquet"))
+    if os.path.isdir(final):  # force=True, or a concurrent build won
+        shutil.rmtree(final)
+    try:
+        os.rename(stage, final)
+    except OSError:
+        # lost a rename race: the winner's pair is complete (single
+        # rename), deterministic Lloyd makes the content identical
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
     return base
 
 
@@ -285,8 +291,7 @@ def ivf_lloyd_topk_from_store(
     """IVF-flat top-k over the Lloyd-refined quantizer — identical
     search shape to ``ivf_topk_from_store``, sharper lists."""
     base = materialize_ivf_lloyd_index(spark, sf_dir, n_iter=n_iter)
-    assigned = spark.read.parquet(
-        os.path.join(base, f"assignment_lloyd{n_iter}.parquet")
-    )
-    cents = spark.read.parquet(os.path.join(base, f"centroids_lloyd{n_iter}.parquet"))
+    lloyd = os.path.join(base, f"lloyd{n_iter}")
+    assigned = spark.read.parquet(os.path.join(lloyd, "assignment.parquet"))
+    cents = spark.read.parquet(os.path.join(lloyd, "centroids.parquet"))
     return _ivf_search(assigned, cents, query_ids, k, n_probe)

@@ -42,6 +42,10 @@ def logistic_regression_gd(
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
     n = features.count()
+    if n == 0:
+        # F.sum over zero rows yields NULL grads and the update would
+        # divide by zero — fail loudly on the degenerate input instead
+        raise ValueError("logistic_regression_gd: empty feature frame")
     for _ in range(iterations):
         margin = sum(
             (F.lit(wj) * xj for wj, xj in zip(w, xs)), start=F.lit(0.0)

@@ -939,6 +939,47 @@ def test_gephi_stream_call_counts_and_sink(spark, tmp_path, monkeypatch):
     assert (row0["nodes"], row0["relationships"]) == (0, 0)
 
 
+def test_gephi_stream_terminal_label_not_hopwise(spark, tmp_path, monkeypatch):
+    """Neo4j semantics for (a)-[:R*]->(b:Z): only the FINAL node of a
+    path carries the label — intermediates are unconstrained. On a
+    heterogeneous chain X->Y->Z the streamed graph must include the
+    X->Y hop (it lies on the anchor->terminal path) and exclude
+    branches that never reach a Z terminal (ADVICE r4)."""
+    from github_miner_spark.graph.model import PropertyGraph
+
+    monkeypatch.setenv("SPARK_GRAFT_GEPHI_DIR", str(tmp_path))
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "R", "X", "Y", None),
+            (2, 3, "R", "Y", "Z", None),
+            (2, 4, "R", "Y", "Y", None),  # dead end: never reaches a Z
+        ],
+        "src bigint, dst bigint, rel_type string, src_label string, dst_label string, version string",
+    )
+    vertices = spark.createDataFrame(
+        [(1, "X", "a"), (2, "Y", "b"), (3, "Z", "c"), (4, "Y", "d")],
+        "id bigint, label string, name string",
+    )
+    g = PropertyGraph(vertices, edges)
+    row = run_cypher(
+        g,
+        "MATCH p=(n1:X {name:'a'})-[:R*]->(n2:Z) with collect(p) as paths "
+        "call apoc.gephi.add('host','wsh', paths) "
+        "yield nodes, relationships, time return nodes, relationships, time",
+    ).collect()[0]
+    # paths: only a->b->c; rendered graph = {1->2, 2->3}, nodes {1,2,3}
+    assert (row["nodes"], row["relationships"]) == (3, 2)
+
+    # no terminal label: the whole reachable frontier streams
+    row_all = run_cypher(
+        g,
+        "MATCH p=(n1:X {name:'a'})-[:R*]->(n2) with collect(p) as paths "
+        "call apoc.gephi.add('host','wsh2', paths) "
+        "yield nodes, relationships, time return nodes, relationships, time",
+    ).collect()[0]
+    assert (row_all["nodes"], row_all["relationships"]) == (4, 3)
+
+
 def test_delete_then_store_rewrite_roundtrip(spark, tmp_path):
     """The 100 TB delete path: run the write script, COMMIT the mutated
     graph as a new store (graph/store.py save_graph), reload, and get

@@ -369,7 +369,7 @@ def test_lloyd_refined_ivf_objective_and_recall(spark):
 
     base = materialize_ivf_lloyd_index(spark, sf, n_iter=1)
     seeds = spark.read.parquet(os.path.join(base, "centroids.parquet"))
-    moved = spark.read.parquet(os.path.join(base, "centroids_lloyd1.parquet"))
+    moved = spark.read.parquet(os.path.join(base, "lloyd1", "centroids.parquet"))
     assert moved.count() > 0
     joined = seeds.join(
         moved.withColumnRenamed("cvec", "mvec"), "cid"
@@ -389,5 +389,5 @@ def test_lloyd_refined_ivf_objective_and_recall(spark):
         )
 
     before = objective("centroids.parquet", "assignment.parquet")
-    after = objective("centroids_lloyd1.parquet", "assignment_lloyd1.parquet")
+    after = objective(os.path.join("lloyd1", "centroids.parquet"), os.path.join("lloyd1", "assignment.parquet"))
     assert after > before, (before, after)
