@@ -33,9 +33,12 @@ per-path rows / path variables under unbounded ``[*]`` (the closure
 emits reachable pairs + multiplicity, not materialized paths — use
 graph/paths.py dependency_chains for node lists);
 shortestPath/allShortestPaths -> all_shortest_paths_multi;
-graph-algo procedure calls (algo.pageRank etc.) -> graph/algorithms.py;
-WITH carrying non-aggregate rows -> compose DataFrames directly.
+graph-algo procedure calls (algo.pageRank etc.) -> graph/algorithms.py.
 Requests for those raise with a pointer, they do not silently misparse.
+Row-carrying WITH (bare node vars carried by id, projections, a
+trailing WHERE over the projected rows, and continued MATCH joining on
+the carried variables) compiles to ordinary equi-joins — see
+_exec_segment's carried/carried_nodes plumbing.
 Documented deviations: bounded var-length multiplicity counts WALKS
 (k_hop's unrolled-join semantics) rather than relationship-unique
 paths — identical on DAG patterns and under RETURN DISTINCT; a graph
@@ -1184,47 +1187,63 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
         result = apply_cypher_deletes(graph, q)
         return delete_counters_df(graph.vertices.sparkSession, result)
 
-    # group clauses into WITH-terminated segments + the final RETURN
+    # group clauses into WITH-terminated segments + the final RETURN;
+    # a WHERE directly after a WITH filters the WITH rows (Cypher's
+    # post-projection filter, incl. the HAVING-like form over aggs)
     clauses = _scan_clauses(q)
-    segments: list[tuple[list[_Block], str, str]] = []
+    segments: list[list] = []  # [blocks, kw, text, post_where]
     blocks: list[_Block] = []
     for kw, text in clauses:
         if kw in ("MATCH", "OPTIONAL MATCH"):
             blocks.append(_Block(kind=kw, match_text=text))
         elif kw == "WHERE":
-            if not blocks or blocks[-1].where_text is not None:
-                raise ValueError("WHERE must follow a MATCH / OPTIONAL MATCH clause")
-            blocks[-1].where_text = text
+            if blocks:
+                if blocks[-1].where_text is not None:
+                    raise ValueError(
+                        "WHERE must follow a MATCH / OPTIONAL MATCH / WITH clause"
+                    )
+                blocks[-1].where_text = text
+            elif segments and segments[-1][1] == "WITH" and segments[-1][3] is None:
+                segments[-1][3] = text
+            else:
+                raise ValueError(
+                    "WHERE must follow a MATCH / OPTIONAL MATCH / WITH clause"
+                )
         else:  # WITH / RETURN
-            segments.append((blocks, kw, text))
+            segments.append([blocks, kw, text, None])
             blocks = []
     if blocks or not segments or segments[-1][1] != "RETURN":
         raise ValueError(
             "query must be (MATCH|OPTIONAL MATCH) ... [WHERE ...] "
-            "[WITH aggs ...]* RETURN ... [ORDER BY ...] [LIMIT n]"
+            "[WITH ... [WHERE ...]]* RETURN ... [ORDER BY ...] [LIMIT n]"
         )
-    if any(kw != "WITH" for _, kw, _t in segments[:-1]):
+    if any(kw != "WITH" for _b, kw, _t, _w in segments[:-1]):
         raise ValueError("RETURN must be the final clause")
 
     anon = [0]
     carried: DataFrame | None = None
     carried_names: set[str] = set()
-    carried_multi = False
-    for seg_blocks, kw, proj_text in segments:
-        if carried_multi and seg_blocks:
-            raise NotImplementedError(
-                "cypher_lite does not cover MATCH after a non-aggregate "
-                "WITH (full pipeline re-scoping) — compose DataFrames "
-                "directly"
-            )
-        out, out_names, single_row = _exec_segment(
-            graph, seg_blocks, kw, proj_text, carried, carried_names, anon
+    carried_single = True
+    carried_nodes: set[str] = set()
+    for seg_blocks, kw, proj_text, post_where in segments:
+        out, out_names, single_row, node_vars = _exec_segment(
+            graph,
+            seg_blocks,
+            kw,
+            proj_text,
+            carried,
+            carried_names,
+            anon,
+            carried_single=carried_single,
+            carried_nodes=carried_nodes,
+            post_where=post_where,
         )
         if kw == "RETURN":
             return out
         # Cypher WITH scoping: only the listed items survive
         carried, carried_names = out, out_names
-        carried_multi = carried_multi or not single_row
+        carried_single = single_row
+        carried_nodes = node_vars
     raise AssertionError("unreachable")
 
 
@@ -1236,7 +1255,10 @@ def _exec_segment(
     carried: DataFrame | None,
     carried_names: set[str],
     anon: list[int],
-) -> tuple[DataFrame, set[str]]:
+    carried_single: bool = True,
+    carried_nodes: set[str] = frozenset(),
+    post_where: str | None = None,
+) -> tuple[DataFrame, set[str], bool, set[str]]:
     is_final = kw == "RETURN"
     if is_final:
         pm = re.match(
@@ -1285,6 +1307,10 @@ def _exec_segment(
     for b in seg_blocks:
         all_node_vars |= b.pat.bound_vars()
         all_path_vars |= b.pat.path_vars
+    # vars bound by THIS segment's patterns (their props come from the
+    # owning block); carried node vars rejoin the vertices table below
+    block_bound = set(all_node_vars)
+    all_node_vars |= carried_nodes
     # node "properties" for whole-node projections: every vertex column
     # except the internal id/label bookkeeping
     vert_props = [c for c in graph.vertices.columns if c not in ("id", "label")]
@@ -1292,6 +1318,7 @@ def _exec_segment(
     needed: set[tuple[str, str]] = set()
     aggs: list[tuple[Column, str]] = []
     keys: list[tuple[Column, str]] = []
+    node_vars_out: set[str] = set()
     exists_items: list[tuple[str, str, tuple[str, ...], bool, str]] = []
     size_items: list[tuple[str, tuple[str, ...], str, str | None, str]] = []
     for item in _split_top_level(items_text, ","):
@@ -1352,8 +1379,17 @@ def _exec_segment(
             and raw not in carried_names
             and raw not in edge_vars
         ):
-            # bare node variable: Neo4j returns the node — project a
-            # struct of (id, label, properties)
+            if not is_final:
+                # row-carrying WITH: a bare node var is carried by id
+                # ({name}_id column) — later segments re-join it into
+                # their MATCH frames on that id and rejoin vertex
+                # properties on demand, exactly Neo4j's node scoping
+                name = alias or raw
+                keys.append((F.col(f"{raw}_id"), f"{name}_id"))
+                node_vars_out.add(name)
+                continue
+            # bare node variable in RETURN: Neo4j returns the node —
+            # project a struct of (id, label, properties)
             for p in vert_props:
                 needed.add((raw, p))
             needed.add((raw, "label"))
@@ -1424,10 +1460,12 @@ def _exec_segment(
             keys.append((c, alias.strip() or dft))
 
     # an aggregate-only WITH carries a single 1-row scope (safe to
-    # cross-join under later MATCH clauses); a WITH with new
-    # non-aggregate items carries full rows — supported, but only when
-    # no later segment re-enters MATCH (run_cypher enforces that)
-    single_row = bool(aggs) and all(a in carried_names for _c, a in keys)
+    # broadcast-cross-join under later MATCH clauses); any other WITH
+    # carries full rows, which later segments join on shared variables
+    single_row = bool(aggs) and (
+        not keys
+        or (carried_single and all(a in carried_names for _c, a in keys))
+    )
     if weight is not None and not aggs and not distinct:
         # checked BEFORE block compilation: the closure operator runs
         # eagerly, so a doomed per-path projection must not execute it
@@ -1502,8 +1540,36 @@ def _exec_segment(
             raise ValueError("segment has no MATCH clause and nothing carried")
         bound = carried
     elif carried is not None:
-        # 1-row aggregate scope from previous WITH segments
-        bound = bound.crossJoin(F.broadcast(carried))
+        if carried_single:
+            # 1-row aggregate scope from previous WITH segments
+            bound = bound.crossJoin(F.broadcast(carried))
+        else:
+            # row-carrying WITH: equi-join the carried rows into this
+            # segment's MATCH frame on the shared variable ids (the
+            # Cypher pipeline's re-scoping); no shared vars = the
+            # cartesian Cypher itself prescribes
+            shared = [c for c in carried.columns if c in bound.columns]
+            bound = bound.join(carried, shared) if shared else bound.crossJoin(carried)
+
+    # vertex properties of carried node vars not re-bound by this
+    # segment's own patterns (e.g. WITH a ... RETURN a.name): rejoin
+    # the vertices table on the carried id — the same broadcast-join
+    # shape _compile_block uses for block-owned vars
+    carried_prop_needs: dict[str, set[str]] = {}
+    for var, prop in needed:
+        if var in carried_nodes and var not in block_bound:
+            carried_prop_needs.setdefault(var, set()).add(prop)
+    for var in sorted(carried_prop_needs):
+        props = sorted(p for p in carried_prop_needs[var] if p != "id")
+        cols = [F.col("id").alias(f"{var}_id")] + [
+            (
+                F.col(p) if p in graph.vertices.columns else F.lit(None).cast("string")
+            ).alias(f"{var}_{p}")
+            for p in props
+        ]
+        bound = bound.join(
+            F.broadcast(graph.vertices.select(*cols)), f"{var}_id", "left_outer"
+        )
 
     # EXISTS((x)-[:R]-(y)) flags: distinct qualifying (x, y) pairs
     # left-joined in with a True marker; '-' matches either direction
@@ -1575,4 +1641,55 @@ def _exec_segment(
         out = out.limit(int(limit_text))
 
     new_names = {a for _, a in keys} | {a for _, a in aggs}
-    return out, new_names, single_row
+
+    if post_where:
+        # WITH ... WHERE: filter the projected rows. References resolve
+        # against the WITH output — an alias (incl. aggregate aliases,
+        # Cypher's HAVING form), a carried column, or a node var's
+        # vertex property rejoined on demand and dropped after the
+        # filter.
+        for cond in _split_top_level(post_where, " AND "):
+            cm = re.match(
+                r"^(?P<l>[\w.()]+) \s*(?P<op><>|<=|>=|=|<|>)\s* (?P<r>.+)$",
+                cond.strip(),
+                re.VERBOSE,
+            )
+            if not cm:
+                raise ValueError(f"unsupported WITH..WHERE condition: {cond!r}")
+            l, op, r = cm.group("l"), cm.group("op"), cm.group("r")
+            lit = F.lit(_literal(r))
+            if l in new_names:
+                out = out.filter(_OPS[op](F.col(l), lit))
+                continue
+            var, dot, prop = l.partition(".")
+            idm = re.match(r"^id\(\s*(\w+)\s*\)$", l)
+            if idm:
+                var, dot, prop = idm.group(1), ".", "id"
+            if not dot:
+                raise ValueError(
+                    f"WITH..WHERE references {l!r}, which the WITH did not carry"
+                )
+            cname = f"{var}_id" if prop == "id" else f"{var}_{prop}"
+            if cname in out.columns:
+                out = out.filter(_OPS[op](F.col(cname), lit))
+            elif var in node_vars_out:
+                vcol = (
+                    F.col(prop)
+                    if prop in graph.vertices.columns
+                    else F.lit(None).cast("string")
+                )
+                tmp = f"__pw_{var}_{prop}"
+                pv = graph.vertices.select(
+                    F.col("id").alias(f"{var}_id"), vcol.alias(tmp)
+                )
+                out = (
+                    out.join(F.broadcast(pv), f"{var}_id", "left_outer")
+                    .filter(_OPS[op](F.col(tmp), lit))
+                    .drop(tmp)
+                )
+            else:
+                raise ValueError(
+                    f"WITH..WHERE references {l!r}, which the WITH did not carry"
+                )
+
+    return out, new_names, single_row, node_vars_out

@@ -377,3 +377,46 @@ def cypher_scc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cypher_meta_graph_call(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     return run_cypher(g, "CALL apoc.meta.graph()")
+
+
+@register(
+    "cypher_with_chain_fanout",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , module_deps AS (
+      SELECT e.src AS mid, count(*) AS deps
+      FROM edges e
+      WHERE e.rel_type = 'DEPENDS_ON'
+        AND e.src_label = 'NodeModule' AND e.dst_label = 'NodeModule'
+      GROUP BY e.src
+      HAVING count(*) >= 2
+    )
+    SELECT v.name AS module_name, d.deps AS deps, count(*) AS repos
+    FROM module_deps d
+    JOIN edges e2 ON e2.dst = d.mid
+     AND e2.rel_type = 'DEPENDS_ON' AND e2.src_label = 'GitRepo'
+    JOIN vertices v ON v.id = d.mid
+    GROUP BY v.name, d.deps
+    ORDER BY repos DESC, module_name, deps
+    LIMIT 10
+    """,
+    description="Row-carrying WITH pipeline (round 5, VERDICT r4 item 5): "
+    "MATCH ... WITH m, count(d) AS deps WHERE deps >= 2 MATCH ... — the "
+    "aggregate WITH carries full rows (m by id + the deps count), the "
+    "trailing WHERE filters them (Cypher's HAVING form), and the second "
+    "MATCH re-enters on the carried variable as an ordinary equi-join. "
+    "Ordinary Cypher a reference user writes five minutes after the "
+    "corpus queries; compiled by cypher.py _exec_segment's carried-rows "
+    "plumbing.",
+    tags=("cypher", "graph", "with-chain", "agg"),
+)
+def cypher_with_chain_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        "MATCH (m:NodeModule)-[:DEPENDS_ON]->(d:NodeModule) "
+        "WITH m, count(d) AS deps WHERE deps >= 2 "
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m) "
+        "RETURN m.name AS module_name, deps, count(r) AS repos "
+        "ORDER BY repos DESC, module_name, deps LIMIT 10",
+    )
