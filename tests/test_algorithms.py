@@ -288,3 +288,35 @@ def test_personalized_pagerank_driver_matches_distributed_edge_cases(spark):
     assert set(fast) == set(dist)
     for v in fast:
         assert fast[v] == pytest.approx(dist[v], rel=1e-12), v
+
+
+def test_louvain_driver_matches_distributed_sf001(spark):
+    """VERDICT r4 item 7: hybrid-gate parity pinned at the 10x bigger
+    sf0.01 slice — gate divergence at a larger graph was the likeliest
+    silent-wrong risk left. Assignments are integers, so the two paths
+    must agree exactly, not just to 6dp."""
+    from github_miner_spark.graph.algorithms import louvain
+    from github_miner_spark.graph.store import load_graph
+
+    mm = load_graph(spark, "/root/testdata/sf0.01").module_dep_edges()
+    fast = sorted(map(tuple, louvain(mm, max_sweeps=3, levels=2, early_exit=False).collect()))
+    slow = sorted(
+        map(
+            tuple,
+            louvain(
+                mm, max_sweeps=3, levels=2, early_exit=False, collect_threshold=0
+            ).collect(),
+        )
+    )
+    assert fast == slow and len(fast) > 0
+
+
+def test_label_propagation_driver_matches_distributed_sf001(spark):
+    from github_miner_spark.graph.store import load_graph
+
+    mm = load_graph(spark, "/root/testdata/sf0.01").module_dep_edges()
+    fast = sorted(map(tuple, label_propagation(mm, iterations=8).collect()))
+    slow = sorted(
+        map(tuple, label_propagation(mm, iterations=8, collect_threshold=0).collect())
+    )
+    assert fast == slow and len(fast) > 0

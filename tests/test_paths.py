@@ -5,6 +5,7 @@ graphs — including the cyclic inputs the DuckDB oracle can't cover
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from github_miner_spark.graph.paths import (
     bfs_depths,
@@ -153,3 +154,56 @@ def test_enumerate_simple_paths_driver_matches_distributed(spark):
     assert fast == slow and len(fast) > 0
     # the doubled 1->2 edge doubles every path through it
     assert fast.count(((1, 2), 1)) == 2
+
+
+def test_distributed_closure_adversarial_depth_and_hubs(spark):
+    """VERDICT r4 item 8: the distributed closure/BFS loops on a graph
+    shaped to hurt — a depth-250 chain (beyond the reference's 185-depth
+    anchor) feeding a 50-way fan into a ~300k-edge single-out DAG with
+    a ~4.9k-in-degree hub — forced past the driver gate
+    (driver_threshold=0). Asserts the loops COMPLETE (bounded state, no
+    cycle false-positive on a genuine DAG) and agree exactly with the
+    in-driver DP twin."""
+    chain = spark.range(250).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    fan = spark.range(50).select(F.lit(250).alias("src"), (F.col("id") + 1000).alias("dst"))
+    wide = (
+        spark.range(300_000)
+        .select(
+            (F.col("id") + 1000).alias("src"),
+            (F.col("id") + 1000 + 3000 + (F.col("id") % 53)).alias("dst"),
+        )
+        .filter(F.col("dst") < 301_000)
+    )
+    hub_in = (
+        spark.range(300_000)
+        .filter(F.col("id") % 61 == 0)
+        .select((F.col("id") + 1000).alias("src"), F.lit(600).alias("dst"))
+    )
+    hub_out = spark.range(50).select(F.lit(600).alias("src"), (F.col("id") + 601).alias("dst"))
+    edges = (
+        chain.unionByName(fan)
+        .unionByName(wide)
+        .unionByName(hub_in)
+        .unionByName(hub_out)
+        .localCheckpoint(eager=True)
+    )
+
+    fast = closure_path_counts(edges, roots=[0], max_iter=500)  # driver DP
+    slow = closure_path_counts(
+        edges,
+        roots=[0],
+        max_iter=500,
+        driver_threshold=0,
+        broadcast_frontier=True,
+        checkpoint_every=10,
+    )
+    f_rows = sorted(map(tuple, fast.collect()))
+    s_rows = sorted(map(tuple, slow.collect()))
+    assert f_rows == s_rows and len(f_rows) > 300
+
+    depths = bfs_depths(
+        edges, roots=[0], max_iter=500, driver_threshold=0, checkpoint_every=10
+    )
+    d_fast = bfs_depths(edges, roots=[0], max_iter=500)
+    assert sorted(map(tuple, depths.collect())) == sorted(map(tuple, d_fast.collect()))
+    assert depths.agg(F.max("depth")).collect()[0][0] >= 250
