@@ -859,3 +859,381 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "market_share_by_year",
+    oracle="""
+    WITH all_volume AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM all_volume GROUP BY o_year ORDER BY o_year
+    """,
+    description="TPC-H Q8 shape (national market share): the share of "
+    "ASIA-region PROMO-part revenue supplied by one nation, by order "
+    "year. Every dimension (region->nation->customer, part, "
+    "supplier->nation) broadcasts around the single lineitem->orders "
+    "fact join; the share is a conditional-sum / sum over one "
+    "aggregation pass — no second scan, no self-join.",
+    tags=("relational", "join", "agg"),
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    asia_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+    ).select("n_nationkey")
+    cust = c.join(
+        F.broadcast(asia_nations), c.c_nationkey == F.col("n_nationkey")
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    supp = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("l_suppkey"), "supp_nation")
+    promo = p.filter(F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(promo), "l_partkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .join(
+            o.join(F.broadcast(cust), "o_custkey").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.year("o_orderdate").alias("o_year"),
+            ),
+            "l_orderkey",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+     AND p.p_type IN ('PROMO', 'ECONOMY')
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    description="TPC-H Q9 shape (product-type profit): per supplier "
+    "nation and order year, revenue minus a retail-price-proportional "
+    "cost proxy (this corpus carries no partsupp supplycost). Part and "
+    "supplier-nation dims broadcast; the one real shuffle is "
+    "lineitem->orders on orderkey, then a 2-key hash agg.",
+    tags=("relational", "join", "agg"),
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    supp = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("l_suppkey"), "nation")
+    parts = p.filter(F.col("p_type").isin("PROMO", "ECONOMY")).select(
+        F.col("p_partkey").alias("l_partkey"), "p_retailprice"
+    )
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(parts), "l_partkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.year("o_orderdate").alias("o_year"),
+            ),
+            "l_orderkey",
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'late' ELSE 'on_time' END AS delay_bucket,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY delay_bucket ORDER BY delay_bucket
+    """,
+    description="TPC-H Q12 shape (shipping delay vs priority; this "
+    "corpus has no shipmode/commit/receipt columns, so lateness is "
+    "ship-lag > 90 days): one fact-to-fact join on orderkey, "
+    "conditional counts per delay bucket in a single agg pass.",
+    tags=("relational", "join", "agg", "conditional"),
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            o.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                "o_orderdate",
+                "o_orderpriority",
+            ),
+            "l_orderkey",
+        )
+        .withColumn(
+            "delay_bucket",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, "late"
+            ).otherwise("on_time"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 shape (customer order distribution): "
+    "left-outer join so zero-order customers land in the c_count=0 "
+    "bucket, then a histogram over the per-customer counts — two "
+    "shuffles (custkey agg, count histogram), both map-side combined.",
+    tags=("relational", "outer-join", "agg", "histogram"),
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.select("c_custkey")
+        .join(
+            o.filter(F.col("o_orderpriority") != "5-LOW").select(
+                F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+            ),
+            "c_custkey",
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_type = 'SMALL'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    description="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated average-quantity subquery becomes one per-part "
+    "pre-aggregation joined back to the fact — the decorrelation "
+    "Catalyst cannot always do automatically, written as the plan a "
+    "100 TB run needs (one extra narrow agg instead of a per-row "
+    "subquery).",
+    tags=("relational", "join", "agg", "subquery"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    target = p.filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+    ).select(F.col("p_partkey").alias("l_partkey"))
+    # per-part quantity thresholds only for the target parts: semi-filter
+    # the fact FIRST so the avg aggregates a fraction of the corpus
+    narrowed = li.join(F.broadcast(target), "l_partkey")
+    thresh = narrowed.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        narrowed.join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "suppliers_kept_waiting",
+    oracle="""
+    SELECT s.s_name AS s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE date_diff('day', o.o_orderdate, l1.l_shipdate) > 90
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND date_diff('day', o3.o_orderdate, l3.l_shipdate) > 90)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    description="TPC-H Q21 shape (suppliers who kept orders waiting; "
+    "lateness = ship-lag > 90 days on finished orders, this corpus "
+    "carrying no commit/receipt dates): the EXISTS becomes a left-semi "
+    "and the NOT EXISTS a left-anti join against per-order supplier "
+    "sets — both shuffle 8-byte keys only, no correlated re-scan "
+    "per row.",
+    tags=("relational", "semi-join", "anti-join", "agg", "topk"),
+)
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(finished, "l_orderkey")
+        .filter(late)
+    )
+    # per-order supplier sets, deduped once and reused by both the
+    # semi (another supplier exists) and the anti (no OTHER late
+    # supplier) sides
+    order_supps = li.select("l_orderkey", "l_suppkey").distinct()
+    other = order_supps.withColumnRenamed("l_suppkey", "other_supp")
+    l1 = l1.join(
+        other,
+        (l1.l_orderkey == other.l_orderkey)
+        & (l1.l_suppkey != other.other_supp),
+        "left_semi",
+    )
+    # l1 rows all belong to finished orders, so the anti side only needs
+    # late lines of finished orders — same result, smaller build side
+    late_other = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(finished, "l_orderkey")
+        .filter(late)
+        .select("l_orderkey", F.col("l_suppkey").alias("other_supp"))
+        .distinct()
+    )
+    l1 = l1.join(
+        late_other,
+        (l1.l_orderkey == late_other.l_orderkey)
+        & (l1.l_suppkey != late_other.other_supp),
+        "left_anti",
+    )
+    return (
+        l1.join(
+            F.broadcast(s.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")),
+            "l_suppkey",
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+    description="TPC-H Q22 shape (global sales opportunity; market "
+    "segment standing in for the phone country code this corpus lacks): "
+    "above-average-balance customers with no orders since 2000. The scalar "
+    "average is a one-row broadcast, the NOT EXISTS a left-anti join "
+    "on custkey — at 100 TB both sides stay a single shuffle-free "
+    "broadcast + one anti-join shuffle.",
+    tags=("relational", "anti-join", "subquery", "agg"),
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
