@@ -871,3 +871,68 @@ def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "doc_id", F.round(score_logistic(f, ["x1", "x2"], w), 6).alias("quality_prob")
     ).orderBy("doc_id")
+
+
+@register(
+    "mixture_temperature_resample",
+    oracle="""
+    WITH t AS (
+      SELECT source, len({toks}) AS n_tokens FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    ),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             n_tokens * 1.0 / (SELECT sum(n_tokens) FROM per) AS share,
+             pow(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM per), 0.7) AS w
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           round(share, 6) AS token_share,
+           round(w / (SELECT sum(w) FROM p), 6) AS temp_share,
+           round((w / (SELECT sum(w) FROM p)) / share, 6) AS sample_multiplier
+    FROM p ORDER BY source
+    """.replace(
+        "{toks}",
+        "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')",
+    ),
+    description="Temperature-based mixture resampling (the tau=0.7 "
+    "multinomial reweighting of XLM-R / Pile-style data recipes): each "
+    "source's token share is raised to tau and renormalized; the "
+    "sample_multiplier is the up/down-sampling factor per source. One "
+    "tokenizing scan into a 20-row rollup; the tau-power and both "
+    "normalizers are scalar aggregates over that rollup, broadcast "
+    "back — no second corpus pass at any scale.",
+    tags=("curation", "mixture", "sampling"),
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    per = (
+        docs.select("source", F.size(tokenize(F.col("text"))).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    p = per.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n_tokens") * 1.0 / F.col("tot_tokens")
+    ).withColumn("w", F.pow(F.col("share"), F.lit(0.7)))
+    z = p.agg(F.sum("w").alias("z"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("share"), 6).alias("token_share"),
+            F.round(F.col("w") / F.col("z"), 6).alias("temp_share"),
+            F.round((F.col("w") / F.col("z")) / F.col("share"), 6).alias(
+                "sample_multiplier"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -632,3 +632,72 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "boilerplate_ngram_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> {DUCK_HASH.format(v="concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}))
+                  ELSE [] END AS shingles
+      FROM t
+    ),
+    ex AS (SELECT doc_id, source, unnest(shingles) AS h FROM sh),
+    df AS (SELECT h, count(*) AS df FROM ex GROUP BY h),
+    nd AS (SELECT count(*) AS n FROM documents),
+    boiler AS (SELECT h FROM df, nd WHERE df >= 0.2 * n),
+    per_doc AS (
+      SELECT e.doc_id, e.source, count(*) AS n_sh,
+             sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_b
+      FROM ex e LEFT JOIN boiler b ON b.h = e.h
+      GROUP BY e.doc_id, e.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS docs,
+           round(avg(n_b * 1.0 / n_sh), 6) AS boilerplate_frac
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    description="C4-style boilerplate exposure: word-3-grams appearing "
+    "in >= 20% of all documents are corpus boilerplate; reports each "
+    "source's average fraction of per-doc distinct 3-grams that are "
+    "boilerplate. Distinct-per-doc shingles make one explode+agg give "
+    "document frequency directly; the boilerplate set is tiny by "
+    "construction (high-DF survivors) so it broadcast-joins back — "
+    "shuffle keys are 8-byte hashes, the 3-gram text never shuffles, "
+    "O(corpus tokens) end to end.",
+    tags=("text", "curation", "boilerplate", "shingles"),
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ex = docs.select(
+        "doc_id", "source", F.explode(shingle_hashes(F.col("text"))).alias("h")
+    )
+    n_docs = docs.count()
+    boiler = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 0.2 * n_docs)
+        .select("h", F.lit(1).alias("is_b"))
+    )
+    per_doc = (
+        ex.join(F.broadcast(boiler), "h", "left_outer")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce(F.col("is_b"), F.lit(0))).alias("n_b"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg(F.col("n_b") * 1.0 / F.col("n_sh")), 6).alias(
+                "boilerplate_frac"
+            ),
+        )
+        .orderBy("source")
+    )
