@@ -68,141 +68,80 @@ def load_all() -> None:
 # entries. This explicit window lists a covering set of SURVEY §2:
 # every operator family has at least one oracle-backed query inside it.
 #
-# Round-4 rotation (VERDICT r3 item 5): r02∪r03 witnessed 83/84
-# then-registered queries. This window leads with (a) the only
-# never-verified entry plus the two cypher closure queries new this
-# round, (b) the queries red in r03 whose root causes are fixed (the
-# events ts-loader bug, the sequence_packing oracle's HUGEINT typing),
-# (c) the r02-greens invalidated by the ts-loader fix, and (d) every
-# query whose implementation changed this round (graph/algorithms.py +
-# graph/paths.py in the SCC-fast-path/AQE-scope commit, cypher.py for
-# [*] compilation, the int8 store) — their old green rows no longer
-# witness the current code. The tail re-greens the r02-only entries
-# that have not had a driver row since round 2; the five left out
-# (pricing/shipping/regional/customer-outer/supplier-rollup relational
-# headliners plus the untouched r03 greens) carry fresh r03 rows and
-# stay in the local oracle sweep.
-# Registered AFTER this round's window filled (every slot re-witnesses
-# a changed implementation, a repaired red, or a query new this round):
-# top_value_part_types, near_dup_rate_by_source,
-# dependency_graph_paths, cypher_delete_counters, duplicated_span_stats,
-# semantic_dedup_candidates, pii_redaction_stats,
-# embedding_ivf_lloyd_topk, nation_volume_shipping,
-# large_order_customers, doc_chunk_plan, shuffled_export_order,
-# embedding_decontamination, cypher_pagerank_readback,
-# cypher_community_readback, cypher_scc_readback,
-# cypher_meta_graph_call, quality_logreg_weights,
-# doc_bigram_surprisal, doc_classifier_scores, corpus_zipf_fit,
-# returned_item_customers, brand_discount_revenue, events_type_trend,
-# forecast_revenue_change, top_supplier_revenue.
-# They are green in the
-# local sf0.01 oracle sweep and MUST LEAD the round-5 rotation as its
-# "(a) never driver-verified" group.
+# Round-5 rotation (VERDICT r4 item 1): leads with (a) the 26 queries
+# registered after round 4's window filled — local-oracle-green but
+# never driver-witnessed; after this round every registered query has
+# a green driver row in r01∪…∪r05. Then (b) the 10 queries NEW this
+# round (the row-carrying-WITH cypher witness, the seven Q8/Q9/Q12/
+# Q13/Q17/Q21/Q22 relational shapes, boilerplate exposure, temperature
+# resampling). The tail (c) re-greens one representative per operator
+# family whose implementation changed this round: the driver-gate
+# comparisons in graph/algorithms.py + graph/paths.py now route
+# through _gate() (pagerank/CC/scc/louvain/label-prop/coreness/
+# closure/bfs/asp/path-enum), and cypher.py grew WITH-chain
+# compilation + the gephi/linkprediction rewrites. Changed-this-round
+# queries WITHOUT a slot (scc_size_histogram, personalized_pagerank_top,
+# louvain_per_reltype, closure_per_root, depth_extremes_per_root,
+# two_hop_dependencies, harmonic_centrality_roots,
+# cypher_subdeps_per_devdep) carry fresh r04 green rows, share every
+# changed code path with an in-window sibling, and stay pinned by the
+# local 145-query oracle sweep.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # -- (a) never driver-verified ------------------------------------
-    "embedding_int8_topk",
-    "cypher_closure_from_anchor",
-    "cypher_subdeps_per_devdep",
-    "doc_repetition_signals",
-    "link_prediction_scores",
-    "events_purchase_attribution",
-    "events_asof_last_purchase",
-    "minhash_decontamination",
-    "embedding_ivf_int8_topk",
-    "multimodal_frame_stats",
-    "personalized_pagerank_top",
-    "doc_unigram_surprisal",
-    "events_sliding_windows",
-    # -- (b) red in r03, root cause fixed this round --------------------
-    "events_sessionization",
-    "events_session_windows",
-    "sequence_packing_plan",
-    # -- (c) r02-greens invalidated by the events ts-loader fix ---------
-    "events_daily_active_users",
-    "events_tumbling_hourly",
-    "events_json_extract",
-    "events_top_purchasers",
-    # -- (d) implementation changed this round: graph algorithms --------
+    # -- (a) never driver-verified (VERDICT r4 item 1, the 26) ---------
+    "top_value_part_types",
+    "near_dup_rate_by_source",
+    "dependency_graph_paths",
+    "cypher_delete_counters",
+    "duplicated_span_stats",
+    "semantic_dedup_candidates",
+    "pii_redaction_stats",
+    "embedding_ivf_lloyd_topk",
+    "nation_volume_shipping",
+    "large_order_customers",
+    "doc_chunk_plan",
+    "shuffled_export_order",
+    "embedding_decontamination",
+    "cypher_pagerank_readback",
+    "cypher_community_readback",
+    "cypher_scc_readback",
+    "cypher_meta_graph_call",
+    "quality_logreg_weights",
+    "doc_bigram_surprisal",
+    "doc_classifier_scores",
+    "corpus_zipf_fit",
+    "returned_item_customers",
+    "brand_discount_revenue",
+    "events_type_trend",
+    "forecast_revenue_change",
+    "top_supplier_revenue",
+    # -- (b) new this round --------------------------------------------
+    "cypher_with_chain_fanout",
+    "market_share_by_year",
+    "profit_by_nation_year",
+    "late_shipment_priority_counts",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "suppliers_kept_waiting",
+    "dormant_rich_customers",
+    "boilerplate_ngram_stats",
+    "mixture_temperature_resample",
+    # -- (c) re-green: implementation changed this round ---------------
+    # gate plumbing (_gate) in graph/algorithms.py + graph/paths.py
     "scc_summary",
-    "scc_size_histogram",
     "pagerank_top20",
     "louvain_communities",
     "label_propagation_summary",
-    "louvain_per_reltype",
     "connected_components_summary",
-    # -- (d) implementation changed: paths ------------------------------
+    "k_core_decomposition",
     "closure_counts_from_anchor",
-    "closure_per_root",
-    "depth_extremes_per_root",
-    "all_shortest_paths_pairs",
     "bfs_depth_profile",
-    "two_hop_dependencies",
+    "all_shortest_paths_pairs",
     "dependency_chains",
-    # -- (d) implementation changed: cypher front-end -------------------
+    # cypher.py front-end (WITH chains, gephi labels, linkprediction)
     "cypher_top_used_modules",
     "cypher_unhosted_dependency_count",
     "cypher_hosted_on_outer",
-    # -- (e) new this round: topology statistics + exact quantiles ------
-    # (take the slots of four r01+r02 double-green relational canaries —
-    # parts_never_ordered, customers_with_open_orders,
-    # scalar_function_showcase, revenue_rollup — untouched since round 1
-    # and still pinned by the local oracle sweep)
-    "k_core_decomposition",
-    "clustering_coefficient_summary",
-    "degree_assortativity",
-    "lineitem_price_quantiles",
-    "leakage_free_split_assignment",
-    "bpe_merge_candidates",
-    "events_funnel",
-    "events_weekly_retention",
-    "events_error_anomaly_scores",
-    "harmonic_centrality_roots",
-    "priority_order_counts",
-    "promo_revenue_share",
-    "corpus_mixture_report",
-    # -- re-green: r02-only entries without a driver row since round 2 --
-    # (self_loops and meta_graph yield their slots to the two curation
-    # queries above: both are r01+r02 double-green and structurally
-    # untouched since round 1)
-    # (dependants_by_endpoint_label yields its slot to
-    # events_error_anomaly_scores: r01+r02 double-green, untouched)
-    # (modules_per_repo_list and one_hop_neighborhood yielded their
-    # slots to the Q4/Q14-shape relational queries and the mixture
-    # report: their r02 greens still witness the untouched
-    # implementations)
-    # (detach_delete_impact and manifest_dependency_totals yield their
-    # slots to events_funnel / events_weekly_retention: r01+r02
-    # double-green, untouched since round 1)
-    # (doc_quality_scores and language_id_confusion — both r01+r02
-    # double-green, untouched — yielded the text-analysis re-green
-    # slots to harmonic_centrality_roots and the relational additions)
-    # (left out, all carrying fresh r03 green rows and still in the
-    # local oracle sweep: pricing_summary, shipping_priority,
-    # regional_revenue, customer_order_stats_outer,
-    # sql_supplier_nation_rollup, label_histogram, rel_type_histogram,
-    # modules_used_by_repo, repos_depending_on_module,
-    # users_by_repos_owned, motif_shared_module_pairs,
-    # motif_unhosted_dependencies, version_range_profile,
-    # doc_tfidf_top_terms, simhash_values, dedup_clusters,
-    # embedding_lsh_topk, embedding_ivf_topk, benchmark_decontamination,
-    # stratified_sample_counts, node_similarity_jaccard,
-    # triangle_counts_top, exact_dedup_summary, minhash_lsh_dups,
-    # embedding_topk_bruteforce, embedding_cosine_dups,
-    # multimodal_byte_features, doc_token_stats, corpus_filter_funnel,
-    # manifest_edge_roundtrip, idempotent_merge, top_dependants_modules,
-    # degree_breakdown, orders_running_rank; r02-green untouched:
-    # lineitem_describe, distinct_order_profiles, doc_shingle_profile,
-    # preferential_attachment, ngram_jaccard_dups,
-    # embedding_similarity_buckets, quantity_histogram,
-    # doc_bpe_token_counts, simhash_near_dups, hosted_on_outer,
-    # doc_fingerprints, schema_histograms — the last ten gave their
-    # slots to the round-4 operators doc_repetition_signals /
-    # link_prediction_scores / events_purchase_attribution /
-    # events_asof_last_purchase / minhash_decontamination /
-    # embedding_ivf_int8_topk / multimodal_frame_stats /
-    # personalized_pagerank_top / doc_unigram_surprisal /
-    # events_sliding_windows, which had no driver row at all; the
-    # displaced families keep fresh rows)
+    "cypher_closure_from_anchor",
 )
 
 
