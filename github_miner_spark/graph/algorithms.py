@@ -456,40 +456,57 @@ def _scc_impl(
     all_verts = _vertex_ids(dedup).localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
 
-    # phase 0: trim the acyclic fringe to a fixpoint. One degree-flags
-    # shuffle per round; the peeled singletons are NOT tracked per round
-    # — they fall out at the end as all_verts minus the surviving core.
-    # (Both cheaper-looking variants — lazily chaining two peel rounds
-    # per barrier, and skipping the core checkpoint — were measured at
-    # sf0.1 and rejected: core feeds three consumers, so an
-    # unmaterialized round recomputes its predecessors multiplicatively,
-    # and the saved driver actions are noise next to that.)
-    remaining_verts = all_verts
-    prev_n = remaining_verts.count()
-    for _ in range(max_iter):
-        flags = (
-            remaining_edges.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+    def _trim(edges_in: DataFrame, max_rounds: int) -> tuple[DataFrame, DataFrame]:
+        """Peel the acyclic fringe to a fixpoint; returns (core_verts,
+        core_edges), both checkpointed. One edge checkpoint + one cheap
+        count per round: the degree-flags aggregation stays LAZY inside
+        that single job, and convergence is detected on the edge count
+        (edges stable <=> core stable, core being a pure function of the
+        edge set). Peeled vertices are not tracked per round — callers
+        diff against their vertex universe once at the end."""
+        e = edges_in
+        prev_e = e.count()
+        for _ in range(max_rounds):
+            flags = (
+                e.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .unionByName(
+                    e.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+                )
+                .groupBy("id")
+                .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
+            )
+            core = flags.filter(
+                (F.col("has_out") == 1) & (F.col("has_in") == 1)
+            ).select("id")
+            e = (
+                e.join(core.withColumnRenamed("id", "src"), ["src"], "left_semi")
+                .join(core.withColumnRenamed("id", "dst"), ["dst"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n_e = e.count()
+            if n_e == prev_e:
+                break
+            prev_e = n_e
+        final_flags = (
+            e.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
             .unionByName(
-                remaining_edges.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+                e.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
             )
             .groupBy("id")
             .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
         )
         core = (
-            flags.filter((F.col("has_out") == 1) & (F.col("has_in") == 1))
+            final_flags.filter((F.col("has_out") == 1) & (F.col("has_in") == 1))
             .select("id")
             .localCheckpoint(eager=True)
         )
-        n = core.count()
-        remaining_verts = core
-        if n == prev_n:
-            break
-        prev_n = n
-        remaining_edges = (
-            remaining_edges.join(core.withColumnRenamed("id", "src"), ["src"], "left_semi")
-            .join(core.withColumnRenamed("id", "dst"), ["dst"], "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        return core, e
+
+    # phase 0: trim the acyclic fringe. On DAG-heavy inputs (dependency
+    # graphs are mostly acyclic) this removes almost everything in
+    # O(depth) rounds of one degree-flags-derived edge checkpoint each,
+    # leaving only the cyclic core.
+    remaining_verts, remaining_edges = _trim(remaining_edges, max_iter)
     singletons = all_verts.join(remaining_verts, "id", "left_anti")
     assigned_parts.append(
         singletons.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
@@ -516,7 +533,12 @@ def _scc_impl(
     for _round in range(max_iter):
         if remaining_verts.isEmpty():
             break
-        # 1. forward min-color propagation to fixpoint
+        # 1. forward min-color propagation to fixpoint. The changed
+        # flag is FUSED into the color update, so the stability probe
+        # is a filter scan over the just-checkpointed frame instead of
+        # a second shuffle join against the previous colors (min-
+        # propagation only ever decreases a color, so changed <=>
+        # cmin < old color).
         colors = remaining_verts.select("id", F.col("id").alias("color"))
         for _ in range(max_iter):
             prop = (
@@ -528,19 +550,17 @@ def _scc_impl(
                 colors.join(prop, colors.id == prop.nid, "left_outer")
                 .select(
                     "id",
-                    F.least(F.col("color"), F.coalesce(F.col("cmin"), F.col("color"))).alias(
-                        "color"
-                    ),
+                    F.least(
+                        F.col("color"), F.coalesce(F.col("cmin"), F.col("color"))
+                    ).alias("color"),
+                    (
+                        F.coalesce(F.col("cmin"), F.col("color")) < F.col("color")
+                    ).alias("changed"),
                 )
                 .localCheckpoint(eager=True)
             )
-            stable = (
-                new_colors.alias("n")
-                .join(colors.alias("o"), "id")
-                .filter(F.col("n.color") != F.col("o.color"))
-                .isEmpty()
-            )
-            colors = new_colors
+            stable = new_colors.filter(F.col("changed")).isEmpty()
+            colors = new_colors.select("id", "color")
             if stable:
                 break
         else:
@@ -570,8 +590,15 @@ def _scc_impl(
             scc = scc.unionByName(preds).localCheckpoint(eager=True)
             frontier = preds
         assigned_parts.append(scc.select("id", F.col("color").alias("component")))
-        # 3. drop assigned vertices, keep going
-        remaining_verts = remaining_verts.join(scc, ["id"], "left_anti").localCheckpoint(
+        # 3. drop assigned vertices, then RE-TRIM the fringe their
+        # removal exposes (the Trim step of the FW-BW-Trim recursion,
+        # Hong et al.): vertices that were only "cyclic" through a
+        # removed SCC peel off as singleton components here instead of
+        # paying another full coloring fixpoint — this is what bounds
+        # the outer round count by the SCC-condensation depth rather
+        # than the number of color classes. The shrunken core then
+        # re-checks the driver-Tarjan gate.
+        prev_remaining = remaining_verts.join(scc, ["id"], "left_anti").localCheckpoint(
             eager=True
         )
         scc_ids = scc.select("id")
@@ -580,6 +607,26 @@ def _scc_impl(
             .join(scc_ids.withColumnRenamed("id", "dst"), ["dst"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        remaining_verts, remaining_edges = _trim(remaining_edges, max_iter)
+        peeled = prev_remaining.join(remaining_verts, "id", "left_anti")
+        assigned_parts.append(
+            peeled.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+        )
+        core_edge_count = remaining_edges.count()
+        if core_edge_count <= _gate(core_collect_threshold):
+            if core_edge_count > 0:
+                comp = _tarjan_components(
+                    [(r["src"], r["dst"]) for r in remaining_edges.collect()],
+                    [r["id"] for r in remaining_verts.collect()],
+                )
+                spark = edges.sparkSession
+                assigned_parts.append(
+                    spark.createDataFrame(
+                        list(comp.items()), "id bigint, component bigint"
+                    )
+                )
+                remaining_verts = remaining_verts.limit(0).localCheckpoint(eager=True)
+            break
 
     if not remaining_verts.isEmpty():
         raise RuntimeError(

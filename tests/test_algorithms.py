@@ -320,3 +320,15 @@ def test_label_propagation_driver_matches_distributed_sf001(spark):
         map(tuple, label_propagation(mm, iterations=8, collect_threshold=0).collect())
     )
     assert fast == slow and len(fast) > 0
+
+
+def test_force_distributed_env_zeroes_gates(monkeypatch):
+    """bench.py's second lane contract: SPARK_GRAFT_FORCE_DISTRIBUTED=1
+    must zero every driver-collect gate at call time."""
+    from github_miner_spark.graph import algorithms, paths
+
+    assert algorithms._gate(2_000_000) == 2_000_000
+    assert paths._gate(123) == 123
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    assert algorithms._gate(2_000_000) == 0
+    assert paths._gate(123) == 0

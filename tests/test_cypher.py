@@ -1070,13 +1070,17 @@ def test_call_procedure_workflows_verbatim(spark):
     ).collect()
     assert read[0]["pagerank"] is not None
 
-    # scc: setCount/maxSetSize/minSetSize match the programmatic run
-    scc_row = run_cypher(
-        g,
-        "CALL algo.scc('NodeModule', 'DEPENDS_ON', "
-        "{write:true,writeProperty:'partition',concurrency:4, graph:'huge'}) "
-        "YIELD loadMillis, computeMillis, writeMillis, setCount, maxSetSize, minSetSize",
-    ).collect()[0]
+    # scc: setCount/maxSetSize/minSetSize match the programmatic run.
+    # Going through run_cypher (not apply_cypher_call) with write:true
+    # must WARN that the mutated graph is discarded (ADVICE r4) while
+    # still serving the YIELD summary.
+    with pytest.warns(UserWarning, match="discards the mutated graph"):
+        scc_row = run_cypher(
+            g,
+            "CALL algo.scc('NodeModule', 'DEPENDS_ON', "
+            "{write:true,writeProperty:'partition',concurrency:4, graph:'huge'}) "
+            "YIELD loadMillis, computeMillis, writeMillis, setCount, maxSetSize, minSetSize",
+        ).collect()[0]
     proj = g.edges.filter(
         (F.col("rel_type") == "DEPENDS_ON")
         & (F.col("src_label") == "NodeModule")
