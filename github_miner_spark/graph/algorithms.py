@@ -1166,6 +1166,11 @@ def coreness(
         cur = adj.groupBy("id").agg(F.count("*").alias("core")).localCheckpoint(eager=True)
         w = Window.partitionBy("id").orderBy(F.desc("cn"))
         for _ in range(max_iter):
+            # the previous-value join rides INSIDE the checkpoint job
+            # (one job per round, not two) and the stability probe is a
+            # filter scan over the checkpointed result — the h-index
+            # sequence is monotone non-increasing, so changed <=>
+            # core < prev
             nxt = (
                 adj.join(
                     cur.select(F.col("id").alias("nb"), F.col("core").alias("cn")), "nb"
@@ -1175,15 +1180,15 @@ def coreness(
                 # H-index of the neighbor multiset: with values sorted
                 # descending, H = max_i min(value_i, i)
                 .agg(F.max(F.least(F.col("cn"), F.col("rn"))).alias("core"))
+                .join(cur.withColumnRenamed("core", "prev"), "id")
+                .select(
+                    "id", "core", (F.col("core") != F.col("prev")).alias("changed")
+                )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                nxt.join(cur.withColumnRenamed("core", "prev"), "id")
-                .filter(F.col("core") != F.col("prev"))
-                .count()
-            )
-            cur = nxt
-            if changed == 0:
+            stable = nxt.filter(F.col("changed")).isEmpty()
+            cur = nxt.select("id", "core")
+            if stable:
                 return cur
     raise RuntimeError(
         f"coreness did not reach the h-index fixpoint within {max_iter} rounds; "
