@@ -1259,27 +1259,23 @@ def _exec_segment(
     carried_nodes: set[str] = frozenset(),
     post_where: str | None = None,
 ) -> tuple[DataFrame, set[str], bool, set[str]]:
+    # WITH and RETURN share the projection grammar: [DISTINCT] items
+    # [ORDER BY ...] [SKIP n] [LIMIT n]. Cypher's WITH subclauses apply
+    # in exactly that order, with a trailing WHERE (post_where) last —
+    # which is where this function applies it.
     is_final = kw == "RETURN"
-    if is_final:
-        pm = re.match(
-            r"^(?P<distinct>DISTINCT )?(?P<ret>.+?)"
-            r"(?: ORDER BY (?P<order>.+?))?(?: LIMIT (?P<limit>\d+))?$",
-            proj_text,
-            re.IGNORECASE,
-        )
-        if not pm:
-            raise ValueError(f"unparseable RETURN clause: {proj_text!r}")
-        items_text, distinct = pm.group("ret"), pm.group("distinct")
-        order_text, limit_text = pm.group("order"), pm.group("limit")
-    else:
-        if re.search(r"\b(ORDER\s+BY|LIMIT|DISTINCT)\b", proj_text, re.IGNORECASE):
-            # folding these into an item alias would silently misparse
-            raise NotImplementedError(
-                "cypher_lite supports WITH only as a plain aggregate "
-                "projection — ORDER BY / LIMIT / DISTINCT inside WITH are "
-                "not covered; compose DataFrames directly"
-            )
-        items_text, distinct, order_text, limit_text = proj_text, None, None, None
+    pm = re.match(
+        r"^(?P<distinct>DISTINCT )?(?P<ret>.+?)"
+        r"(?: ORDER BY (?P<order>.+?))?"
+        r"(?: SKIP (?P<skip>\d+))?(?: LIMIT (?P<limit>\d+))?$",
+        proj_text,
+        re.IGNORECASE,
+    )
+    if not pm:
+        raise ValueError(f"unparseable {kw} clause: {proj_text!r}")
+    items_text, distinct = pm.group("ret"), pm.group("distinct")
+    order_text, limit_text = pm.group("order"), pm.group("limit")
+    skip_text = pm.group("skip")
 
     for b in seg_blocks:
         _parse_block_patterns(b, anon)
@@ -1629,16 +1625,53 @@ def _exec_segment(
     if order_tokens:
         aliases = {a for _, a in keys} | {a for _, a in aggs}
         order_cols = []
+        ob_tmp: list[str] = []
         for token, desc in order_tokens:
-            col = (
-                F.col(token)
-                if token in aliases
-                else _col_ref(token, edge_vars, set(), carried_names)[0]
-            )
+            if token in aliases:
+                col = F.col(token)
+            else:
+                vp = re.match(r"^(\w+)\.(\w+)$", token)
+                cname = (
+                    (f"{vp.group(1)}_id" if vp.group(2) == "id" else f"{vp.group(1)}_{vp.group(2)}")
+                    if vp
+                    else None
+                )
+                if cname and cname in out.columns:
+                    col = F.col(cname)
+                elif vp and f"{vp.group(1)}_id" in out.columns:
+                    # ORDER BY on a node var's property that did not
+                    # survive the projection/aggregate (e.g. WITH m,
+                    # count(r) AS deg ORDER BY m.name): rejoin it from
+                    # the vertices table on the carried id, order, and
+                    # drop the helper column after SKIP/LIMIT
+                    var, prop = vp.group(1), vp.group(2)
+                    tmp = f"__ob_{var}_{prop}"
+                    vcol = (
+                        F.col(prop)
+                        if prop in graph.vertices.columns
+                        else F.lit(None).cast("string")
+                    )
+                    out = out.join(
+                        F.broadcast(
+                            graph.vertices.select(
+                                F.col("id").alias(f"{var}_id"), vcol.alias(tmp)
+                            )
+                        ),
+                        f"{var}_id",
+                        "left_outer",
+                    )
+                    ob_tmp.append(tmp)
+                    col = F.col(tmp)
+                else:
+                    col = _col_ref(token, edge_vars, set(), carried_names)[0]
             order_cols.append(col.desc() if desc else col.asc())
         out = out.orderBy(*order_cols)
+    if skip_text:
+        out = out.offset(int(skip_text))
     if limit_text:
         out = out.limit(int(limit_text))
+    if order_tokens and ob_tmp:
+        out = out.drop(*ob_tmp)
 
     new_names = {a for _, a in keys} | {a for _, a in aggs}
 

@@ -420,3 +420,47 @@ def cypher_with_chain_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN m.name AS module_name, deps, count(r) AS repos "
         "ORDER BY repos DESC, module_name, deps LIMIT 10",
     )
+
+
+@register(
+    "cypher_with_topk_pipeline",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    , deg AS (
+      SELECT e.dst AS mid, count(*) AS deg
+      FROM edges e
+      WHERE e.rel_type = 'DEPENDS_ON'
+        AND e.src_label = 'GitRepo' AND e.dst_label = 'NodeModule'
+      GROUP BY e.dst
+    ), top5 AS (
+      SELECT d.mid, d.deg, v.name
+      FROM deg d JOIN vertices v ON v.id = d.mid
+      ORDER BY d.deg DESC, v.name, d.mid LIMIT 5
+    )
+    SELECT t.name AS module_name, t.deg AS deg, count(*) AS subdeps
+    FROM top5 t
+    JOIN edges e2 ON e2.src = t.mid
+     AND e2.rel_type = 'DEPENDS_ON' AND e2.dst_label = 'NodeModule'
+    GROUP BY t.name, t.deg
+    ORDER BY deg DESC, module_name
+    """,
+    description="Mid-pipeline top-k through cypher_lite (round 5): "
+    "WITH m, count(r) AS deg ORDER BY deg DESC, m.name, id(m) LIMIT 5 "
+    "picks the 5 most-depended-on modules BEFORE the second MATCH "
+    "expands their sub-dependencies — the ORDER BY property that did "
+    "not survive the aggregate is rejoined on the carried id. The "
+    "working-set-first pattern every Neo4j user writes; compiles to "
+    "TakeOrderedAndProject over the degree rollup, then ordinary "
+    "equi-joins.",
+    tags=("cypher", "graph", "with-chain", "topk"),
+)
+def cypher_with_topk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) "
+        "WITH m, count(r) AS deg ORDER BY deg DESC, m.name, id(m) LIMIT 5 "
+        "MATCH (m)-[:DEPENDS_ON]->(s:NodeModule) "
+        "RETURN m.name AS module_name, deg, count(s) AS subdeps "
+        "ORDER BY deg DESC, module_name",
+    )

@@ -125,6 +125,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "dormant_rich_customers",
     "boilerplate_ngram_stats",
     "mixture_temperature_resample",
+    "cypher_with_topk_pipeline",
     # -- (c) re-green: implementation changed this round ---------------
     # gate plumbing (_gate) in graph/algorithms.py + graph/paths.py
     "scc_summary",
@@ -136,7 +137,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "closure_counts_from_anchor",
     "bfs_depth_profile",
     "all_shortest_paths_pairs",
-    "dependency_chains",
+    # (dependency_chains yields its slot to cypher_with_topk_pipeline:
+    # the paths gate family is already witnessed in-window by
+    # closure_counts_from_anchor / bfs_depth_profile /
+    # all_shortest_paths_pairs / dependency_graph_paths)
     # cypher.py front-end (WITH chains, gephi labels, linkprediction)
     "cypher_top_used_modules",
     "cypher_unhosted_dependency_count",

@@ -475,14 +475,17 @@ def test_cross_block_property_filter(spark):
     assert got[0]["rows"] == n_hosted + n_unmatched
 
 
-def test_with_order_by_raises(spark):
+def test_with_order_by_runs(spark):
+    """ORDER BY inside WITH is supported since round 5 (it is a no-op
+    on this 1-row aggregate scope, but must parse and run)."""
     g = load_graph(spark, SF)
-    with pytest.raises(NotImplementedError, match="ORDER BY"):
-        run_cypher(
-            g,
-            "MATCH (m:NodeModule) WITH count(m) AS total ORDER BY total "
-            "MATCH (r:GitRepo) RETURN count(r) AS repos, total",
-        )
+    row = run_cypher(
+        g,
+        "MATCH (m:NodeModule) WITH count(m) AS total ORDER BY total "
+        "MATCH (r:GitRepo) RETURN count(r) AS repos, total",
+    ).collect()[0]
+    assert row["total"] == g.vertices.filter(F.col("label") == "NodeModule").count()
+    assert row["repos"] == g.vertices.filter(F.col("label") == "GitRepo").count()
 
 
 def test_order_by_carried_alias(spark):
@@ -1283,3 +1286,44 @@ def test_row_carrying_with_chain(spark):
         .orderBy("name")
     )
     assert [tuple(r) for r in got3.collect()] == [tuple(r) for r in want3.collect()]
+
+
+def test_with_topk_pipeline(spark):
+    """Mid-pipeline top-k (round 5): WITH ... ORDER BY ... LIMIT n
+    selects the working set BEFORE the next MATCH expands it — the
+    ORDER BY references a node property that did not survive the
+    aggregate (rejoined on the carried id), and SKIP works too."""
+    g = load_graph(spark, SF)
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) "
+        "WITH m, count(r) AS deg ORDER BY deg DESC, m.name, id(m) LIMIT 5 "
+        "MATCH (m)-[:DEPENDS_ON]->(s:NodeModule) "
+        "RETURN m.name AS module_name, deg, count(s) AS subdeps "
+        "ORDER BY deg DESC, module_name",
+    )
+    names = g.vertices.select(F.col("id").alias("mid"), "name")
+    deg = (
+        g.edges.filter(
+            (F.col("rel_type") == "DEPENDS_ON")
+            & (F.col("src_label") == "GitRepo")
+            & (F.col("dst_label") == "NodeModule")
+        )
+        .groupBy(F.col("dst").alias("mid"))
+        .agg(F.count("*").alias("deg"))
+    )
+    top5 = (
+        deg.join(names, "mid")
+        .orderBy(F.desc("deg"), F.asc("name"), F.asc("mid"))
+        .limit(5)
+    )
+    sub = g.edges.filter(
+        (F.col("rel_type") == "DEPENDS_ON") & (F.col("dst_label") == "NodeModule")
+    ).select(F.col("src").alias("mid"))
+    want = (
+        top5.join(sub, "mid")
+        .groupBy(F.col("name").alias("module_name"), "deg")
+        .agg(F.count("*").alias("subdeps"))
+        .orderBy(F.desc("deg"), F.asc("module_name"))
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
