@@ -383,7 +383,7 @@ def _col_ref(
     return F.col(f"{expr}_id"), f"{expr}_id"
 
 
-_KW_RE = re.compile(r"(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|RETURN)\b", re.IGNORECASE)
+_KW_RE = re.compile(r"(OPTIONAL\s+MATCH|MATCH|WHERE|WITH|UNWIND|RETURN)\b", re.IGNORECASE)
 
 _OPS = {
     "=": lambda c, v: c == v,
@@ -1191,11 +1191,17 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     # a WHERE directly after a WITH filters the WITH rows (Cypher's
     # post-projection filter, incl. the HAVING-like form over aggs)
     clauses = _scan_clauses(q)
-    segments: list[list] = []  # [blocks, kw, text, post_where]
+    segments: list[list] = []  # [blocks, kw, text, post_where, unwinds]
     blocks: list[_Block] = []
+    unwinds: list[tuple[str, str]] = []
     for kw, text in clauses:
         if kw in ("MATCH", "OPTIONAL MATCH"):
             blocks.append(_Block(kind=kw, match_text=text))
+        elif kw == "UNWIND":
+            um = re.match(r"^(?P<expr>.+?)\s+AS\s+(?P<var>\w+)$", text, re.IGNORECASE)
+            if not um:
+                raise ValueError(f"unparseable UNWIND clause: {text!r}")
+            unwinds.append((um.group("expr").strip(), um.group("var")))
         elif kw == "WHERE":
             if blocks:
                 if blocks[-1].where_text is not None:
@@ -1210,14 +1216,15 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
                     "WHERE must follow a MATCH / OPTIONAL MATCH / WITH clause"
                 )
         else:  # WITH / RETURN
-            segments.append([blocks, kw, text, None])
+            segments.append([blocks, kw, text, None, unwinds])
             blocks = []
-    if blocks or not segments or segments[-1][1] != "RETURN":
+            unwinds = []
+    if blocks or unwinds or not segments or segments[-1][1] != "RETURN":
         raise ValueError(
             "query must be (MATCH|OPTIONAL MATCH) ... [WHERE ...] "
             "[WITH ... [WHERE ...]]* RETURN ... [ORDER BY ...] [LIMIT n]"
         )
-    if any(kw != "WITH" for _b, kw, _t, _w in segments[:-1]):
+    if any(kw != "WITH" for _b, kw, _t, _w, _u in segments[:-1]):
         raise ValueError("RETURN must be the final clause")
 
     anon = [0]
@@ -1225,7 +1232,7 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     carried_names: set[str] = set()
     carried_single = True
     carried_nodes: set[str] = set()
-    for seg_blocks, kw, proj_text, post_where in segments:
+    for seg_blocks, kw, proj_text, post_where, seg_unwinds in segments:
         out, out_names, single_row, node_vars = _exec_segment(
             graph,
             seg_blocks,
@@ -1237,6 +1244,7 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
             carried_single=carried_single,
             carried_nodes=carried_nodes,
             post_where=post_where,
+            unwinds=seg_unwinds,
         )
         if kw == "RETURN":
             return out
@@ -1258,7 +1266,14 @@ def _exec_segment(
     carried_single: bool = True,
     carried_nodes: set[str] = frozenset(),
     post_where: str | None = None,
+    unwinds: list[tuple[str, str]] | None = None,
 ) -> tuple[DataFrame, set[str], bool, set[str]]:
+    # unwound vars resolve as plain columns (carried-alias style) in
+    # items / WHERE / ORDER BY; they are excluded from the single-row
+    # key test below (an unwind multiplies rows)
+    orig_carried = set(carried_names)
+    carried_names = orig_carried | {v for _e, v in (unwinds or [])}
+
     # WITH and RETURN share the projection grammar: [DISTINCT] items
     # [ORDER BY ...] [SKIP n] [LIMIT n]. Cypher's WITH subclauses apply
     # in exactly that order, with a trailing WHERE (post_where) last —
@@ -1460,7 +1475,7 @@ def _exec_segment(
     # carries full rows, which later segments join on shared variables
     single_row = bool(aggs) and (
         not keys
-        or (carried_single and all(a in carried_names for _c, a in keys))
+        or (carried_single and all(a in orig_carried for _c, a in keys))
     )
     if weight is not None and not aggs and not distinct:
         # checked BEFORE block compilation: the closure operator runs
@@ -1532,9 +1547,9 @@ def _exec_segment(
         else:
             bound = bound.join(frame, shared) if shared else bound.crossJoin(frame)
     if bound is None:
-        if carried is None:
+        if carried is None and not unwinds:
             raise ValueError("segment has no MATCH clause and nothing carried")
-        bound = carried
+        bound = carried  # None stays None for a pure-UNWIND segment
     elif carried is not None:
         if carried_single:
             # 1-row aggregate scope from previous WITH segments
@@ -1566,6 +1581,31 @@ def _exec_segment(
         bound = bound.join(
             F.broadcast(graph.vertices.select(*cols)), f"{var}_id", "left_outer"
         )
+
+    # UNWIND: explode a literal list or a carried/collected list column
+    # into rows bound to the given variable (applied after this
+    # segment's pattern joins — list elements are VALUES, not nodes)
+    for expr, var in unwinds or []:
+        if re.match(r"^\[.*\]$", expr):
+            body = expr[1:-1].strip()
+            if not body:
+                raise ValueError("UNWIND of an empty literal list")
+            arr = F.array(
+                *[F.lit(_literal(t.strip())) for t in _split_top_level(body, ",")]
+            )
+        elif bound is not None and expr in bound.columns:
+            arr = F.col(expr)
+        else:
+            raise ValueError(
+                f"UNWIND references {expr!r}, which is not a carried list "
+                "in scope — carry it through WITH (e.g. collect(..) AS xs)"
+            )
+        if bound is None:
+            bound = graph.vertices.sparkSession.range(1).select(
+                F.explode(arr).alias(var)
+            )
+        else:
+            bound = bound.withColumn(var, F.explode(arr))
 
     # EXISTS((x)-[:R]-(y)) flags: distinct qualifying (x, y) pairs
     # left-joined in with a True marker; '-' matches either direction

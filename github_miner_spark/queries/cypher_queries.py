@@ -464,3 +464,34 @@ def cypher_with_topk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN m.name AS module_name, deg, count(s) AS subdeps "
         "ORDER BY deg DESC, module_name",
     )
+
+
+@register(
+    "cypher_collect_unwind_roundtrip",
+    oracle=GRAPH_ORACLE_CTES
+    + """
+    SELECT v.name AS name, count(*) AS n
+    FROM edges e JOIN vertices v ON v.id = e.dst
+    WHERE e.rel_type = 'DEPENDS_ON' AND e.src_label = 'GitRepo'
+      AND e.dst_label = 'NodeModule' AND e.src < 1000
+    GROUP BY v.name
+    ORDER BY n DESC, name
+    LIMIT 10
+    """,
+    description="UNWIND through cypher_lite (round 5): per-repo "
+    "collect(m.name) carried through WITH, exploded back to rows by "
+    "UNWIND, re-aggregated — the collect/unwind round-trip is "
+    "semantically the plain group-count the oracle states, and the "
+    "engine's explode compiles to a generator over the grouped array "
+    "column, never a driver materialization.",
+    tags=("cypher", "graph", "unwind", "agg"),
+)
+def cypher_collect_unwind_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = load_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) WHERE id(r) < 1000 "
+        "WITH id(r) AS rid, collect(m.name) AS names "
+        "UNWIND names AS name "
+        "RETURN name, count(*) AS n ORDER BY n DESC, name LIMIT 10",
+    )

@@ -126,12 +126,17 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "boilerplate_ngram_stats",
     "mixture_temperature_resample",
     "cypher_with_topk_pipeline",
+    "cypher_collect_unwind_roundtrip",
     # -- (c) re-green: implementation changed this round ---------------
     # gate plumbing (_gate) in graph/algorithms.py + graph/paths.py
     "scc_summary",
     "pagerank_top20",
     "louvain_communities",
-    "label_propagation_summary",
+    # (label_propagation_summary yields its slot to
+    # cypher_collect_unwind_roundtrip: it shares the exact changed code
+    # path — the _gate(collect_threshold) comparison in algorithms.py —
+    # with the in-window louvain_communities / connected_components
+    # siblings and carries a fresh r04 green row)
     "connected_components_summary",
     "k_core_decomposition",
     "closure_counts_from_anchor",

@@ -1327,3 +1327,42 @@ def test_with_topk_pipeline(spark):
         .orderBy(F.desc("deg"), F.asc("module_name"))
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_unwind_literal_and_collected(spark):
+    """UNWIND (round 5): literal lists explode into rows; a collected
+    list carried through WITH round-trips back to its source rows."""
+    g = load_graph(spark, SF)
+    r = run_cypher(g, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")
+    assert [t["x"] for t in r.collect()] == [1, 2, 3]
+
+    n = run_cypher(
+        g, "MATCH (m:NodeModule) UNWIND [1, 2] AS k RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert n == 2 * g.vertices.filter(F.col("label") == "NodeModule").count()
+
+    got = run_cypher(
+        g,
+        "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) WHERE id(r) < 1000 "
+        "WITH id(r) AS rid, collect(m.name) AS names "
+        "UNWIND names AS name "
+        "RETURN name, count(*) AS n ORDER BY n DESC, name LIMIT 10",
+    )
+    nm = g.vertices.select(F.col("id").alias("dst"), "name")
+    want = (
+        g.edges.filter(
+            (F.col("rel_type") == "DEPENDS_ON")
+            & (F.col("src_label") == "GitRepo")
+            & (F.col("dst_label") == "NodeModule")
+            & (F.col("src") < 1000)
+        )
+        .join(nm, "dst")
+        .groupBy("name")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("name"))
+        .limit(10)
+    )
+    assert [tuple(x) for x in got.collect()] == [tuple(x) for x in want.collect()]
+
+    with pytest.raises(ValueError, match="not a carried list"):
+        run_cypher(g, "MATCH (m) UNWIND nope AS x RETURN count(*) AS n")
