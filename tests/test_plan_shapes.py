@@ -253,3 +253,36 @@ def test_chunk_plan_prunes_to_two_columns(spark):
     schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     doc_schema = next(s for s in schemas if "text" in s)
     assert "lang" not in doc_schema and "source" not in doc_schema
+
+
+def test_q8_market_share_broadcasts_all_dims(spark):
+    """Q8 shape: every dimension broadcasts; the only SortMergeJoin is
+    the lineitem-orders fact join; the PROMO filter reaches the part
+    scan; lineitem reads only the 5 needed columns."""
+    plan = _plan(spark, "market_share_by_year")
+    assert "CartesianProduct" not in plan
+    # formatted explain lists each node twice (tree + detail); count
+    # the detail headers
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_type,PROMO\)", plan)
+    scan_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_schema = next(s for s in scan_schemas if "l_extendedprice" in s)
+    assert "l_tax" not in li_schema and "l_shipdate" not in li_schema
+
+
+def test_q21_semi_anti_join_shapes(spark):
+    """Q21 shape: EXISTS compiles to a LeftSemi, NOT EXISTS to a
+    LeftAnti — never a correlated re-scan or cartesian."""
+    plan = _plan(spark, "suppliers_kept_waiting")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_with_topk_pipeline_takeordered(spark):
+    """The Cypher mid-pipeline top-k compiles to TakeOrderedAndProject
+    over the degree rollup (no global sort materialization)."""
+    plan = _plan(spark, "cypher_with_topk_pipeline")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
