@@ -701,3 +701,95 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_kneser_ney_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(str_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+      FROM t, unnest(CASE WHEN len(toks) >= 2
+                          THEN range(1, len(toks))
+                          ELSE [] END) AS u(i)
+    ),
+    bfreq AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    pstats AS (
+      SELECT str_split(bigram, ' ')[1] AS prefix,
+             sum(c) AS pc, count(*) AS types_from
+      FROM bfreq GROUP BY prefix
+    ),
+    cstats AS (
+      SELECT str_split(bigram, ' ')[2] AS suffix, count(*) AS cont
+      FROM bfreq GROUP BY suffix
+    ),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bfreq),
+    scored AS (
+      SELECT bg.doc_id,
+             -ln(greatest(bf.c - 0.75, 0) / pf.pc
+                 + (0.75 * pf.types_from / pf.pc) * (cs.cont / (SELECT t FROM tt))
+             ) AS s
+      FROM bg
+      JOIN bfreq bf ON bf.bigram = bg.bigram
+      JOIN pstats pf ON pf.prefix = str_split(bg.bigram, ' ')[1]
+      JOIN cstats cs ON cs.suffix = str_split(bg.bigram, ' ')[2]
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(s), 6) AS mean_kn_surprisal
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="Interpolated Kneser-Ney bigram scoring (absolute "
+    "discount D=0.75) — the top rung of the perplexity-proxy ladder "
+    "(unigram -> raw bigram -> smoothed bigram LM): P(w2|w1) = "
+    "max(c-D,0)/c(w1.) + (D*types_from(w1)/c(w1.)) * cont(w2)/T, each "
+    "bigram scored -ln P and averaged per doc. The full KN model is "
+    "three keyed aggregations over the exploded bigrams (counts, "
+    "prefix totals+types, continuation types) plus one scalar type "
+    "count — the model is never collected, every term joins back by "
+    "key, so training this n-gram LM at 100 TB is the same plan with "
+    "more partitions. Unlike raw bigram surprisal, unseen-suffix mass "
+    "is redistributed by continuation probability, the standard LM "
+    "smoothing (Kneser & Ney 1995; Chen & Goodman 1999).",
+    tags=("text", "quality", "scoring", "ngram", "lm"),
+)
+def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_windows
+
+    docs = load_table(spark, "documents", sf_dir)
+    bg = docs.select(
+        "doc_id",
+        F.explode(token_windows(tokenize(F.col("text")), 2)).alias("bigram"),
+    )
+    bfreq = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    pstats = bfreq.groupBy(F.split(F.col("bigram"), " ")[0].alias("prefix")).agg(
+        F.sum("c").alias("pc"), F.count("*").alias("types_from")
+    )
+    cstats = bfreq.groupBy(F.split(F.col("bigram"), " ")[1].alias("suffix")).agg(
+        F.count("*").alias("cont")
+    )
+    tt = bfreq.agg(F.count("*").cast("double").alias("t"))
+    p = (
+        F.greatest(F.col("c") - F.lit(0.75), F.lit(0.0)) / F.col("pc")
+        + (F.lit(0.75) * F.col("types_from") / F.col("pc"))
+        * (F.col("cont") / F.col("t"))
+    )
+    scored = (
+        bg.join(bfreq, "bigram")
+        .join(pstats, F.split(F.col("bigram"), " ")[0] == F.col("prefix"))
+        .join(cstats, F.split(F.col("bigram"), " ")[1] == F.col("suffix"))
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", (-F.log(p)).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("s"), 6).alias("mean_kn_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
