@@ -484,3 +484,78 @@ def test_cypher_delete_matches_set_model(spark, edges, rel, del_label):
     assert res.relationships_deleted == want_rels_deleted
     assert sorted(r["id"] for r in res.graph.vertices.collect()) == survivors
     assert sorted(tuple(r) for r in res.graph.edges.collect()) == sorted(after_all)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(10, 16)),
+        min_size=1,
+        max_size=25,
+    ),
+    threshold=st.integers(1, 3),
+)
+@_settings
+def test_cypher_with_pipeline_matches_python(spark, edges, threshold):
+    """Round-5 grammar property: the row-carrying WITH pipeline
+    (aggregate + HAVING-style WHERE + continued MATCH + re-aggregate)
+    over random bipartite repo->module graphs must equal the direct
+    python computation, including row multiplicity."""
+    from github_miner_spark.cypher import run_cypher
+    from github_miner_spark.graph.model import PropertyGraph
+
+    rows = [
+        (int(a), int(b), "DEPENDS_ON", "GitRepo", "NodeModule", None)
+        for a, b in edges
+    ]
+    edf = spark.createDataFrame(
+        rows,
+        "src bigint, dst bigint, rel_type string, src_label string, dst_label string, version string",
+    )
+    verts = sorted({a for a, _ in edges} | {b for _, b in edges})
+    vdf = spark.createDataFrame(
+        [(v, "GitRepo" if v < 10 else "NodeModule", f"n{v}") for v in verts],
+        "id bigint, label string, name string",
+    )
+    g = PropertyGraph(vdf, edf)
+    got = {
+        (r["name"], r["deg"], r["n"])
+        for r in run_cypher(
+            g,
+            "MATCH (r:GitRepo)-[:DEPENDS_ON]->(m:NodeModule) "
+            f"WITH m, count(r) AS deg WHERE deg >= {threshold} "
+            "MATCH (r2:GitRepo)-[:DEPENDS_ON]->(m) "
+            "RETURN m.name AS name, deg, count(r2) AS n",
+        ).collect()
+    }
+    # python twin: count edges per module (multiset, parallel edges
+    # count), filter, second count equals the first
+    from collections import Counter
+
+    deg = Counter(b for _, b in edges)
+    want = {
+        (f"n{m}", d, d) for m, d in deg.items() if d >= threshold
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=12),
+)
+@_settings
+def test_cypher_unwind_literal_roundtrip(spark, vals):
+    """UNWIND of a literal list must reproduce the exact multiset and
+    its aggregate."""
+    from github_miner_spark.cypher import run_cypher
+    from github_miner_spark.graph.model import PropertyGraph
+
+    vdf = spark.createDataFrame([(1, "X", "a")], "id bigint, label string, name string")
+    edf = spark.createDataFrame(
+        [],
+        "src bigint, dst bigint, rel_type string, src_label string, dst_label string, version string",
+    )
+    g = PropertyGraph(vdf, edf)
+    lit = "[" + ", ".join(str(v) for v in vals) + "]"
+    got = [r["x"] for r in run_cypher(g, f"UNWIND {lit} AS x RETURN x ORDER BY x").collect()]
+    assert got == sorted(vals)
+    s = run_cypher(g, f"UNWIND {lit} AS x RETURN sum(x) AS s").collect()[0]["s"]
+    assert s == sum(vals)
