@@ -1307,10 +1307,22 @@ def _exec_segment(
         weight = F.lit(1).cast("long")
         for mn in mult_names:
             weight = weight * F.coalesce(F.col(mn), F.lit(1))
-    # assign each var's property joins to the first block binding it
+    # assign each var's property joins to the first block binding it.
+    # Exception: a LEADING OPTIONAL MATCH after a row-carrying WITH
+    # must not own a CARRIED var's props — its frame has no row for
+    # zero-match carried rows, so the property would read NULL after
+    # the left-outer merge; those props rejoin on the carried id below
+    leading_opt_carried = (
+        bool(seg_blocks)
+        and seg_blocks[0].kind == "OPTIONAL MATCH"
+        and carried is not None
+        and not carried_single
+    )
     prop_owner: dict[str, _Block] = {}
-    for b in seg_blocks:
+    for bi, b in enumerate(seg_blocks):
         for v in b.pat.bound_vars():
+            if leading_opt_carried and bi == 0 and v in carried_nodes:
+                continue
             prop_owner.setdefault(v, b)
 
     all_node_vars: set[str] = set()
@@ -1510,14 +1522,31 @@ def _exec_segment(
             order_tokens.append((token, desc))
 
     # compile blocks: first is the mandatory anchor (a leading OPTIONAL
-    # MATCH is safe under aggregate projections, where zero matches and
-    # Cypher's single-null-row agree on every aggregate); later
-    # OPTIONAL MATCH blocks left-outer join on their shared vars
+    # MATCH after a row-carrying WITH left-joins onto the carried rows —
+    # Cypher's actual semantics, carried rows drive; with nothing
+    # carried it is safe only under aggregate projections, where zero
+    # matches and Cypher's single-null-row agree on every aggregate);
+    # later OPTIONAL MATCH blocks left-outer join on their shared vars
     bound: DataFrame | None = None
+    carried_merged = False
     for b in seg_blocks:
         frame = _compile_block(graph, b, needed, prop_owner, edge_vars)
         if bound is None:
             if b.kind == "OPTIONAL MATCH":
+                if carried is not None and not carried_single:
+                    # code-review r5: an inner merge here silently
+                    # DROPPED carried rows with zero matches; the
+                    # carried rows must drive a left-outer join
+                    shared = [c for c in carried.columns if c in frame.columns]
+                    if not shared:
+                        raise NotImplementedError(
+                            "OPTIONAL MATCH sharing no variables with the "
+                            "carried WITH rows is not supported — compose "
+                            "DataFrames directly"
+                        )
+                    bound = carried.join(frame, shared, "left_outer")
+                    carried_merged = True
+                    continue
                 if not aggs:
                     raise NotImplementedError(
                         "cypher_lite supports a leading OPTIONAL MATCH only "
@@ -1550,7 +1579,7 @@ def _exec_segment(
         if carried is None and not unwinds:
             raise ValueError("segment has no MATCH clause and nothing carried")
         bound = carried  # None stays None for a pure-UNWIND segment
-    elif carried is not None:
+    elif carried is not None and not carried_merged:
         if carried_single:
             # 1-row aggregate scope from previous WITH segments
             bound = bound.crossJoin(F.broadcast(carried))
@@ -1568,7 +1597,7 @@ def _exec_segment(
     # shape _compile_block uses for block-owned vars
     carried_prop_needs: dict[str, set[str]] = {}
     for var, prop in needed:
-        if var in carried_nodes and var not in block_bound:
+        if var in carried_nodes and var not in prop_owner:
             carried_prop_needs.setdefault(var, set()).add(prop)
     for var in sorted(carried_prop_needs):
         props = sorted(p for p in carried_prop_needs[var] if p != "id")
@@ -1589,10 +1618,13 @@ def _exec_segment(
         if re.match(r"^\[.*\]$", expr):
             body = expr[1:-1].strip()
             if not body:
-                raise ValueError("UNWIND of an empty literal list")
-            arr = F.array(
-                *[F.lit(_literal(t.strip())) for t in _split_top_level(body, ",")]
-            )
+                # Neo4j: UNWIND [] produces zero rows (element type is
+                # unobservable on an empty list; bigint placeholder)
+                arr = F.array().cast("array<bigint>")
+            else:
+                arr = F.array(
+                    *[F.lit(_literal(t.strip())) for t in _split_top_level(body, ",")]
+                )
         elif bound is not None and expr in bound.columns:
             arr = F.col(expr)
         else:

@@ -261,6 +261,16 @@ def materialize_ivf_lloyd_index(
     )
     cents0 = spark.read.parquet(os.path.join(base, "centroids.parquet"))
     cents = lloyd_refined_centroids(emb, cents0, n_iter=n_iter)
+    # sweep staging trees orphaned by crashed builds (code-review r5):
+    # the single-rename guarantee keeps `final` consistent, but a crash
+    # mid-write leaves its building_* dir behind forever. Reaping every
+    # stage for this n_iter is safe: a racing live build whose stage
+    # vanishes fails loudly at write/rename time (and loses the race it
+    # was already losing), never corrupting `final`.
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(base, f"building_lloyd{n_iter}-*")):
+        shutil.rmtree(stale, ignore_errors=True)
     stage = os.path.join(base, f"building_lloyd{n_iter}-{os.getpid()}")
     cents.write.mode("overwrite").parquet(os.path.join(stage, "centroids.parquet"))
     refined = spark.read.parquet(os.path.join(stage, "centroids.parquet"))

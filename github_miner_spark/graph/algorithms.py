@@ -25,20 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-import os
-
-
-def _gate(threshold: int) -> int:
-    """Effective driver-collect gate for the hybrid fast paths.
-
-    ``SPARK_GRAFT_FORCE_DISTRIBUTED=1`` zeroes every gate at call time
-    so the distributed loops — the only code path that runs at 100 TB —
-    can be timed (bench.py's second lane) and tested without touching
-    call sites. Otherwise the caller's threshold passes through.
-    """
-    if os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED"):
-        return 0
-    return threshold
+# Effective driver-collect gate for the hybrid fast paths: one shared
+# definition (graph/paths.py) so the bench's forced-distributed lane
+# can never desynchronize between the paths and algorithms families.
+from github_miner_spark.graph.paths import _gate  # noqa: F401
 
 
 def _vertex_ids(edges: DataFrame) -> DataFrame:
@@ -155,7 +145,8 @@ def pagerank(
         # i.e. to the repo-wide 6dp rounding convention every consumer
         # (and the DuckDB oracle, which sums in its own order) already
         # applies; parity at that convention is pinned in tests.
-        if weighted.count() <= _gate(collect_threshold):
+        thr = _gate(collect_threshold)
+        if thr > 0 and weighted.count() <= thr:
             return _pagerank_driver(
                 weighted, verts, iterations, damping, sources
             )
@@ -267,7 +258,8 @@ def connected_components(
         # path-compressed union-find labels the graph exactly —
         # integer work, bit-identical to the star-contraction result.
         # The distributed O(log^2 n) loop engages unchanged beyond it.
-        if pairs.count() <= _gate(collect_threshold):
+        thr = _gate(collect_threshold)
+        if thr > 0 and pairs.count() <= thr:
             nodes = [r["id"] for r in verts.collect()]
             comp = _union_find_components(
                 nodes, [(r["a"], r["b"]) for r in pairs.collect()]
@@ -440,7 +432,8 @@ def _scc_impl(
     # the vertex universe (incl. self-loop-only vertices) for driver
     # Tarjan (~5s -> <2s at sf0.1; at 100 TB the count exceeds the
     # threshold and the trim path below engages unchanged).
-    if dedup.count() <= _gate(core_collect_threshold):
+    thr0 = _gate(core_collect_threshold)
+    if thr0 > 0 and dedup.count() <= thr0:
         rows = dedup.collect()
         nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
         comp = _tarjan_components(
@@ -513,7 +506,8 @@ def _scc_impl(
     )
 
     core_edge_count = remaining_edges.count()
-    if core_edge_count <= _gate(core_collect_threshold):
+    thr0 = _gate(core_collect_threshold)
+    if thr0 > 0 and core_edge_count <= thr0:
         if core_edge_count > 0:
             comp = _tarjan_components(
                 [(r["src"], r["dst"]) for r in remaining_edges.collect()],
@@ -613,7 +607,8 @@ def _scc_impl(
             peeled.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
         )
         core_edge_count = remaining_edges.count()
-        if core_edge_count <= _gate(core_collect_threshold):
+        thr_r = _gate(core_collect_threshold)
+        if thr_r > 0 and core_edge_count <= thr_r:
             if core_edge_count > 0:
                 comp = _tarjan_components(
                     [(r["src"], r["dst"]) for r in remaining_edges.collect()],
@@ -898,7 +893,8 @@ def _louvain_inner(
     # _louvain_phase1_driver. Beyond the threshold the distributed
     # sweeps below engage unchanged; parity between the two paths is
     # pinned by tests on the bench slice and randomized graphs.
-    if sym.count() <= _gate(collect_threshold):
+    thr = _gate(collect_threshold)
+    if thr > 0 and sym.count() <= thr:
         rows = sym.collect()
         comm = _louvain_driver(
             [(r["src"], r["dst"], r["w"]) for r in rows],
@@ -955,7 +951,8 @@ def modularity(
     m2 = sym.agg(F.sum("w")).collect()[0][0]
     if not m2:
         return 0.0
-    if sym.count() <= _gate(collect_threshold):
+    thr = _gate(collect_threshold)
+    if thr > 0 and sym.count() <= thr:
         comm = {r["id"]: r["community"] for r in assignment.collect()}
         internal = 0.0
         k: dict[int, float] = {}
@@ -1036,7 +1033,8 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     verts = _vertex_ids(edges)
-    if sym.count() <= _gate(collect_threshold):
+    thr = _gate(collect_threshold)
+    if thr > 0 and sym.count() <= thr:
         vs = [r["id"] for r in verts.collect()]
         labels_map = _label_propagation_driver(
             vs, [(r["src"], r["dst"]) for r in sym.collect()], iterations
@@ -1147,7 +1145,8 @@ def coreness(
     n_edges = und.count()
     if n_edges == 0:
         return edges.sparkSession.createDataFrame([], "id bigint, core bigint")
-    if n_edges <= _gate(collect_threshold):
+    thr = _gate(collect_threshold)
+    if thr > 0 and n_edges <= thr:
         rows = und.collect()
         core = _matula_beck_coreness([(r["u"], r["v"]) for r in rows])
         return edges.sparkSession.createDataFrame(

@@ -402,7 +402,7 @@ def bfs_depths(
             driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
         )
         if not isinstance(roots, DataFrame) and len(roots) <= DRIVER_CLOSURE_ROOTS:
-            if edges.count() <= thr:
+            if thr > 0 and edges.count() <= thr:
                 rows = [(r["src"], r["dst"]) for r in edges.collect()]
                 out = _bfs_in_driver(rows, roots, max_iter)
                 return spark.createDataFrame(
@@ -652,7 +652,8 @@ def all_shortest_paths_multi(
     # construction + enumeration is output-bounded python over a
     # collectable slice, skipping both BFS sweeps AND the ~max_len
     # expansion barriers
-    if len(targets) <= DRIVER_CLOSURE_ROOTS and edges.count() <= _gate(DRIVER_CLOSURE_EDGES):
+    asp_thr = _gate(DRIVER_CLOSURE_EDGES)
+    if len(targets) <= DRIVER_CLOSURE_ROOTS and asp_thr > 0 and edges.count() <= asp_thr:
         rows = [(r["src"], r["dst"]) for r in edges.collect()]
         out = _asp_in_driver(rows, int(src), targets, max_iter)
         return spark.createDataFrame(
@@ -779,7 +780,8 @@ def enumerate_simple_paths(
     beyond it."""
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     spark = edges.sparkSession
-    if e.count() <= _gate(DRIVER_CLOSURE_EDGES):
+    enum_thr = _gate(DRIVER_CLOSURE_EDGES)
+    if enum_thr > 0 and e.count() <= enum_thr:
         # keep duplicate (src, dst) rows: parallel relationships
         # multiply paths in the distributed join exactly as in Cypher,
         # and the driver twin must agree row-for-row

@@ -71,7 +71,7 @@ def load_all() -> None:
 # Round-5 rotation (VERDICT r4 item 1): leads with (a) the 26 queries
 # registered after round 4's window filled — local-oracle-green but
 # never driver-witnessed; after this round every registered query has
-# a green driver row in r01∪…∪r05. Then (b) the 10 queries NEW this
+# a green driver row in r01∪…∪r05. Then (b) 12 of the 13 queries NEW this
 # round (the row-carrying-WITH cypher witness, the seven Q8/Q9/Q12/
 # Q13/Q17/Q21/Q22 relational shapes, boilerplate exposure, temperature
 # resampling). The tail (c) re-greens one representative per operator
@@ -85,7 +85,7 @@ def load_all() -> None:
 # two_hop_dependencies, harmonic_centrality_roots,
 # cypher_subdeps_per_devdep) carry fresh r04 green rows, share every
 # changed code path with an in-window sibling, and stay pinned by the
-# local 145-query oracle sweep.
+# local 148-query oracle sweep.
 # Registered AFTER this round's window filled (never driver-verified;
 # they are local-oracle-green at sf0.001 and sf0.01 and MUST LEAD the
 # round-6 rotation as its "(a) never driver-verified" group):

@@ -1366,3 +1366,47 @@ def test_unwind_literal_and_collected(spark):
 
     with pytest.raises(ValueError, match="not a carried list"):
         run_cypher(g, "MATCH (m) UNWIND nope AS x RETURN count(*) AS n")
+
+
+def test_optional_match_after_with_keeps_zero_match_rows(spark):
+    """Code-review r5: OPTIONAL MATCH leading a segment after a
+    row-carrying WITH must LEFT-join onto the carried rows — a carried
+    row with zero matches survives with nulls, exactly Neo4j."""
+    from github_miner_spark.graph.model import PropertyGraph
+
+    edges = spark.createDataFrame(
+        [(1, 10, "DEPENDS_ON", "GitRepo", "NodeModule", None)],
+        "src bigint, dst bigint, rel_type string, src_label string, dst_label string, version string",
+    )
+    vertices = spark.createDataFrame(
+        [(1, "GitRepo", "A"), (2, "GitRepo", "B"), (10, "NodeModule", "m")],
+        "id bigint, label string, name string",
+    )
+    g = PropertyGraph(vertices, edges)
+    got = sorted(
+        map(
+            tuple,
+            run_cypher(
+                g,
+                "MATCH (a:GitRepo) WITH a "
+                "OPTIONAL MATCH (a)-[:DEPENDS_ON]->(b:NodeModule) "
+                "RETURN a.name AS name, count(b) AS n",
+            ).collect(),
+        )
+    )
+    assert got == [("A", 1), ("B", 0)]
+
+
+def test_unwind_empty_literal_is_zero_rows(spark):
+    """Neo4j: UNWIND [] produces zero rows (not an error)."""
+    from github_miner_spark.graph.model import PropertyGraph
+
+    vdf = spark.createDataFrame([(1, "X", "a")], "id bigint, label string, name string")
+    edf = spark.createDataFrame(
+        [],
+        "src bigint, dst bigint, rel_type string, src_label string, dst_label string, version string",
+    )
+    g = PropertyGraph(vdf, edf)
+    assert run_cypher(g, "UNWIND [] AS x RETURN x").collect() == []
+    n = run_cypher(g, "UNWIND [] AS x RETURN count(*) AS n").collect()[0]["n"]
+    assert n == 0
