@@ -332,3 +332,34 @@ def test_force_distributed_env_zeroes_gates(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
     assert algorithms._gate(2_000_000) == 0
     assert paths._gate(123) == 0
+
+
+def test_distributed_scc_huge_cyclic_core(spark, monkeypatch):
+    """Adversarial scale for the Orzan path (round 5): a ~20k-vertex /
+    ~60k-edge graph built from three affine maps i -> a*i+c mod n is
+    one giant low-diameter SCC plus fringe — the trim removes nothing,
+    so the forced-distributed run exercises forward coloring + backward
+    pruning + re-trim end to end on a core the driver gate never sees.
+    Must match driver Tarjan exactly."""
+    from github_miner_spark.graph.algorithms import strongly_connected_components
+
+    n = 20_000
+    base = spark.range(n)
+    parts = [
+        base.select(
+            F.col("id").alias("src"), ((F.col("id") * a + c) % n).alias("dst")
+        )
+        for a, c in ((1, 1), (3, 7), (7, 13))  # units mod 20000 -> permutations
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).localCheckpoint(eager=True)
+
+    fast = strongly_connected_components(edges, loop_shuffle_width=8)
+    fast_rows = sorted(map(tuple, fast.collect()))
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    slow = strongly_connected_components(edges, loop_shuffle_width=8)
+    slow_rows = sorted(map(tuple, slow.collect()))
+    assert fast_rows == slow_rows
+    # the affine maps are permutations (gcd(a, n) = 1), so every vertex
+    # lies on a cycle: one giant component expected
+    comps = {c for _, c in fast_rows}
+    assert len(fast_rows) == n and len(comps) == 1
