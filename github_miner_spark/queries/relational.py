@@ -1237,3 +1237,52 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT total_spend,
+             ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+      FROM spend
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS customers,
+           round(sum(total_spend), 2) AS decile_spend,
+           round(min(total_spend), 2) AS min_spend,
+           round(max(total_spend), 2) AS max_spend
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    description="Customer spend deciles: per-customer revenue rollup, "
+    "NTILE(10) over the global spend order (custkey tiebreak keeps the "
+    "bucket assignment deterministic across engines), then per-decile "
+    "count/sum/min/max. The global window sorts one row per customer — "
+    "at 100 TB the same decile assignment comes from "
+    "repartitionByRange + per-partition offsets, exactly the "
+    "shuffled_export_order scale note; the pre-aggregation keeps the "
+    "sorted relation customer-sized, never order-sized.",
+    tags=("relational", "window", "agg"),
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    d = spend.select("total_spend", F.ntile(10).over(w).alias("decile"))
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("customers"),
+            F.round(F.sum("total_spend"), 2).alias("decile_spend"),
+            F.round(F.min("total_spend"), 2).alias("min_spend"),
+            F.round(F.max("total_spend"), 2).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )

@@ -89,7 +89,7 @@ def load_all() -> None:
 # Registered AFTER this round's window filled (never driver-verified;
 # they are local-oracle-green at sf0.001 and sf0.01 and MUST LEAD the
 # round-6 rotation as its "(a) never driver-verified" group):
-# doc_kneser_ney_scores.
+# doc_kneser_ney_scores, customer_spend_deciles.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-verified (VERDICT r4 item 1, the 26) ---------
     "top_value_part_types",
