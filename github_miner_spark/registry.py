@@ -85,7 +85,7 @@ def load_all() -> None:
 # two_hop_dependencies, harmonic_centrality_roots,
 # cypher_subdeps_per_devdep) carry fresh r04 green rows, share every
 # changed code path with an in-window sibling, and stay pinned by the
-# local 148-query oracle sweep.
+# local 149-query oracle sweep.
 # Registered AFTER this round's window filled (never driver-verified;
 # they are local-oracle-green at sf0.001 and sf0.01 and MUST LEAD the
 # round-6 rotation as its "(a) never driver-verified" group):
