@@ -527,3 +527,47 @@ def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "h")
         .limit(200)
     )
+
+
+@register(
+    "events_trending_topk",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT window_start, event_type, n_events,
+             n_events - lag(n_events) OVER (
+               PARTITION BY event_type ORDER BY window_start) AS delta,
+             row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type) AS rank
+      FROM h
+    )
+    SELECT window_start, event_type, n_events, rank, delta
+    FROM d WHERE rank <= 3
+    ORDER BY window_start, rank
+    """,
+    description="Trending top-k: per hourly window, the 3 most frequent "
+    "event types with their rank and hour-over-hour count delta (LAG "
+    "per type over the windows it appeared in). The rollup is one "
+    "keyed aggregation; rank and delta are window functions over the "
+    "window-count-sized relation, never the raw events. The streaming "
+    "twin (streaming/events.py trending_topk_stream) streams the "
+    "stateful watermarked counts and applies the IDENTICAL "
+    "rank_trending transform per trigger via foreachBatch — "
+    "stream-equals-batch pinned in tests/test_streaming.py.",
+    tags=("events", "window-agg", "topk", "trending"),
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.streaming.events import rank_trending
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return rank_trending(hourly, k=3).orderBy("window_start", "rank")

@@ -85,11 +85,11 @@ def load_all() -> None:
 # two_hop_dependencies, harmonic_centrality_roots,
 # cypher_subdeps_per_devdep) carry fresh r04 green rows, share every
 # changed code path with an in-window sibling, and stay pinned by the
-# local 149-query oracle sweep.
+# local 150-query oracle sweep.
 # Registered AFTER this round's window filled (never driver-verified;
 # they are local-oracle-green at sf0.001 and sf0.01 and MUST LEAD the
 # round-6 rotation as its "(a) never driver-verified" group):
-# doc_kneser_ney_scores, customer_spend_deciles.
+# doc_kneser_ney_scores, customer_spend_deciles, events_trending_topk.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-verified (VERDICT r4 item 1, the 26) ---------
     "top_value_part_types",

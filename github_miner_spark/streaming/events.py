@@ -310,3 +310,59 @@ def funnel_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rank_trending(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank event types inside each window by count (event_type
+    tiebreak) and attach the hour-over-hour delta (LAG per type over
+    window_start — the previous window the type appeared in). Shared by
+    the batch query (events_trending_topk) and the streaming twin so
+    the two can never diverge. Input: (window_start, event_type,
+    n_events[, ...])."""
+    from pyspark.sql import Window
+
+    lagw = Window.partitionBy("event_type").orderBy("window_start")
+    rankw = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.select("window_start", "event_type", "n_events")
+        .withColumn("delta", F.col("n_events") - F.lag("n_events").over(lagw))
+        .withColumn("rank", F.row_number().over(rankw))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n_events", "rank", "delta")
+    )
+
+
+def trending_topk_stream(
+    events: DataFrame,
+    view_name: str = "trending_topk",
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming trending dashboard: the STATEFUL half (watermarked
+    windowed counts) streams; the per-trigger ranking is a stateless
+    batch transform applied in foreachBatch, which replaces a global
+    temp view with the current top-k per window each trigger — the
+    standard split for rank-over-full-result streaming (rank needs the
+    whole window set, so it runs on the trigger's complete output, not
+    in row-at-a-time state). Returns the DataStreamWriter (caller
+    starts/awaits)."""
+    counts = windowed_event_counts(events, window=window, watermark=watermark)
+    schema = (
+        "window_start timestamp, event_type string, n_events bigint, "
+        "rank int, delta bigint"
+    )
+
+    def _rank(batch_df: DataFrame, _batch_id: int) -> None:
+        # collect() materializes the ranked result (evaluating every
+        # batch partition — Spark 4 validates foreachBatch processes
+        # them all) and the view is rebuilt from local rows so it never
+        # lazily references a dead micro-batch
+        rows = rank_trending(batch_df, k).collect()
+        batch_df.sparkSession.createDataFrame(
+            rows, schema
+        ).createOrReplaceGlobalTempView(view_name)
+
+    return counts.writeStream.outputMode("complete").foreachBatch(_rank)

@@ -319,3 +319,26 @@ def test_stateful_funnel_stream_matches_batch(spark):
     assert all(
         r.purchase_ts is not None for r in rows if r.stage_reached == 4
     )
+
+
+def test_trending_topk_stream_matches_batch(spark):
+    """The trending dashboard's final trigger must equal the batch
+    query exactly: same stateful windowed counts, same rank_trending
+    transform (shared code), availableNow drain."""
+    from github_miner_spark.queries.events_queries import events_trending_topk
+    from github_miner_spark.streaming.events import stream_events, trending_topk_stream
+
+    stream = stream_events(spark, SF)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            trending_topk_stream(stream, view_name="t_trending")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM global_temp.t_trending").collect())
+    )
+    want = sorted(map(tuple, events_trending_topk(spark, SF).collect()))
+    assert got == want and len(got) > 0
