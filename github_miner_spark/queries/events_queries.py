@@ -541,9 +541,9 @@ def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT window_start, event_type, n_events,
              n_events - lag(n_events) OVER (
                PARTITION BY event_type ORDER BY window_start) AS delta,
-             row_number() OVER (
+             CAST(row_number() OVER (
                PARTITION BY window_start
-               ORDER BY n_events DESC, event_type) AS rank
+               ORDER BY n_events DESC, event_type) AS INTEGER) AS rank
       FROM h
     )
     SELECT window_start, event_type, n_events, rank, delta

@@ -994,10 +994,10 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
                 THEN 'late' ELSE 'on_time' END AS delay_bucket,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY delay_bucket ORDER BY delay_bucket
     """,
@@ -1248,7 +1248,8 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
       SELECT total_spend,
-             ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+             CAST(ntile(10) OVER (ORDER BY total_spend DESC, o_custkey)
+                  AS INTEGER) AS decile
       FROM spend
     )
     SELECT decile, CAST(count(*) AS BIGINT) AS customers,
