@@ -77,7 +77,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     description="TPC-H Q3-style: selective dim filter -> 3-way join -> agg -> top-k "
-    "(customer side broadcast after filter)",
+    "(customer side left to AQE: the filtered segment still scales with SF)",
     tags=("relational", "join", "topk"),
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +86,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -107,7 +107,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r.r_name, n.n_name
     ORDER BY region_name, nation_name
     """,
-    description="TPC-H Q5-style star join: fact x 3 broadcast dims, "
+    description="TPC-H Q5-style star join: nation/region hint-broadcast "
+    "(bounded dims), the SF-scaling supplier side sized by AQE; "
     "revenue rollup per region/nation",
     tags=("relational", "join", "agg"),
 )
@@ -117,7 +118,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, "nation", sf_dir)
     r = load_table(spark, "region", sf_dir)
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -511,7 +512,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        li.join(p.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -549,7 +550,7 @@ def top_value_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     total = li.agg((0.1 * F.sum(rev)).alias("gate"))
     by_type = (
-        li.join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        li.join(p.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
         .groupBy("p_type")
         .agg(F.sum(rev).alias("raw_revenue"))
     )
@@ -609,9 +610,9 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"), "cust_nation"
     )
     return (
-        li.join(F.broadcast(supp), "l_suppkey")
+        li.join(supp, "l_suppkey")
         .join(
-            o.join(F.broadcast(cust), "o_custkey").select(
+            o.join(cust, "o_custkey").select(
                 F.col("o_orderkey").alias("l_orderkey"), "cust_nation"
             ),
             "l_orderkey",
@@ -716,7 +717,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .join(F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")), "c_custkey")
+        .join(c.select("c_custkey", "c_name", "c_nationkey"), "c_custkey")
         .join(
             F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
             "c_nationkey",
@@ -853,7 +854,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(
-            F.broadcast(s.select(F.col("s_suppkey"), "s_name")),
+            s.select(F.col("s_suppkey"), "s_name"),
             rev.l_suppkey == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
@@ -884,10 +885,11 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q8 shape (national market share): the share of "
     "ASIA-region PROMO-part revenue supplied by one nation, by order "
-    "year. Every dimension (region->nation->customer, part, "
-    "supplier->nation) broadcasts around the single lineitem->orders "
-    "fact join; the share is a conditional-sum / sum over one "
-    "aggregation pass — no second scan, no self-join.",
+    "year. Bounded dims (region, nation, the PROMO part filter) are "
+    "hint-broadcast; the customer- and supplier-derived frames scale "
+    "with SF, so their join strategy is left to AQE's size check "
+    "rather than forced. The share is a conditional-sum / sum over "
+    "one aggregation pass — no second scan, no self-join.",
     tags=("relational", "join", "agg"),
 )
 def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,9 +917,9 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(F.broadcast(promo), "l_partkey")
-        .join(F.broadcast(supp), "l_suppkey")
+        .join(supp, "l_suppkey")
         .join(
-            o.join(F.broadcast(cust), "o_custkey").select(
+            o.join(cust, "o_custkey").select(
                 F.col("o_orderkey").alias("l_orderkey"),
                 F.year("o_orderdate").alias("o_year"),
             ),
@@ -952,9 +954,10 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q9 shape (product-type profit): per supplier "
     "nation and order year, revenue minus a retail-price-proportional "
-    "cost proxy (this corpus carries no partsupp supplycost). Part and "
-    "supplier-nation dims broadcast; the one real shuffle is "
-    "lineitem->orders on orderkey, then a 2-key hash agg.",
+    "cost proxy (this corpus carries no partsupp supplycost). The "
+    "filtered part list hint-broadcasts; the supplier-nation frame "
+    "scales with SF so AQE picks its strategy. The one real shuffle "
+    "is lineitem->orders on orderkey, then a 2-key hash agg.",
     tags=("relational", "join", "agg"),
 )
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,7 +978,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(F.broadcast(parts), "l_partkey")
-        .join(F.broadcast(supp), "l_suppkey")
+        .join(supp, "l_suppkey")
         .join(
             o.select(
                 F.col("o_orderkey").alias("l_orderkey"),
@@ -1182,7 +1185,7 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l1.join(
-            F.broadcast(s.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")),
+            s.select(F.col("s_suppkey").alias("l_suppkey"), "s_name"),
             "l_suppkey",
         )
         .groupBy("s_name")

@@ -286,3 +286,35 @@ def test_with_topk_pipeline_takeordered(spark):
     plan = _plan(spark, "cypher_with_topk_pipeline")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scaling_dims_not_hint_forced(spark):
+    """Customer/supplier-derived join sides must NOT carry a forced
+    broadcast hint: with the size-based threshold disabled they have to
+    degrade to a shuffle join (a ResolvedHint would keep them broadcast
+    and OOM at 100x SF), while the genuinely bounded frames
+    (region/nation/filtered part) stay hint-broadcast."""
+    queries = [
+        "shipping_priority",        # BUILDING-segment customer
+        "regional_revenue",         # supplier dim
+        "market_share_by_year",     # ASIA customers + supplier-nation
+        "profit_by_nation_year",    # supplier-nation
+    ]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in queries:
+            plan = _plan(spark, name)
+            assert "SortMergeJoin" in plan, (
+                f"{name}: no shuffle join under threshold=-1 -> a "
+                "scaling dim is still hint-forced to broadcast"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # bounded dims keep their hints: broadcast even with the threshold off
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "market_share_by_year")
+        assert "BroadcastHashJoin" in plan  # region/nation/promo hints
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
