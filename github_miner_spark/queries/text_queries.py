@@ -676,11 +676,14 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", "source", F.explode(shingle_hashes(F.col("text"))).alias("h")
     )
-    n_docs = docs.count()
+    # corpus size as a broadcast one-row frame, not a driver-side
+    # docs.count(): the whole query stays one Spark job
+    nd = docs.agg(F.count("*").alias("n_docs"))
     boiler = (
         ex.groupBy("h")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") >= 0.2 * n_docs)
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") >= 0.2 * F.col("n_docs"))
         .select("h", F.lit(1).alias("is_b"))
     )
     per_doc = (
@@ -718,26 +721,30 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN range(1, len(toks))
                           ELSE [] END) AS u(i)
     ),
-    bfreq AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+    bh AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(bigram), 1, 8))::BIGINT AS bh,
+             ('0x' || substr(md5(str_split(bigram, ' ')[1]), 1, 8))::BIGINT AS ph,
+             ('0x' || substr(md5(str_split(bigram, ' ')[2]), 1, 8))::BIGINT AS sh
+      FROM bg
+    ),
+    bfreq AS (SELECT bh, ph, sh, count(*) AS c FROM bh GROUP BY bh, ph, sh),
     pstats AS (
-      SELECT str_split(bigram, ' ')[1] AS prefix,
-             sum(c) AS pc, count(*) AS types_from
-      FROM bfreq GROUP BY prefix
+      SELECT ph, sum(c) AS pc, count(*) AS types_from FROM bfreq GROUP BY ph
     ),
     cstats AS (
-      SELECT str_split(bigram, ' ')[2] AS suffix, count(*) AS cont
-      FROM bfreq GROUP BY suffix
+      SELECT sh, count(*) AS cont FROM bfreq GROUP BY sh
     ),
     tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bfreq),
     scored AS (
-      SELECT bg.doc_id,
+      SELECT b.doc_id,
              -ln(greatest(bf.c - 0.75, 0) / pf.pc
                  + (0.75 * pf.types_from / pf.pc) * (cs.cont / (SELECT t FROM tt))
              ) AS s
-      FROM bg
-      JOIN bfreq bf ON bf.bigram = bg.bigram
-      JOIN pstats pf ON pf.prefix = str_split(bg.bigram, ' ')[1]
-      JOIN cstats cs ON cs.suffix = str_split(bg.bigram, ' ')[2]
+      FROM bh b
+      JOIN (SELECT bh, c FROM bfreq) bf ON bf.bh = b.bh
+      JOIN pstats pf ON pf.ph = b.ph
+      JOIN cstats cs ON cs.sh = b.sh
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(s), 6) AS mean_kn_surprisal
@@ -751,8 +758,9 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "three keyed aggregations over the exploded bigrams (counts, "
     "prefix totals+types, continuation types) plus one scalar type "
     "count — the model is never collected, every term joins back by "
-    "key, so training this n-gram LM at 100 TB is the same plan with "
-    "more partitions. Unlike raw bigram surprisal, unseen-suffix mass "
+    "an 8-byte hashed key (bigram/prefix/suffix text never shuffles), "
+    "so training this n-gram LM at 100 TB is the same plan with more "
+    "partitions. Unlike raw bigram surprisal, unseen-suffix mass "
     "is redistributed by continuation probability, the standard LM "
     "smoothing (Kneser & Ney 1995; Chen & Goodman 1999).",
     tags=("text", "quality", "scoring", "ngram", "lm"),
@@ -760,18 +768,31 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_miner_spark.functions.text import token_windows
 
+    from github_miner_spark.functions.text import token_hash
+
     docs = load_table(spark, "documents", sf_dir)
+    # hash the bigram/prefix/suffix keys map-side, BEFORE any shuffle:
+    # every downstream groupBy/join moves 8-byte bigints, never token
+    # text (the same discipline as boilerplate_ngram_stats' shingle
+    # hashes; the oracle applies the identical md5-derived hash so the
+    # two engines agree bit-for-bit, collisions included).
     bg = docs.select(
         "doc_id",
         F.explode(token_windows(tokenize(F.col("text")), 2)).alias("bigram"),
+    ).select(
+        "doc_id",
+        token_hash(F.col("bigram")).alias("bh"),
+        token_hash(F.split(F.col("bigram"), " ")[0]).alias("ph"),
+        token_hash(F.split(F.col("bigram"), " ")[1]).alias("sh"),
     )
-    bfreq = bg.groupBy("bigram").agg(F.count("*").alias("c"))
-    pstats = bfreq.groupBy(F.split(F.col("bigram"), " ")[0].alias("prefix")).agg(
+    # bh functionally determines (ph, sh), so this is one agg keyed by
+    # the bigram hash that keeps the prefix/suffix hashes available for
+    # the model's two marginal aggregations.
+    bfreq = bg.groupBy("bh", "ph", "sh").agg(F.count("*").alias("c"))
+    pstats = bfreq.groupBy("ph").agg(
         F.sum("c").alias("pc"), F.count("*").alias("types_from")
     )
-    cstats = bfreq.groupBy(F.split(F.col("bigram"), " ")[1].alias("suffix")).agg(
-        F.count("*").alias("cont")
-    )
+    cstats = bfreq.groupBy("sh").agg(F.count("*").alias("cont"))
     tt = bfreq.agg(F.count("*").cast("double").alias("t"))
     p = (
         F.greatest(F.col("c") - F.lit(0.75), F.lit(0.0)) / F.col("pc")
@@ -779,9 +800,9 @@ def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("cont") / F.col("t"))
     )
     scored = (
-        bg.join(bfreq, "bigram")
-        .join(pstats, F.split(F.col("bigram"), " ")[0] == F.col("prefix"))
-        .join(cstats, F.split(F.col("bigram"), " ")[1] == F.col("suffix"))
+        bg.join(bfreq.select("bh", "c"), "bh")
+        .join(pstats, "ph")
+        .join(cstats, "sh")
         .crossJoin(F.broadcast(tt))
         .select("doc_id", (-F.log(p)).alias("s"))
     )
