@@ -340,29 +340,67 @@ def trending_topk_stream(
     k: int = 3,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    horizon_windows: int | None = 48,
 ):
-    """Streaming trending dashboard: the STATEFUL half (watermarked
-    windowed counts) streams; the per-trigger ranking is a stateless
-    batch transform applied in foreachBatch, which replaces a global
-    temp view with the current top-k per window each trigger — the
-    standard split for rank-over-full-result streaming (rank needs the
-    whole window set, so it runs on the trigger's complete output, not
-    in row-at-a-time state). Returns the DataStreamWriter (caller
-    starts/awaits)."""
+    """Streaming trending dashboard with BOUNDED state at every layer:
+
+    - The stateful half (watermarked windowed counts) runs in
+      ``update`` mode, so Spark emits only the (window, type) rows a
+      trigger changed and EVICTS aggregation state past the watermark —
+      unlike ``complete`` mode, which retains (and re-emits) every
+      window ever seen.
+    - The driver-side dashboard keeps the latest count per
+      (window, type) for the trailing ``horizon_windows`` windows plus
+      one carry row per event type (its newest pre-horizon count, so
+      LAG for a type's first in-horizon window still sees its true
+      predecessor). Memory is horizon x types + types, independent of
+      stream lifetime; per-trigger collect() is bounded by the rows the
+      watermark lets change. ``horizon_windows=None`` keeps everything
+      (backfill / exact-replay mode).
+    - Each trigger re-runs the same ``rank_trending`` transform the
+      batch query uses over that horizon-sized frame and publishes the
+      in-horizon rows to a global temp view. Within the horizon the
+      view is row-identical to the batch query (pinned in
+      tests/test_streaming.py). Returns the DataStreamWriter (caller
+      starts/awaits)."""
     counts = windowed_event_counts(events, window=window, watermark=watermark)
     schema = (
         "window_start timestamp, event_type string, n_events bigint, "
         "rank int, delta bigint"
     )
+    latest: dict = {}  # (window_start, event_type) -> n_events
+    carry: dict = {}  # event_type -> (window_start, n_events) just before horizon
 
     def _rank(batch_df: DataFrame, _batch_id: int) -> None:
-        # collect() materializes the ranked result (evaluating every
-        # batch partition — Spark 4 validates foreachBatch processes
-        # them all) and the view is rebuilt from local rows so it never
-        # lazily references a dead micro-batch
-        rows = rank_trending(batch_df, k).collect()
-        batch_df.sparkSession.createDataFrame(
-            rows, schema
+        for r in (
+            batch_df.select("window_start", "event_type", "n_events").collect()
+        ):
+            latest[(r["window_start"], r["event_type"])] = r["n_events"]
+        cutoff = None
+        if horizon_windows is not None and latest:
+            ws = sorted({w for (w, _t) in latest})
+            if len(ws) > horizon_windows:
+                cutoff = ws[-horizon_windows]
+                for key in [key for key in latest if key[0] < cutoff]:
+                    w, t = key
+                    if t not in carry or carry[t][0] < w:
+                        carry[t] = (w, latest[key])
+                    del latest[key]
+        rows = [(w, t, n) for (w, t), n in latest.items()] + [
+            (w, t, n) for t, (w, n) in carry.items()
+        ]
+        spark = batch_df.sparkSession
+        cur = spark.createDataFrame(
+            rows, "window_start timestamp, event_type string, n_events bigint"
+        )
+        ranked = rank_trending(cur, k)
+        if carry:
+            # carry rows exist only to feed LAG; never publish them
+            lo = min(w for (w, _t) in latest) if latest else None
+            if lo is not None:
+                ranked = ranked.filter(F.col("window_start") >= F.lit(lo))
+        spark.createDataFrame(
+            ranked.collect(), schema
         ).createOrReplaceGlobalTempView(view_name)
 
-    return counts.writeStream.outputMode("complete").foreachBatch(_rank)
+    return counts.writeStream.outputMode("update").foreachBatch(_rank)

@@ -331,7 +331,9 @@ def test_trending_topk_stream_matches_batch(spark):
     stream = stream_events(spark, SF)
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
-            trending_topk_stream(stream, view_name="t_trending")
+            trending_topk_stream(
+                stream, view_name="t_trending", horizon_windows=None
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -342,3 +344,32 @@ def test_trending_topk_stream_matches_batch(spark):
     )
     want = sorted(map(tuple, events_trending_topk(spark, SF).collect()))
     assert got == want and len(got) > 0
+
+
+def test_trending_topk_stream_horizon_bounds_state(spark):
+    """With a trailing horizon the dashboard keeps only the newest N
+    windows — and inside that horizon it is still row-identical to the
+    batch query (the per-type carry row feeds LAG its true predecessor,
+    so even each type's first in-horizon delta matches)."""
+    from github_miner_spark.queries.events_queries import events_trending_topk
+    from github_miner_spark.streaming.events import stream_events, trending_topk_stream
+
+    stream = stream_events(spark, SF)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            trending_topk_stream(
+                stream, view_name="t_trending_h", horizon_windows=5
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM global_temp.t_trending_h").collect())
+    )
+    batch = events_trending_topk(spark, SF).collect()
+    tail = sorted({r["window_start"] for r in batch})[-5:]
+    want = sorted(tuple(r) for r in batch if r["window_start"] in tail)
+    assert got == want and len(got) > 0
+    assert len({w for (w, *_rest) in got}) == 5
