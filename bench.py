@@ -162,6 +162,76 @@ def main() -> None:
         finally:
             del os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"]
 
+    # Third lane (VERDICT r5 item 8): a SECOND scale point for the two
+    # worst distributed floors (scc, all-shortest-paths). One timed
+    # point cannot distinguish O(E*depth) from O(E*rounds^2); the 1x
+    # and 3x timings give an empirical scaling exponent
+    # ln(t3/t1)/ln(3) recorded next to the floors. The 3x graph is
+    # three id-shifted copies of the cyclified module graph; for ASP
+    # the copies are chained by a link edge (132+i*hi ->
+    # anchor+(i+1)*hi) so the BFS genuinely traverses 3x the depth and
+    # data, targeting 132 in the last copy.
+    scaling: dict[str, dict[str, float]] = {}
+    if not os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED") and not os.environ.get(
+        "SPARK_GRAFT_SKIP_SCALING_LANE"
+    ):
+        from pyspark.sql import functions as F
+
+        from github_miner_spark.graph.algorithms import (
+            strongly_connected_components,
+        )
+        from github_miner_spark.graph.model import cyclic_module_edges
+        from github_miner_spark.graph.paths import all_shortest_paths_multi
+        from github_miner_spark.graph.store import load_graph
+        from github_miner_spark.queries.paths_queries import ANCHOR_MODULE
+
+        os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"] = "1"
+        try:
+            base = cyclic_module_edges(
+                spark, SF_DIR, mm=load_graph(spark, SF_DIR).module_dep_edges()
+            ).localCheckpoint(eager=True)
+            hi = int(base.agg(F.max(F.greatest("src", "dst"))).collect()[0][0]) + 1
+
+            def scaled(k: int):
+                parts = [
+                    base.select(
+                        (F.col("src") + F.lit(i * hi)).alias("src"),
+                        (F.col("dst") + F.lit(i * hi)).alias("dst"),
+                    )
+                    for i in range(k)
+                ]
+                links = spark.createDataFrame(
+                    [(132 + i * hi, ANCHOR_MODULE + (i + 1) * hi) for i in range(k - 1)],
+                    "src bigint, dst bigint",
+                )
+                g = parts[0]
+                for p_ in parts[1:]:
+                    g = g.unionByName(p_)
+                return g.unionByName(links).localCheckpoint(eager=True)
+
+            g1, g3 = scaled(1), scaled(3)
+            import math
+
+            def exponent(label, fn):
+                fn(g1)  # warm
+                t0 = time.perf_counter(); fn(g1); t1 = time.perf_counter() - t0
+                t0 = time.perf_counter(); fn(g3); t3 = time.perf_counter() - t0
+                scaling[label] = {
+                    "t_1x": round(t1, 3),
+                    "t_3x": round(t3, 3),
+                    "exponent": round(math.log(t3 / t1) / math.log(3.0), 3),
+                }
+
+            exponent("scc", lambda g: strongly_connected_components(g).count())
+            exponent(
+                "all_shortest_paths",
+                lambda g: all_shortest_paths_multi(
+                    g, ANCHOR_MODULE, [132 + 2 * hi if g is g3 else 132]
+                ).count(),
+            )
+        finally:
+            del os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"]
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -175,6 +245,11 @@ def main() -> None:
             "note": "SPARK_GRAFT_FORCE_DISTRIBUTED=1, all driver gates 0",
             "queries": dist_timings,
             "samples": dist_samples,
+        },
+        "scaling_lane": {
+            "note": "forced-distributed scc/ASP at 1x and 3x synthetic "
+            "scale; exponent = ln(t3/t1)/ln(3)",
+            "results": scaling,
         },
     }
     side_path = os.environ.get(
@@ -195,6 +270,7 @@ def main() -> None:
                 "sf": sf,
                 "timing": f"median of {passes} timed passes per query",
                 "distributed": dist_timings,
+                "scaling": {k: v["exponent"] for k, v in scaling.items()},
             }
         )
     )

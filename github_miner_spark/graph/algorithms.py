@@ -12,9 +12,10 @@ Scale notes:
 - PageRank: contributions are one shuffle per iteration
   (join on src + groupBy dst); out-degrees computed once and reused;
   hub skew handled by AQE skew join.
-- SCC uses the forward-coloring + backward-pruning decomposition
-  (Orzan-style), which removes >= one SCC per color root per round —
-  set-at-a-time, no per-node recursion.
+- SCC: trim -> per-WCC split with task-local Tarjan finish
+  (applyInPandas, executor-side) -> Orzan forward-coloring +
+  backward-pruning only for components too big for one task —
+  set-at-a-time, no per-node recursion, no driver collect.
 - Connected components / label propagation are min-label propagation
   loops, O(diameter) rounds.
 """
@@ -320,6 +321,21 @@ def connected_components(
     )
 
 
+def _tarjan_component_group(pdf):
+    """applyInPandas kernel: one weakly-connected component's edge list
+    arrives as a pandas frame (src, dst[, wcc]); iterative Tarjan labels
+    it task-locally. Runs INSIDE an executor task — no driver collect,
+    memory bounded by the component-size threshold the caller enforces."""
+    import pandas as pd
+
+    pairs = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+    nodes = sorted({v for p in pairs for v in p})
+    comp = _tarjan_components(pairs, nodes)
+    return pd.DataFrame(
+        {"id": list(comp.keys()), "component": list(comp.values())}
+    )
+
+
 def _tarjan_components(edge_list: list[tuple[int, int]], nodes: list[int]) -> dict[int, int]:
     """Iterative (explicit-stack) Tarjan SCC over an in-memory edge
     list; returns {node: component} with component = min member id.
@@ -381,6 +397,7 @@ def strongly_connected_components(
     max_iter: int = 200,
     core_collect_threshold: int = 5_000_000,
     loop_shuffle_width: int | None = None,
+    component_task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """SCC, hybrid two-level (the set-at-a-time analog of the
     reference's algo.scc 'huge' graph run,
@@ -399,31 +416,57 @@ def strongly_connected_components(
          near-DAG trims to a core that fits comfortably in driver
          memory; paying 30+ distributed rounds of driver-loop latency
          to color a few thousand nodes is the wrong trade.
-      1b. Otherwise (genuinely huge cyclic core), Orzan-style forward
-         min-coloring to fixpoint + backward pruning per round, fully
-         distributed.
+      1b. Otherwise, split the core by WEAKLY-connected component
+         (star contraction, O(log^2 n) rounds; every SCC is inside one
+         WCC), shuffle the edges BY COMPONENT, and label each component
+         that fits an executor task (<= component_task_threshold edges)
+         task-locally with iterative Tarjan via applyInPandas — all
+         components in parallel, no driver collect, memory bounded per
+         task. Cycles in real dependency graphs are local, so this
+         finishes almost every core in one shuffle instead of an
+         O(core diameter) coloring fixpoint.
+      1c. Components too big for one task fall through to Orzan-style
+         forward min-coloring (with pointer jumping) to fixpoint +
+         backward pruning + FW-BW-Trim re-trim per round, fully
+         distributed — the path for a genuinely huge entangled core.
 
     Returns (id, component) with component = min member id.
 
-    ``loop_shuffle_width``: narrow the trim/coloring loops' shuffles
-    (vertex-sized state) — see pagerank."""
+    ``loop_shuffle_width``: explicit override for the trim/coloring
+    loops' shuffle width. None (default) sizes it from the deduped edge
+    count at ~250k rows per partition (min 2, capped at the session's
+    shuffle width): the loop state is vertex/edge-sized, so at bench SF
+    a handful of partitions removes per-round task-scheduling overhead
+    the session's full width would pay ~70 times over, while a 100-TB
+    core gets the session width back automatically."""
     from github_miner_spark.graph.paths import _loop_shuffle_partitions
 
+    # One lineage traversal: dedup (self-loops kept) is the single
+    # materialization of the input; everything else derives from the
+    # checkpoint, not from re-running the input plan. Done BEFORE the
+    # loop-width context so the adaptive width can read its size.
+    dedup = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    n_edges = dedup.count()
+    spark = edges.sparkSession
+    if loop_shuffle_width is None:
+        sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        loop_shuffle_width = max(2, min(sess, -(-n_edges // 250_000)))
     with _loop_shuffle_partitions(
-        edges.sparkSession,
-        enabled=loop_shuffle_width is not None,
-        width=loop_shuffle_width or 8,
+        spark, enabled=True, width=loop_shuffle_width
     ):
-        return _scc_impl(edges, max_iter, core_collect_threshold)
+        return _scc_impl(
+            dedup, n_edges, max_iter, core_collect_threshold,
+            component_task_threshold,
+        )
 
 
 def _scc_impl(
-    edges: DataFrame, max_iter: int, core_collect_threshold: int
+    dedup: DataFrame,
+    n_edges: int,
+    max_iter: int,
+    core_collect_threshold: int,
+    component_task_threshold: int,
 ) -> DataFrame:
-    # One lineage traversal: dedup (self-loops kept) is the single
-    # materialization of the input; everything else derives from the
-    # checkpoint, not from re-running the input plan.
-    dedup = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
 
     # Fast path: if the WHOLE deduped edge set already fits under the
     # collect threshold, the distributed trim is pure barrier latency —
@@ -433,13 +476,13 @@ def _scc_impl(
     # Tarjan (~5s -> <2s at sf0.1; at 100 TB the count exceeds the
     # threshold and the trim path below engages unchanged).
     thr0 = _gate(core_collect_threshold)
-    if thr0 > 0 and dedup.count() <= thr0:
+    if thr0 > 0 and n_edges <= thr0:
         rows = dedup.collect()
         nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
         comp = _tarjan_components(
             [(r["src"], r["dst"]) for r in rows if r["src"] != r["dst"]], nodes
         )
-        return edges.sparkSession.createDataFrame(
+        return dedup.sparkSession.createDataFrame(
             list(comp.items()), "id bigint, component bigint"
         )
 
@@ -449,33 +492,41 @@ def _scc_impl(
     all_verts = _vertex_ids(dedup).localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
 
+    def _peel_once(e: DataFrame) -> DataFrame:
+        """One lazy peel: drop vertices lacking an in- or out-edge in
+        the current subgraph (they cannot sit on a cycle)."""
+        flags = (
+            e.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+            .unionByName(
+                e.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+            )
+            .groupBy("id")
+            .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
+        )
+        core = flags.filter(
+            (F.col("has_out") == 1) & (F.col("has_in") == 1)
+        ).select("id")
+        return e.join(core.withColumnRenamed("id", "src"), ["src"], "left_semi").join(
+            core.withColumnRenamed("id", "dst"), ["dst"], "left_semi"
+        )
+
     def _trim(edges_in: DataFrame, max_rounds: int) -> tuple[DataFrame, DataFrame]:
         """Peel the acyclic fringe to a fixpoint; returns (core_verts,
         core_edges), both checkpointed. One edge checkpoint + one cheap
         count per round: the degree-flags aggregation stays LAZY inside
         that single job, and convergence is detected on the edge count
         (edges stable <=> core stable, core being a pure function of the
-        edge set). Peeled vertices are not tracked per round — callers
+        edge set). One peel per checkpoint is deliberate — folding
+        several lazy peels into one job was measured 3-8x SLOWER here
+        (the deepened join tree multiplies shuffle stages and AQE
+        re-planning without removing any barrier that matters; the real
+        per-round cost is shuffle width, handled by the adaptive loop
+        width). Peeled vertices are not tracked per round — callers
         diff against their vertex universe once at the end."""
         e = edges_in
         prev_e = e.count()
         for _ in range(max_rounds):
-            flags = (
-                e.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
-                .unionByName(
-                    e.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
-                )
-                .groupBy("id")
-                .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
-            )
-            core = flags.filter(
-                (F.col("has_out") == 1) & (F.col("has_in") == 1)
-            ).select("id")
-            e = (
-                e.join(core.withColumnRenamed("id", "src"), ["src"], "left_semi")
-                .join(core.withColumnRenamed("id", "dst"), ["dst"], "left_semi")
-                .localCheckpoint(eager=True)
-            )
+            e = _peel_once(e).localCheckpoint(eager=True)
             n_e = e.count()
             if n_e == prev_e:
                 break
@@ -513,7 +564,7 @@ def _scc_impl(
                 [(r["src"], r["dst"]) for r in remaining_edges.collect()],
                 [r["id"] for r in remaining_verts.collect()],
             )
-            spark = edges.sparkSession
+            spark = dedup.sparkSession
             assigned_parts.append(
                 spark.createDataFrame(
                     list(comp.items()), "id bigint, component bigint"
@@ -524,15 +575,69 @@ def _scc_impl(
             out = out.unionByName(part)
         return out
 
+    # Phase 1: split the cyclic core by WEAKLY-connected component
+    # (every SCC is inside one WCC) and finish each component where it
+    # is cheapest:
+    #   - components whose edge list fits one executor task (the
+    #     overwhelmingly common case for a trimmed core — cycles are
+    #     local) shuffle BY COMPONENT into applyInPandas and are labeled
+    #     task-locally by iterative Tarjan, all components in parallel,
+    #     no driver collect anywhere (this is executor-side compute,
+    #     deliberately NOT behind the driver-collect _gate);
+    #   - components above ``component_task_threshold`` edges fall
+    #     through to the distributed FW-BW-Trim coloring loop below,
+    #     which then runs on those components only.
+    # WCC uses star contraction (O(log^2 n) rounds regardless of
+    # diameter), so the whole split costs ~log rounds + one shuffle —
+    # replacing a per-core O(diameter) coloring fixpoint whenever the
+    # core has no task-sized-exceeding component.
+    wcc = connected_components(remaining_edges, max_iter=max_iter)
+    edges_w = remaining_edges.join(
+        wcc.select(F.col("id").alias("src"), F.col("component").alias("wcc")),
+        "src",
+    ).localCheckpoint(eager=True)
+    big_ids = (
+        edges_w.groupBy("wcc")
+        .agg(F.count("*").alias("n_e"))
+        .filter(F.col("n_e") > component_task_threshold)
+        .select("wcc")
+        .localCheckpoint(eager=True)
+    )
+    small = edges_w.join(big_ids, ["wcc"], "left_anti")
+    scc_small = small.groupBy("wcc").applyInPandas(
+        _tarjan_component_group, "id bigint, component bigint"
+    )
+    assigned_parts.append(scc_small)
+    if big_ids.isEmpty():
+        out = assigned_parts[0]
+        for part in assigned_parts[1:]:
+            out = out.unionByName(part)
+        return out
+    remaining_edges = (
+        edges_w.join(big_ids, ["wcc"], "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    remaining_verts = _vertex_ids(remaining_edges).localCheckpoint(eager=True)
+
     for _round in range(max_iter):
         if remaining_verts.isEmpty():
             break
-        # 1. forward min-color propagation to fixpoint. The changed
-        # flag is FUSED into the color update, so the stability probe
-        # is a filter scan over the just-checkpointed frame instead of
-        # a second shuffle join against the previous colors (min-
-        # propagation only ever decreases a color, so changed <=>
-        # cmin < old color).
+        # 1. forward min-color propagation to fixpoint, with POINTER
+        # JUMPING: besides pulling min color over in-edges, each round
+        # also pulls color(color(v)) — valid because color(v) is always
+        # a vertex that REACHES v, and reachability is transitive, so
+        # anything that reaches color(v) also reaches v. The shortcut
+        # spreads a root's color along already-discovered reach chains
+        # geometrically, making the fixpoint O(log diameter) rounds
+        # instead of O(diameter) (the classic label-doubling trick from
+        # parallel connectivity, applied to the min-ancestor
+        # semilattice; final colors are unchanged — the fixpoint of the
+        # combined operator is the same min-reachable-ancestor map).
+        # The changed flag stays FUSED into the color update, so the
+        # stability probe is a filter scan over the just-checkpointed
+        # frame instead of a second shuffle join (colors only ever
+        # decrease, so changed <=> new color < old color).
         colors = remaining_verts.select("id", F.col("id").alias("color"))
         for _ in range(max_iter):
             prop = (
@@ -540,16 +645,21 @@ def _scc_impl(
                 .groupBy(F.col("dst").alias("nid"))
                 .agg(F.min("color").alias("cmin"))
             )
+            jump = colors.select(
+                F.col("id").alias("jid"), F.col("color").alias("jcolor")
+            )
+            newc = F.least(
+                F.col("color"),
+                F.coalesce(F.col("cmin"), F.col("color")),
+                F.coalesce(F.col("jcolor"), F.col("color")),
+            )
             new_colors = (
                 colors.join(prop, colors.id == prop.nid, "left_outer")
+                .join(jump, colors.color == F.col("jid"), "left_outer")
                 .select(
                     "id",
-                    F.least(
-                        F.col("color"), F.coalesce(F.col("cmin"), F.col("color"))
-                    ).alias("color"),
-                    (
-                        F.coalesce(F.col("cmin"), F.col("color")) < F.col("color")
-                    ).alias("changed"),
+                    newc.alias("color"),
+                    (newc < F.col("color")).alias("changed"),
                 )
                 .localCheckpoint(eager=True)
             )
@@ -614,7 +724,7 @@ def _scc_impl(
                     [(r["src"], r["dst"]) for r in remaining_edges.collect()],
                     [r["id"] for r in remaining_verts.collect()],
                 )
-                spark = edges.sparkSession
+                spark = dedup.sparkSession
                 assigned_parts.append(
                     spark.createDataFrame(
                         list(comp.items()), "id bigint, component bigint"
@@ -629,7 +739,7 @@ def _scc_impl(
             "peel rounds — refusing to return a partial labeling; raise max_iter"
         )
     if not assigned_parts:
-        spark = edges.sparkSession
+        spark = dedup.sparkSession
         return spark.createDataFrame([], "id bigint, component bigint")
     out = assigned_parts[0]
     for part in assigned_parts[1:]:

@@ -363,7 +363,7 @@ _SCC_ORACLE_BASE = (
 )
 def scc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = cyclic_module_edges(spark, sf_dir, mm=load_graph(spark, sf_dir).module_dep_edges())
-    comp = strongly_connected_components(ce, loop_shuffle_width=8)
+    comp = strongly_connected_components(ce)
     sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
     return sizes.agg(
         F.count("*").alias("set_count"),
@@ -385,7 +385,7 @@ def scc_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = cyclic_module_edges(spark, sf_dir, mm=load_graph(spark, sf_dir).module_dep_edges())
-    comp = strongly_connected_components(ce, loop_shuffle_width=8)
+    comp = strongly_connected_components(ce)
     return (
         comp.groupBy("component")
         .agg(F.count("*").alias("component_size"))

@@ -349,7 +349,7 @@ def cypher_scc_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = load_graph(spark, sf_dir)
     ce = cyclic_module_edges(spark, sf_dir, mm=g.module_dep_edges())
-    comp = strongly_connected_components(ce, loop_shuffle_width=8)
+    comp = strongly_connected_components(ce)
     from github_miner_spark.graph.mutations import with_vertex_property
 
     written = with_vertex_property(g, "partition", comp, val_col="component")

@@ -188,6 +188,15 @@ def test_scc_distributed_path_matches_hybrid(spark):
         for r in strongly_connected_components(edges, core_collect_threshold=0).collect()
     }
     assert hybrid == distributed
+    # third path: component_task_threshold=0 ALSO disables the per-WCC
+    # task-local Tarjan finish, forcing the full FW-BW coloring loop
+    colored = {
+        (r["id"], r["component"])
+        for r in strongly_connected_components(
+            edges, core_collect_threshold=0, component_task_threshold=0
+        ).collect()
+    }
+    assert hybrid == colored
     comp = dict(hybrid)
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[4] == comp[5] == 4
@@ -363,3 +372,27 @@ def test_distributed_scc_huge_cyclic_core(spark, monkeypatch):
     # lies on a cycle: one giant component expected
     comps = {c for _, c in fast_rows}
     assert len(fast_rows) == n and len(comps) == 1
+
+
+def test_distributed_scc_fwbw_coloring_on_single_giant_scc(spark, monkeypatch):
+    """The FW-BW coloring loop (the > component_task_threshold path) on
+    a single ~2k-vertex SCC whose WCC split cannot help: forced gates +
+    component_task_threshold=0 exercises forward coloring with pointer
+    jumping, backward pruning, and re-trim end to end. Must match
+    driver Tarjan exactly."""
+    from github_miner_spark.graph.algorithms import strongly_connected_components
+
+    n = 2_000
+    base = spark.range(n)
+    parts = [
+        base.select(
+            F.col("id").alias("src"), ((F.col("id") * a + c) % n).alias("dst")
+        )
+        for a, c in ((1, 1), (3, 7))
+    ]
+    edges = parts[0].unionByName(parts[1]).localCheckpoint(eager=True)
+    fast_rows = sorted(map(tuple, strongly_connected_components(edges).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    slow = strongly_connected_components(edges, component_task_threshold=0)
+    assert fast_rows == sorted(map(tuple, slow.collect()))
+    assert len(fast_rows) == n and len({c for _, c in fast_rows}) == 1
