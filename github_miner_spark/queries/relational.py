@@ -1290,3 +1290,46 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "order_priority_checking",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+      )
+    GROUP BY priority ORDER BY priority
+    """,
+    description="TPC-H Q4 shape (order priority checking; lateness is "
+    "ship-lag > 90 days since this corpus has no commit/receipt "
+    "dates): a quarter's orders filtered by a correlated EXISTS "
+    "against lineitem, counted per priority. Compiles to one LEFT SEMI "
+    "join on orderkey with the lag predicate evaluated in the join — "
+    "the date filter prunes the orders scan first, so the semi-join's "
+    "build side is one quarter of orders, not the full table.",
+    tags=("relational", "join", "semi", "agg"),
+)
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, o.o_orderdate) > 90),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("priority")
+    )

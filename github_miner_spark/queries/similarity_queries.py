@@ -779,3 +779,66 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+# In-engine index-quality evaluation: both sub-results' oracles are
+# reused verbatim as CTEs so the recall definition can never drift from
+# the queries it grades.
+from github_miner_spark import registry as _registry
+
+_BRUTE_ORACLE = _registry._REGISTRY["embedding_topk_bruteforce"].oracle
+
+
+@register(
+    "ivf_recall_at_k",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    approx AS ({_ivf_oracle()})
+    SELECT b.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_found,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id ORDER BY b.query_id
+    """,
+    description="ANN index quality measured IN the engine: recall@5 of "
+    "the IVF index (store-served, n_probe=3) against exact brute-force "
+    "cosine top-5, per probe query. This is the evaluation loop every "
+    "production vector index needs — run it after (re)building an "
+    "index to pick n_probe/nlist, without exporting vectors. Both "
+    "sub-queries are the registered operators reused verbatim; the "
+    "grading join is probe-set-sized (k rows per query), so at any "
+    "corpus scale the added cost over one brute-force pass on a probe "
+    "SAMPLE is negligible — exactly how recall is estimated on "
+    "billion-vector corpora.",
+    tags=("similarity", "ann", "ivf", "evaluation"),
+)
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ivf_store import ivf_topk_from_store
+
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    truth = brute_force_topk(emb, PROBE_IDS, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk_from_store(spark, sf_dir, PROBE_IDS, k=5, n_probe=3).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    hit = F.col("a_neighbor").isNotNull()
+    return (
+        truth.join(
+            approx,
+            (truth.query_id == approx.query_id)
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left_outer",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_found"),
+            F.round(F.sum(F.when(hit, 1.0).otherwise(0.0)) / F.lit(5.0), 6).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -814,3 +814,54 @@ def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# The quality-filter decision built on the KN model: reuse the scoring
+# query's oracle verbatim as a CTE so the two stay definitionally in
+# lockstep (a change to the model changes both sides together).
+from github_miner_spark import registry as _registry
+
+_KN_ORACLE = _registry._REGISTRY["doc_kneser_ney_scores"].oracle
+_KN_KEEP_THRESHOLD = 3.4
+
+
+@register(
+    "kn_perplexity_filter_rates",
+    oracle=f"""
+    WITH kn AS ({_KN_ORACLE})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(count(*) FILTER (WHERE kn.mean_kn_surprisal < {_KN_KEEP_THRESHOLD})
+                AS BIGINT) AS kept,
+           round(count(*) FILTER (WHERE kn.mean_kn_surprisal < {_KN_KEEP_THRESHOLD})
+                 * 1.0 / count(*), 6) AS keep_rate
+    FROM kn JOIN documents d ON d.doc_id = kn.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    description="Perplexity-based curation decision (the CCNet/Gopher-"
+    "style LM filter): score every document with the corpus-trained "
+    "Kneser-Ney bigram LM (doc_kneser_ney_scores, reused verbatim) and "
+    "report per-source keep rates under a mean-surprisal threshold. "
+    "Documents too short to form a bigram are unscoreable and excluded "
+    "on both engines (inner join). The model is three keyed "
+    "aggregations over hashed bigrams; the decision adds one "
+    "doc-keyed join + one rollup — at 100 TB this is the same plan "
+    "with more partitions, no new driver state.",
+    tags=("text", "curation", "quality", "lm"),
+)
+def kn_perplexity_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kn = doc_kneser_ney_scores(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    keep = F.col("mean_kn_surprisal") < F.lit(_KN_KEEP_THRESHOLD)
+    return (
+        kn.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("kept"),
+            F.round(
+                F.sum(F.when(keep, 1.0).otherwise(0.0)) / F.count("*"), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )

@@ -68,93 +68,79 @@ def load_all() -> None:
 # entries. This explicit window lists a covering set of SURVEY §2:
 # every operator family has at least one oracle-backed query inside it.
 #
-# Round-5 rotation (VERDICT r4 item 1): leads with (a) the 26 queries
-# registered after round 4's window filled — local-oracle-green but
-# never driver-witnessed; after this round every registered query has
-# a green driver row in r01∪…∪r05. Then (b) 12 of the 13 queries NEW this
-# round (the row-carrying-WITH cypher witness, the seven Q8/Q9/Q12/
-# Q13/Q17/Q21/Q22 relational shapes, boilerplate exposure, temperature
-# resampling). The tail (c) re-greens one representative per operator
-# family whose implementation changed this round: the driver-gate
-# comparisons in graph/algorithms.py + graph/paths.py now route
-# through _gate() (pagerank/CC/scc/louvain/label-prop/coreness/
-# closure/bfs/asp/path-enum), and cypher.py grew WITH-chain
-# compilation + the gephi/linkprediction rewrites. Changed-this-round
-# queries WITHOUT a slot (scc_size_histogram, personalized_pagerank_top,
-# louvain_per_reltype, closure_per_root, depth_extremes_per_root,
-# two_hop_dependencies, harmonic_centrality_roots,
-# cypher_subdeps_per_devdep) carry fresh r04 green rows, share every
-# changed code path with an in-window sibling, and stay pinned by the
-# local 150-query oracle sweep.
-# Registered AFTER this round's window filled (never driver-verified;
-# they are local-oracle-green at sf0.001 and sf0.01 and MUST LEAD the
-# round-6 rotation as its "(a) never driver-verified" group):
-# doc_kneser_ney_scores, customer_spend_deciles, events_trending_topk.
+# Round-6 rotation (VERDICT r5 item 2): leads with (a) the 3 queries
+# registered after round 5's window filled plus the one never-green
+# query (late_shipment_priority_counts — red in r05 on an oracle
+# HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the 3
+# queries NEW this round (kn_perplexity_filter_rates, ivf_recall_at_k,
+# order_priority_checking); then (c) re-greens for every
+# implementation or oracle the round touched: the KN model now joins
+# on hashed keys (doc_kneser_ney_scores — also in (a)),
+# boilerplate_ngram_stats' corpus count folded into the plan, the
+# SF-scaling broadcast hints dropped from ten TPC-H shapes, and the
+# SCC family rewired through the per-WCC task-local Tarjan path
+# (scc_summary / scc_size_histogram / cypher_scc_readback). The tail
+# (d) refreshes driver witnesses for queries whose newest green row
+# dates to r02/r03 — correctness rows age as implementations around
+# them move, so the rotation re-earns them a round at a time. The full
+# registry stays pinned by the local 153-query oracle sweep
+# (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # -- (a) never driver-verified (VERDICT r4 item 1, the 26) ---------
-    "top_value_part_types",
-    "near_dup_rate_by_source",
-    "dependency_graph_paths",
-    "cypher_delete_counters",
-    "duplicated_span_stats",
-    "semantic_dedup_candidates",
-    "pii_redaction_stats",
-    "embedding_ivf_lloyd_topk",
-    "nation_volume_shipping",
-    "large_order_customers",
-    "doc_chunk_plan",
-    "shuffled_export_order",
-    "embedding_decontamination",
-    "cypher_pagerank_readback",
-    "cypher_community_readback",
-    "cypher_scc_readback",
-    "cypher_meta_graph_call",
-    "quality_logreg_weights",
-    "doc_bigram_surprisal",
-    "doc_classifier_scores",
-    "corpus_zipf_fit",
-    "returned_item_customers",
-    "brand_discount_revenue",
-    "events_type_trend",
-    "forecast_revenue_change",
-    "top_supplier_revenue",
+    # -- (a) never driver-witnessed / never driver-green ---------------
+    "customer_spend_deciles",
+    "doc_kneser_ney_scores",
+    "events_trending_topk",
+    "late_shipment_priority_counts",
     # -- (b) new this round --------------------------------------------
-    "cypher_with_chain_fanout",
+    "kn_perplexity_filter_rates",
+    "ivf_recall_at_k",
+    "order_priority_checking",
+    # -- (c) re-greens for round-6-touched implementations -------------
+    "boilerplate_ngram_stats",
+    "scc_summary",
+    "scc_size_histogram",
+    "cypher_scc_readback",
+    "shipping_priority",
+    "regional_revenue",
+    "nation_volume_shipping",
+    "returned_item_customers",
+    "top_supplier_revenue",
     "market_share_by_year",
     "profit_by_nation_year",
-    "late_shipment_priority_counts",
-    "customer_order_distribution",
-    "small_quantity_revenue",
     "suppliers_kept_waiting",
-    "dormant_rich_customers",
-    "boilerplate_ngram_stats",
-    "mixture_temperature_resample",
-    "cypher_with_topk_pipeline",
-    "cypher_collect_unwind_roundtrip",
-    # -- (c) re-green: implementation changed this round ---------------
-    # gate plumbing (_gate) in graph/algorithms.py + graph/paths.py
-    "scc_summary",
-    "pagerank_top20",
-    "louvain_communities",
-    # (label_propagation_summary yields its slot to
-    # cypher_collect_unwind_roundtrip: it shares the exact changed code
-    # path — the _gate(collect_threshold) comparison in algorithms.py —
-    # with the in-window louvain_communities / connected_components
-    # siblings and carries a fresh r04 green row)
-    "connected_components_summary",
-    "k_core_decomposition",
+    "promo_revenue_share",
+    "top_value_part_types",
+    # -- (d) witness refresh: oldest green rows (r02/r03) + one rep ----
+    #    per family not already covered above
+    "pricing_summary",
+    "distinct_order_profiles",
+    "quantity_histogram",
+    "scalar_function_showcase",
+    "lineitem_describe",
+    "preferential_attachment",
+    "modules_per_repo_list",
+    "self_loops",
+    "label_histogram",
+    "rel_type_histogram",
+    "top_dependants_modules",
+    "degree_breakdown",
+    "two_hop_dependencies",
+    "one_hop_neighborhood",
     "closure_counts_from_anchor",
     "bfs_depth_profile",
-    "all_shortest_paths_pairs",
-    # (dependency_chains yields its slot to cypher_with_topk_pipeline:
-    # the paths gate family is already witnessed in-window by
-    # closure_counts_from_anchor / bfs_depth_profile /
-    # all_shortest_paths_pairs / dependency_graph_paths)
-    # cypher.py front-end (WITH chains, gephi labels, linkprediction)
+    "exact_dedup_summary",
+    "minhash_lsh_dups",
+    "dedup_clusters",
+    "simhash_near_dups",
+    "embedding_topk_bruteforce",
+    "embedding_ivf_topk",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "language_id_confusion",
+    "events_sessionization",
+    "events_funnel",
+    "idempotent_merge",
     "cypher_top_used_modules",
-    "cypher_unhosted_dependency_count",
-    "cypher_hosted_on_outer",
-    "cypher_closure_from_anchor",
 )
 
 
