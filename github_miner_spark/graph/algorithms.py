@@ -115,43 +115,53 @@ def pagerank(
     table — ~30% faster when |V| fits in executor memory (a rank row is
     16 bytes; up to ~100M vertices is fine); leave off beyond that.
 
-    ``loop_shuffle_width``: narrow the per-iteration groupBy shuffle to
-    this many partitions (see paths._loop_shuffle_partitions) — the
+    ``loop_shuffle_width``: explicit override for the per-iteration
+    groupBy shuffle width (see paths._loop_shuffle_partitions) — the
     aggregated state is one row per vertex, so the session-wide width
     sized for full-table scans only buys task-launch overhead in the
-    loop; leave None to inherit the session width at cluster scale."""
-    from github_miner_spark.graph.paths import _loop_shuffle_partitions
+    loop. None (default) sizes it from the weighted edge count
+    (paths._adaptive_loop_width): narrow at bench SF, the session
+    width again at cluster scale. The INPUT materializations (degree
+    join, vertex distinct) always run at session width — only the loop
+    narrows."""
+    from github_miner_spark.graph.paths import (
+        _adaptive_loop_width,
+        _loop_shuffle_partitions,
+    )
 
     e = edges.select("src", "dst")
+    verts = (vertices.select("id") if vertices is not None else _vertex_ids(e)).distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # pre-join the per-edge weight once: src -> dst with 1/outdeg(src)
+    weighted = e.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    ).localCheckpoint(eager=True)
+    n_w = weighted.count()
+
+    # Hybrid fast path (README: anchored-probe hybrid execution):
+    # 20 power iterations cost 4+ driver barriers distributed; under
+    # the collect threshold the weighted edge list collects and the
+    # same recurrence runs as a numpy matvec. Ranks are genuine
+    # float sums, so the two paths agree to accumulation order —
+    # i.e. to the repo-wide 6dp rounding convention every consumer
+    # (and the DuckDB oracle, which sums in its own order) already
+    # applies; parity at that convention is pinned in tests.
+    thr = _gate(collect_threshold)
+    if thr > 0 and n_w <= thr:
+        return _pagerank_driver(
+            weighted, verts, iterations, damping, sources
+        )
+
+    if loop_shuffle_width is None:
+        loop_shuffle_width = _adaptive_loop_width(e.sparkSession, n_w)
     # fixed-cadence loop with uniform vertex-sized state: AQE's
     # per-stage re-plan is pure overhead here (see _loop_shuffle_partitions)
     with _loop_shuffle_partitions(
         e.sparkSession,
-        enabled=loop_shuffle_width is not None,
-        width=loop_shuffle_width or 8,
+        enabled=True,
+        width=loop_shuffle_width,
         aqe_off=True,
     ):
-        verts = (vertices.select("id") if vertices is not None else _vertex_ids(e)).distinct()
-        outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-        # pre-join the per-edge weight once: src -> dst with 1/outdeg(src)
-        weighted = e.join(outdeg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-        ).localCheckpoint(eager=True)
-
-        # Hybrid fast path (README: anchored-probe hybrid execution):
-        # 20 power iterations cost 4+ driver barriers distributed; under
-        # the collect threshold the weighted edge list collects and the
-        # same recurrence runs as a numpy matvec. Ranks are genuine
-        # float sums, so the two paths agree to accumulation order —
-        # i.e. to the repo-wide 6dp rounding convention every consumer
-        # (and the DuckDB oracle, which sums in its own order) already
-        # applies; parity at that convention is pinned in tests.
-        thr = _gate(collect_threshold)
-        if thr > 0 and weighted.count() <= thr:
-            return _pagerank_driver(
-                weighted, verts, iterations, damping, sources
-            )
-
         if sources is None:
             init_col = F.lit(1.0)
             base_col = F.lit(1.0 - damping)
@@ -235,7 +245,10 @@ def connected_components(
     RAISES instead of returning non-converged labels if ``max_iter`` is
     ever exhausted.
     """
-    from github_miner_spark.graph.paths import _loop_shuffle_partitions
+    from github_miner_spark.graph.paths import (
+        _adaptive_loop_width,
+        _loop_shuffle_partitions,
+    )
 
     # materialize the input selection ONCE: verts and pairs both derive
     # from it, and callers routinely pass expensive derived plans (e.g.
@@ -243,31 +256,34 @@ def connected_components(
     # this checkpoint the vertex side re-executes that plan
     base = edges.select("src", "dst").localCheckpoint(eager=True)
     verts = _vertex_ids(base)
+    pairs = (
+        base.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = pairs.count()
+    # Hybrid fast path (README: anchored-probe hybrid execution):
+    # under the collect threshold the deduped pair list collects and
+    # path-compressed union-find labels the graph exactly —
+    # integer work, bit-identical to the star-contraction result.
+    # The distributed O(log^2 n) loop engages unchanged beyond it.
+    thr = _gate(collect_threshold)
+    if thr > 0 and n_pairs <= thr:
+        nodes = [r["id"] for r in verts.collect()]
+        comp = _union_find_components(
+            nodes, [(r["a"], r["b"]) for r in pairs.collect()]
+        )
+        return edges.sparkSession.createDataFrame(
+            list(comp.items()), "id bigint, component bigint"
+        )
+    if loop_shuffle_width is None:
+        loop_shuffle_width = _adaptive_loop_width(base.sparkSession, n_pairs)
     with _loop_shuffle_partitions(
         base.sparkSession,
-        enabled=loop_shuffle_width is not None,
-        width=loop_shuffle_width or 8,
+        enabled=True,
+        width=loop_shuffle_width,
     ):
-        pairs = (
-            base.filter(F.col("src") != F.col("dst"))
-            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        # Hybrid fast path (README: anchored-probe hybrid execution):
-        # under the collect threshold the deduped pair list collects and
-        # path-compressed union-find labels the graph exactly —
-        # integer work, bit-identical to the star-contraction result.
-        # The distributed O(log^2 n) loop engages unchanged beyond it.
-        thr = _gate(collect_threshold)
-        if thr > 0 and pairs.count() <= thr:
-            nodes = [r["id"] for r in verts.collect()]
-            comp = _union_find_components(
-                nodes, [(r["a"], r["b"]) for r in pairs.collect()]
-            )
-            return edges.sparkSession.createDataFrame(
-                list(comp.items()), "id bigint, component bigint"
-            )
         converged = pairs.isEmpty()
         for _ in range(max_iter):
             if converged:
@@ -439,7 +455,10 @@ def strongly_connected_components(
     a handful of partitions removes per-round task-scheduling overhead
     the session's full width would pay ~70 times over, while a 100-TB
     core gets the session width back automatically."""
-    from github_miner_spark.graph.paths import _loop_shuffle_partitions
+    from github_miner_spark.graph.paths import (
+        _adaptive_loop_width,
+        _loop_shuffle_partitions,
+    )
 
     # One lineage traversal: dedup (self-loops kept) is the single
     # materialization of the input; everything else derives from the
@@ -449,8 +468,7 @@ def strongly_connected_components(
     n_edges = dedup.count()
     spark = edges.sparkSession
     if loop_shuffle_width is None:
-        sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        loop_shuffle_width = max(2, min(sess, -(-n_edges // 250_000)))
+        loop_shuffle_width = _adaptive_loop_width(spark, n_edges)
     with _loop_shuffle_partitions(
         spark, enabled=True, width=loop_shuffle_width
     ):
@@ -970,17 +988,15 @@ def louvain(
     then maps assignments back. Returns (id, community) with community =
     min member id (canonical, deterministic).
 
-    ``loop_shuffle_width``: callers running a bounded slice can narrow
-    the loop's shuffle width (see paths._loop_shuffle_partitions) —
-    the per-sweep aggregations are slice-sized, not corpus-sized."""
-    from github_miner_spark.graph.paths import _loop_shuffle_partitions
-
-    with _loop_shuffle_partitions(
-        edges.sparkSession,
-        enabled=loop_shuffle_width is not None,
-        width=loop_shuffle_width or 8,
-    ):
-        return _louvain_inner(edges, max_sweeps, levels, early_exit, collect_threshold)
+    ``loop_shuffle_width``: explicit override for the sweep loops'
+    shuffle width; None (default) sizes it from the symmetric edge
+    count (paths._adaptive_loop_width) — the per-sweep aggregations
+    are vertex/edge-sized, so the session width only buys task-launch
+    overhead at bench SF while a huge graph gets it back."""
+    return _louvain_inner(
+        edges, max_sweeps, levels, early_exit, collect_threshold,
+        loop_shuffle_width,
+    )
 
 
 def _louvain_inner(
@@ -989,11 +1005,18 @@ def _louvain_inner(
     levels: int,
     early_exit: bool = True,
     collect_threshold: int = 2_000_000,
+    loop_shuffle_width: int | None = None,
 ) -> DataFrame:
+    from github_miner_spark.graph.paths import (
+        _adaptive_loop_width,
+        _loop_shuffle_partitions,
+    )
+
     sym = _symmetrize_weighted(edges)
     m2 = sym.agg(F.sum("w")).collect()[0][0]  # scalar 2m, loop constant
     if not m2:
         return edges.sparkSession.createDataFrame([], "id bigint, community bigint")
+    n_sym = sym.count()
 
     # Hybrid fast path (README: anchored-probe hybrid execution): the
     # sweep loop pays 2 driver barriers per sweep per level, so under
@@ -1004,7 +1027,7 @@ def _louvain_inner(
     # sweeps below engage unchanged; parity between the two paths is
     # pinned by tests on the bench slice and randomized graphs.
     thr = _gate(collect_threshold)
-    if thr > 0 and sym.count() <= thr:
+    if thr > 0 and n_sym <= thr:
         rows = sym.collect()
         comm = _louvain_driver(
             [(r["src"], r["dst"], r["w"]) for r in rows],
@@ -1017,6 +1040,24 @@ def _louvain_inner(
             list(comm.items()), "id bigint, community bigint"
         )
 
+    if loop_shuffle_width is None:
+        loop_shuffle_width = _adaptive_loop_width(edges.sparkSession, n_sym)
+    with _loop_shuffle_partitions(
+        edges.sparkSession, enabled=True, width=loop_shuffle_width
+    ):
+        return _louvain_distributed(
+            edges, sym, float(m2), max_sweeps, levels, early_exit
+        )
+
+
+def _louvain_distributed(
+    edges: DataFrame,
+    sym: DataFrame,
+    m2: float,
+    max_sweeps: int,
+    levels: int,
+    early_exit: bool,
+) -> DataFrame:
     assignment = _louvain_phase1(sym, float(m2), max_sweeps, early_exit)
     for _ in range(1, levels):
         # aggregate: super-node per community, weights summed (self-rows
@@ -1152,24 +1193,34 @@ def label_propagation(
         return edges.sparkSession.createDataFrame(
             list(labels_map.items()), "id bigint, community bigint"
         )
-    labels = verts.select("id", F.col("id").alias("community"))
-    for _ in range(iterations):
-        neighbor_labels = sym.join(labels, sym.src == labels.id).select(
-            F.col("dst").alias("nid"), "community"
-        )
-        counted = neighbor_labels.groupBy("nid", "community").agg(F.count("*").alias("votes"))
-        # max votes with min-label tie-break: order by (-votes, community)
-        best = (
-            counted.withColumn("ord", F.struct((-F.col("votes")).alias("nv"), F.col("community")))
-            .groupBy("nid")
-            .agg(F.min("ord").alias("b"))
-            .select(F.col("nid"), F.col("b.community").alias("new_community"))
-        )
-        labels = (
-            labels.join(best, labels.id == best.nid, "left_outer")
-            .select("id", F.coalesce(F.col("new_community"), F.col("community")).alias("community"))
-            .localCheckpoint(eager=True)
-        )
+    from github_miner_spark.graph.paths import (
+        _adaptive_loop_width,
+        _loop_shuffle_partitions,
+    )
+
+    with _loop_shuffle_partitions(
+        edges.sparkSession,
+        enabled=True,
+        width=_adaptive_loop_width(edges.sparkSession, sym.count()),
+    ):
+        labels = verts.select("id", F.col("id").alias("community"))
+        for _ in range(iterations):
+            neighbor_labels = sym.join(labels, sym.src == labels.id).select(
+                F.col("dst").alias("nid"), "community"
+            )
+            counted = neighbor_labels.groupBy("nid", "community").agg(F.count("*").alias("votes"))
+            # max votes with min-label tie-break: order by (-votes, community)
+            best = (
+                counted.withColumn("ord", F.struct((-F.col("votes")).alias("nv"), F.col("community")))
+                .groupBy("nid")
+                .agg(F.min("ord").alias("b"))
+                .select(F.col("nid"), F.col("b.community").alias("new_community"))
+            )
+            labels = (
+                labels.join(best, labels.id == best.nid, "left_outer")
+                .select("id", F.coalesce(F.col("new_community"), F.col("community")).alias("community"))
+                .localCheckpoint(eager=True)
+            )
     return labels
 
 
@@ -1263,10 +1314,14 @@ def coreness(
             list(core.items()), "id bigint, core bigint"
         )
 
+    from github_miner_spark.graph.paths import _adaptive_loop_width
+
+    if loop_shuffle_width is None:
+        loop_shuffle_width = _adaptive_loop_width(edges.sparkSession, n_edges)
     with _loop_shuffle_partitions(
         edges.sparkSession,
-        enabled=loop_shuffle_width is not None,
-        width=loop_shuffle_width or 8,
+        enabled=True,
+        width=loop_shuffle_width,
         aqe_off=True,
     ):
         adj = und.select(F.col("u").alias("id"), F.col("v").alias("nb")).unionByName(

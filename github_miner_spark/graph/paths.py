@@ -108,6 +108,20 @@ class _loop_shuffle_partitions:
         return False
 
 
+def _adaptive_loop_width(
+    spark, n_rows: int, rows_per_partition: int = 250_000, floor: int = 2
+) -> int:
+    """Loop shuffle width sized from the loop-state row count: ~250k
+    rows per partition, never below ``floor``, never above the
+    session's configured width. At bench SF vertex/edge-sized loop
+    state is a few thousand rows, where the session width (sized for
+    full-table scans) pays task-launch overhead every round for
+    nothing; a 100-TB graph gets the session width back
+    automatically. Callers that know better pass an explicit width."""
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(floor, min(sess, -(-int(n_rows) // rows_per_partition)))
+
+
 # Driver fast-path gate for anchored closures: same hybrid pattern as
 # the SCC operator's driver-Tarjan threshold. An edge slice under this
 # many rows collects in well under a second and the topological DP is

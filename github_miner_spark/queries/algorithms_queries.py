@@ -428,7 +428,7 @@ def connected_components_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("src") >= 10002) & (F.col("src") < 12002)
         & (F.col("dst") >= 10002) & (F.col("dst") < 12002)
     )
-    comp = connected_components(sub, loop_shuffle_width=8)
+    comp = connected_components(sub)
     sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
     return (
         sizes.agg(
@@ -455,7 +455,7 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-iteration broadcast materialization costs more than the narrow
     # shuffle (measured 5.2s vs 3.8s at sf0.1); broadcast_ranks stays the
     # documented cluster-scale option for fat frontiers
-    ranks = pagerank(mm, iterations=20, damping=0.85, loop_shuffle_width=8)
+    ranks = pagerank(mm, iterations=20, damping=0.85)
     names = g.vertices.select("id", "name")
     return (
         ranks.join(F.broadcast(names), "id")
@@ -508,7 +508,7 @@ def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Q=0.493 vs 0.499 at 4 sweeps, 4x faster; slice-sized loop state
     # -> narrow shuffle width (9.0s -> 7.0s at sf0.1)
-    comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8, early_exit=False)
+    comm = louvain(sub, max_sweeps=3, levels=2, early_exit=False)
     q = modularity(sub, comm)
     sizes = comm.groupBy("community").agg(F.count("*").alias("sz"))
     return sizes.agg(
@@ -543,7 +543,7 @@ def louvain_per_reltype(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("src", "dst")
         )
-        comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8, early_exit=False)
+        comm = louvain(sub, max_sweeps=3, levels=2, early_exit=False)
         q = modularity(sub, comm)
         sizes = comm.groupBy("community").agg(F.count("*").alias("sz"))
         outs.append(
@@ -850,7 +850,7 @@ def personalized_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
     ranks = pagerank(
-        mm, iterations=20, damping=0.85, loop_shuffle_width=8, sources=PPR_SOURCES
+        mm, iterations=20, damping=0.85, sources=PPR_SOURCES
     )
     names = g.vertices.select("id", "name")
     return (

@@ -227,7 +227,7 @@ def cypher_pagerank_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = load_graph(spark, sf_dir)
     ranks = pagerank(
-        g.module_dep_edges(), iterations=20, damping=0.85, loop_shuffle_width=8
+        g.module_dep_edges(), iterations=20, damping=0.85
     ).select("id", F.round("rank", 6).alias("pagerank"))
     written = with_vertex_property(g, "pagerank", ranks)
     return run_cypher(
@@ -295,7 +295,7 @@ def cypher_community_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("src") >= 1002) & (F.col("src") < 5002)
         & (F.col("dst") >= 1002) & (F.col("dst") < 5002)
     )
-    comm = louvain(sub, max_sweeps=3, levels=2, loop_shuffle_width=8, early_exit=False)
+    comm = louvain(sub, max_sweeps=3, levels=2, early_exit=False)
     written = with_vertex_property(g, "community", comm)
     return run_cypher(
         written,
