@@ -1307,13 +1307,13 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     GROUP BY priority ORDER BY priority
     """,
-    description="TPC-H Q4 shape (order priority checking; lateness is "
-    "ship-lag > 90 days since this corpus has no commit/receipt "
-    "dates): a quarter's orders filtered by a correlated EXISTS "
-    "against lineitem, counted per priority. Compiles to one LEFT SEMI "
-    "join on orderkey with the lag predicate evaluated in the join — "
-    "the date filter prunes the orders scan first, so the semi-join's "
-    "build side is one quarter of orders, not the full table.",
+    description="TPC-H Q4 shape with a CROSS-TABLE-correlated EXISTS "
+    "(vs priority_order_counts' table-local EXISTS predicate): the "
+    "lateness test date_diff(o_orderdate, l_shipdate) > 90 references "
+    "BOTH relations, so the semi join carries a non-equi conjunct "
+    "alongside the orderkey equi-key — the shape Catalyst must "
+    "evaluate inside the join rather than push to either scan. The "
+    "quarter date filter still prunes the orders side first.",
     tags=("relational", "join", "semi", "agg"),
 )
 def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
