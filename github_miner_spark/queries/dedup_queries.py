@@ -458,3 +458,87 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "incremental_minhash_dedup",
+    oracle=_minhash_oracle().replace(
+        "ORDER BY c.doc_a, c.doc_b",
+        """AND c.doc_b >= (SELECT CAST(floor(0.8 * (max(doc_id) + 1)) AS BIGINT)
+                       FROM documents)
+    ORDER BY c.doc_a, c.doc_b""",
+    ),
+    description="Incremental (delta-vs-snapshot) near-dedup — the "
+    "nightly-ingest shape: the newest 20% of doc_ids are the DELTA, "
+    "everything before them the accepted snapshot. Only the delta's "
+    "band buckets probe the full bucket index (delta x bucket-width "
+    "candidates, never snapshot x snapshot — the snapshot side is "
+    "touched once to build the index it already has materialized), and "
+    "exact-Jaccard verification runs on the delta-bounded candidate "
+    "set only. Result = every (earlier_doc, delta_doc) pair at "
+    "Jaccard >= 0.5, i.e. exactly the full-corpus pair set restricted "
+    "to pairs whose NEWER side is in the delta — which is what the "
+    "oracle computes, pinning that the incremental plan loses nothing. "
+    "At 100 TB this is the only affordable dedup cadence: daily work "
+    "scales with the delta, not the corpus.",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+    from github_miner_spark.functions.text_store import load_shingle_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = load_shingle_index(spark, sf_dir)
+    sig = minhash_signatures(docs, idx, 16)
+    buckets = minhash_band_buckets(sig, 16, 4).localCheckpoint(eager=False)
+    # 1-row scalar fetch (the paths_queries.py anchor pattern): a
+    # broadcast crossJoin here would read as the all-pairs BNLJ the
+    # dedup plan tests forbid, and max(doc_id) is a column-stat scan
+    cutoff = int(
+        docs.agg(
+            F.floor(0.8 * (F.max("doc_id") + 1)).cast("long").alias("c")
+        ).collect()[0]["c"]
+    )
+    delta_buckets = buckets.filter(F.col("doc_id") >= F.lit(cutoff))
+    a = buckets.alias("a")
+    b = delta_buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ia = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(ia, "doc_a")
+        .join(ib, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

@@ -83,7 +83,7 @@ def load_all() -> None:
 # (d) refreshes driver witnesses for queries whose newest green row
 # dates to r02/r03 — correctness rows age as implementations around
 # them move, so the rotation re-earns them a round at a time. The full
-# registry stays pinned by the local 153-query oracle sweep
+# registry stays pinned by the local 154-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-witnessed / never driver-green ---------------
@@ -95,6 +95,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "kn_perplexity_filter_rates",
     "ivf_recall_at_k",
     "order_priority_checking",
+    "incremental_minhash_dedup",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -135,7 +136,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "embedding_topk_bruteforce",
     "embedding_ivf_topk",
     "doc_token_stats",
-    "doc_quality_scores",
     "language_id_confusion",
     "events_sessionization",
     "events_funnel",

@@ -318,3 +318,9 @@ def test_scaling_dims_not_hint_forced(spark):
         assert "BroadcastHashJoin" in plan  # region/nation/promo hints
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_incremental_dedup_no_allpairs(spark):
+    plan = _plan(spark, "incremental_minhash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
