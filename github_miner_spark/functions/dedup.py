@@ -165,6 +165,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     index: DataFrame | None = None,
+    delta_min_doc_id: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: k-perm signatures, banded into
     ``bands`` buckets of k/bands rows; same-bucket pairs are verified
@@ -172,7 +173,15 @@ def minhash_lsh_pairs(
 
     This is the scale path for n-gram dedup: candidate count is driven
     by bucket collisions (tunable via bands), not shingle co-occurrence.
-    ``index``: pre-materialized shingle index (functions/text_store.py)."""
+    ``index``: pre-materialized shingle index (functions/text_store.py).
+
+    ``delta_min_doc_id``: incremental mode — restrict the NEWER side of
+    every candidate pair to doc_id >= this cutoff, so only the delta's
+    buckets probe the full bucket index and verification is bounded by
+    the delta's candidates (the nightly-ingest shape). Pair semantics,
+    rounding, and thresholding are otherwise identical to the full
+    run — the result equals the full pair set restricted to pairs
+    whose newer side is in the delta."""
     idx = (
         index
         if index is not None
@@ -180,8 +189,13 @@ def minhash_lsh_pairs(
     )
     sig = minhash_signatures(docs, idx, k)
     buckets = minhash_band_buckets(sig, k, bands).localCheckpoint(eager=False)
+    newer = (
+        buckets
+        if delta_min_doc_id is None
+        else buckets.filter(F.col("doc_id") >= F.lit(int(delta_min_doc_id)))
+    )
     a = buckets.alias("a")
-    b = buckets.alias("b")
+    b = newer.alias("b")
     candidates = (
         a.join(
             b,

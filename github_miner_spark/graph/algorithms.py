@@ -609,7 +609,16 @@ def _scc_impl(
     # diameter), so the whole split costs ~log rounds + one shuffle —
     # replacing a per-core O(diameter) coloring fixpoint whenever the
     # core has no task-sized-exceeding component.
-    wcc = connected_components(remaining_edges, max_iter=max_iter)
+    # WCC inherits the caller's driver-collect bound: a caller that
+    # lowered core_collect_threshold to cap driver memory must not get
+    # a larger pair collect through connected_components' own gate
+    # (and with the gate forced to 0, the star contraction runs fully
+    # distributed here too)
+    wcc = connected_components(
+        remaining_edges,
+        max_iter=max_iter,
+        collect_threshold=min(core_collect_threshold, 2_000_000),
+    )
     edges_w = remaining_edges.join(
         wcc.select(F.col("id").alias("src"), F.col("component").alias("wcc")),
         "src",

@@ -484,16 +484,10 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "incremental"),
 )
 def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_miner_spark.functions.dedup import (
-        minhash_band_buckets,
-        minhash_signatures,
-    )
     from github_miner_spark.functions.text_store import load_shingle_index
 
     docs = load_table(spark, "documents", sf_dir)
     idx = load_shingle_index(spark, sf_dir)
-    sig = minhash_signatures(docs, idx, 16)
-    buckets = minhash_band_buckets(sig, 16, 4).localCheckpoint(eager=False)
     # 1-row scalar fetch (the paths_queries.py anchor pattern): a
     # broadcast crossJoin here would read as the all-pairs BNLJ the
     # dedup plan tests forbid, and max(doc_id) is a column-stat scan
@@ -502,43 +496,6 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(0.8 * (F.max("doc_id") + 1)).cast("long").alias("c")
         ).collect()[0]["c"]
     )
-    delta_buckets = buckets.filter(F.col("doc_id") >= F.lit(cutoff))
-    a = buckets.alias("a")
-    b = delta_buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    ia = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
-    ib = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(ia, "doc_a")
-        .join(ib, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
-    return jac.select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    return minhash_lsh_pairs(
+        docs, k=16, bands=4, threshold=0.5, index=idx, delta_min_doc_id=cutoff
     ).orderBy("doc_a", "doc_b")

@@ -498,9 +498,10 @@ def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q14 shape: conditional-aggregate revenue share "
     "(percent of discounted revenue from PROMO parts in a six-month "
-    "ship window). The part side broadcasts; the CASE folds into the "
-    "aggregate so one fact pass computes both the numerator and the "
-    "denominator — no second scan, no self-join.",
+    "ship window). The part projection scales with SF, so its join "
+    "strategy is AQE's size-based call (no forced hint); the CASE "
+    "folds into the aggregate so one fact pass computes both the "
+    "numerator and the denominator — no second scan, no self-join.",
     tags=("relational", "agg", "conditional"),
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,9 +540,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q11 shape: grouped revenue with a HAVING gate "
     "against a scalar subquery (part types carrying more than 10% of "
     "total discounted revenue). The scalar total is one extra "
-    "aggregate broadcast into the filter; the part dimension "
-    "broadcasts into the fact scan — two passes total, both "
-    "full-scan-shaped, no correlated re-execution.",
+    "aggregate broadcast into the filter; the SF-scaling part "
+    "projection joins by AQE's size-based choice — two passes total, "
+    "both full-scan-shaped, no correlated re-execution.",
     tags=("relational", "agg", "having"),
 )
 def top_value_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,8 +585,9 @@ def top_value_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q7 shape (volume shipping): bilateral "
     "supplier-nation x customer-nation revenue by ship year. The two "
-    "nation dims and supplier/customer join in as broadcasts around "
-    "one lineitem->orders hash join; the nation-pair predicate "
+    "nation dims hint-broadcast; the SF-scaling supplier/customer "
+    "frames are sized by AQE around one lineitem->orders hash join; "
+    "the nation-pair predicate "
     "semi-filters both sides before the fact join, so the only real "
     "shuffle is fact-to-fact on orderkey.",
     tags=("relational", "join", "agg"),
@@ -694,8 +696,8 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers by lost revenue on returned line items in a half-year "
     "window. The returnflag filter pushes to the lineitem scan and the "
     "date window to the orders scan BEFORE the fact-fact orderkey "
-    "join; customer and nation attach as broadcasts on the reduced "
-    "rollup.",
+    "join; nation hint-broadcasts while the SF-scaling customer frame "
+    "joins the reduced rollup under AQE's size check.",
     tags=("relational", "join", "agg", "topk"),
 )
 def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,9 +71,10 @@ def load_all() -> None:
 # Round-6 rotation (VERDICT r5 item 2): leads with (a) the 3 queries
 # registered after round 5's window filled plus the one never-green
 # query (late_shipment_priority_counts — red in r05 on an oracle
-# HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the 3
+# HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the 4
 # queries NEW this round (kn_perplexity_filter_rates, ivf_recall_at_k,
-# order_priority_checking); then (c) re-greens for every
+# order_priority_checking, incremental_minhash_dedup); then (c)
+# re-greens for every
 # implementation or oracle the round touched: the KN model now joins
 # on hashed keys (doc_kneser_ney_scores — also in (a)),
 # boilerplate_ngram_stats' corpus count folded into the plan, the

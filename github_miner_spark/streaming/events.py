@@ -14,6 +14,8 @@ results equal the batch twins in queries/events_queries.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -341,6 +343,7 @@ def trending_topk_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     horizon_windows: int | None = 48,
+    state_path: str | None = None,
 ):
     """Streaming trending dashboard with BOUNDED state at every layer:
 
@@ -362,7 +365,19 @@ def trending_topk_stream(
       in-horizon rows to a global temp view. Within the horizon the
       view is row-identical to the batch query (pinned in
       tests/test_streaming.py). Returns the DataStreamWriter (caller
-      starts/awaits)."""
+      starts/awaits).
+
+    RESTART CONTRACT: update mode only re-delivers rows whose
+    aggregates change after a restart, so the driver dashboard cannot
+    rebuild itself from the stream alone (complete mode could, at the
+    cost of unbounded state). Pass ``state_path`` to persist the
+    dashboard snapshot atomically after every trigger and restore it
+    on construction — a restart from the same checkpointLocation +
+    state_path then continues exactly (update rows carry absolute
+    counts, so a replayed trigger is an idempotent overwrite). Without
+    ``state_path``, restart from a fresh checkpoint (full replay) or
+    accept a dashboard that only covers windows changed since the
+    restart — pinned in tests/test_streaming.py."""
     counts = windowed_event_counts(events, window=window, watermark=watermark)
     schema = (
         "window_start timestamp, event_type string, n_events bigint, "
@@ -370,6 +385,19 @@ def trending_topk_stream(
     )
     latest: dict = {}  # (window_start, event_type) -> n_events
     carry: dict = {}  # event_type -> (window_start, n_events) just before horizon
+    if state_path is not None and os.path.exists(state_path):
+        import json as _json
+        from datetime import datetime as _dt
+
+        with open(state_path) as f:
+            snap = _json.load(f)
+        latest.update(
+            ((_dt.fromisoformat(w), t), int(n)) for w, t, n in snap["latest"]
+        )
+        carry.update(
+            (t, (_dt.fromisoformat(w), int(n)))
+            for t, (w, n) in snap["carry"].items()
+        )
 
     def _rank(batch_df: DataFrame, _batch_id: int) -> None:
         for r in (
@@ -383,7 +411,9 @@ def trending_topk_stream(
                 cutoff = ws[-horizon_windows]
                 for key in [key for key in latest if key[0] < cutoff]:
                     w, t = key
-                    if t not in carry or carry[t][0] < w:
+                    # <= so a late in-watermark re-emit of the SAME
+                    # carried window replaces its stale count
+                    if t not in carry or carry[t][0] <= w:
                         carry[t] = (w, latest[key])
                     del latest[key]
         rows = [(w, t, n) for (w, t), n in latest.items()] + [
@@ -402,5 +432,21 @@ def trending_topk_stream(
         spark.createDataFrame(
             ranked.collect(), schema
         ).createOrReplaceGlobalTempView(view_name)
+        if state_path is not None:
+            import json as _json
+
+            snap = {
+                "latest": [
+                    [w.isoformat(), t, int(n)] for (w, t), n in latest.items()
+                ],
+                "carry": {
+                    t: [w.isoformat(), int(n)] for t, (w, n) in carry.items()
+                },
+                "batch_id": int(_batch_id),
+            }
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(snap, f)
+            os.replace(tmp, state_path)
 
     return counts.writeStream.outputMode("update").foreachBatch(_rank)

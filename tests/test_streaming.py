@@ -373,3 +373,87 @@ def test_trending_topk_stream_horizon_bounds_state(spark):
     want = sorted(tuple(r) for r in batch if r["window_start"] in tail)
     assert got == want and len(got) > 0
     assert len({w for (w, *_rest) in got}) == 5
+
+
+def test_trending_topk_stream_restart_restores_dashboard(spark, tmp_path):
+    """Restart contract: update mode only re-delivers changed rows, so
+    after a restart the dashboard must come back from the persisted
+    state snapshot. Run 1 drains the base events; run 2 restarts from
+    the SAME checkpoint + state_path with one new file of later-window
+    events — the rebuilt view must equal rank_trending over the
+    COMBINED corpus, including run-1 windows the restarted stream never
+    re-emits (without state_path they would be silently missing)."""
+    import shutil
+
+    from github_miner_spark.io.tables import TABLE_SCHEMAS
+    from github_miner_spark.streaming.events import (
+        rank_trending,
+        trending_topk_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part1.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "dashboard.json")
+    schema = TABLE_SCHEMAS["events"]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+        q = (
+            trending_topk_stream(
+                stream,
+                view_name="t_trending_r",
+                horizon_windows=None,
+                state_path=state,
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    spark.catalog.dropGlobalTempView("t_trending_r")
+
+    # run 2: new events strictly after the base range -> new windows only
+    base = spark.read.schema(schema).parquet(f"{SF}/events.parquet")
+    # shift strictly past the base range: in-range "late" events would
+    # be older than run 1's checkpointed watermark and rightly dropped
+    span_h = base.agg(
+        F.ceil(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))) / 3600
+        ).alias("h")
+    ).collect()[0]["h"]
+    late = base.limit(500).withColumn(
+        "ts", F.col("ts") + F.expr(f"INTERVAL {int(span_h) + 4} HOURS")
+    )
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late"))
+    for f in (tmp_path / "late").glob("*.parquet"):
+        shutil.copy(f, src / "part2.parquet")
+    run_once()
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM global_temp.t_trending_r").collect())
+    )
+    combined = base.unionByName(late)
+    hourly = (
+        combined.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    want = sorted(map(tuple, rank_trending(hourly, 3).collect()))
+    assert got == want and len(got) > 0
+    # run-1-only windows must be present (the restart-restore payoff)
+    run1_windows = {w for (w, *_r) in want} - {
+        r["window_start"]
+        for r in rank_trending(
+            late.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events"),
+            3,
+        ).collect()
+    }
+    assert run1_windows & {w for (w, *_r) in got}
