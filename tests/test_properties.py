@@ -559,3 +559,37 @@ def test_cypher_unwind_literal_roundtrip(spark, vals):
     assert got == sorted(vals)
     s = run_cypher(g, f"UNWIND {lit} AS x RETURN sum(x) AS s").collect()[0]["s"]
     assert s == sum(vals)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=6, max_size=30), min_size=3, max_size=8
+    ),
+    cut_frac=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@_settings
+def test_incremental_minhash_equals_full_run_filtered(spark, texts, cut_frac):
+    """The incremental-dedup contract: restricting the NEWER candidate
+    side to the delta must yield EXACTLY the full-corpus pair set
+    filtered to pairs whose newer doc is in the delta — same pairs,
+    same 6dp-rounded scores (the drift the round-6 review caught was a
+    threshold-before-rounding divergence; this pins the shared-code
+    semantics on randomized corpora)."""
+    from github_miner_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    cutoff = int(cut_frac * len(texts))
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    want = {k: v for k, v in full.items() if k[1] >= cutoff}
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, delta_min_doc_id=cutoff
+        ).collect()
+    }
+    assert got == want
