@@ -425,7 +425,11 @@ def strongly_connected_components(
          On DAG-heavy inputs (the common shape: dependency graphs are
          mostly acyclic) this removes almost everything in O(depth)
          rounds of one degree-flags shuffle each, leaving only the
-         cyclic core.
+         cyclic core. Trim engages only when the deduped edge set
+         exceeds component_task_threshold: its job is shrinking a
+         too-big graph, and a graph that already fits one executor
+         task goes straight to the WCC split instead of paying
+         O(fringe depth) peeling barriers.
       1a. If the core is small (<= core_collect_threshold edges —
          the usual outcome: the reference's real corpus has max SCC
          size 9), finish with iterative Tarjan on the driver. A 100 TB
@@ -567,8 +571,17 @@ def _scc_impl(
     # phase 0: trim the acyclic fringe. On DAG-heavy inputs (dependency
     # graphs are mostly acyclic) this removes almost everything in
     # O(depth) rounds of one degree-flags-derived edge checkpoint each,
-    # leaving only the cyclic core.
-    remaining_verts, remaining_edges = _trim(remaining_edges, max_iter)
+    # leaving only the cyclic core. Trim's ONLY job is shrinking a
+    # too-big graph below the task/collect thresholds, so when the
+    # whole deduped edge set ALREADY fits one executor task the
+    # O(fringe depth) peeling barriers buy nothing — phase 1's WCC
+    # split labels the untrimmed graph task-locally either way. Above
+    # the threshold (any real corpus) the fixpoint trim engages
+    # unchanged.
+    if n_edges > component_task_threshold:
+        remaining_verts, remaining_edges = _trim(remaining_edges, max_iter)
+    else:
+        remaining_verts = _vertex_ids(remaining_edges).localCheckpoint(eager=True)
     singletons = all_verts.join(remaining_verts, "id", "left_anti")
     assigned_parts.append(
         singletons.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
