@@ -499,3 +499,77 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, k=16, bands=4, threshold=0.5, index=idx, delta_min_doc_id=cutoff
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> {DUCK_HASH.format(v="concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")}))
+                  ELSE [] END AS shingles
+      FROM t
+    ),
+    ss AS (SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    i AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.shared AS BIGINT) AS shared_shingles,
+           round(i.shared * 1.0 / (sa.n + sb.n - i.shared), 6) AS jaccard
+    FROM i JOIN sizes sa ON sa.source = i.source_a
+           JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+    description="Cross-SOURCE contamination matrix: Jaccard overlap of "
+    "each source pair's distinct 3-gram shingle sets — the corpus-level "
+    "redundancy structure used for mixture planning (which sources "
+    "duplicate each other wholesale, vs doc-level near-dup pairs). One "
+    "explode to (source, shingle) distinct rows off the materialized "
+    "shingle index, a shingle-keyed self-join whose per-shingle fanout "
+    "is bounded by C(|sources|, 2) regardless of corpus size, and a "
+    "source-pair rollup — output is |sources|^2-bounded at any scale.",
+    tags=("dedup", "curation", "shingles", "mixture"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text_store import load_shingle_index
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    idx = load_shingle_index(spark, sf_dir)
+    ss = idx.join(docs, "doc_id").select("source", "shingle").distinct()
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
+    a = ss.alias("a")
+    b = ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("bigint").alias("shared_shingles"),
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

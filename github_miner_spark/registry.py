@@ -71,9 +71,10 @@ def load_all() -> None:
 # Round-6 rotation (VERDICT r5 item 2): leads with (a) the 3 queries
 # registered after round 5's window filled plus the one never-green
 # query (late_shipment_priority_counts — red in r05 on an oracle
-# HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the 4
+# HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the 5
 # queries NEW this round (kn_perplexity_filter_rates, ivf_recall_at_k,
-# order_priority_checking, incremental_minhash_dedup); then (c)
+# order_priority_checking, incremental_minhash_dedup,
+# source_overlap_matrix); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
 # on hashed keys (doc_kneser_ney_scores — also in (a)),
@@ -84,7 +85,7 @@ def load_all() -> None:
 # (d) refreshes driver witnesses for queries whose newest green row
 # dates to r02/r03 — correctness rows age as implementations around
 # them move, so the rotation re-earns them a round at a time. The full
-# registry stays pinned by the local 154-query oracle sweep
+# registry stays pinned by the local 155-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-witnessed / never driver-green ---------------
@@ -97,6 +98,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "ivf_recall_at_k",
     "order_priority_checking",
     "incremental_minhash_dedup",
+    "source_overlap_matrix",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -123,7 +125,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "modules_per_repo_list",
     "self_loops",
     "label_histogram",
-    "rel_type_histogram",
     "top_dependants_modules",
     "degree_breakdown",
     "two_hop_dependencies",
