@@ -324,3 +324,17 @@ def test_incremental_dedup_no_allpairs(spark):
     plan = _plan(spark, "incremental_minhash_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round6_queries_no_allpairs(spark):
+    """The round-6 additions must all be index/equi-join shaped: the
+    source-overlap self-join hashes on shingle (the inequality is a
+    post-join filter), the recall grader joins probe-set-sized top-k
+    frames, and the KN filter is keyed joins end to end."""
+    for name in (
+        "source_overlap_matrix",
+        "ivf_recall_at_k",
+        "kn_perplexity_filter_rates",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
