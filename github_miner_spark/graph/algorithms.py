@@ -22,6 +22,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1380,3 +1382,190 @@ def coreness(
         f"coreness did not reach the h-index fixpoint within {max_iter} rounds; "
         "refusing to return non-converged core numbers"
     )
+
+
+def _brandes_betweenness(
+    edge_list: list[tuple[int, int]], roots: list[int]
+) -> dict[int, float]:
+    """Exact source-sampled betweenness via Brandes' accumulation
+    (Brandes 2001, "A faster algorithm for betweenness centrality")
+    over an in-memory directed edge list: bc(v) = sum over sampled
+    sources s and targets t of sigma_st(v)/sigma_st. Parallel edges
+    count as distinct shortest paths (multigraph semantics), matching
+    the enumeration oracle and the distributed loop, neither of which
+    dedups the edge multiset. Used only under the collect threshold —
+    the driver twin the property tests pin the distributed path
+    against."""
+    from collections import defaultdict, deque
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for a, b in edge_list:
+        adj[a].append(b)
+    bc: dict[int, float] = defaultdict(float)
+    for s in roots:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        preds: dict[int, list[int]] = defaultdict(list)
+        order: list[int] = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta: dict[int, float] = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s and delta[w] > 0.0:
+                bc[w] += delta[w]
+    return dict(bc)
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    roots,
+    max_iter: int = 1000,
+    loop_shuffle_width: int | None = None,
+    collect_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Source-sampled shortest-path betweenness: (id, betweenness)
+    with bc(v) = sum_{s in roots, t} sigma_st(v)/sigma_st over the
+    DIRECTED graph (v strictly interior, endpoints excluded). The
+    reference's plugin set ships algo.betweenness alongside
+    PageRank/SCC/Louvain (bin/install_neo4j_plugins.sh:4); sampled
+    sources are the standard scale form (Brandes/Pich 2007) — exact
+    per sampled source, and exact overall when ``roots`` is every
+    vertex.
+
+    Distributed path is Brandes' two sweeps as level-synchronous
+    DataFrame loops, O(diameter) rounds each, state one row per
+    (root, node):
+    - forward: multi-root BFS carrying the shortest-path count
+      sigma — frontier join edges, anti-join visited, groupBy
+      (root, node) summing sigma. A walk reaching a node at its
+      minimum depth has every prefix minimal, so per-level sigma
+      summation is exact.
+    - backward: dependency accumulation delta(v) = sum_w
+      sigma_v/sigma_w * (1 + delta(w)) over the shortest-path-DAG
+      edges (depth(w) = depth(v)+1), walked from the deepest level
+      up — each round one join of two level-sized frames, no
+      cartesian.
+    The sampled root set is small by contract (broadcast-sized);
+    per-level work is O(|roots| * E) worst case, the same shape as
+    the multi-root BFS the closure family already runs at scale.
+    Under ``collect_threshold`` edges the slice collects and exact
+    in-driver Brandes runs — the same hybrid policy as SCC's
+    driver-Tarjan; parity between the two paths is property-tested.
+    RAISES if either sweep exceeds ``max_iter`` rounds rather than
+    returning truncated centralities.
+    """
+    from github_miner_spark.graph.paths import (
+        _adaptive_loop_width,
+        _loop_shuffle_partitions,
+    )
+
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst")
+    roots = [int(r) for r in roots]
+    out_schema = "id bigint, betweenness double"
+    if not roots:
+        return spark.createDataFrame([], out_schema)
+    n_edges = edges.count()
+    thr = _gate(collect_threshold)
+    if thr > 0 and n_edges <= thr:
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        bc = _brandes_betweenness(rows, roots)
+        return spark.createDataFrame(
+            [(k, float(v)) for k, v in bc.items()], out_schema
+        )
+    if loop_shuffle_width is None:
+        loop_shuffle_width = _adaptive_loop_width(spark, n_edges)
+    with _loop_shuffle_partitions(
+        spark, enabled=True, width=loop_shuffle_width, aqe_off=True
+    ):
+        edges = edges.localCheckpoint(eager=True)
+        root_df = spark.createDataFrame([(r,) for r in roots], "root bigint")
+        # ---- forward sweep: (root, node, sigma) per level ------------
+        frontier = (
+            root_df.select(
+                "root", F.col("root").alias("node"), F.lit(1.0).alias("sigma")
+            )
+            .localCheckpoint(eager=True)
+        )
+        levels = [frontier]
+        for _ in range(max_iter):
+            visited = reduce(
+                lambda a, b: a.unionByName(b), (lv.select("root", "node") for lv in levels)
+            )
+            nxt = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select("root", F.col("dst").alias("node"), "sigma")
+                .join(visited, ["root", "node"], "left_anti")
+                .groupBy("root", "node")
+                .agg(F.sum("sigma").alias("sigma"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            frontier = nxt
+        else:
+            raise RuntimeError(
+                f"betweenness forward sweep exceeded {max_iter} rounds; "
+                "refusing to return truncated centralities"
+            )
+        # ---- backward sweep: delta per level, deepest first ----------
+        # delta at the deepest level is 0 (no successors); walking up,
+        # each round joins level d's sigma frame to the SP-DAG edges
+        # into level d+1 and the previously-computed delta there.
+        bc_parts: list[DataFrame] = []
+        delta_next: DataFrame | None = None
+        for d in range(len(levels) - 2, 0, -1):
+            lo = levels[d]
+            hi = levels[d + 1].select(
+                "root", F.col("node").alias("w"), F.col("sigma").alias("sigma_w")
+            )
+            spe = (
+                lo.join(edges, lo.node == edges.src)
+                .select("root", "node", "sigma", F.col("dst").alias("w"))
+                .join(hi, ["root", "w"])
+            )
+            if delta_next is not None:
+                spe = spe.join(
+                    delta_next.select(
+                        "root", F.col("node").alias("w"), F.col("delta").alias("delta_w")
+                    ),
+                    ["root", "w"],
+                    "left",
+                )
+            else:
+                spe = spe.withColumn("delta_w", F.lit(None).cast("double"))
+            delta_d = (
+                spe.groupBy("root", "node")
+                .agg(
+                    F.sum(
+                        F.col("sigma")
+                        / F.col("sigma_w")
+                        * (F.lit(1.0) + F.coalesce(F.col("delta_w"), F.lit(0.0)))
+                    ).alias("delta")
+                )
+                .localCheckpoint(eager=True)
+            )
+            bc_parts.append(delta_d)
+            delta_next = delta_d
+        if not bc_parts:
+            return spark.createDataFrame([], out_schema)
+        return (
+            reduce(lambda a, b: a.unionByName(b), bc_parts)
+            .filter(F.col("node") != F.col("root"))
+            .groupBy("node")
+            .agg(F.sum("delta").alias("betweenness"))
+            .select(F.col("node").alias("id"), "betweenness")
+        )

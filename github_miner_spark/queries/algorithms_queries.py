@@ -1089,3 +1089,137 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# --- Closeness / betweenness centrality (algo.closeness /
+# algo.betweenness in the reference's plugin set,
+# bin/install_neo4j_plugins.sh:4) over the module DEPENDS_ON graph.
+# Both use a FIXED SF-independent source sample (module ids < N map to
+# p_partkey < N/10, a constant-size set at every scale factor), which
+# is also the standard scale form for betweenness (Brandes/Pich 2007:
+# exact per sampled source).
+
+_CLOSENESS_ORACLE = (
+    GRAPH_ORACLE_CTES
+    + """
+    , roots AS (SELECT DISTINCT src FROM mm_edges WHERE src < 200),
+    walk(root, node, depth) AS (
+        SELECT e.src, e.dst, 1 FROM mm_edges e JOIN roots r ON e.src = r.src
+        UNION ALL
+        SELECT w.root, e.dst, w.depth + 1 FROM walk w JOIN mm_edges e ON e.src = w.node
+    ),
+    mind AS (SELECT root, node, min(depth) AS d FROM walk GROUP BY root, node)
+    SELECT root AS module_id,
+           CAST(count(*) AS BIGINT) AS reached,
+           CAST(sum(d) AS BIGINT) AS depth_total,
+           CAST(round(count(*) / CAST(sum(d) AS DOUBLE), 6) AS DOUBLE) AS closeness,
+           CAST(round(sum(1.0 / d), 6) AS DOUBLE) AS harmonic
+    FROM mind GROUP BY root ORDER BY module_id
+    """
+)
+
+
+@register(
+    "closeness_centrality_sample",
+    oracle=_CLOSENESS_ORACLE,
+    description="Out-closeness + harmonic centrality per sampled source "
+    "module (algo.closeness of the reference's plugin set): one "
+    "multi-root min-depth BFS (the closure family's loop, O(diameter) "
+    "rounds, state one row per (root, node)) then a single groupBy — "
+    "closeness = reached / sum(depth), harmonic = sum(1/depth). The "
+    "root sample is SF-constant, so at 100 TB the per-level work stays "
+    "|roots| * E with no all-pairs blow-up.",
+    tags=("graph", "algorithm", "centrality", "iterative"),
+)
+def closeness_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.graph.paths import bfs_depths
+
+    g = load_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    roots = mm.filter(F.col("src") < 200).select(F.col("src").alias("root")).distinct()
+    depths = bfs_depths(mm, roots=roots, broadcast_frontier=True)
+    return (
+        depths.groupBy("root")
+        .agg(
+            F.count("*").cast("bigint").alias("reached"),
+            F.sum("depth").cast("bigint").alias("depth_total"),
+            F.round(
+                F.count("*") / F.sum("depth").cast("double"), 6
+            ).alias("closeness"),
+            F.round(F.sum(F.lit(1.0) / F.col("depth")), 6).alias("harmonic"),
+        )
+        .select(
+            F.col("root").alias("module_id"),
+            "reached",
+            "depth_total",
+            "closeness",
+            "harmonic",
+        )
+        .orderBy("module_id")
+    )
+
+
+_BETWEENNESS_ORACLE = (
+    GRAPH_ORACLE_CTES
+    + """
+    , roots AS (SELECT DISTINCT src FROM mm_edges WHERE src < 400),
+    walk(root, node, depth, path) AS (
+        SELECT e.src, e.dst, 1, [e.src, e.dst] FROM mm_edges e JOIN roots r ON e.src = r.src
+        UNION ALL
+        SELECT w.root, e.dst, w.depth + 1, list_append(w.path, e.dst)
+        FROM walk w JOIN mm_edges e ON e.src = w.node
+    ),
+    mind AS (SELECT root, node, min(depth) AS d FROM walk GROUP BY root, node),
+    sp AS (
+        SELECT w.root, w.node, w.path FROM walk w
+        JOIN mind m ON m.root = w.root AND m.node = w.node AND m.d = w.depth
+    ),
+    sigma AS (SELECT root, node, count(*) AS s FROM sp GROUP BY root, node),
+    thru AS (
+        SELECT sp.root, sp.node AS t, u.v AS v, count(*) AS cnt
+        FROM sp, UNNEST(list_slice(sp.path, 2, len(sp.path) - 1)) AS u(v)
+        GROUP BY sp.root, sp.node, u.v
+    )
+    SELECT thru.v AS module_id,
+           CAST(round(sum(CAST(thru.cnt AS DOUBLE) / sigma.s), 6) AS DOUBLE) AS betweenness
+    FROM thru JOIN sigma ON sigma.root = thru.root AND sigma.node = thru.t
+    GROUP BY thru.v
+    ORDER BY module_id
+    """
+)
+
+
+@register(
+    "betweenness_centrality_sample",
+    oracle=_BETWEENNESS_ORACLE,
+    description="Source-sampled shortest-path betweenness "
+    "(algo.betweenness of the reference's plugin set; Brandes/Pich "
+    "2007 sampling): bc(v) = sum over sampled sources s and targets t "
+    "of sigma_st(v)/sigma_st, v strictly interior. Engine side runs "
+    "Brandes' two sweeps as level-synchronous DataFrame loops (forward "
+    "sigma BFS, backward dependency accumulation over the "
+    "shortest-path DAG), O(diameter) rounds, state one row per "
+    "(root, node) — the oracle independently ENUMERATES every shortest "
+    "path as a DuckDB recursive array CTE and counts interior "
+    "appearances, so the two formulations cross-check each other.",
+    tags=("graph", "algorithm", "centrality", "iterative"),
+)
+def betweenness_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.graph.algorithms import betweenness_centrality
+
+    g = load_graph(spark, sf_dir)
+    mm = g.module_dep_edges()
+    # SF-constant sample (p_partkey < 40): anchor-bounded driver list,
+    # the same contract as the closure family's explicit root sets
+    roots = [
+        r["src"]
+        for r in mm.filter(F.col("src") < 400).select("src").distinct().collect()
+    ]
+    bc = betweenness_centrality(mm, roots=sorted(roots))
+    return (
+        bc.select(
+            F.col("id").alias("module_id"),
+            F.round("betweenness", 6).alias("betweenness"),
+        )
+        .orderBy("module_id")
+    )

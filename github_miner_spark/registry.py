@@ -74,7 +74,8 @@ def load_all() -> None:
 # HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the 5
 # queries NEW this round (kn_perplexity_filter_rates, ivf_recall_at_k,
 # order_priority_checking, incremental_minhash_dedup,
-# source_overlap_matrix); then (c)
+# source_overlap_matrix, closeness_centrality_sample,
+# betweenness_centrality_sample); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
 # on hashed keys (doc_kneser_ney_scores — also in (a)),
@@ -99,6 +100,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "order_priority_checking",
     "incremental_minhash_dedup",
     "source_overlap_matrix",
+    "closeness_centrality_sample",
+    "betweenness_centrality_sample",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -118,9 +121,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #    per family not already covered above
     "pricing_summary",
     "distinct_order_profiles",
-    "quantity_histogram",
     "scalar_function_showcase",
-    "lineitem_describe",
     "preferential_attachment",
     "modules_per_repo_list",
     "self_loops",
