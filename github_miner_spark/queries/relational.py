@@ -1335,3 +1335,121 @@ def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("order_count"))
         .orderBy("priority")
     )
+
+
+# --- TPC-H Q16 / Q20 shapes over the DERIVED part-supplier relation.
+# The testdata ships no partsupp table, so both use the canonical
+# derivation partsupp := SELECT DISTINCT l_partkey, l_suppkey FROM
+# lineitem — documented here so the adaptation is explicit, with the
+# original query shapes (distinct-count rollup + NOT IN; nested
+# IN/HAVING with a correlated scalar threshold) preserved.
+
+
+@register(
+    "parts_supplier_relationship",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, p.p_size AS p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    description="TPC-H Q16 shape (parts/supplier relationship): "
+    "distinct suppliers per (brand, type, size) over the derived "
+    "part-supplier relation, excluding one brand, a type prefix, and "
+    "suppliers in arrears (the s_comment complaints filter adapted to "
+    "this schema's s_acctbal < 0). The exclusion list is a "
+    "broadcast-sized anti-join; the part join is left to AQE (part "
+    "scales with SF); the distinct-agg shuffles once on the rollup "
+    "key after a map-side partial distinct.",
+    tags=("relational", "join", "anti", "distinct-agg"),
+)
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    ps = li.select(
+        F.col("l_partkey").alias("p_partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    bad = s.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("suppkey"))
+    pdim = p.filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(bad), "suppkey", "left_anti")
+        .join(pdim, "p_partkey")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "potential_part_promotion",
+    oracle="""
+    SELECT s.s_name AS s_name, s.s_acctbal AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+      GROUP BY l.l_partkey, l.l_suppkey
+      HAVING sum(l.l_quantity) > (
+        SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+          AND year(l2.l_shipdate) = 1996
+      )
+    )
+    ORDER BY s_name
+    """,
+    description="TPC-H Q20 shape (potential part promotion): suppliers "
+    "in one nation whose all-time shipped quantity of some 'red' part "
+    "exceeds half that part's 1996 volume (ps_availqty adapted to the "
+    "derived relation: availability := shipped-to-date). The "
+    "correlated scalar threshold is decorrelated into one per-part "
+    "aggregate joined back (the Q17 discipline); nation is a bounded "
+    "broadcast; the supplier probe is a semi join on the distinct "
+    "qualifying suppkeys.",
+    tags=("relational", "join", "semi", "subquery", "agg"),
+)
+def potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    red = p.filter(F.col("p_name").startswith("red")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    narrowed = li.join(red, "l_partkey")
+    cap = (
+        narrowed.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("qty_cap"))
+    )
+    qualifying = (
+        narrowed.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("avail"))
+        .join(cap, "l_partkey")
+        .filter(F.col("avail") > F.col("qty_cap"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    nat = n.filter(F.col("n_name") == "NATION_3").select(
+        F.col("n_nationkey").alias("s_nationkey")
+    )
+    return (
+        s.join(F.broadcast(nat), "s_nationkey")
+        .join(qualifying, "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -102,6 +102,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "source_overlap_matrix",
     "closeness_centrality_sample",
     "betweenness_centrality_sample",
+    "parts_supplier_relationship",
+    "potential_part_promotion",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -120,10 +122,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (d) witness refresh: oldest green rows (r02/r03) + one rep ----
     #    per family not already covered above
     "pricing_summary",
-    "distinct_order_profiles",
     "scalar_function_showcase",
     "preferential_attachment",
-    "modules_per_repo_list",
     "self_loops",
     "label_histogram",
     "top_dependants_modules",

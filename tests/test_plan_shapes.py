@@ -338,3 +338,24 @@ def test_round6_queries_no_allpairs(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q16_q20_shapes(spark):
+    """Q16: the arrears exclusion is a broadcast anti-join and the
+    SF-scaling part join is NOT hint-forced; Q20: the bounded nation
+    dim broadcasts, no cartesian anywhere."""
+    plan = _plan(spark, "parts_supplier_relationship")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan, re.S)
+    plan20 = _plan(spark, "potential_part_promotion")
+    assert "CartesianProduct" not in plan20
+    assert "BroadcastHashJoin" in plan20
+
+
+def test_centrality_sample_no_allpairs(spark):
+    """Closeness/betweenness sampled-source queries stay equi-join
+    shaped (frontier x edges on node=src), never cartesian."""
+    for name in ("closeness_centrality_sample", "betweenness_centrality_sample"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
