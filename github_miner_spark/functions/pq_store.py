@@ -1,0 +1,200 @@
+"""Materialized product-quantization (PQ) code store: per-subspace
+codebooks + m-byte codes per vector, built once per source dir and
+served to every ANN query — the third rung of the quantization ladder
+(float IVF -> int8 -> PQ), after Jegou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011).
+
+Layout: each L2-normalized 64-dim embedding splits into M_SUB=4
+contiguous 16-dim subvectors; each subspace has a KSUB=16-entry
+codebook (so a code is 4 x 4 bits — stored as small ints, 1 byte each
+at rest after parquet dictionary+RLE). Codebooks are the deterministic
+vec_id % 31 stride sample of the normalized corpus (reproducible in
+the DuckDB oracle, like the IVF centroid stride); encoding is the
+per-subspace squared-L2 argmin, computed as the identical sequential
+fold on both engines so code assignment is bit-reproducible.
+
+Query path (ADC — asymmetric distance computation): the query stays
+float; a (query, subspace, code) -> partial-dot lookup table of
+|q| x M_SUB x KSUB rows is broadcast, the code table is scanned once
+(no float vectors read), and the score is the sum of m table hits —
+at 100 TB the scan reads m small ints per corpus vector instead of a
+64-float array, a 64x read reduction, and the shuffle is one
+map-side-combined (query_id, vec_id) partial aggregate.
+
+Same store discipline as ivf_store/int8_store: content-addressed by
+the embeddings file, atomic tmp-dir + rename, assignment sorted within
+partitions for parquet pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STORE_ROOT = os.environ.get("SPARK_GRAFT_PQ_STORE", "/tmp/spark-graft-pq")
+
+M_SUB = 4  # subspaces
+D_SUB = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
+KSUB = 16  # codebook entries per subspace
+SAMPLE_MOD = 31  # deterministic codebook sample: vec_id % 31 == 0
+
+
+def _store_dir(sf_dir: str) -> str:
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        h.update(f"embeddings-pq:{st.st_size}:{st.st_mtime_ns}".encode())
+    except FileNotFoundError:
+        h.update(b"embeddings-pq:missing")
+    return os.path.join(STORE_ROOT, h.hexdigest()[:16])
+
+
+def _normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, nv): embeddings cast to double and L2-normalized —
+    after normalization the ADC dot-product sum IS the cosine."""
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(ev, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        "vec_id", F.transform(ev, lambda x: x / norm).alias("nv")
+    )
+
+
+def _subspaces(df: DataFrame, vec_col: str) -> DataFrame:
+    """Explode a 64-dim vector column into (j, sv) subvector rows,
+    j = 0..M_SUB-1 — one narrow explode, no UDF."""
+    slices = F.array(
+        *[F.slice(F.col(vec_col), j * D_SUB + 1, D_SUB) for j in range(M_SUB)]
+    )
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        F.posexplode(slices).alias("j", "sv"),
+    )
+
+
+def _sq_l2(a, b):
+    """Squared L2 distance as the sequential fold both engines share
+    (zip_with then left-fold aggregate == DuckDB list_sum over
+    generate_series), so per-subspace argmin ties break identically."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def materialize_pq_codes(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Ensure the PQ store for ``sf_dir`` exists on disk; return its
+    path. Writes codebook.parquet (j, cid, cvec) and codes.parquet
+    (vec_id, j, cid)."""
+    from pyspark.sql.window import Window
+
+    from github_miner_spark.io.tables import load_table
+
+    target = _store_dir(sf_dir)
+    if os.path.isdir(os.path.join(target, "codes.parquet")) and not force:
+        return target
+    os.makedirs(STORE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="building-", dir=STORE_ROOT)
+    try:
+        norm = _normalized(load_table(spark, "embeddings", sf_dir))
+        # codebook: first KSUB sampled vectors by vec_id, split into
+        # subspaces; cid is the rank within the sample (0-based) so the
+        # oracle's row_number() derivation matches exactly
+        sample = (
+            norm.filter((F.col("vec_id") % SAMPLE_MOD) == 0)
+            .orderBy("vec_id")
+            .limit(KSUB)
+        )
+        cw = Window.orderBy("vec_id")
+        ranked = sample.withColumn("cid", F.row_number().over(cw) - 1)
+        codebook = _subspaces(ranked.select("cid", "nv"), "nv").select(
+            "j", "cid", F.col("sv").alias("cvec")
+        )
+        codebook.write.mode("overwrite").parquet(os.path.join(tmp, "codebook.parquet"))
+        cb = spark.read.parquet(os.path.join(tmp, "codebook.parquet"))
+        # encoding: per (vec_id, j) squared-L2 argmin over the KSUB
+        # entries — corpus_rows x M_SUB x KSUB narrow rows, map-side
+        # (codebook broadcast), one window per (vec_id, j)
+        sub = _subspaces(norm, "nv")
+        aw = Window.partitionBy("vec_id", "j").orderBy(F.asc("d"), F.asc("cid"))
+        codes = (
+            sub.join(F.broadcast(cb), "j")
+            .select("vec_id", "j", "cid", _sq_l2(F.col("sv"), F.col("cvec")).alias("d"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            # tinyint at rest: j and cid both fit a byte (m=4, ksub=16)
+            # — parquet dictionary+RLE then shrinks the real footprint
+            .select(
+                "vec_id",
+                F.col("j").cast("tinyint").alias("j"),
+                F.col("cid").cast("tinyint").alias("cid"),
+            )
+        )
+        codes.sortWithinPartitions("vec_id").write.mode("overwrite").parquet(
+            os.path.join(tmp, "codes.parquet")
+        )
+        if force and os.path.isdir(target):
+            shutil.rmtree(target)
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return target
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def load_pq_codes(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(codes, codebook) from the materialized store."""
+    base = materialize_pq_codes(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(base, "codes.parquet")),
+        spark.read.parquet(os.path.join(base, "codebook.parquet")),
+    )
+
+
+def pq_topk_from_store(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """PQ-ADC approximate cosine top-k: broadcast the per-query lookup
+    table (|q| x M_SUB x KSUB partial dots of the FLOAT query against
+    each codebook entry), scan only the code table, sum the m hits per
+    (query, vector). Returns (query_id, neighbor_id, score, rank)."""
+    from pyspark.sql.window import Window
+
+    from github_miner_spark.io.tables import load_table
+
+    codes, codebook = load_pq_codes(spark, sf_dir)
+    ids = [int(i) for i in query_ids]
+    q = _normalized(
+        load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id").isin(ids))
+    ).select(F.col("vec_id").alias("query_id"), "nv")
+    qsub = _subspaces(q, "nv").select("query_id", "j", F.col("sv").alias("qsv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qsv"), F.col("cvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qsub.join(codebook, "j").select("query_id", "j", "cid", dot.alias("pdot"))
+    scored = (
+        codes.join(F.broadcast(lut), ["j", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("pdot"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "score", "rank")
+    )

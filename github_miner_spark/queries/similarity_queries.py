@@ -842,3 +842,137 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_PQ_ORACLE = """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev FROM embeddings),
+    nrm AS (
+      SELECT vec_id,
+             list_transform(ev, x -> x / sqrt(list_sum(list_transform(ev, y -> y * y)))) AS nv
+      FROM e
+    ),
+    cb_sample AS (
+      SELECT vec_id, nv FROM nrm WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    cb_ranked AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, nv FROM cb_sample
+    ),
+    subspaces AS (SELECT j FROM generate_series(0, 3) AS t(j)),
+    codebook AS (
+      SELECT s.j, c.cid, list_slice(c.nv, s.j * 16 + 1, (s.j + 1) * 16) AS cvec
+      FROM cb_ranked c CROSS JOIN subspaces s
+    ),
+    sub AS (
+      SELECT n.vec_id, s.j, list_slice(n.nv, s.j * 16 + 1, (s.j + 1) * 16) AS sv
+      FROM nrm n CROSS JOIN subspaces s
+    ),
+    dists AS (
+      SELECT s.vec_id, s.j, c.cid,
+             list_sum(list_transform(generate_series(1, 16),
+                      i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS d
+      FROM sub s JOIN codebook c ON c.j = s.j
+    ),
+    codes AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, nv AS qv FROM nrm WHERE vec_id IN (0, 1, 2, 3, 4)),
+    lut AS (
+      SELECT q.query_id, c.j, c.cid,
+             list_sum(list_transform(generate_series(1, 16),
+                      i -> q.qv[c.j * 16 + i] * c.cvec[i])) AS pdot
+      FROM q CROSS JOIN codebook c
+    ),
+    scored AS (
+      SELECT l.query_id, cd.vec_id AS neighbor_id, round(sum(l.pdot), 6) AS score
+      FROM codes cd
+      JOIN lut l ON l.j = cd.j AND l.cid = cd.cid
+      WHERE cd.vec_id <> l.query_id
+      GROUP BY l.query_id, cd.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "embedding_pq_topk",
+    oracle=_PQ_ORACLE,
+    description="Product-quantization ADC top-5 (Jegou et al. 2011) "
+    "from the materialized PQ store (functions/pq_store.py): 4x16-dim "
+    "subspaces, 16-entry codebooks from a deterministic corpus sample, "
+    "squared-L2 argmin encoding as a bit-identical sequential fold on "
+    "both engines. The query path broadcasts a |q| x 4 x 16 "
+    "partial-dot lookup table and scans ONLY the integer code table — "
+    "at 100 TB that reads 4 small ints per corpus vector instead of a "
+    "64-float array, and the score is one map-side-combined sum of 4 "
+    "table hits per (query, vector). The oracle re-derives codebooks, "
+    "codes, and ADC scores from scratch in SQL, so store materializa"
+    "tion and the scan path are both checked.",
+    tags=("similarity", "ann", "quantization", "topk"),
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.pq_store import pq_topk_from_store
+
+    return pq_topk_from_store(spark, sf_dir, PROBE_IDS, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "pq_recall_at_k",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    approx AS ({_PQ_ORACLE})
+    SELECT b.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_found,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id ORDER BY b.query_id
+    """,
+    description="recall@5 of the PQ-ADC index against exact "
+    "brute-force cosine top-5, per probe query — the same in-engine "
+    "evaluation loop as ivf_recall_at_k, closing the quantization "
+    "ladder (IVF float / int8 / PQ) with a measured quality number "
+    "for its cheapest rung. Probe-set-sized grading join; the only "
+    "corpus-scale work is the two index scans being graded.",
+    tags=("similarity", "ann", "quantization", "evaluation"),
+)
+def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.pq_store import pq_topk_from_store
+
+    exact = brute_force_topk(
+        load_table(spark, "embeddings", sf_dir).withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ),
+        PROBE_IDS,
+        k=5,
+    ).select("query_id", F.col("neighbor_id").alias("true_neighbor"))
+    approx = pq_topk_from_store(spark, sf_dir, PROBE_IDS, k=5).select(
+        "query_id", F.col("neighbor_id").alias("found_neighbor")
+    )
+    graded = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.true_neighbor == approx.found_neighbor),
+        "left_outer",
+    ).select(exact.query_id, "found_neighbor")
+    return (
+        graded.groupBy("query_id")
+        .agg(
+            F.count("found_neighbor").alias("n_found"),
+            F.round(F.count("found_neighbor") / F.lit(5.0), 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

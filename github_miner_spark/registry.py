@@ -74,8 +74,8 @@ def load_all() -> None:
 # HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the 5
 # queries NEW this round (kn_perplexity_filter_rates, ivf_recall_at_k,
 # order_priority_checking, incremental_minhash_dedup,
-# source_overlap_matrix, closeness_centrality_sample,
-# betweenness_centrality_sample); then (c)
+# source_overlap_matrix, the closeness/betweenness centrality pair,
+# the Q16/Q20 shapes, and the PQ pair); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
 # on hashed keys (doc_kneser_ney_scores — also in (a)),
@@ -86,7 +86,7 @@ def load_all() -> None:
 # (d) refreshes driver witnesses for queries whose newest green row
 # dates to r02/r03 — correctness rows age as implementations around
 # them move, so the rotation re-earns them a round at a time. The full
-# registry stays pinned by the local 155-query oracle sweep
+# registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (a) never driver-witnessed / never driver-green ---------------
@@ -104,6 +104,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "betweenness_centrality_sample",
     "parts_supplier_relationship",
     "potential_part_promotion",
+    "embedding_pq_topk",
+    "pq_recall_at_k",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -135,9 +137,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "exact_dedup_summary",
     "minhash_lsh_dups",
     "dedup_clusters",
-    "simhash_near_dups",
     "embedding_topk_bruteforce",
-    "embedding_ivf_topk",
     "doc_token_stats",
     "language_id_confusion",
     "events_sessionization",

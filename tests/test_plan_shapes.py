@@ -359,3 +359,26 @@ def test_centrality_sample_no_allpairs(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pq_adc_scan_shape(spark, tmp_path, monkeypatch):
+    """The PQ query path must scan ONLY the integer code table with
+    the LUT broadcast — no float corpus read, no cartesian: the plan
+    shows a BroadcastHashJoin into the codes scan whose ReadSchema
+    carries no embedding array."""
+    import github_miner_spark.functions.pq_store as pq_store
+
+    monkeypatch.setattr(pq_store, "STORE_ROOT", str(tmp_path))
+    df = pq_store.pq_topk_from_store(spark, SF, [0, 1, 2], k=5)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    codes_schemas = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan) if "cid" in s
+    ]
+    assert codes_schemas and all("embedding" not in s for s in codes_schemas)

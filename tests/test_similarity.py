@@ -391,3 +391,67 @@ def test_lloyd_refined_ivf_objective_and_recall(spark):
     before = objective("centroids.parquet", "assignment.parquet")
     after = objective(os.path.join("lloyd1", "centroids.parquet"), os.path.join("lloyd1", "assignment.parquet"))
     assert after > before, (before, after)
+
+
+def test_pq_store_codes_compact_and_reused(spark, tmp_path, monkeypatch):
+    """(a) at-rest PQ codes are tinyint (j, cid both fit a byte), (b)
+    the second materialize call reuses the store, (c) every persisted
+    code is the TRUE per-subspace squared-L2 argmin vs an independent
+    numpy recomputation (encoding exactness, not just plausibility)."""
+    import numpy as np
+
+    import github_miner_spark.functions.pq_store as pq_store
+
+    monkeypatch.setattr(pq_store, "STORE_ROOT", str(tmp_path))
+    codes, codebook = pq_store.load_pq_codes(spark, SF)
+    dt = dict(codes.dtypes)
+    assert dt["j"] == "tinyint" and dt["cid"] == "tinyint"
+    assert pq_store.materialize_pq_codes(spark, SF) == pq_store._store_dir(SF)
+
+    cb = {
+        (r["j"], r["cid"]): np.array(r["cvec"])
+        for r in codebook.collect()
+    }
+    ksub = max(c for _, c in cb) + 1
+    emb = {r["vec_id"]: np.array(r["nv"]) for r in pq_store._normalized(
+        __import__("github_miner_spark.io.tables", fromlist=["load_table"]).load_table(
+            spark, "embeddings", SF
+        )
+    ).collect()}
+    got = {(r["vec_id"], r["j"]): r["cid"] for r in codes.collect()}
+    assert len(got) == len(emb) * pq_store.M_SUB
+    for (vid, j), cid in list(got.items())[:200]:
+        sv = emb[vid][j * pq_store.D_SUB : (j + 1) * pq_store.D_SUB]
+        dists = [float(((sv - cb[(j, c)]) ** 2).sum()) for c in range(ksub)]
+        assert dists[cid] == min(dists), (vid, j)
+
+
+def test_pq_adc_score_is_reconstruction_dot(spark, tmp_path, monkeypatch):
+    """The ADC score of (query, vector) must equal the dot product of
+    the normalized query with the vector's PQ RECONSTRUCTION (codebook
+    entries concatenated) — the defining identity of asymmetric
+    distance computation."""
+    import numpy as np
+
+    import github_miner_spark.functions.pq_store as pq_store
+
+    monkeypatch.setattr(pq_store, "STORE_ROOT", str(tmp_path))
+    topk = pq_store.pq_topk_from_store(spark, SF, PROBES, k=5).collect()
+    assert len(topk) > 0
+    codes, codebook = pq_store.load_pq_codes(spark, SF)
+    cb = {(r["j"], r["cid"]): np.array(r["cvec"]) for r in codebook.collect()}
+    code_map = {}
+    for r in codes.collect():
+        code_map.setdefault(r["vec_id"], {})[r["j"]] = r["cid"]
+    from github_miner_spark.io.tables import load_table
+
+    emb = {
+        r["vec_id"]: np.array(r["nv"])
+        for r in pq_store._normalized(load_table(spark, "embeddings", SF)).collect()
+    }
+    for row in topk:
+        recon = np.concatenate(
+            [cb[(j, code_map[row["neighbor_id"]][j])] for j in range(pq_store.M_SUB)]
+        )
+        want = float(emb[row["query_id"]] @ recon)
+        assert abs(row["score"] - round(want, 6)) <= 2e-6, row
