@@ -73,6 +73,18 @@ HEADLINE = [
     "brand_discount_revenue",
     "top_value_part_types",
     "pii_redaction_stats",
+    # round 6: the new centrality pair, the PQ-ADC scan, the Q16
+    # distinct-agg rollup, and the earlier round-6 registrations
+    # (recall grading, KN perplexity filter, incremental dedup,
+    # cross-source contamination) join the regression watch
+    "closeness_centrality_sample",
+    "betweenness_centrality_sample",
+    "embedding_pq_topk",
+    "parts_supplier_relationship",
+    "ivf_recall_at_k",
+    "kn_perplexity_filter_rates",
+    "incremental_minhash_dedup",
+    "source_overlap_matrix",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with
@@ -90,6 +102,10 @@ DISTRIBUTED_LANE = [
     "k_core_decomposition",
     "connected_components_summary",
     "dependency_graph_paths",
+    # round 6: the sampled-source centrality loops (multi-root
+    # sigma-BFS + backward accumulation) get a timed distributed floor
+    "closeness_centrality_sample",
+    "betweenness_centrality_sample",
 ]
 
 
