@@ -1434,6 +1434,7 @@ def betweenness_centrality(
     max_iter: int = 1000,
     loop_shuffle_width: int | None = None,
     collect_threshold: int = 5_000_000,
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """Source-sampled shortest-path betweenness: (id, betweenness)
     with bc(v) = sum_{s in roots, t} sigma_st(v)/sigma_st over the
@@ -1457,9 +1458,20 @@ def betweenness_centrality(
       edges (depth(w) = depth(v)+1), walked from the deepest level
       up — each round one join of two level-sized frames, no
       cartesian.
+    The shortest-path DAG is materialized ONCE after the forward
+    sweep (one two-sided equi-join of the depth map with the edge
+    set), so each backward round is a filter over that checkpointed
+    frame plus one level-sized join — not a fresh join against the
+    full edge set per level.
+
     The sampled root set is small by contract (broadcast-sized);
     per-level work is O(|roots| * E) worst case, the same shape as
     the multi-root BFS the closure family already runs at scale.
+    ``broadcast_frontier`` is the closure family's small-probe mode:
+    frontier/visited/delta frames (all bounded by |roots| x frontier
+    width) ride broadcast joins so only the per-level groupBy
+    shuffles — right for anchored/sampled probes, wrong for
+    all-sources runs.
     Under ``collect_threshold`` edges the slice collects and exact
     in-driver Brandes runs — the same hybrid policy as SCC's
     driver-Tarjan; parity between the two paths is property-tested.
@@ -1493,6 +1505,11 @@ def betweenness_centrality(
         edges = edges.localCheckpoint(eager=True)
         root_df = spark.createDataFrame([(r,) for r in roots], "root bigint")
         # ---- forward sweep: (root, node, sigma) per level ------------
+        # one barrier per level, deliberately: sigma must be final
+        # before a level expands (the per-level groupBy is load-
+        # bearing), and a measured windowed-lazy variant was SLOWER
+        # at bench SF (the min-depth join-back double-references the
+        # window union — the exponential-unroll lesson)
         frontier = (
             root_df.select(
                 "root", F.col("root").alias("node"), F.lit(1.0).alias("sigma")
@@ -1504,10 +1521,12 @@ def betweenness_centrality(
             visited = reduce(
                 lambda a, b: a.unionByName(b), (lv.select("root", "node") for lv in levels)
             )
+            f = F.broadcast(frontier) if broadcast_frontier else frontier
+            anti = F.broadcast(visited) if broadcast_frontier else visited
             nxt = (
-                frontier.join(edges, frontier.node == edges.src)
+                f.join(edges, frontier.node == edges.src)
                 .select("root", F.col("dst").alias("node"), "sigma")
-                .join(visited, ["root", "node"], "left_anti")
+                .join(anti, ["root", "node"], "left_anti")
                 .groupBy("root", "node")
                 .agg(F.sum("sigma").alias("sigma"))
                 .localCheckpoint(eager=True)
@@ -1521,27 +1540,45 @@ def betweenness_centrality(
                 f"betweenness forward sweep exceeded {max_iter} rounds; "
                 "refusing to return truncated centralities"
             )
+        if len(levels) < 3:
+            return spark.createDataFrame([], out_schema)
+        # ---- SP-DAG, materialized once -------------------------------
+        # (root, v, depth, sigma_v, w, sigma_w) with depth(w) =
+        # depth(v)+1: the depth map (union of checkpointed levels)
+        # joined to the edge set and back to itself shifted one level —
+        # two equi-joins total, after which every backward round is a
+        # filter over this checkpointed frame.
+        depth_map = reduce(
+            lambda a, b: a.unionByName(b),
+            (lv.withColumn("depth", F.lit(i)) for i, lv in enumerate(levels)),
+        )
+        hi_side = depth_map.select(
+            "root",
+            F.col("node").alias("w"),
+            (F.col("depth") - 1).alias("depth"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        spd = (
+            depth_map.filter(F.col("depth") < len(levels) - 1)
+            .join(edges, depth_map.node == edges.src)
+            .select("root", "node", "depth", "sigma", F.col("dst").alias("w"))
+            .join(hi_side, ["root", "w", "depth"])
+            .localCheckpoint(eager=True)
+        )
         # ---- backward sweep: delta per level, deepest first ----------
         # delta at the deepest level is 0 (no successors); walking up,
-        # each round joins level d's sigma frame to the SP-DAG edges
-        # into level d+1 and the previously-computed delta there.
+        # each round is one filter over spd plus one level-sized join
+        # against the previously-computed delta.
         bc_parts: list[DataFrame] = []
         delta_next: DataFrame | None = None
         for d in range(len(levels) - 2, 0, -1):
-            lo = levels[d]
-            hi = levels[d + 1].select(
-                "root", F.col("node").alias("w"), F.col("sigma").alias("sigma_w")
-            )
-            spe = (
-                lo.join(edges, lo.node == edges.src)
-                .select("root", "node", "sigma", F.col("dst").alias("w"))
-                .join(hi, ["root", "w"])
-            )
+            spe = spd.filter(F.col("depth") == d)
             if delta_next is not None:
+                dn = delta_next.select(
+                    "root", F.col("node").alias("w"), F.col("delta").alias("delta_w")
+                )
                 spe = spe.join(
-                    delta_next.select(
-                        "root", F.col("node").alias("w"), F.col("delta").alias("delta_w")
-                    ),
+                    F.broadcast(dn) if broadcast_frontier else dn,
                     ["root", "w"],
                     "left",
                 )
@@ -1560,8 +1597,6 @@ def betweenness_centrality(
             )
             bc_parts.append(delta_d)
             delta_next = delta_d
-        if not bc_parts:
-            return spark.createDataFrame([], out_schema)
         return (
             reduce(lambda a, b: a.unionByName(b), bc_parts)
             .filter(F.col("node") != F.col("root"))

@@ -1215,7 +1215,9 @@ def betweenness_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         r["src"]
         for r in mm.filter(F.col("src") < 400).select("src").distinct().collect()
     ]
-    bc = betweenness_centrality(mm, roots=sorted(roots))
+    # small-probe mode: the SF-constant sample keeps frontier/delta
+    # frames broadcast-sized, the closure family's discipline
+    bc = betweenness_centrality(mm, roots=sorted(roots), broadcast_frontier=True)
     return (
         bc.select(
             F.col("id").alias("module_id"),
