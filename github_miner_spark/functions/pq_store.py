@@ -36,6 +36,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from github_miner_spark.functions.similarity import dot, norm
+
 STORE_ROOT = os.environ.get("SPARK_GRAFT_PQ_STORE", "/tmp/spark-graft-pq")
 
 M_SUB = 4  # subspaces
@@ -59,10 +61,8 @@ def _normalized(emb: DataFrame) -> DataFrame:
     """(vec_id, nv): embeddings cast to double and L2-normalized —
     after normalization the ADC dot-product sum IS the cosine."""
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(ev, F.lit(0.0), lambda a, x: a + x * x))
-    return emb.select(
-        "vec_id", F.transform(ev, lambda x: x / norm).alias("nv")
-    )
+    n = norm(ev)
+    return emb.select("vec_id", F.transform(ev, lambda x: x / n).alias("nv"))
 
 
 def _subspaces(df: DataFrame, vec_col: str) -> DataFrame:
@@ -102,12 +102,12 @@ def materialize_pq_codes(spark: SparkSession, sf_dir: str, force: bool = False) 
     os.makedirs(STORE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="building-", dir=STORE_ROOT)
     try:
-        norm = _normalized(load_table(spark, "embeddings", sf_dir))
+        nrm = _normalized(load_table(spark, "embeddings", sf_dir))
         # codebook: first KSUB sampled vectors by vec_id, split into
         # subspaces; cid is the rank within the sample (0-based) so the
         # oracle's row_number() derivation matches exactly
         sample = (
-            norm.filter((F.col("vec_id") % SAMPLE_MOD) == 0)
+            nrm.filter((F.col("vec_id") % SAMPLE_MOD) == 0)
             .orderBy("vec_id")
             .limit(KSUB)
         )
@@ -120,14 +120,18 @@ def materialize_pq_codes(spark: SparkSession, sf_dir: str, force: bool = False) 
         cb = spark.read.parquet(os.path.join(tmp, "codebook.parquet"))
         # encoding: per (vec_id, j) squared-L2 argmin over the KSUB
         # entries — corpus_rows x M_SUB x KSUB narrow rows, map-side
-        # (codebook broadcast), one window per (vec_id, j)
-        sub = _subspaces(norm, "nv")
-        aw = Window.partitionBy("vec_id", "j").orderBy(F.asc("d"), F.asc("cid"))
+        # (codebook broadcast). The argmin is min_by over a groupBy
+        # (map-side partial combine shuffles n x M_SUB pre-combined
+        # rows), NOT a row_number window (which would exchange+sort the
+        # full n x M_SUB x KSUB scored table — assign_lists' documented
+        # scale-killer). min struct(d, cid) = lowest d, ties to lowest
+        # cid, identical to the oracle's ORDER BY d, cid.
+        sub = _subspaces(nrm, "nv")
         codes = (
             sub.join(F.broadcast(cb), "j")
             .select("vec_id", "j", "cid", _sq_l2(F.col("sv"), F.col("cvec")).alias("d"))
-            .withColumn("rn", F.row_number().over(aw))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id", "j")
+            .agg(F.min_by(F.col("cid"), F.struct("d", "cid")).alias("cid"))
             # tinyint at rest: j and cid both fit a byte (m=4, ksub=16)
             # — parquet dictionary+RLE then shrinks the real footprint
             .select(
@@ -180,12 +184,8 @@ def pq_topk_from_store(
         load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id").isin(ids))
     ).select(F.col("vec_id").alias("query_id"), "nv")
     qsub = _subspaces(q, "nv").select("query_id", "j", F.col("sv").alias("qsv"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qsv"), F.col("cvec"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = qsub.join(codebook, "j").select("query_id", "j", "cid", dot.alias("pdot"))
+    pdot = dot(F.col("qsv"), F.col("cvec"))
+    lut = qsub.join(codebook, "j").select("query_id", "j", "cid", pdot.alias("pdot"))
     scored = (
         codes.join(F.broadcast(lut), ["j", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -1484,11 +1484,14 @@ def betweenness_centrality(
     )
 
     spark = edges.sparkSession
-    edges = edges.select("src", "dst")
     roots = [int(r) for r in roots]
     out_schema = "id bigint, betweenness double"
     if not roots:
         return spark.createDataFrame([], out_schema)
+    # One lineage traversal (the SCC discipline): checkpoint the edge
+    # projection first, then count/collect the checkpoint — never
+    # re-run the input derivation.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     n_edges = edges.count()
     thr = _gate(collect_threshold)
     if thr > 0 and n_edges <= thr:
@@ -1502,7 +1505,6 @@ def betweenness_centrality(
     with _loop_shuffle_partitions(
         spark, enabled=True, width=loop_shuffle_width, aqe_off=True
     ):
-        edges = edges.localCheckpoint(eager=True)
         root_df = spark.createDataFrame([(r,) for r in roots], "root bigint")
         # ---- forward sweep: (root, node, sigma) per level ------------
         # one barrier per level, deliberately: sigma must be final

@@ -71,11 +71,9 @@ def load_all() -> None:
 # Round-6 rotation (VERDICT r5 item 2): leads with (a) the 3 queries
 # registered after round 5's window filled plus the one never-green
 # query (late_shipment_priority_counts — red in r05 on an oracle
-# HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the 5
-# queries NEW this round (kn_perplexity_filter_rates, ivf_recall_at_k,
-# order_priority_checking, incremental_minhash_dedup,
-# source_overlap_matrix, the closeness/betweenness centrality pair,
-# the Q16/Q20 shapes, and the PQ pair); then (c)
+# HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the
+# queries NEW this round — every name in the (b) block below, from
+# kn_perplexity_filter_rates through pq_recall_at_k; then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
 # on hashed keys (doc_kneser_ney_scores — also in (a)),
