@@ -85,6 +85,8 @@ HEADLINE = [
     "kn_perplexity_filter_rates",
     "incremental_minhash_dedup",
     "source_overlap_matrix",
+    "min_cost_supplier",
+    "important_stock_by_nation",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with

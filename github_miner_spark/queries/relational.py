@@ -1453,3 +1453,138 @@ def potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_brand, e.s_name, e.s_acctbal, e.n_name,
+             ps.supplycost,
+             min(ps.supplycost) OVER (PARTITION BY p.p_partkey) AS best
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+                 AND p.p_size IN (5, 15, 25, 35, 45)
+                 AND p.p_type = 'STANDARD'
+      JOIN eur e ON e.s_suppkey = ps.l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey, p_brand,
+           CAST(round(supplycost, 6) AS DOUBLE) AS supplycost
+    FROM cand WHERE supplycost = best
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    description="TPC-H Q2 shape (minimum-cost supplier): for each "
+    "STANDARD part in five probe sizes, the European supplier(s) offering it at "
+    "the minimum unit cost, ranked by account balance. The corpus has "
+    "no partsupp, so supplycost := min(l_extendedprice/l_quantity) "
+    "per (part, supplier) over the derived relation (a per-row "
+    "division then a min — an exact selection, identical across "
+    "engines, so the min-equality correlated predicate is safe on "
+    "doubles). The correlated min is decorrelated into one per-part "
+    "aggregate joined back (the Q17/Q20 discipline); region/nation "
+    "are bounded broadcasts; part and supplier joins are left to AQE "
+    "(both scale with SF).",
+    tags=("relational", "join", "subquery", "window"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eur_nat = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        n.n_regionkey == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("s_nationkey"), "n_name")
+    eur = s.join(F.broadcast(eur_nat), "s_nationkey").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_acctbal", "n_name"
+    )
+    pdim = p.filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "STANDARD")
+    ).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    cand = ps.join(pdim, "l_partkey").join(eur, "l_suppkey")
+    # decorrelated per-part min, joined back as an equality filter —
+    # one small agg instead of a correlated subquery per candidate
+    best = cand.groupBy("l_partkey").agg(F.min("supplycost").alias("best"))
+    return (
+        cand.join(best, "l_partkey")
+        .filter(F.col("supplycost") == F.col("best"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_brand",
+            F.round("supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "important_stock_by_nation",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, CAST(round(sum(l_extendedprice), 6) AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, value
+    FROM ps
+    WHERE value > (SELECT 0.001 * sum(value) FROM ps)
+    ORDER BY value DESC, p_partkey
+    """,
+    description="TPC-H Q11 shape (important stock identification): "
+    "per-part inventory value held by one nation's suppliers, kept "
+    "only where the part exceeds a fixed fraction of the nation's "
+    "total (ps_supplycost*ps_availqty adapted to the derived "
+    "relation: value := shipped extendedprice). The global threshold "
+    "is a broadcast scalar subquery over the SAME aggregated frame "
+    "(computed once, never collected); nation is a bounded broadcast; "
+    "the supplier join is left to AQE. Values rounded to 6dp so the "
+    "double-sum ordering is engine-stable.",
+    tags=("relational", "join", "agg", "subquery"),
+)
+def important_stock_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    nat = n.filter(F.col("n_name") == "NATION_7").select(
+        F.col("n_nationkey").alias("s_nationkey")
+    )
+    nsup = s.join(F.broadcast(nat), "s_nationkey").select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    ps = (
+        li.join(nsup, "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 6).alias("value"))
+    )
+    total = ps.agg((F.lit(0.001) * F.sum("value")).alias("threshold"))
+    return (
+        ps.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.desc("value"), "p_partkey")
+    )

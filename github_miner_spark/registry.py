@@ -104,6 +104,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "potential_part_promotion",
     "embedding_pq_topk",
     "pq_recall_at_k",
+    "min_cost_supplier",
+    "important_stock_by_nation",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -123,8 +125,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #    per family not already covered above
     "pricing_summary",
     "scalar_function_showcase",
-    "preferential_attachment",
-    "self_loops",
     "label_histogram",
     "top_dependants_modules",
     "degree_breakdown",
