@@ -87,6 +87,8 @@ HEADLINE = [
     "source_overlap_matrix",
     "min_cost_supplier",
     "important_stock_by_nation",
+    "bigram_pmi_collocations",
+    "events_gap_filled_hourly",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with

@@ -571,3 +571,83 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
     return rank_trending(hourly, k=3).orderBy("window_start", "rank")
+
+
+@register(
+    "events_gap_filled_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    filled AS (
+      SELECT t.event_type, s.hour_ts,
+             CAST(coalesce(h.n, 0) AS BIGINT) AS n_events
+      FROM spine s
+      CROSS JOIN types t
+      LEFT JOIN hourly h
+        ON h.event_type = t.event_type AND h.hour_ts = s.hour_ts
+    )
+    SELECT event_type, hour_ts, n_events,
+           round(avg(n_events) OVER (
+             PARTITION BY event_type ORDER BY hour_ts
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6) AS ma24
+    FROM filled
+    ORDER BY event_type, hour_ts
+    """,
+    description="Calendar gap-fill + moving average: the complete "
+    "hourly spine from the corpus's first to last hour, cross-joined "
+    "with the observed event types, left-joined to the hourly rollup "
+    "with missing slots zero-filled, then a trailing 24-hour moving "
+    "average over the FILLED series (the fill is load-bearing: an MA "
+    "over only observed hours silently skips the gaps it should "
+    "dilute). The spine is generated from a broadcast two-value "
+    "bounds aggregate via sequence+explode — its cardinality is "
+    "hours x types, bounded by wall-clock time and schema, not data "
+    "volume, so at 100 TB the only corpus-sized work remains the one "
+    "keyed rollup; the spine join and window run on the "
+    "slot-count-sized relation.",
+    tags=("events", "window", "gap-fill"),
+)
+def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_ts")
+    )
+    types = ev.select("event_type").distinct()
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").alias("n"))
+    filled = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return (
+        filled.withColumn("ma24", F.round(F.avg("n_events").over(w), 6))
+        .orderBy("event_type", "hour_ts")
+    )

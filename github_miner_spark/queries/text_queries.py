@@ -865,3 +865,86 @@ def kn_perplexity_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "bigram_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT {DUCK_TOKENS} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    ufreq AS (SELECT tok, count(*) AS uc FROM uni GROUP BY tok),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+             i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    bfreq AS (SELECT bigram, count(*) AS bc FROM bg GROUP BY bigram),
+    tot AS (SELECT (SELECT sum(uc) FROM ufreq) AS n_uni,
+                   (SELECT sum(bc) FROM bfreq) AS n_bi),
+    scored AS (
+      SELECT b.bigram, b.bc,
+             ln((b.bc::DOUBLE * t.n_uni * t.n_uni)
+                / (t.n_bi::DOUBLE * u1.uc * u2.uc)) AS pmi
+      FROM bfreq b
+      JOIN ufreq u1 ON u1.tok = str_split(b.bigram, ' ')[1]
+      JOIN ufreq u2 ON u2.tok = str_split(b.bigram, ' ')[2]
+      CROSS JOIN tot t
+      WHERE b.bc >= 5
+    )
+    SELECT bigram, CAST(bc AS BIGINT) AS n, round(pmi, 6) AS pmi
+    FROM scored
+    ORDER BY round(pmi, 6) DESC, bigram
+    LIMIT 25
+    """,
+    description="Collocation mining by pointwise mutual information: "
+    "top 25 adjacent token pairs by PMI = ln(p(ab) / (p(a) p(b))) with "
+    "a min-count floor of 5 (PMI without a floor surfaces hapax "
+    "pairs). Both distributions are keyed aggregations over the "
+    "exploded corpus; the scoring joins run on the VOCABULARY-sized "
+    "bigram table (bfreq -> ufreq twice), not the corpus-sized explode "
+    "— so the expensive frames shrink before any join, and the two "
+    "corpus totals flow in as broadcast one-row aggregates, never a "
+    "driver collect. The count products are cast to double before "
+    "multiplying: at 100 TB, N_uni^2 overflows bigint.",
+    tags=("text", "ngram", "tokens", "statistics"),
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_windows
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    ufreq = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("uc"))
+    )
+    bfreq = (
+        docs.select(F.explode(token_windows(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("bc"))
+    )
+    n_uni = ufreq.agg(F.sum("uc").alias("n_uni"))
+    n_bi = bfreq.agg(F.sum("bc").alias("n_bi"))
+    u1 = ufreq.select(F.col("tok").alias("w1"), F.col("uc").alias("c1"))
+    u2 = ufreq.select(F.col("tok").alias("w2"), F.col("uc").alias("c2"))
+    scored = (
+        bfreq.filter(F.col("bc") >= 5)
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "bigram",
+            F.col("bc").cast("bigint").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("bc").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "bigram").limit(25)

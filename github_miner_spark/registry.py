@@ -106,6 +106,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "pq_recall_at_k",
     "min_cost_supplier",
     "important_stock_by_nation",
+    "bigram_pmi_collocations",
+    "events_gap_filled_hourly",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -136,10 +138,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "minhash_lsh_dups",
     "dedup_clusters",
     "embedding_topk_bruteforce",
-    "doc_token_stats",
     "language_id_confusion",
     "events_sessionization",
-    "events_funnel",
     "idempotent_merge",
     "cypher_top_used_modules",
 )

@@ -382,3 +382,27 @@ def test_pq_adc_scan_shape(spark, tmp_path, monkeypatch):
         s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan) if "cid" in s
     ]
     assert codes_schemas and all("embedding" not in s for s in codes_schemas)
+
+
+def test_late_round6_additions_no_allpairs(spark):
+    """Q2's decorrelated min, Q11's threshold, PMI's totals, and the
+    gap-fill spine all flow scalar/bounded frames through broadcasts;
+    the only non-equi joins allowed are those broadcast one-row (or
+    wall-clock-bounded) cross joins — never a CartesianProduct."""
+    for name in (
+        "min_cost_supplier",
+        "important_stock_by_nation",
+        "bigram_pmi_collocations",
+        "events_gap_filled_hourly",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q2_min_is_decorrelated(spark):
+    """min_cost_supplier must compute the per-part minimum as ONE
+    aggregate joined back (two scans of the derived relation), not a
+    correlated per-row subquery."""
+    plan = _plan(spark, "min_cost_supplier")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
