@@ -49,3 +49,33 @@ def test_correctness_window_is_covering_and_oracle_backed():
     first_50 = names[:50]
     missing = [n for n in first_50 if SPECS[n].oracle is None]
     assert not missing, f"driver-slot entries without oracle: {missing}"
+
+
+def test_no_fatal_oracle_type_divergence(spark, sf_dir):
+    """The driver's hash compare goes through pandas: DuckDB HUGEINT /
+    UBIGINT / DECIMAL columns materialize as objects or floats while
+    Spark's bigint stays int64, so identical VALUES still hash-mismatch
+    (the r05 late_shipment_priority_counts red — sum(CASE...) typed
+    HUGEINT). Plain int-width differences (i32 vs i64) are proven
+    harmless by five rounds of green driver rows. This pins the fatal
+    class at the PLAN level for every registered oracle: any DuckDB
+    output column typed HUGEINT/UBIGINT, or DECIMAL against a Spark
+    double, must be CAST in the oracle."""
+    from tests.oracle_utils import duckdb_connection
+
+    fatal = []
+    con = duckdb_connection(sf_dir)
+    try:
+        for name, spec in SPECS.items():
+            sdf = spec.spark(spark, sf_dir)
+            s_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+            rel = con.sql(spec.oracle)
+            for col, t in zip(rel.columns, rel.types):
+                d = str(t).upper()
+                if d in ("HUGEINT", "UBIGINT"):
+                    fatal.append(f"{name}.{col}: duckdb {d} vs spark {s_types.get(col)}")
+                elif d.startswith("DECIMAL") and s_types.get(col) == "double":
+                    fatal.append(f"{name}.{col}: duckdb {d} vs spark double")
+    finally:
+        con.close()
+    assert not fatal, "oracle columns that will hash-mismatch in the driver:\n" + "\n".join(fatal)
