@@ -1461,7 +1461,8 @@ def potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
              min(l_extendedprice / l_quantity) AS supplycost
-      FROM lineitem GROUP BY l_partkey, l_suppkey
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
     ),
     eur AS (
       SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
@@ -1491,16 +1492,20 @@ def potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the minimum unit cost, ranked by account balance. The corpus has "
     "no partsupp, so supplycost := min(l_extendedprice/l_quantity) "
     "per (part, supplier) over the derived relation (a per-row "
-    "division then a min — an exact selection, identical across "
-    "engines, so the min-equality correlated predicate is safe on "
-    "doubles). The correlated min is decorrelated into one per-part "
+    "division then a min over rows with l_quantity > 0, guarded "
+    "identically on both engines because x/0 is IEEE Infinity in "
+    "Spark but NULL in DuckDB — an exact selection, so the "
+    "min-equality predicate is safe on doubles). "
+    "The correlated min is decorrelated into one per-part "
     "aggregate joined back (the Q17/Q20 discipline); region/nation "
     "are bounded broadcasts; part and supplier joins are left to AQE "
     "(both scale with SF).",
     tags=("relational", "join", "subquery", "window"),
 )
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    # l_quantity > 0 keeps the engines' divergent x/0 semantics
+    # (Spark IEEE Infinity vs DuckDB NULL) out of the min
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 0)
     p = load_table(spark, "part", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
@@ -1552,7 +1557,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS p_partkey, value
     FROM ps
-    WHERE value > (SELECT 0.001 * sum(value) FROM ps)
+    WHERE value > (SELECT round(0.001 * sum(value), 6) FROM ps)
     ORDER BY value DESC, p_partkey
     """,
     description="TPC-H Q11 shape (important stock identification): "
@@ -1581,7 +1586,7 @@ def important_stock_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 6).alias("value"))
     )
-    total = ps.agg((F.lit(0.001) * F.sum("value")).alias("threshold"))
+    total = ps.agg(F.round(F.lit(0.001) * F.sum("value"), 6).alias("threshold"))
     return (
         ps.join(F.broadcast(total))
         .filter(F.col("value") > F.col("threshold"))
