@@ -89,6 +89,7 @@ HEADLINE = [
     "important_stock_by_nation",
     "bigram_pmi_collocations",
     "events_gap_filled_hourly",
+    "weighted_shortest_distances",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with
@@ -110,6 +111,8 @@ DISTRIBUTED_LANE = [
     # sigma-BFS + backward accumulation) get a timed distributed floor
     "closeness_centrality_sample",
     "betweenness_centrality_sample",
+    # round 6 close: the weighted SSSP relaxation loop
+    "weighted_shortest_distances",
 ]
 
 

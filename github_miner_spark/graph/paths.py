@@ -873,3 +873,100 @@ def enumerate_simple_paths(
             end_nodes.select(F.col("id").alias("node")).distinct(), "node", "left_semi"
         )
     return out.select("path", (F.size("path") - 1).alias("length"))
+
+
+def _dijkstra_in_driver(
+    rows: list[tuple[int, int, float]], root: int
+) -> list[tuple[int, float]]:
+    """Driver fast path for anchored weighted SSSP: binary-heap
+    Dijkstra over a collected edge slice. The root itself appears in
+    the output only if a cycle leads back to it (matching bfs_depths'
+    depth >= 1 convention and the distributed loop below)."""
+    import heapq
+    from collections import defaultdict
+
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for a, b, w in rows:
+        if w < 0:
+            raise ValueError("weighted_sssp requires non-negative weights")
+        adj[a].append((b, w))
+    dist: dict[int, float] = {}
+    pq = [(w, b) for b, w in adj.get(root, [])]
+    heapq.heapify(pq)
+    while pq:
+        d, v = heapq.heappop(pq)
+        if v in dist and dist[v] <= d:
+            continue
+        dist[v] = d
+        for nb, w in adj.get(v, []):
+            nd = d + w
+            if nb not in dist or nd < dist[nb]:
+                heapq.heappush(pq, (nd, nb))
+    return sorted(dist.items())
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    root: int,
+    weight_col: str = "w",
+    max_iter: int = 200,
+    broadcast_frontier: bool = False,
+    driver_threshold: int | None = None,
+) -> DataFrame:
+    """Single-source weighted shortest distances (node, dist) from
+    ``root`` over ``edges(src, dst, weight_col)`` — the algo.dijkstra
+    / algo.shortestPath surface of the plugin set the reference
+    installs (bin/install_neo4j_plugins.sh).
+
+    Hybrid on the closure family's shared gate: an edge slice under
+    the driver threshold collects and runs heap Dijkstra in-driver;
+    beyond it (or forced by SPARK_GRAFT_FORCE_DISTRIBUTED) a
+    level-synchronous Bellman-Ford relaxation runs distributed — one
+    keyed min-merge shuffle and one emptiness probe per round, state
+    checkpointed, rounds bounded by the hop length of the optimal
+    paths (not V): the loop stops the first round no distance
+    improves and RAISES at ``max_iter`` rather than returning a
+    truncated map. ``broadcast_frontier=True`` asserts an anchored
+    probe whose distance table stays small (the registered query's
+    case); the default shuffles at adaptive width for open root sets.
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    thr = _gate(
+        driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
+    )
+    if thr > 0 and edges.count() <= thr:
+        rows = [(r["src"], r["dst"], float(r["w"])) for r in edges.collect()]
+        out = _dijkstra_in_driver(rows, int(root))
+        return spark.createDataFrame(out or [], "node bigint, dist double")
+    with _loop_shuffle_partitions(spark, enabled=broadcast_frontier):
+        dist = (
+            edges.filter(F.col("src") == int(root))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("w").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iter):
+            d = F.broadcast(dist) if broadcast_frontier else dist
+            cand = d.join(edges, dist.node == edges.src).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            new = (
+                dist.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            old = dist.select("node", F.col("dist").alias("old"))
+            o = F.broadcast(old) if broadcast_frontier else old
+            improved = new.join(o, "node", "left").filter(
+                F.col("old").isNull() | (F.col("dist") < F.col("old"))
+            )
+            if improved.isEmpty():
+                return new
+            dist = new
+    raise RuntimeError(
+        f"weighted_sssp did not converge within {max_iter} relaxation "
+        "rounds — negative-weight cycle or diameter beyond the bound"
+    )

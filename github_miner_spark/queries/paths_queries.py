@@ -336,3 +336,47 @@ def dependency_graph_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.col("path").cast("array<string>")).alias("chain"),
         F.col("length").cast("int").alias("length"),
     ).orderBy("chain")
+
+
+@register(
+    "weighted_shortest_distances",
+    oracle=GRAPH_ORACLE_CTES
+    + f"""
+    , wedges AS (
+        SELECT src, dst, 1.0 + (dst % 7) / 4.0 AS w FROM mm_edges
+    ),
+    walk(node, cost) AS (
+        SELECT dst, w FROM wedges WHERE src = {ANCHOR_MODULE}
+        UNION ALL
+        SELECT e.dst, wk.cost + e.w
+        FROM walk wk JOIN wedges e ON e.src = wk.node
+    )
+    SELECT node AS node, min(cost) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+    description="Weighted single-source shortest distances from the "
+    "anchor (algo.dijkstra / weighted algo.shortestPath of the plugin "
+    "set the reference installs): per reachable module, the minimum "
+    "path cost under a deterministic per-edge weight "
+    "w = 1 + (dst mod 7)/4 — quarter-valued doubles, so every path "
+    "sum is exact in binary and min() is engine-stable without "
+    "rounding. Hybrid on the closure family's shared gate: heap "
+    "Dijkstra in-driver under the edge threshold, level-synchronous "
+    "Bellman-Ford relaxation (one keyed min-merge per round, rounds "
+    "bounded by optimal-path hop length, non-convergence raises) "
+    "distributed; the anchored probe runs broadcast-frontier. Oracle "
+    "enumerates every path via the recursive CTE and takes the min — "
+    "a structurally different formulation than either engine path.",
+    tags=("graph", "paths", "iterative", "weighted"),
+)
+def weighted_shortest_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.graph.paths import weighted_sssp
+
+    g = load_graph(spark, sf_dir)
+    wedges = g.module_dep_edges().select(
+        "src",
+        "dst",
+        (F.lit(1.0) + (F.col("dst") % 7) / F.lit(4.0)).alias("w"),
+    )
+    dists = weighted_sssp(wedges, ANCHOR_MODULE, broadcast_frontier=True)
+    return dists.select("node", "dist").orderBy("node")

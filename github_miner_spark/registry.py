@@ -108,6 +108,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "important_stock_by_nation",
     "bigram_pmi_collocations",
     "events_gap_filled_hourly",
+    "weighted_shortest_distances",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -130,7 +131,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "label_histogram",
     "top_dependants_modules",
     "degree_breakdown",
-    "two_hop_dependencies",
     "one_hop_neighborhood",
     "closure_counts_from_anchor",
     "bfs_depth_profile",

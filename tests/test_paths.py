@@ -207,3 +207,56 @@ def test_distributed_closure_adversarial_depth_and_hubs(spark):
     d_fast = bfs_depths(edges, roots=[0], max_iter=500)
     assert sorted(map(tuple, depths.collect())) == sorted(map(tuple, d_fast.collect()))
     assert depths.agg(F.max("depth")).collect()[0][0] >= 250
+
+
+def wedges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in triples],
+        "src bigint, dst bigint, w double",
+    )
+
+
+def test_weighted_sssp_prefers_cheap_long_path(spark):
+    """A 3-hop path of cost 3 must beat the direct edge of cost 10 —
+    the case hop-count BFS gets wrong by construction."""
+    from github_miner_spark.graph.paths import weighted_sssp
+
+    e = wedges_df(spark, [(1, 4, 10.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
+    out = {r["node"]: r["dist"] for r in weighted_sssp(e, 1).collect()}
+    assert out == {2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_weighted_sssp_driver_matches_distributed(spark, monkeypatch):
+    """Heap Dijkstra (gated) and the Bellman-Ford relaxation loop must
+    agree exactly on the real graph AND on a weighted cyclic fixture
+    (cycle cost never improves a settled min, loop still terminates)."""
+    import github_miner_spark.graph.paths as P
+    from github_miner_spark.graph.store import load_graph
+    from pyspark.sql import functions as F
+
+    g = load_graph(spark, "/root/testdata/sf0.001")
+    mm = g.module_dep_edges().select(
+        "src", "dst", (F.lit(1.0) + (F.col("dst") % 7) / F.lit(4.0)).alias("w")
+    )
+    cyc = wedges_df(
+        spark, [(1, 2, 1.0), (2, 3, 0.5), (3, 1, 0.25), (3, 4, 2.0), (1, 4, 4.0)]
+    )
+    for edges, root in ((mm, 2), (cyc, 1)):
+        driver = sorted(map(tuple, P.weighted_sssp(edges, root).collect()))
+        assert len(driver) > 0
+        monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+        dist = sorted(map(tuple, P.weighted_sssp(edges, root).collect()))
+        monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED")
+        assert driver == dist
+    # the cyclic fixture's expected map, by hand: 1->2 = 1, 1->3 = 1.5,
+    # 1->4 = 3.5 (via the cycle-free 2-hop), 1->1 = 1.75 (round trip)
+    out = {r["node"]: r["dist"] for r in P.weighted_sssp(cyc, 1).collect()}
+    assert out == {1: 1.75, 2: 1.0, 3: 1.5, 4: 3.5}
+
+
+def test_weighted_sssp_negative_weight_raises(spark):
+    from github_miner_spark.graph.paths import weighted_sssp
+
+    e = wedges_df(spark, [(1, 2, 1.0), (2, 3, -0.5)])
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_sssp(e, 1)
