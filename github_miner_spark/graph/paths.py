@@ -951,21 +951,23 @@ def weighted_sssp(
             cand = d.join(edges, dist.node == edges.src).select(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col("w")).alias("dist"),
+                F.lit(float("inf")).alias("old"),
             )
+            # stability probe fused into the min-merge (the SCC
+            # discipline): each prior row carries its value as ``old``
+            # (new nodes carry +inf), so "anything improved" is a
+            # filter scan over the checkpointed merge — no per-round
+            # old-vs-new join
+            prev = dist.select("node", "dist", F.col("dist").alias("old"))
             new = (
-                dist.unionByName(cand)
+                prev.unionByName(cand)
                 .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
+                .agg(F.min("dist").alias("dist"), F.min("old").alias("old"))
                 .localCheckpoint(eager=True)
             )
-            old = dist.select("node", F.col("dist").alias("old"))
-            o = F.broadcast(old) if broadcast_frontier else old
-            improved = new.join(o, "node", "left").filter(
-                F.col("old").isNull() | (F.col("dist") < F.col("old"))
-            )
-            if improved.isEmpty():
-                return new
-            dist = new
+            if new.filter(F.col("dist") < F.col("old")).isEmpty():
+                return new.select("node", "dist")
+            dist = new.select("node", "dist")
     raise RuntimeError(
         f"weighted_sssp did not converge within {max_iter} relaxation "
         "rounds — negative-weight cycle or diameter beyond the bound"
