@@ -138,8 +138,23 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct hashed word-n-gram shingles of a document."""
-    return F.array_distinct(F.transform(word_shingles(tokenize(text), n), token_hash))
+    """Distinct hashed word-n-gram shingles of a document.
+
+    NB: prefer ``shingle_hashes_of_tokens`` over a PROJECTED token
+    column in corpus-scan paths — this convenience form nests
+    tokenize() inside word_shingles' transform lambda, where codegen
+    subexpression elimination cannot reach, so the regex re-evaluates
+    per shingle position."""
+    return shingle_hashes_of_tokens(tokenize(text), n)
+
+
+def shingle_hashes_of_tokens(tokens: Column, n: int = 3) -> Column:
+    """Distinct hashed word-n-gram shingles over an already-projected
+    token array column. Callers materialize tokens with a select
+    boundary first: with the nested form, tokenize() re-runs for every
+    argument reference inside the transform lambda (measured ~25s ->
+    ~1s at sf0.1 on the boilerplate corpus scan)."""
+    return F.array_distinct(F.transform(word_shingles(tokens, n), token_hash))
 
 
 def minhash_signature(shingles_hashed: Column, k: int = 16) -> Column:

@@ -20,6 +20,7 @@ from github_miner_spark.functions.text import (
     mean_token_length,
     quality_score,
     shingle_hashes,
+    shingle_hashes_of_tokens,
     token_count,
     tokenize,
 )
@@ -193,9 +194,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
-        "doc_id", F.size(shingle_hashes(F.col("text"))).alias("n_shingles")
-    ).orderBy("doc_id")
+    return (
+        docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size(shingle_hashes_of_tokens(F.col("toks"))).alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # GPT-2-style pre-tokenizer approximation (contractions, letter runs,
@@ -533,9 +539,13 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_miner_spark.functions.text import token_windows
 
     docs = load_table(spark, "documents", sf_dir)
-    bg = docs.select(
+    # tokens are PROJECTED before windowing: token_windows references
+    # its argument once per window position, and Catalyst re-inlines a
+    # nested tokenize() into every reference (measured 11x slower at
+    # sf0.1); the projection boundary evaluates the regex once per doc
+    bg = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
         "doc_id",
-        F.explode(token_windows(tokenize(F.col("text")), 2)).alias("bigram"),
+        F.explode(token_windows(F.col("toks"), 2)).alias("bigram"),
     )
     bfreq = bg.groupBy("bigram").agg(F.count("*").alias("c"))
     pfreq = (
@@ -674,7 +684,11 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     ex = docs.select(
-        "doc_id", "source", F.explode(shingle_hashes(F.col("text"))).alias("h")
+        "doc_id", "source", tokenize(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.explode(shingle_hashes_of_tokens(F.col("toks"))).alias("h"),
     )
     # corpus size as a broadcast one-row frame, not a driver-side
     # docs.count(): the whole query stays one Spark job
@@ -776,9 +790,13 @@ def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text (the same discipline as boilerplate_ngram_stats' shingle
     # hashes; the oracle applies the identical md5-derived hash so the
     # two engines agree bit-for-bit, collisions included).
-    bg = docs.select(
+    # tokens are PROJECTED before windowing: token_windows references
+    # its argument once per window position, and Catalyst re-inlines a
+    # nested tokenize() into every reference (measured 11x slower at
+    # sf0.1); the projection boundary evaluates the regex once per doc
+    bg = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
         "doc_id",
-        F.explode(token_windows(tokenize(F.col("text")), 2)).alias("bigram"),
+        F.explode(token_windows(F.col("toks"), 2)).alias("bigram"),
     ).select(
         "doc_id",
         token_hash(F.col("bigram")).alias("bh"),
@@ -912,14 +930,16 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_miner_spark.functions.text import token_windows
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = tokenize(F.col("text"))
+    # tokens PROJECTED before use (see doc_bigram_surprisal's note:
+    # nested tokenize re-inlines into every window reference)
+    tdocs = docs.select(tokenize(F.col("text")).alias("toks"))
     ufreq = (
-        docs.select(F.explode(toks).alias("tok"))
+        tdocs.select(F.explode(F.col("toks")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("uc"))
     )
     bfreq = (
-        docs.select(F.explode(token_windows(toks, 2)).alias("bigram"))
+        tdocs.select(F.explode(token_windows(F.col("toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("bc"))
     )
