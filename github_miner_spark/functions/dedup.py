@@ -229,7 +229,9 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     Computed as ``bits`` vectorized sum-aggregates over the exploded
     token-hash rows (one pass, codegen) rather than per-bit array
     lambdas, which would re-inline tokenization into all 32 folds."""
-    th = docs.select(
+    from github_miner_spark.functions.skew import spread_to_session_width
+
+    th = spread_to_session_width(docs).select(
         "doc_id", F.explode(F.transform(tokenize(F.col(text_col)), token_hash)).alias("h")
     )
     bit_aggs = [
@@ -269,7 +271,17 @@ def simhash_near_pairs(
     idx = sh.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = idx.alias("a")
+    # spread the probe side of the band self-join: the band index is
+    # tiny (4 rows per doc) so AQE coalesces it to one partition and
+    # broadcasts the other side — which would run the whole
+    # candidate-pair expansion (~1M pairs on the bench corpus) in a
+    # single task. Hashing (band, bucket, doc_id) spreads bucket
+    # populations across the width.
+    from github_miner_spark.functions.skew import spread_width
+
+    a = idx.repartition(
+        spread_width(idx.sparkSession), "band", "bucket", "doc_id"
+    ).alias("a")
     b = idx.alias("b")
     cand = (
         a.join(

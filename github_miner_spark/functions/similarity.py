@@ -161,7 +161,12 @@ def lsh_topk(
     before ranking."""
     from pyspark.sql.window import Window
 
-    bucketed = embeddings
+    from github_miner_spark.functions.skew import spread_to_session_width
+
+    # the corpus side computes n_tables bucket signatures (n_planes
+    # dot products each) per vector — spread a single-partition scan
+    # first so the signature pass parallelizes
+    bucketed = spread_to_session_width(embeddings)
     for t in range(n_tables):
         bucketed = bucketed.withColumn(
             f"_b{t}", lsh_bucket(F.col(vec_col), n_planes, dims, table=t)

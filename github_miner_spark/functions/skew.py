@@ -46,3 +46,26 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salts)]))
     )
     return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def spread_to_session_width(df: DataFrame) -> DataFrame:
+    """Raise tiny-scan parallelism before a compute-heavy stage: the
+    bench fixtures are single-row-group parquet files (one scan
+    partition), so per-row-expensive pipelines (simhash folds, cosine
+    loops, pair expansions) otherwise run in ONE task regardless of
+    cores. Repartitions round-robin up to the session shuffle width
+    when — and only when — the input has fewer partitions; at real
+    scale scans already exceed the width and this is a no-op (the
+    check reads plan metadata, it launches no job)."""
+    spark = df.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
+
+
+def spread_width(spark) -> int:
+    """The session shuffle width as an int — the partition count
+    spread_to_session_width targets, for callers that repartition by
+    explicit keys instead of round-robin."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -603,7 +603,15 @@ def node_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     e = g.module_dep_edges().distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
-    a, b = e.alias("a"), e.alias("b")
+    # spread the probe side across the session width before the
+    # co-occurrence expansion: the edge scan is one parquet partition
+    # at bench SF, and with the other side broadcast the whole
+    # sum(indeg^2) pair blow-up (25M pairs at sf0.1, one 5k-indeg hub)
+    # otherwise runs in a SINGLE task. Hash (dst, src) spreads the
+    # hub's rows; at full scale AQE re-plans the join and its skew
+    # split takes over, so the extra shuffle is edge-sized and cheap.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a, b = e.repartition(width, "dst", "src").alias("a"), e.alias("b")
     inter = (
         a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
         .groupBy(F.col("a.src").alias("ma"), F.col("b.src").alias("mb"))
@@ -741,7 +749,15 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = g.module_dep_edges().distinct()
     indeg = e.groupBy(F.col("dst").alias("z")).agg(F.count("*").alias("dz"))
     outdeg = e.groupBy(F.col("src").alias("m")).agg(F.count("*").alias("dm"))
-    a, b = e.alias("a"), e.alias("b")
+    # spread the probe side across the session width before the
+    # co-occurrence expansion: the edge scan is one parquet partition
+    # at bench SF, and with the other side broadcast the whole
+    # sum(indeg^2) pair blow-up (25M pairs at sf0.1, one 5k-indeg hub)
+    # otherwise runs in a SINGLE task. Hash (dst, src) spreads the
+    # hub's rows; at full scale AQE re-plans the join and its skew
+    # split takes over, so the extra shuffle is edge-sized and cheap.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a, b = e.repartition(width, "dst", "src").alias("a"), e.alias("b")
     shared = a.join(
         b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src"))
     ).select(

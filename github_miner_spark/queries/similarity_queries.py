@@ -92,7 +92,12 @@ def embedding_similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
     )
-    a = emb.alias("a")
+    # spread the left side across the session width: the embeddings
+    # scan is one parquet partition at bench SF, and the inequality
+    # join broadcasts the right side, so the n^2/2 cosine loop
+    # otherwise runs in a SINGLE task
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = emb.repartition(width).alias("a")
     b = emb.alias("b")
     c = F.round(cosine(F.col("a.ev"), F.col("b.ev")), 6)
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(c.alias("c"))
@@ -280,8 +285,9 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket,
         norm,
     )
+    from github_miner_spark.functions.skew import spread_to_session_width
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = spread_to_session_width(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
     )
     # scalar corpus count for the plane-count formula only (not row data)
