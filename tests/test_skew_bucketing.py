@@ -59,3 +59,18 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS edges_b")
         spark.sql("DROP TABLE IF EXISTS deg_b")
+
+
+def test_spread_to_session_width(spark):
+    """The tiny-scan spread must widen a single-partition input to the
+    session shuffle width, preserve rows exactly, and leave an
+    already-wide input untouched (the real-scale no-op path)."""
+    from github_miner_spark.functions.skew import spread_to_session_width
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(1000).coalesce(1)
+    spread = spread_to_session_width(narrow)
+    assert spread.rdd.getNumPartitions() == width
+    assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
+    wide = spark.range(1000).repartition(width + 4)
+    assert spread_to_session_width(wide) is wide
