@@ -794,7 +794,11 @@ def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its argument once per window position, and Catalyst re-inlines a
     # nested tokenize() into every reference (measured 11x slower at
     # sf0.1); the projection boundary evaluates the regex once per doc
-    bg = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
+    from github_miner_spark.functions.skew import spread_to_session_width
+
+    bg = spread_to_session_width(docs).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
         F.explode(token_windows(F.col("toks"), 2)).alias("bigram"),
     ).select(
@@ -802,7 +806,13 @@ def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_hash(F.col("bigram")).alias("bh"),
         token_hash(F.split(F.col("bigram"), " ")[0]).alias("ph"),
         token_hash(F.split(F.col("bigram"), " ")[1]).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
+    # the lazy checkpoint materializes the hashed-bigram relation on
+    # first action and REUSES it for the model's three aggregations
+    # and the scoring join, instead of re-running tokenize+explode
+    # per consumer (4 corpus passes -> 1 at bench SF; at 100 TB the
+    # checkpoint trades one corpus-sized write for three re-scans,
+    # the same call the simhash band index makes)
     # bh functionally determines (ph, sh), so this is one agg keyed by
     # the bigram hash that keeps the prefix/suffix hashes available for
     # the model's two marginal aggregations.
