@@ -55,8 +55,14 @@ def spread_to_session_width(df: DataFrame) -> DataFrame:
     loops, pair expansions) otherwise run in ONE task regardless of
     cores. Repartitions round-robin up to the session shuffle width
     when — and only when — the input has fewer partitions; at real
-    scale scans already exceed the width and this is a no-op (the
-    check reads plan metadata, it launches no job)."""
+    scale scans already exceed the width and this is a no-op.
+
+    Scope: call this on SCAN-STAGE frames only. The partition probe
+    goes through ``df.rdd``, which on a plan containing exchanges
+    materializes the AQE query stages eagerly — on a raw file scan
+    (every current call site) it is plan metadata and launches no
+    job, but on a shuffled input it would run the upstream stages
+    twice."""
     spark = df.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() < width:

@@ -928,7 +928,8 @@ def weighted_sssp(
     improves and RAISES at ``max_iter`` rather than returning a
     truncated map. ``broadcast_frontier=True`` asserts an anchored
     probe whose distance table stays small (the registered query's
-    case); the default shuffles at adaptive width for open root sets.
+    case); the default keeps the session shuffle width — the correct
+    choice for open root sets whose distance table is corpus-sized.
     """
     spark = edges.sparkSession
     edges = edges.select("src", "dst", F.col(weight_col).alias("w"))
@@ -939,6 +940,14 @@ def weighted_sssp(
         rows = [(r["src"], r["dst"], float(r["w"])) for r in edges.collect()]
         out = _dijkstra_in_driver(rows, int(root))
         return spark.createDataFrame(out or [], "node bigint, dist double")
+    # same precondition as the driver path: Bellman-Ford min-merge
+    # CONVERGES on negative weights (it just stops improving), so
+    # without this probe the two gate outcomes would disagree on the
+    # same input — one scalar aggregate, the distributed branch's
+    # analog of the driver branch's collect-time check
+    wmin = edges.agg(F.min("w").alias("m")).collect()[0]["m"]
+    if wmin is not None and wmin < 0:
+        raise ValueError("weighted_sssp requires non-negative weights")
     with _loop_shuffle_partitions(spark, enabled=broadcast_frontier):
         dist = (
             edges.filter(F.col("src") == int(root))

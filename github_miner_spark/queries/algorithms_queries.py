@@ -603,6 +603,8 @@ def node_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     e = g.module_dep_edges().distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    from github_miner_spark.functions.skew import spread_width
+
     # spread the probe side across the session width before the
     # co-occurrence expansion: the edge scan is one parquet partition
     # at bench SF, and with the other side broadcast the whole
@@ -610,8 +612,8 @@ def node_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise runs in a SINGLE task. Hash (dst, src) spreads the
     # hub's rows; at full scale AQE re-plans the join and its skew
     # split takes over, so the extra shuffle is edge-sized and cheap.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a, b = e.repartition(width, "dst", "src").alias("a"), e.alias("b")
+    a = e.repartition(spread_width(spark), "dst", "src").alias("a")
+    b = e.alias("b")
     inter = (
         a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
         .groupBy(F.col("a.src").alias("ma"), F.col("b.src").alias("mb"))
@@ -749,15 +751,12 @@ def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = g.module_dep_edges().distinct()
     indeg = e.groupBy(F.col("dst").alias("z")).agg(F.count("*").alias("dz"))
     outdeg = e.groupBy(F.col("src").alias("m")).agg(F.count("*").alias("dm"))
-    # spread the probe side across the session width before the
-    # co-occurrence expansion: the edge scan is one parquet partition
-    # at bench SF, and with the other side broadcast the whole
-    # sum(indeg^2) pair blow-up (25M pairs at sf0.1, one 5k-indeg hub)
-    # otherwise runs in a SINGLE task. Hash (dst, src) spreads the
-    # hub's rows; at full scale AQE re-plans the join and its skew
-    # split takes over, so the extra shuffle is edge-sized and cheap.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a, b = e.repartition(width, "dst", "src").alias("a"), e.alias("b")
+    from github_miner_spark.functions.skew import spread_width
+
+    # spread the probe side of the co-occurrence self-join (see
+    # node_similarity_jaccard: same single-task pair blow-up otherwise)
+    a = e.repartition(spread_width(spark), "dst", "src").alias("a")
+    b = e.alias("b")
     shared = a.join(
         b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src"))
     ).select(

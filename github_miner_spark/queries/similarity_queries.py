@@ -92,12 +92,13 @@ def embedding_similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("ev")
     )
+    from github_miner_spark.functions.skew import spread_width
+
     # spread the left side across the session width: the embeddings
     # scan is one parquet partition at bench SF, and the inequality
     # join broadcasts the right side, so the n^2/2 cosine loop
     # otherwise runs in a SINGLE task
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = emb.repartition(width).alias("a")
+    a = emb.repartition(spread_width(spark)).alias("a")
     b = emb.alias("b")
     c = F.round(cosine(F.col("a.ev"), F.col("b.ev")), 6)
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(c.alias("c"))

@@ -19,7 +19,6 @@ from github_miner_spark.functions.text import (
     language_id,
     mean_token_length,
     quality_score,
-    shingle_hashes,
     shingle_hashes_of_tokens,
     token_count,
     tokenize,

@@ -73,7 +73,8 @@ def load_all() -> None:
 # query (late_shipment_priority_counts — red in r05 on an oracle
 # HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the
 # queries NEW this round — every name in the (b) block below, from
-# kn_perplexity_filter_rates through events_gap_filled_hourly; then (c)
+# kn_perplexity_filter_rates through weighted_shortest_distances
+# (the block's last entry); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
 # on hashed keys (doc_kneser_ney_scores — also in (a)),

@@ -404,7 +404,8 @@ def test_q2_min_is_decorrelated(spark):
     aggregate joined back, not a correlated per-row subquery: the plan
     carries BOTH a (l_partkey, l_suppkey)-keyed aggregate (the derived
     relation) and a l_partkey-only-keyed min aggregate (the
-    decorrelated best), and no subquery re-execution node."""
+    decorrelated best), joined back to the candidates."""
     plan = _plan(spark, "min_cost_supplier")
+    assert "Join" in plan
     assert re.search(r"Keys \[2\]: \[l_partkey[^\]]*l_suppkey", plan), "derived relation agg missing"
     assert re.search(r"Keys \[1\]: \[l_partkey[^\]]*\]", plan), "decorrelated per-part min missing"
