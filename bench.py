@@ -90,6 +90,8 @@ HEADLINE = [
     "bigram_pmi_collocations",
     "events_gap_filled_hourly",
     "weighted_shortest_distances",
+    "span_corruption_plan",
+    "vocab_coverage_stats",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with

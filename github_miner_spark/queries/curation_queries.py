@@ -936,3 +936,88 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "span_corruption_plan",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(str_split(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    plan AS (
+      SELECT doc_id, source, len(toks) AS n,
+             list_filter(generate_series(1, len(toks)),
+               i -> ('0x' || substr(md5(doc_id || ':' || i), 1, 8))::BIGINT % 20 = 0
+             ) AS starts
+      FROM t WHERE len(toks) > 0
+    ),
+    masked AS (
+      SELECT doc_id, source, n, len(starts) AS n_spans,
+             len(list_distinct(flatten(list_transform(starts,
+               s -> generate_series(s, least(s + 1 + ('0x' || substr(md5(doc_id || ':' || s), 1, 8))::BIGINT % 3, n))
+             )))) AS n_masked
+      FROM plan
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_spans) AS BIGINT) AS total_spans,
+           round(avg(n_masked * 1.0 / n), 6) AS avg_masked_frac
+    FROM masked GROUP BY source ORDER BY source
+    """,
+    description="T5-style span-corruption planning (the denoising-"
+    "objective data-prep pass): per document, deterministic mask spans "
+    "— a span starts at position i when the md5-derived hash of "
+    "(doc_id, i) gates at 5%, runs 2-4 tokens (mean 3, i.e. ~15% of "
+    "tokens masked), overlaps union via distinct — and per source the "
+    "span count and average masked fraction. Pure higher-order array "
+    "expressions over the PROJECTED token array (the lambda-CSE "
+    "discipline): one corpus scan, one rollup, no shuffle beyond the "
+    "per-source aggregate; the identical hash arithmetic runs in the "
+    "oracle, so the plan is bit-reproducible across engines and runs "
+    "— the property a resumable 100 TB masking job needs.",
+    tags=("curation", "tokens", "masking", "training"),
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import tokenize
+
+    docs = load_table(spark, "documents", sf_dir)
+    pos_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), i.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    t = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    plan = t.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n"),
+        F.filter(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: pos_hash(i) % 20 == 0,
+        ).alias("starts"),
+    )
+    span = lambda s: F.sequence(  # noqa: E731
+        s, F.least(s + F.lit(1) + (pos_hash(s) % 3).cast("int"), F.col("n"))
+    )
+    masked = plan.select(
+        "source",
+        F.size("starts").alias("n_spans"),
+        F.size(F.array_distinct(F.flatten(F.transform(F.col("starts"), span)))).alias(
+            "n_masked"
+        ),
+        "n",
+    )
+    return (
+        masked.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_spans").cast("bigint").alias("total_spans"),
+            F.round(F.avg(F.col("n_masked") / F.col("n")), 6).alias("avg_masked_frac"),
+        )
+        .orderBy("source")
+    )

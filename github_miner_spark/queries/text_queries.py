@@ -977,3 +977,65 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "bigram").limit(25)
+
+
+@register(
+    "vocab_coverage_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    uni AS (SELECT source, unnest(toks) AS tok FROM t),
+    ufreq AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS r FROM ufreq
+      ) WHERE r <= 1000
+    )
+    SELECT u.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS oov_tokens,
+           round(count(*) FILTER (WHERE v.tok IS NULL) * 1.0 / count(*), 6)
+             AS oov_rate
+    FROM uni u LEFT JOIN vocab v ON v.tok = u.tok
+    GROUP BY u.source ORDER BY u.source
+    """,
+    description="Tokenizer vocabulary coverage: fix the vocabulary to "
+    "the corpus's top-1000 tokens (count-desc, token tiebreak — the "
+    "deterministic rank both engines agree on) and report per-source "
+    "token counts and out-of-vocabulary rates — the coverage check run "
+    "before committing a tokenizer to a data mixture. The vocabulary "
+    "is vocabulary-sized by construction and broadcast into the "
+    "membership join; the corpus-sized explode feeds one keyed "
+    "rollup, so the only corpus-scale shuffle is the per-source "
+    "aggregate.",
+    tags=("text", "tokens", "curation"),
+)
+def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    uni = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    ufreq = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), "tok")
+    vocab = (
+        ufreq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        uni.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

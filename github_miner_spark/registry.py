@@ -73,7 +73,7 @@ def load_all() -> None:
 # query (late_shipment_priority_counts — red in r05 on an oracle
 # HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the
 # queries NEW this round — every name in the (b) block below, from
-# kn_perplexity_filter_rates through weighted_shortest_distances
+# kn_perplexity_filter_rates through vocab_coverage_stats
 # (the block's last entry); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
@@ -110,6 +110,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "bigram_pmi_collocations",
     "events_gap_filled_hourly",
     "weighted_shortest_distances",
+    "span_corruption_plan",
+    "vocab_coverage_stats",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -137,9 +139,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "bfs_depth_profile",
     "exact_dedup_summary",
     "minhash_lsh_dups",
-    "dedup_clusters",
     "embedding_topk_bruteforce",
-    "language_id_confusion",
     "events_sessionization",
     "idempotent_merge",
     "cypher_top_used_modules",
