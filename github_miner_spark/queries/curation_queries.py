@@ -984,11 +984,10 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_miner_spark.functions.text import tokenize
 
     docs = load_table(spark, "documents", sf_dir)
-    pos_hash = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), i.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
+    # the shared engine-portable hash primitive over the (doc, pos) key
+    pos_hash = lambda i: token_hash(  # noqa: E731
+        F.concat_ws(":", F.col("doc_id"), i.cast("string"))
+    )
     t = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks")).filter(
         F.size("toks") > 0
     )

@@ -1000,27 +1000,29 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Tokenizer vocabulary coverage: fix the vocabulary to "
     "the corpus's top-1000 tokens (count-desc, token tiebreak — the "
-    "deterministic rank both engines agree on) and report per-source "
+    "deterministic order both engines agree on) and report per-source "
     "token counts and out-of-vocabulary rates — the coverage check run "
-    "before committing a tokenizer to a data mixture. The vocabulary "
-    "is vocabulary-sized by construction and broadcast into the "
+    "before committing a tokenizer to a data mixture. The top-1000 is "
+    "a TakeOrderedAndProject over the distinct-token rollup (per-"
+    "partition heaps, no global sort) and broadcasts into the "
     "membership join; the corpus-sized explode feeds one keyed "
     "rollup, so the only corpus-scale shuffle is the per-source "
     "aggregate.",
     tags=("text", "tokens", "curation"),
 )
 def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, "documents", sf_dir)
     uni = docs.select(
         "source", F.explode(tokenize(F.col("text"))).alias("tok")
     )
     ufreq = uni.groupBy("tok").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), "tok")
+    # top-k, not a global rank: orderBy+limit compiles to distributed
+    # TakeOrderedAndProject (per-partition heaps), identical
+    # deterministic result without the one-task sort a partitionless
+    # Window forces over the full distinct-token table
     vocab = (
-        ufreq.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= 1000)
+        ufreq.orderBy(F.desc("c"), "tok")
+        .limit(1000)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     return (
@@ -1031,11 +1033,12 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("oov_tokens"),
-            F.round(
-                F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
-                / F.count("*"),
-                6,
-            ).alias("oov_rate"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "oov_tokens",
+            F.round(F.col("oov_tokens") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
         .orderBy("source")
     )
