@@ -46,6 +46,14 @@ def token_hashes(tokens: Column) -> Column:
     return F.transform(tokens, token_hash)
 
 
+def token_hash60(token: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as BIGINT —
+    for sketches whose registers must agree bit-for-bit across
+    engines (HLL bucket/rank splits need more than 32 bits of
+    entropy). Oracle twin: ('0x' || substr(md5(v), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokenize(text))
 

@@ -1042,3 +1042,233 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+@register(
+    "hll_vocab_estimates",
+    oracle=f"""
+    WITH t AS (SELECT source, {DUCK_TOKENS} AS toks FROM documents),
+    uni AS (SELECT source, unnest(toks) AS tok FROM t),
+    h AS (
+      SELECT source, tok,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM uni
+    ),
+    r AS (
+      SELECT source, h & 1023 AS bucket,
+             CASE WHEN (h >> 10) = 0 THEN 51
+                  ELSE 51 - length(bin(h >> 10)) END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT source, bucket, max(rho) AS r FROM r GROUP BY source, bucket
+    ),
+    sums AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS buckets_used,
+             CAST(sum(1::BIGINT << CAST(51 - r AS INTEGER)) AS BIGINT) AS s_int
+      FROM regs GROUP BY source
+    ),
+    ex AS (
+      SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+      FROM h GROUP BY source
+    ),
+    est AS (
+      SELECT s.source, s.buckets_used, e.exact_distinct,
+             (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+               / (CAST(s.s_int AS DOUBLE) / power(2.0, 51)
+                  + CAST(1024 - s.buckets_used AS DOUBLE)) AS e_raw
+      FROM sums s JOIN ex e ON e.source = s.source
+    ),
+    fin AS (
+      SELECT source, exact_distinct, buckets_used,
+             CASE WHEN e_raw <= 2560.0 AND buckets_used < 1024
+                  THEN 1024.0 * ln(1024.0 / CAST(1024 - buckets_used AS DOUBLE))
+                  ELSE e_raw END AS estimate
+      FROM est
+    )
+    SELECT source, exact_distinct, buckets_used,
+           round(estimate, 6) AS hll_estimate,
+           round(abs(estimate - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+    FROM fin ORDER BY source
+    """,
+    description="HyperLogLog approximate distinct-token count per "
+    "source, graded against the exact count (Flajolet et al. 2007: "
+    "m=1024 registers, bucket = low 10 bits of a 60-bit md5-derived "
+    "hash, register = max leading-zero rank of the remaining 50 bits, "
+    "linear-counting fallback below 2.5m). This is the 100 TB "
+    "count-distinct story: the sketch path shuffles only (source x "
+    "1024) register rows with map-side partial max -- no distinct "
+    "shuffle of the token universe -- while the exact column (the "
+    "expensive path the sketch replaces) is computed here solely as "
+    "the graded ground truth, the same recall-grading pattern as "
+    "ivf_recall_at_k. Register sums stay in integer arithmetic "
+    "(sum of 1<<(51-r), order-independent) so both engines agree "
+    "bit-for-bit; the only floats are the final estimate expression. "
+    "Rank extraction is pure Catalyst (bin/length/shiftright), no "
+    "Python.",
+    tags=("text", "sketch", "approx", "curation"),
+)
+def hll_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.skew import spread_to_session_width
+    from github_miner_spark.functions.text import token_hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    # hash once, reuse for both the sketch and the exact ground truth
+    # (lazy checkpoint: one tokenize+explode pass, two consumers)
+    tok = (
+        spread_to_session_width(docs)
+        .select("source", tokenize(F.col("text")).alias("toks"))
+        .select("source", F.explode("toks").alias("tok"))
+        .select("source", "tok", token_hash60(F.col("tok")).alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    w = F.shiftright(F.col("h"), 10)
+    rho = F.when(w == F.lit(0), F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.bin(w))
+    )
+    regs = (
+        tok.select(
+            "source",
+            F.col("h").bitwiseAND(F.lit(1023)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    # integer register sum: sum(2^(51-r)) is exact and order-free,
+    # unlike a float sum of 2^-r whose 61-bit span rounds
+    sums = regs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("buckets_used"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(51 - r as int))")).alias(
+            "s_int"
+        ),
+    )
+    ex = tok.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    alpha_mm = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+        * F.lit(1024.0)
+        * F.lit(1024.0)
+    )
+    denom = F.col("s_int").cast("double") / F.pow(F.lit(2.0), F.lit(51)) + (
+        F.lit(1024) - F.col("buckets_used")
+    ).cast("double")
+    est = sums.join(ex, "source").withColumn("e_raw", alpha_mm / denom)
+    estimate = F.when(
+        (F.col("e_raw") <= F.lit(2560.0)) & (F.col("buckets_used") < F.lit(1024)),
+        F.lit(1024.0)
+        * F.log(
+            F.lit(1024.0) / (F.lit(1024) - F.col("buckets_used")).cast("double")
+        ),
+    ).otherwise(F.col("e_raw"))
+    return (
+        est.select(
+            "source",
+            "exact_distinct",
+            "buckets_used",
+            F.round(estimate, 6).alias("hll_estimate"),
+            F.round(
+                F.abs(estimate - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "source_unigram_kl",
+    oracle=f"""
+    WITH t AS (SELECT source, {DUCK_TOKENS} AS toks FROM documents),
+    uni AS (SELECT source, unnest(toks) AS tok FROM t),
+    kh AS (
+      SELECT source, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS kh FROM uni
+    ),
+    cst AS (SELECT source, kh, count(*) AS c_st FROM kh GROUP BY source, kh),
+    en AS (
+      SELECT source, kh, c_st,
+             sum(c_st) OVER (PARTITION BY kh) AS c_t,
+             sum(c_st) OVER (PARTITION BY source) AS tot_s
+      FROM cst
+    ),
+    tot AS (SELECT CAST(sum(c_st) AS DOUBLE) AS tot FROM cst),
+    terms AS (
+      SELECT source, c_st,
+             (c_st / tot_s) AS q,
+             (c_t / (SELECT tot FROM tot)) AS p
+      FROM en
+    )
+    SELECT source,
+           CAST(sum(c_st) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_types,
+           round(sum(q * ln(q / p)), 6) AS kl_nats,
+           round(-sum(q * ln(p)), 6) AS cross_entropy_nats,
+           round(-sum(q * ln(q)), 6) AS entropy_nats
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    description="Per-source unigram distribution divergence from the "
+    "corpus: KL(source || corpus), cross-entropy and entropy in nats "
+    "-- the domain-shift diagnostic run before fixing a pretraining "
+    "mixture (a source whose KL is high is under-represented by the "
+    "corpus-level tokenizer/LM and needs its own mixture weight). The "
+    "corpus marginal is NOT a second corpus scan: both it and the "
+    "per-source totals are window sums over the (source, token) count "
+    "relation, which is vocabulary-sized, and every key that shuffles "
+    "is an 8-byte md5-derived hash (token text never moves after the "
+    "map-side hash, the doc_kneser_ney_scores discipline). At 100 TB "
+    "the corpus-scale work is one explode + one keyed rollup; the "
+    "model algebra rides on the rollup output.",
+    tags=("text", "curation", "mixture", "lm"),
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from github_miner_spark.functions.skew import spread_to_session_width
+    from github_miner_spark.functions.text import token_hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    tokh = (
+        spread_to_session_width(docs)
+        .select("source", tokenize(F.col("text")).alias("toks"))
+        .select("source", F.explode("toks").alias("tok"))
+        .select("source", token_hash60(F.col("tok")).alias("kh"))
+    )
+    # (source, token-hash) counts: the ONLY corpus-scale aggregation;
+    # lazily checkpointed so the two windows and the scalar total all
+    # reuse the vocabulary-sized rollup instead of re-exploding
+    cst = (
+        tokh.groupBy("source", "kh")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
+    en = cst.withColumn(
+        "c_t", F.sum("c_st").over(Window.partitionBy("kh"))
+    ).withColumn("tot_s", F.sum("c_st").over(Window.partitionBy("source")))
+    tot = cst.agg(F.sum("c_st").cast("double").alias("tot"))
+    terms = en.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c_st",
+        (F.col("c_st") / F.col("tot_s")).alias("q"),
+        (F.col("c_t") / F.col("tot")).alias("p"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("c_st").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab_types"),
+            F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias(
+                "kl_nats"
+            ),
+            F.round(-F.sum(F.col("q") * F.log(F.col("p"))), 6).alias(
+                "cross_entropy_nats"
+            ),
+            F.round(-F.sum(F.col("q") * F.log(F.col("q"))), 6).alias(
+                "entropy_nats"
+            ),
+        )
+        .orderBy("source")
+    )

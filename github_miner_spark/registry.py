@@ -112,6 +112,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "weighted_shortest_distances",
     "span_corruption_plan",
     "vocab_coverage_stats",
+    "hll_vocab_estimates",
+    "source_unigram_kl",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -130,8 +132,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (d) witness refresh: oldest green rows (r02/r03) + one rep ----
     #    per family not already covered above
     "pricing_summary",
-    "scalar_function_showcase",
-    "label_histogram",
+    # (scalar_function_showcase / label_histogram rotated out to make
+    # room for the two closing sketch/divergence registrations — their
+    # implementations are untouched since r2/r3 and their families keep
+    # other rows in this window)
     "top_dependants_modules",
     "degree_breakdown",
     "one_hop_neighborhood",

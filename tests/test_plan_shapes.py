@@ -409,3 +409,16 @@ def test_q2_min_is_decorrelated(spark):
     assert "Join" in plan
     assert re.search(r"Keys \[2\]: \[l_partkey[^\]]*l_suppkey", plan), "derived relation agg missing"
     assert re.search(r"Keys \[1\]: \[l_partkey[^\]]*\]", plan), "decorrelated per-part min missing"
+
+
+def test_sketch_divergence_additions_no_allpairs(spark):
+    """The HLL sketch is two keyed rollups (register max, register
+    sum) plus a 20-row source join; the KL model is one keyed rollup
+    with two window sums — the only cross join either runs is the
+    broadcast one-row corpus total. Never a CartesianProduct."""
+    for name in (
+        "hll_vocab_estimates",
+        "source_unigram_kl",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
