@@ -1240,3 +1240,117 @@ def betweenness_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("module_id")
     )
+
+def _walks_oracle_sql(steps: int = 4) -> str:
+    """Unrolled deterministic-walk oracle: one CTE per step, each
+    picking the out-neighbor minimizing the 60-bit md5-derived score
+    (the same portable hash the Spark side computes map-side)."""
+    ctes = [
+        """
+    , s0 AS (
+      SELECT start, seed, start AS cur, CAST(start AS VARCHAR) AS path,
+             0 AS depth
+      FROM (SELECT DISTINCT src AS start FROM mm_edges),
+           (SELECT unnest([0, 1]) AS seed)
+    )"""
+    ]
+    for i in range(1, steps + 1):
+        ctes.append(f"""
+    , s{i} AS (
+      SELECT start, seed,
+             CASE WHEN m IS NULL THEN cur ELSE m.d END AS cur,
+             CASE WHEN m IS NULL THEN path
+                  ELSE path || '->' || CAST(m.d AS VARCHAR) END AS path,
+             depth + CASE WHEN m IS NULL THEN 0 ELSE 1 END AS depth
+      FROM (
+        SELECT s.start, s.seed, s.cur, s.path, s.depth,
+               min(CASE WHEN e.dst IS NOT NULL THEN
+                   {{'s': ('0x' || substr(md5(concat_ws('|', s.seed, {i},
+                           s.start, e.dst)), 1, 15))::BIGINT,
+                    'd': e.dst}} END) AS m
+        FROM s{i - 1} s LEFT JOIN mm_edges e ON e.src = s.cur
+        GROUP BY s.start, s.seed, s.cur, s.path, s.depth
+      )
+    )""")
+    tail = f"""
+    SELECT start AS start_module, seed, depth, cur AS terminal, path
+    FROM s{steps} ORDER BY start_module, seed
+    """
+    return "".join(ctes) + tail
+
+
+@register(
+    "deterministic_random_walks",
+    oracle=GRAPH_ORACLE_CTES + _walks_oracle_sql(),
+    description="Node2vec-style walk-corpus generation over the module "
+    "dependency graph: two fixed-length (4-step) walks from every "
+    "module with out-edges, where each step follows the out-neighbor "
+    "minimizing a 60-bit md5 score of (seed, step, walk-start, "
+    "candidate) -- 'random' walks that are bit-reproducible across "
+    "engines, runs and task retries, which is what a training "
+    "pipeline actually wants from its embedding-prep corpus (GraphSAGE"
+    "/DeepWalk sampling without a seed-distribution service). Walks "
+    "that hit a sink stop and carry their reached depth. Scale shape: "
+    "per-step state is ONE ROW per walk; the candidate expansion is a "
+    "walk-state x edges equi-join on 8-byte keys whose edge-side "
+    "exchange Spark reuses across all four steps, and the per-walk "
+    "argmin is a map-side-combinable min(struct(score, dst)) -- no "
+    "window, no sort, no driver state. The oracle unrolls the four "
+    "steps as chained CTEs with the identical hash.",
+    tags=("graph", "algorithm", "walks", "embedding-prep"),
+)
+def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_hash60
+
+    mm = load_graph(spark, sf_dir).module_dep_edges()
+    e = mm.select("src", "dst")
+    starts = e.select(F.col("src").alias("start")).distinct()
+    state = starts.select(
+        "start", F.explode(F.array(F.lit(0), F.lit(1))).alias("seed")
+    ).select(
+        "start",
+        "seed",
+        F.col("start").alias("cur"),
+        F.col("start").cast("string").alias("path"),
+        F.lit(0).alias("depth"),
+    )
+    for i in range(1, 5):
+        j = state.join(e, state["cur"] == e["src"], "left")
+        score = token_hash60(
+            F.concat_ws(
+                "|", F.col("seed"), F.lit(i), F.col("start"), F.col("dst")
+            )
+        )
+        picked = j.groupBy("start", "seed", "cur", "path", "depth").agg(
+            F.min(
+                F.when(
+                    F.col("dst").isNotNull(),
+                    F.struct(score.alias("s"), F.col("dst").alias("d")),
+                )
+            ).alias("m")
+        )
+        state = picked.select(
+            "start",
+            "seed",
+            F.when(F.col("m").isNull(), F.col("cur"))
+            .otherwise(F.col("m.d"))
+            .alias("cur"),
+            F.when(F.col("m").isNull(), F.col("path"))
+            .otherwise(
+                F.concat(
+                    F.col("path"), F.lit("->"), F.col("m.d").cast("string")
+                )
+            )
+            .alias("path"),
+            (
+                F.col("depth")
+                + F.when(F.col("m").isNull(), F.lit(0)).otherwise(F.lit(1))
+            ).alias("depth"),
+        )
+    return state.select(
+        F.col("start").alias("start_module"),
+        "seed",
+        "depth",
+        F.col("cur").alias("terminal"),
+        "path",
+    ).orderBy("start_module", "seed")

@@ -651,3 +651,110 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.withColumn("ma24", F.round(F.avg("n_events").over(w), 6))
         .orderBy("event_type", "hour_ts")
     )
+
+@register(
+    "events_ks_drift",
+    oracle="""
+    WITH mm AS (
+      SELECT min(epoch_us(ts)) + max(epoch_us(ts)) AS mnmx FROM events
+    ),
+    sided AS (
+      SELECT event_type, value,
+             CASE WHEN epoch_us(ts) * 2 < (SELECT mnmx FROM mm)
+                  THEN 1 ELSE 0 END AS early
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type, value,
+             CAST(sum(early) AS BIGINT) AS ca,
+             CAST(count(*) - sum(early) AS BIGINT) AS cb
+      FROM sided GROUP BY event_type, value
+    ),
+    run AS (
+      SELECT event_type, value, ca, cb,
+             sum(ca) OVER (PARTITION BY event_type) AS tota,
+             sum(cb) OVER (PARTITION BY event_type) AS totb,
+             sum(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
+             sum(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
+             sum(value * ca) OVER (PARTITION BY event_type) AS sva,
+             sum(value * cb) OVER (PARTITION BY event_type) AS svb
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(max(tota) AS BIGINT) AS n_early,
+           CAST(max(totb) AS BIGINT) AS n_late,
+           round(max(abs(cuma / tota - cumb / totb)), 6) AS ks_stat,
+           round(max(svb / totb) - max(sva / tota), 6) AS mean_shift
+    FROM run
+    WHERE tota > 0 AND totb > 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    description="Two-sample Kolmogorov-Smirnov drift per event type: "
+    "split the stream at its midpoint timestamp (exact integer "
+    "microsecond-epoch compare, no interval arithmetic) and report "
+    "the KS statistic max|F_early - F_late| plus the mean shift of "
+    "the value distribution -- the data-drift gate run before "
+    "trusting a new ingestion batch in a training mixture. The CDFs "
+    "live on the GROUPED value support: one corpus-scale keyed "
+    "rollup to (event_type, value) counts, then window cumulative "
+    "sums over that much smaller relation -- integer counts "
+    "cumulate exactly, so both engines agree on every CDF step. "
+    "Types empty on either side are excluded identically (the "
+    "tota/totb guard). At 100 TB the rollup is the only shuffle of "
+    "event-scale data; the per-type windows run over the distinct-"
+    "value relation.",
+    tags=("events", "drift", "curation", "window-agg"),
+)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))).alias("mnmx")
+    )
+    sided = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        "value",
+        F.when(F.unix_micros("ts") * 2 < F.col("mnmx"), 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    cnt = sided.groupBy("event_type", "value").agg(
+        F.sum("early").cast("bigint").alias("ca"),
+        (F.count("*") - F.sum("early")).cast("bigint").alias("cb"),
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("value")
+    run = cnt.select(
+        "event_type",
+        "value",
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("tota"),
+        F.sum("cb").over(wt).alias("totb"),
+        F.sum("ca").over(wo).alias("cuma"),
+        F.sum("cb").over(wo).alias("cumb"),
+        F.sum(F.col("value") * F.col("ca")).over(wt).alias("sva"),
+        F.sum(F.col("value") * F.col("cb")).over(wt).alias("svb"),
+    )
+    return (
+        run.filter((F.col("tota") > 0) & (F.col("totb") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("tota").cast("bigint").alias("n_early"),
+            F.max("totb").cast("bigint").alias("n_late"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cuma") / F.col("tota")
+                        - F.col("cumb") / F.col("totb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.round(
+                F.max(F.col("svb") / F.col("totb"))
+                - F.max(F.col("sva") / F.col("tota")),
+                6,
+            ).alias("mean_shift"),
+        )
+        .orderBy("event_type")
+    )

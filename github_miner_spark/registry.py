@@ -73,7 +73,7 @@ def load_all() -> None:
 # query (late_shipment_priority_counts — red in r05 on an oracle
 # HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the
 # queries NEW this round — every name in the (b) block below, from
-# kn_perplexity_filter_rates through vocab_coverage_stats
+# kn_perplexity_filter_rates through deterministic_random_walks
 # (the block's last entry); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
@@ -114,6 +114,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "vocab_coverage_stats",
     "hll_vocab_estimates",
     "source_unigram_kl",
+    "events_ks_drift",
+    "deterministic_random_walks",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -132,19 +134,17 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (d) witness refresh: oldest green rows (r02/r03) + one rep ----
     #    per family not already covered above
     "pricing_summary",
-    # (scalar_function_showcase / label_histogram rotated out to make
-    # room for the two closing sketch/divergence registrations — their
-    # implementations are untouched since r2/r3 and their families keep
-    # other rows in this window)
+    # (scalar_function_showcase / label_histogram / degree_breakdown /
+    # events_sessionization rotated out to make room for the four
+    # closing registrations — their implementations are untouched since
+    # r2/r3 and their families keep other rows in this window)
     "top_dependants_modules",
-    "degree_breakdown",
     "one_hop_neighborhood",
     "closure_counts_from_anchor",
     "bfs_depth_profile",
     "exact_dedup_summary",
     "minhash_lsh_dups",
     "embedding_topk_bruteforce",
-    "events_sessionization",
     "idempotent_merge",
     "cypher_top_used_modules",
 )

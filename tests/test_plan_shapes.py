@@ -422,3 +422,16 @@ def test_sketch_divergence_additions_no_allpairs(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_drift_walks_additions_no_allpairs(spark):
+    """KS drift is one event-scale rollup + per-type windows over the
+    grouped value support (its only cross join is the broadcast
+    one-row midpoint); the walk generator is four state-x-edges
+    equi-joins with map-side struct-argmin. Never a CartesianProduct."""
+    for name in (
+        "events_ks_drift",
+        "deterministic_random_walks",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
