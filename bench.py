@@ -92,6 +92,14 @@ HEADLINE = [
     "weighted_shortest_distances",
     "span_corruption_plan",
     "vocab_coverage_stats",
+    # round-6 close: the HLL sketch, the KL divergence report, the KS
+    # drift gate and the walk generator join the regression watch
+    "hll_vocab_estimates",
+    "source_unigram_kl",
+    "events_ks_drift",
+    "deterministic_random_walks",
+    "cms_heavy_hitter_estimates",
+    "binned_quantile_estimates",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with

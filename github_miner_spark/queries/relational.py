@@ -1593,3 +1593,152 @@ def important_stock_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p_partkey"), "value")
         .orderBy(F.desc("value"), "p_partkey")
     )
+
+@register(
+    "binned_quantile_estimates",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS g, min(l_extendedprice) AS mn,
+             max(l_extendedprice) AS mx,
+             CAST(count(*) AS BIGINT) AS n,
+             (max(l_extendedprice) - min(l_extendedprice)) / 1024.0 AS w
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    binned AS (
+      SELECT l.l_returnflag AS g,
+             least(CAST(floor((l.l_extendedprice - b.mn) / b.w) AS INTEGER),
+                   1023) AS bin
+      FROM lineitem l JOIN b ON b.g = l.l_returnflag
+    ),
+    cnt AS (
+      SELECT g, bin, CAST(count(*) AS BIGINT) AS bc FROM binned GROUP BY g, bin
+    ),
+    cum AS (
+      SELECT g, bin, bc,
+             CAST(sum(bc) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cm
+      FROM cnt
+    ),
+    qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q),
+    crossing AS (
+      SELECT c.g, qs.q,
+             b.mn + (CAST(c.bin AS DOUBLE)
+                     + (qs.q * b.n - CAST(c.cm - c.bc AS DOUBLE)) / CAST(c.bc AS DOUBLE))
+                    * b.w AS est
+      FROM cum c JOIN b ON b.g = c.g, qs
+      WHERE CAST(c.cm - c.bc AS DOUBLE) < qs.q * b.n
+        AND CAST(c.cm AS DOUBLE) >= qs.q * b.n
+    ),
+    piv AS (
+      SELECT g,
+             round(max(CASE WHEN q = 0.5 THEN est END), 6) AS p50_est,
+             round(max(CASE WHEN q = 0.95 THEN est END), 6) AS p95_est,
+             round(max(CASE WHEN q = 0.99 THEN est END), 6) AS p99_est
+      FROM crossing GROUP BY g
+    ),
+    exact AS (
+      SELECT l_returnflag AS g,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+             round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+             round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT b.g AS l_returnflag, b.n AS n_rows,
+           p.p50_est, e.p50_exact, p.p95_est, e.p95_exact,
+           p.p99_est, e.p99_exact
+    FROM b JOIN piv p ON p.g = b.g JOIN exact e ON e.g = b.g
+    ORDER BY l_returnflag
+    """,
+    description="Fixed-bin (equi-width, 1024-bin) streaming quantile "
+    "sketch per group, graded against the exact interpolated "
+    "percentile -- the sketch family's rank member beside the HLL "
+    "cardinality and count-min frequency sketches. The sketch path is "
+    "how P50/P95/P99 run at 100 TB: one scan to per-group bounds "
+    "(broadcast 3-row aggregate), one scan into (group, bin) integer "
+    "counts -- mergeable, map-side-combinable, no per-group sort -- "
+    "then the quantile read-back is a cumulative window over the "
+    "<=1024-row-per-group histogram with exact-integer crossing "
+    "detection and linear interpolation inside the crossing bin. The "
+    "exact columns (a full sort per group, the cost the sketch "
+    "avoids) are computed solely as graded ground truth. Estimates "
+    "land within one bin width of exact; every count is integer so "
+    "the crossing choice is bit-identical across engines.",
+    tags=("relational", "sketch", "approx", "quantiles"),
+)
+def binned_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    x = F.col("l_extendedprice")
+    b = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+        F.count("*").cast("bigint").alias("n"),
+        ((F.max(x) - F.min(x)) / F.lit(1024.0)).alias("w"),
+    )
+    binned = li.join(
+        F.broadcast(b), li["l_returnflag"] == b["g"]
+    ).select(
+        "g",
+        F.least(
+            F.floor((x - F.col("mn")) / F.col("w")).cast("int"), F.lit(1023)
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("g", "bin").agg(F.count("*").cast("bigint").alias("bc"))
+    from pyspark.sql import Window
+
+    cum = cnt.select(
+        "g",
+        "bin",
+        "bc",
+        F.sum("bc")
+        .over(Window.partitionBy("g").orderBy("bin"))
+        .cast("bigint")
+        .alias("cm"),
+    )
+    qs = F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("q")
+    target = F.col("q") * F.col("n")
+    crossing = (
+        cum.join(F.broadcast(b.select("g", "mn", "n", "w")), "g")
+        .select("g", "bin", "bc", "cm", "mn", "n", "w", qs)
+        .filter(
+            ((F.col("cm") - F.col("bc")).cast("double") < target)
+            & (F.col("cm").cast("double") >= target)
+        )
+        .select(
+            "g",
+            "q",
+            (
+                F.col("mn")
+                + (
+                    F.col("bin").cast("double")
+                    + (target - (F.col("cm") - F.col("bc")).cast("double"))
+                    / F.col("bc").cast("double")
+                )
+                * F.col("w")
+            ).alias("est"),
+        )
+    )
+    piv = crossing.groupBy("g").agg(
+        F.round(F.max(F.when(F.col("q") == 0.5, F.col("est"))), 6).alias("p50_est"),
+        F.round(F.max(F.when(F.col("q") == 0.95, F.col("est"))), 6).alias("p95_est"),
+        F.round(F.max(F.when(F.col("q") == 0.99, F.col("est"))), 6).alias("p99_est"),
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("g")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_exact"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99_exact"),
+    )
+    return (
+        b.select("g", "n")
+        .join(piv, "g")
+        .join(exact, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").alias("n_rows"),
+            "p50_est",
+            "p50_exact",
+            "p95_est",
+            "p95_exact",
+            "p99_est",
+            "p99_exact",
+        )
+        .orderBy("l_returnflag")
+    )

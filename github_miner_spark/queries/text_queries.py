@@ -1272,3 +1272,93 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+@register(
+    "cms_heavy_hitter_estimates",
+    oracle=f"""
+    WITH t AS (SELECT {DUCK_TOKENS} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    tfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    rows_j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cms AS (
+      SELECT j,
+             ('0x' || substr(md5(concat_ws('|', j, tok)), 1, 15))::BIGINT
+               & 1023 AS bucket,
+             CAST(sum(c) AS BIGINT) AS bc
+      FROM tfreq, rows_j
+      GROUP BY 1, 2
+    ),
+    top20 AS (
+      SELECT tok, c FROM tfreq ORDER BY c DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT t.tok, t.c, r.j,
+             ('0x' || substr(md5(concat_ws('|', r.j, t.tok)), 1, 15))::BIGINT
+               & 1023 AS bucket
+      FROM top20 t, rows_j r
+    )
+    SELECT p.tok AS token,
+           CAST(max(p.c) AS BIGINT) AS exact_count,
+           CAST(min(m.bc) AS BIGINT) AS cms_estimate,
+           CAST(min(m.bc) - max(p.c) AS BIGINT) AS overestimate
+    FROM probes p JOIN cms m ON m.j = p.j AND m.bucket = p.bucket
+    GROUP BY p.tok
+    ORDER BY exact_count DESC, token
+    """,
+    description="Count-min sketch heavy-hitter estimation (Cormode & "
+    "Muthukrishnan 2005): a d=4 x w=1024 counter table keyed by four "
+    "independent md5-derived hashes, read back for the exact top-20 "
+    "tokens with the min-over-rows estimate and its (provably "
+    "non-negative) overestimate. The sketch family's frequency "
+    "counterpart to hll_vocab_estimates' cardinality: at 100 TB the "
+    "counter table is 4096 rows built from the vocabulary-sized "
+    "frequency rollup (the ONLY corpus-scale shuffle is that one "
+    "keyed rollup), and every count is integer arithmetic, so both "
+    "engines agree bit-for-bit -- estimates, not just invariants. "
+    "The top-k read-back is a TakeOrderedAndProject probe set joined "
+    "against the 4096-row table.",
+    tags=("text", "sketch", "approx", "heavy-hitters"),
+)
+def cms_heavy_hitter_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.skew import spread_to_session_width
+    from github_miner_spark.functions.text import token_hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    tfreq = (
+        spread_to_session_width(docs)
+        .select(tokenize(F.col("text")).alias("toks"))
+        .select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rows_j = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    bucket = token_hash60(
+        F.concat_ws("|", F.col("j"), F.col("tok"))
+    ).bitwiseAND(F.lit(1023))
+    cms = (
+        tfreq.select("tok", "c", rows_j)
+        .select("c", "j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("bc"))
+    )
+    top20 = tfreq.orderBy(F.desc("c"), "tok").limit(20)
+    probes = top20.select("tok", "c", rows_j).select(
+        "tok", "c", "j", bucket.alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.max("c").cast("bigint").alias("exact_count"),
+            F.min("bc").cast("bigint").alias("cms_estimate"),
+            (F.min("bc") - F.max("c")).cast("bigint").alias("overestimate"),
+        )
+        .select(
+            F.col("tok").alias("token"),
+            "exact_count",
+            "cms_estimate",
+            "overestimate",
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )

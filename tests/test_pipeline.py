@@ -236,3 +236,121 @@ def test_logreg_gd_learns_separable_labels(spark):
     a3, a6 = acc(3), acc(6)
     assert a3 > 0.5
     assert a6 >= a3
+
+
+def test_hll_estimate_within_sketch_error_band(spark):
+    """m=1024 registers -> sigma ~ 1.04/sqrt(1024) ~ 3.25%; every
+    per-source estimate must land within a generous 5-sigma band of
+    the exact count (a both-engines-wrong guard the oracle parity
+    cannot give), and the linear-counting small-range fallback must
+    keep estimates strictly positive."""
+    from github_miner_spark.queries.text_queries import hll_vocab_estimates
+
+    rows = hll_vocab_estimates(spark, SF).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r.exact_distinct > 0
+        assert r.hll_estimate > 0
+        assert r.rel_error < 0.17, (r.source, r.rel_error)
+
+
+def test_source_unigram_kl_information_identities(spark):
+    """Gibbs: KL >= 0; cross-entropy decomposes as H(q) + KL(q||p)
+    (up to the 6dp output rounding); entropy is non-negative."""
+    from github_miner_spark.queries.text_queries import source_unigram_kl
+
+    rows = source_unigram_kl(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_nats >= 0, r
+        assert r.entropy_nats >= 0, r
+        assert abs(r.cross_entropy_nats - (r.entropy_nats + r.kl_nats)) < 1e-4, r
+
+
+def test_events_ks_drift_bounds_and_totals(spark):
+    """KS statistic lives in [0, 1]; the side split partitions each
+    type's rows exactly (n_early + n_late == per-type count)."""
+    from github_miner_spark.io.tables import load_table
+    from github_miner_spark.queries.events_queries import events_ks_drift
+
+    out = {r.event_type: r for r in events_ks_drift(spark, SF).collect()}
+    assert out
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, "events", SF)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for t, r in out.items():
+        assert 0.0 <= r.ks_stat <= 1.0, r
+        assert r.n_early + r.n_late == totals[t], r
+
+
+def test_random_walks_follow_real_edges(spark):
+    """Every consecutive pair in every emitted path must be a real
+    module-dependency edge, depth must equal len(path)-1, and the two
+    seeds must produce at least one divergent walk (the determinism
+    the hash provides must still be seed-sensitive)."""
+    from github_miner_spark.graph.store import load_graph
+    from github_miner_spark.queries.algorithms_queries import (
+        deterministic_random_walks,
+    )
+
+    edges = {
+        (r.src, r.dst)
+        for r in load_graph(spark, SF).module_dep_edges().select("src", "dst").collect()
+    }
+    rows = deterministic_random_walks(spark, SF).collect()
+    assert rows
+    diverged = False
+    by_start: dict[int, set[str]] = {}
+    for r in rows:
+        ids = [int(x) for x in r.path.split("->")]
+        assert ids[0] == r.start_module
+        assert len(ids) - 1 == r.depth, r
+        assert ids[-1] == r.terminal
+        for a, b in zip(ids, ids[1:]):
+            assert (a, b) in edges, (a, b)
+        by_start.setdefault(r.start_module, set()).add(r.path)
+    diverged = any(len(paths) > 1 for paths in by_start.values())
+    assert diverged, "all seed pairs produced identical walks"
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(spark):
+    """Count-min's one-sided error guarantee: every estimate >= exact
+    (overestimate >= 0); with 4x1024 counters vs a few-thousand-token
+    vocabulary, top-20 estimates should also stay within 2x."""
+    from github_miner_spark.queries.text_queries import cms_heavy_hitter_estimates
+
+    rows = cms_heavy_hitter_estimates(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.overestimate >= 0, r
+        assert r.cms_estimate == r.exact_count + r.overestimate
+        assert r.cms_estimate <= 2 * r.exact_count, r
+
+
+def test_binned_quantiles_within_one_bin_of_exact(spark):
+    """The equi-width sketch's error bound: each estimate must land
+    within one bin width of the exact interpolated percentile."""
+    from github_miner_spark.io.tables import load_table
+    from github_miner_spark.queries.relational import binned_quantile_estimates
+
+    li = load_table(spark, "lineitem", SF)
+    bounds = {
+        r.g: (r.mx - r.mn) / 1024.0
+        for r in li.groupBy(F.col("l_returnflag").alias("g"))
+        .agg(F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx"))
+        .collect()
+    }
+    rows = binned_quantile_estimates(spark, SF).collect()
+    assert rows
+    for r in rows:
+        w = bounds[r.l_returnflag]
+        for est, exact in (
+            (r.p50_est, r.p50_exact),
+            (r.p95_est, r.p95_exact),
+            (r.p99_est, r.p99_exact),
+        ):
+            assert abs(est - exact) <= w, (r.l_returnflag, est, exact, w)

@@ -435,3 +435,16 @@ def test_drift_walks_additions_no_allpairs(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_sketch_family_no_allpairs(spark):
+    """CMS builds its 4096-row counter table from the vocabulary
+    rollup and probes it with a broadcast top-20 set; the quantile
+    sketch is two scans + a histogram window — the only cross joins
+    are broadcast bounded frames, never a CartesianProduct."""
+    for name in (
+        "cms_heavy_hitter_estimates",
+        "binned_quantile_estimates",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
