@@ -100,6 +100,7 @@ HEADLINE = [
     "deterministic_random_walks",
     "cms_heavy_hitter_estimates",
     "binned_quantile_estimates",
+    "bloom_decontamination_prefilter",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with

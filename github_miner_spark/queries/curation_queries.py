@@ -1020,3 +1020,117 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+def _bloom_prefilter_oracle() -> str:
+    from github_miner_spark.queries.dedup_queries import DUCK_SHINGLES_CTE
+
+    return (
+        DUCK_SHINGLES_CTE
+        + f"""
+    , eval_sh AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % {EVAL_MOD} = 0),
+    train_sh AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % {EVAL_MOD} <> 0),
+    ks AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(concat_ws('|', j, shingle)), 1, 15))::BIGINT
+               & 16383 AS bit
+      FROM eval_sh, ks
+    ),
+    probes AS (
+      SELECT t.shingle, k.j,
+             ('0x' || substr(md5(concat_ws('|', k.j, t.shingle)), 1, 15))::BIGINT
+               & 16383 AS bit
+      FROM train_sh t, ks k
+    ),
+    hits AS (
+      SELECT p.shingle,
+             CASE WHEN count(b.bit) = 4 THEN 1 ELSE 0 END AS pass
+      FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.shingle
+    ),
+    truth AS (
+      SELECT h.shingle, h.pass,
+             CASE WHEN e.shingle IS NULL THEN 0 ELSE 1 END AS member
+      FROM hits h LEFT JOIN eval_sh e ON e.shingle = h.shingle
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_train_shingles,
+           CAST(sum(pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(member) AS BIGINT) AS n_true_members,
+           CAST(sum(pass) - sum(member) AS BIGINT) AS n_false_positives,
+           round((sum(pass) - sum(member))
+                 / CAST(count(*) - sum(member) AS DOUBLE), 6)
+             AS false_positive_rate,
+           round(sum(pass) / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+    FROM truth
+    """
+    )
+
+
+@register(
+    "bloom_decontamination_prefilter",
+    oracle=_bloom_prefilter_oracle(),
+    description="Bloom-filter decontamination pre-filter, graded "
+    "against exact membership: the eval split's distinct 3-gram "
+    "shingles set k=4 md5-derived bits in an m=16384-bit filter "
+    "(2 KB), and every distinct training shingle probes it -- pass "
+    "iff all four bits are set. Reports the pass/true-member/"
+    "false-positive breakdown and rates. This is the cheap first "
+    "stage the exact decontamination join (benchmark_decontamination) "
+    "runs behind at 100 TB: the filter is a BROADCAST 2 KB bitmap, "
+    "the probe is four map-side hashes per shingle, and everything "
+    "that fails is dropped before any shuffle -- with zero false "
+    "negatives by construction (a member's bits are all set), so the "
+    "exact join on survivors loses nothing. All counts are integer, "
+    "so both engines agree bit-for-bit.",
+    tags=("curation", "decontamination", "sketch", "approx"),
+)
+def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_hash60
+    from github_miner_spark.functions.text_store import load_shingle_index
+
+    idx = load_shingle_index(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = idx.filter(is_eval).select("shingle").distinct()
+    train_sh = idx.filter(~is_eval).select("shingle").distinct()
+    ks = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    bit = token_hash60(
+        F.concat_ws("|", F.col("j"), F.col("shingle"))
+    ).bitwiseAND(F.lit(16383))
+    bits = (
+        eval_sh.select("shingle", ks)
+        .select(bit.alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probes = train_sh.select("shingle", ks).select("shingle", bit.alias("bit"))
+    hits = (
+        probes.join(F.broadcast(bits), "bit", "left")
+        .groupBy("shingle")
+        .agg(
+            F.when(F.count("present") == 4, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pass")
+        )
+    )
+    truth = hits.join(
+        F.broadcast(eval_sh.withColumn("member_flag", F.lit(1))),
+        "shingle",
+        "left",
+    ).select(
+        "pass",
+        F.when(F.col("member_flag").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("member"),
+    )
+    return truth.agg(
+        F.count("*").cast("bigint").alias("n_train_shingles"),
+        F.sum("pass").cast("bigint").alias("n_bloom_pass"),
+        F.sum("member").cast("bigint").alias("n_true_members"),
+        (F.sum("pass") - F.sum("member")).cast("bigint").alias("n_false_positives"),
+        F.round(
+            (F.sum("pass") - F.sum("member"))
+            / (F.count("*") - F.sum("member")).cast("double"),
+            6,
+        ).alias("false_positive_rate"),
+        F.round(F.sum("pass") / F.count("*").cast("double"), 6).alias("pass_rate"),
+    )

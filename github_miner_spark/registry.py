@@ -73,7 +73,7 @@ def load_all() -> None:
 # query (late_shipment_priority_counts — red in r05 on an oracle
 # HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the
 # queries NEW this round — every name in the (b) block below, from
-# kn_perplexity_filter_rates through binned_quantile_estimates
+# kn_perplexity_filter_rates through bloom_decontamination_prefilter
 # (the block's last entry); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
@@ -118,6 +118,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "deterministic_random_walks",
     "cms_heavy_hitter_estimates",
     "binned_quantile_estimates",
+    "bloom_decontamination_prefilter",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -137,15 +138,14 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #    per family not already covered above
     "pricing_summary",
     # (scalar_function_showcase / label_histogram / degree_breakdown /
-    # events_sessionization / minhash_lsh_dups / embedding_topk_bruteforce
-    # rotated out to make room for the six closing registrations — their
-    # implementations are untouched this round and their families keep
-    # other rows in this window)
+    # events_sessionization / minhash_lsh_dups / embedding_topk_bruteforce /
+    # exact_dedup_summary rotated out to make room for the seven closing
+    # registrations — their implementations are untouched this round and
+    # their families keep other rows in this window)
     "top_dependants_modules",
     "one_hop_neighborhood",
     "closure_counts_from_anchor",
     "bfs_depth_profile",
-    "exact_dedup_summary",
     "idempotent_merge",
     "cypher_top_used_modules",
 )

@@ -354,3 +354,19 @@ def test_binned_quantiles_within_one_bin_of_exact(spark):
             (r.p99_est, r.p99_exact),
         ):
             assert abs(est - exact) <= w, (r.l_returnflag, est, exact, w)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom's structural guarantee: every true member passes the
+    filter (pass count >= member count, so the exact join on
+    survivors loses nothing), and the false-positive rate stays far
+    below the ~(fill)^4 ceiling for a 16384-bit filter."""
+    from github_miner_spark.queries.curation_queries import (
+        bloom_decontamination_prefilter,
+    )
+
+    r = bloom_decontamination_prefilter(spark, SF).collect()[0]
+    assert r.n_bloom_pass >= r.n_true_members, r
+    assert r.n_false_positives == r.n_bloom_pass - r.n_true_members
+    assert 0.0 <= r.false_positive_rate < 0.2, r
+    assert r.n_train_shingles > 0

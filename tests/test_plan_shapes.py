@@ -448,3 +448,12 @@ def test_sketch_family_no_allpairs(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_prefilter_broadcasts_bits(spark):
+    """The Bloom probe must be a broadcast join against the <=16384-row
+    bit table (2 KB at 100 TB), never a shuffle of the corpus side on
+    the bit key and never a CartesianProduct."""
+    plan = _plan(spark, "bloom_decontamination_prefilter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
