@@ -101,6 +101,7 @@ HEADLINE = [
     "cms_heavy_hitter_estimates",
     "binned_quantile_estimates",
     "bloom_decontamination_prefilter",
+    "node2vec_biased_walks",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with

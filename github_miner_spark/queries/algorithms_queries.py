@@ -1354,3 +1354,152 @@ def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur").alias("terminal"),
         "path",
     ).orderBy("start_module", "seed")
+
+def _node2vec_oracle_sql(steps: int = 4) -> str:
+    """Unrolled second-order biased-walk oracle: per step, candidates
+    draw a 56-bit uniform u and are picked by argmin of u * factor,
+    where factor encodes node2vec's p/q bias (p=4, q=1/4 -> integer
+    factors: return 16, distance-1 4, distance-2 1). Step 1 has no
+    previous node and draws uniformly."""
+    ctes = [
+        """
+    , n0 AS (
+      SELECT start, seed, start AS prev, start AS cur,
+             CAST(start AS VARCHAR) AS path, 0 AS depth
+      FROM (SELECT DISTINCT src AS start FROM mm_edges),
+           (SELECT unnest([0, 1]) AS seed)
+    )"""
+    ]
+    for i in range(1, steps + 1):
+        if i == 1:
+            factor = "1"
+            adj_join = ""
+        else:
+            factor = (
+                "CASE WHEN e.dst = s.prev THEN 16 "
+                "WHEN a.dst IS NOT NULL THEN 4 ELSE 1 END"
+            )
+            adj_join = (
+                "LEFT JOIN mm_edges a ON a.src = s.prev AND a.dst = e.dst"
+            )
+        ctes.append(f"""
+    , n{i} AS (
+      SELECT start, seed,
+             CASE WHEN m IS NULL THEN prev ELSE cur END AS prev,
+             CASE WHEN m IS NULL THEN cur ELSE m.d END AS cur,
+             CASE WHEN m IS NULL THEN path
+                  ELSE path || '->' || CAST(m.d AS VARCHAR) END AS path,
+             depth + CASE WHEN m IS NULL THEN 0 ELSE 1 END AS depth
+      FROM (
+        SELECT s.start, s.seed, s.prev, s.cur, s.path, s.depth,
+               min(CASE WHEN e.dst IS NOT NULL THEN
+                   {{'s': ('0x' || substr(md5(concat_ws('|', s.seed, {i},
+                           s.start, e.dst)), 1, 14))::BIGINT * ({factor}),
+                    'd': e.dst}} END) AS m
+        FROM n{i - 1} s LEFT JOIN mm_edges e ON e.src = s.cur
+        {adj_join}
+        GROUP BY s.start, s.seed, s.prev, s.cur, s.path, s.depth
+      )
+    )""")
+    tail = f"""
+    SELECT start AS start_module, seed, depth, cur AS terminal, path
+    FROM n{steps} ORDER BY start_module, seed
+    """
+    return "".join(ctes) + tail
+
+
+@register(
+    "node2vec_biased_walks",
+    oracle=GRAPH_ORACLE_CTES + _node2vec_oracle_sql(),
+    description="Second-order (node2vec, Grover & Leskovec 2016) "
+    "biased walks over the module graph: like "
+    "deterministic_random_walks but each step weights candidates by "
+    "the p/q scheme (return parameter p=4 discourages backtracking, "
+    "in-out q=1/4 encourages exploration) using distance from the "
+    "PREVIOUS node -- return / distance-1 / distance-2 candidates "
+    "carry integer factors 16/4/1 and the pick is argmin of a 56-bit "
+    "md5 uniform times the factor, so lower-weight moves win "
+    "proportionally less often while staying bit-reproducible across "
+    "engines, runs and retries (weighted sampling without floats or "
+    "a seed service; 56-bit x 16 stays inside BIGINT). The distance "
+    "classification is one extra equi-join per step against the same "
+    "reused edge exchange; state stays one row per walk and the "
+    "argmin stays a map-side min(struct). Oracle: four unrolled CTEs "
+    "with the identical hash and factor algebra.",
+    tags=("graph", "algorithm", "walks", "embedding-prep"),
+)
+def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = load_graph(spark, sf_dir).module_dep_edges()
+    e = mm.select("src", "dst")
+    adj = e.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"), F.lit(1).alias("adj")
+    )
+    starts = e.select(F.col("src").alias("start")).distinct()
+    state = starts.select(
+        "start", F.explode(F.array(F.lit(0), F.lit(1))).alias("seed")
+    ).select(
+        "start",
+        "seed",
+        F.col("start").alias("prev"),
+        F.col("start").alias("cur"),
+        F.col("start").cast("string").alias("path"),
+        F.lit(0).alias("depth"),
+    )
+    for i in range(1, 5):
+        j = state.join(e, state["cur"] == e["src"], "left")
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("seed"), F.lit(i), F.col("start"), F.col("dst")
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        if i == 1:
+            score = u * F.lit(1)
+        else:
+            j = j.join(adj, ["prev", "dst"], "left")
+            score = u * (
+                F.when(F.col("dst") == F.col("prev"), F.lit(16))
+                .when(F.col("adj").isNotNull(), F.lit(4))
+                .otherwise(F.lit(1))
+            )
+        picked = j.groupBy("start", "seed", "prev", "cur", "path", "depth").agg(
+            F.min(
+                F.when(
+                    F.col("dst").isNotNull(),
+                    F.struct(score.alias("s"), F.col("dst").alias("d")),
+                )
+            ).alias("m")
+        )
+        state = picked.select(
+            "start",
+            "seed",
+            F.when(F.col("m").isNull(), F.col("prev"))
+            .otherwise(F.col("cur"))
+            .alias("prev"),
+            F.when(F.col("m").isNull(), F.col("cur"))
+            .otherwise(F.col("m.d"))
+            .alias("cur"),
+            F.when(F.col("m").isNull(), F.col("path"))
+            .otherwise(
+                F.concat(F.col("path"), F.lit("->"), F.col("m.d").cast("string"))
+            )
+            .alias("path"),
+            (
+                F.col("depth")
+                + F.when(F.col("m").isNull(), F.lit(0)).otherwise(F.lit(1))
+            ).alias("depth"),
+        )
+    return state.select(
+        F.col("start").alias("start_module"),
+        "seed",
+        "depth",
+        F.col("cur").alias("terminal"),
+        "path",
+    ).orderBy("start_module", "seed")

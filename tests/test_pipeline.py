@@ -370,3 +370,36 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert r.n_false_positives == r.n_bloom_pass - r.n_true_members
     assert 0.0 <= r.false_positive_rate < 0.2, r
     assert r.n_train_shingles > 0
+
+
+def test_node2vec_walks_valid_and_biased(spark):
+    """Second-order walks must still follow real edges with consistent
+    depth/terminal bookkeeping, and the p/q bias must actually change
+    at least one pick relative to the first-order walker wherever the
+    topology allows a return or distance-1 move."""
+    from github_miner_spark.graph.store import load_graph
+    from github_miner_spark.queries.algorithms_queries import (
+        deterministic_random_walks,
+        node2vec_biased_walks,
+    )
+
+    edges = {
+        (r.src, r.dst)
+        for r in load_graph(spark, SF).module_dep_edges().select("src", "dst").collect()
+    }
+    rows = node2vec_biased_walks(spark, SF).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.path.split("->")]
+        assert ids[0] == r.start_module and ids[-1] == r.terminal
+        assert len(ids) - 1 == r.depth, r
+        for a, b in zip(ids, ids[1:]):
+            assert (a, b) in edges, (a, b)
+    first_order = {
+        (r.start_module, r.seed): r.path
+        for r in deterministic_random_walks(spark, SF).collect()
+    }
+    diverged = sum(
+        1 for r in rows if first_order[(r.start_module, r.seed)] != r.path
+    )
+    assert diverged > 0, "bias never changed a pick"

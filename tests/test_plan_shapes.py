@@ -457,3 +457,8 @@ def test_bloom_prefilter_broadcasts_bits(spark):
     plan = _plan(spark, "bloom_decontamination_prefilter")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_node2vec_walks_no_allpairs(spark):
+    plan = _plan(spark, "node2vec_biased_walks")
+    assert "CartesianProduct" not in plan
