@@ -37,9 +37,18 @@ def tokenize(text: Column) -> Column:
     return F.filter(F.split(cleaned, " "), lambda t: t != "")
 
 
+def md5_prefix_hash(value: Column, n_hex: int) -> Column:
+    """Portable md5-prefix hash: first ``n_hex`` hex chars as BIGINT
+    (n_hex <= 15 keeps the value inside 60 bits / positive BIGINT).
+    The ONE definition of the cross-engine hash recipe — every width
+    variant derives from it. Oracle twin:
+    ('0x' || substr(md5(v), 1, n_hex))::BIGINT."""
+    return F.conv(F.substring(F.md5(value), 1, n_hex), 16, 10).cast("bigint")
+
+
 def token_hash(token: Column) -> Column:
     """Portable 32-bit token hash: first 8 hex chars of md5 as BIGINT."""
-    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint")
+    return md5_prefix_hash(token, 8)
 
 
 def token_hashes(tokens: Column) -> Column:
@@ -47,11 +56,10 @@ def token_hashes(tokens: Column) -> Column:
 
 
 def token_hash60(token: Column) -> Column:
-    """Portable 60-bit hash: first 15 hex chars of md5 as BIGINT —
-    for sketches whose registers must agree bit-for-bit across
-    engines (HLL bucket/rank splits need more than 32 bits of
-    entropy). Oracle twin: ('0x' || substr(md5(v), 1, 15))::BIGINT."""
-    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("bigint")
+    """Portable 60-bit hash — for sketches whose registers must agree
+    bit-for-bit across engines (HLL bucket/rank splits need more than
+    32 bits of entropy)."""
+    return md5_prefix_hash(token, 15)
 
 
 def token_count(text: Column) -> Column:

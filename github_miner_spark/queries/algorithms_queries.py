@@ -1429,6 +1429,8 @@ def _node2vec_oracle_sql(steps: int = 4) -> str:
     tags=("graph", "algorithm", "walks", "embedding-prep"),
 )
 def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import md5_prefix_hash
+
     mm = load_graph(spark, sf_dir).module_dep_edges()
     e = mm.select("src", "dst")
     adj = e.select(
@@ -1447,19 +1449,12 @@ def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(1, 5):
         j = state.join(e, state["cur"] == e["src"], "left")
-        u = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.col("seed"), F.lit(i), F.col("start"), F.col("dst")
-                    )
-                ),
-                1,
-                14,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        # 14 hex chars (56 bits): the largest width whose x16 factor
+        # product stays inside positive BIGINT
+        u = md5_prefix_hash(
+            F.concat_ws("|", F.col("seed"), F.lit(i), F.col("start"), F.col("dst")),
+            14,
+        )
         if i == 1:
             score = u * F.lit(1)
         else:

@@ -1090,7 +1090,11 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
 
     idx = load_shingle_index(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    eval_sh = idx.filter(is_eval).select("shingle").distinct()
+    # eval_sh feeds BOTH the bit table and the membership-grading
+    # join; the lazy checkpoint materializes the distinct shuffle once
+    eval_sh = (
+        idx.filter(is_eval).select("shingle").distinct().localCheckpoint(eager=False)
+    )
     train_sh = idx.filter(~is_eval).select("shingle").distinct()
     ks = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
     bit = token_hash60(

@@ -676,15 +676,17 @@ def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(cb) OVER (PARTITION BY event_type) AS totb,
              sum(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
              sum(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
-             sum(value * ca) OVER (PARTITION BY event_type) AS sva,
-             sum(value * cb) OVER (PARTITION BY event_type) AS svb
+             sum(CAST(round(value * 100.0, 0) AS BIGINT) * ca)
+               OVER (PARTITION BY event_type) AS sva,
+             sum(CAST(round(value * 100.0, 0) AS BIGINT) * cb)
+               OVER (PARTITION BY event_type) AS svb
       FROM cnt
     )
     SELECT event_type,
            CAST(max(tota) AS BIGINT) AS n_early,
            CAST(max(totb) AS BIGINT) AS n_late,
            round(max(abs(cuma / tota - cumb / totb)), 6) AS ks_stat,
-           round(max(svb / totb) - max(sva / tota), 6) AS mean_shift
+           round((max(svb / totb) - max(sva / tota)) / 100.0, 6) AS mean_shift
     FROM run
     WHERE tota > 0 AND totb > 0
     GROUP BY event_type ORDER BY event_type
@@ -732,8 +734,16 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cb").over(wt).alias("totb"),
         F.sum("ca").over(wo).alias("cuma"),
         F.sum("cb").over(wo).alias("cumb"),
-        F.sum(F.col("value") * F.col("ca")).over(wt).alias("sva"),
-        F.sum(F.col("value") * F.col("cb")).over(wt).alias("svb"),
+        # the value distribution is 2-decimal by construction; summing
+        # exact integer CENTS keeps the mean-shift free of order-
+        # dependent float accumulation (the sum is bit-identical under
+        # any partitioning, matching the integer-CDF discipline above)
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint") * F.col("ca"))
+        .over(wt)
+        .alias("sva"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint") * F.col("cb"))
+        .over(wt)
+        .alias("svb"),
     )
     return (
         run.filter((F.col("tota") > 0) & (F.col("totb") > 0))
@@ -751,8 +761,11 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("ks_stat"),
             F.round(
-                F.max(F.col("svb") / F.col("totb"))
-                - F.max(F.col("sva") / F.col("tota")),
+                (
+                    F.max(F.col("svb") / F.col("totb"))
+                    - F.max(F.col("sva") / F.col("tota"))
+                )
+                / F.lit(100.0),
                 6,
             ).alias("mean_shift"),
         )

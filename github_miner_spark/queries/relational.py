@@ -1606,8 +1606,10 @@ def important_stock_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     binned AS (
       SELECT l.l_returnflag AS g,
-             least(CAST(floor((l.l_extendedprice - b.mn) / b.w) AS INTEGER),
-                   1023) AS bin
+             CASE WHEN b.w > 0
+                  THEN least(CAST(floor((l.l_extendedprice - b.mn) / b.w)
+                             AS INTEGER), 1023)
+                  ELSE 0 END AS bin
       FROM lineitem l JOIN b ON b.g = l.l_returnflag
     ),
     cnt AS (
@@ -1673,13 +1675,21 @@ def binned_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         ((F.max(x) - F.min(x)) / F.lit(1024.0)).alias("w"),
     )
+    # w == 0 (single-valued group) would make (x-mn)/w a 0/0 whose
+    # NULL-vs-NaN resolution differs across engines; such a group is
+    # all bin 0 and interpolates to est == mn exactly
     binned = li.join(
         F.broadcast(b), li["l_returnflag"] == b["g"]
     ).select(
         "g",
-        F.least(
-            F.floor((x - F.col("mn")) / F.col("w")).cast("int"), F.lit(1023)
-        ).alias("bin"),
+        F.when(
+            F.col("w") > 0,
+            F.least(
+                F.floor((x - F.col("mn")) / F.col("w")).cast("int"), F.lit(1023)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("bin"),
     )
     cnt = binned.groupBy("g", "bin").agg(F.count("*").cast("bigint").alias("bc"))
     from pyspark.sql import Window

@@ -372,34 +372,61 @@ def test_bloom_prefilter_no_false_negatives(spark):
     assert r.n_train_shingles > 0
 
 
-def test_node2vec_walks_valid_and_biased(spark):
-    """Second-order walks must still follow real edges with consistent
-    depth/terminal bookkeeping, and the p/q bias must actually change
-    at least one pick relative to the first-order walker wherever the
-    topology allows a return or distance-1 move."""
-    from github_miner_spark.graph.store import load_graph
-    from github_miner_spark.queries.algorithms_queries import (
-        deterministic_random_walks,
-        node2vec_biased_walks,
-    )
+def test_node2vec_walks_match_python_reference(spark):
+    """Full independent reference of the second-order pick, written
+    from the spec (NOT from the engine/oracle algebra): at each step
+    the candidate minimizing u * factor wins, where u is the 56-bit
+    md5 uniform and factor is 16 for a return move, 4 for a
+    distance-1 move (edge prev->cand exists), 1 otherwise. Every
+    emitted path must replay exactly — an inverted or dropped bias
+    (which oracle parity cannot see, since both sides share the
+    algebra) fails here. Also asserts the bias flips at least one
+    pick vs an unbiased replay, so the guard is not vacuous."""
+    import hashlib
 
-    edges = {
-        (r.src, r.dst)
-        for r in load_graph(spark, SF).module_dep_edges().select("src", "dst").collect()
-    }
+    from github_miner_spark.graph.store import load_graph
+    from github_miner_spark.queries.algorithms_queries import node2vec_biased_walks
+
+    edge_rows = load_graph(spark, SF).module_dep_edges().select("src", "dst").collect()
+    edges = {(r.src, r.dst) for r in edge_rows}
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+
+    def u56(seed: int, step: int, start: int, cand: int) -> int:
+        h = hashlib.md5(f"{seed}|{step}|{start}|{cand}".encode()).hexdigest()
+        return int(h[:14], 16)
+
+    def replay(start: int, seed: int, biased: bool) -> list[int]:
+        prev, cur, path = start, start, [start]
+        for step in range(1, 5):
+            cands = out.get(cur)
+            if not cands:
+                break
+            scored = []
+            for cand in cands:
+                if step == 1 or not biased:
+                    factor = 1
+                elif cand == prev:
+                    factor = 16
+                elif (prev, cand) in edges:
+                    factor = 4
+                else:
+                    factor = 1
+                scored.append((u56(seed, step, start, cand) * factor, cand))
+            _, best = min(scored)
+            prev, cur = cur, best
+            path.append(best)
+        return path
+
     rows = node2vec_biased_walks(spark, SF).collect()
     assert rows
+    bias_flipped = False
     for r in rows:
         ids = [int(x) for x in r.path.split("->")]
         assert ids[0] == r.start_module and ids[-1] == r.terminal
         assert len(ids) - 1 == r.depth, r
-        for a, b in zip(ids, ids[1:]):
-            assert (a, b) in edges, (a, b)
-    first_order = {
-        (r.start_module, r.seed): r.path
-        for r in deterministic_random_walks(spark, SF).collect()
-    }
-    diverged = sum(
-        1 for r in rows if first_order[(r.start_module, r.seed)] != r.path
-    )
-    assert diverged > 0, "bias never changed a pick"
+        assert ids == replay(r.start_module, r.seed, biased=True), r
+        if ids != replay(r.start_module, r.seed, biased=False):
+            bias_flipped = True
+    assert bias_flipped, "p/q factors never changed a pick on this graph"
