@@ -450,3 +450,114 @@ def trending_topk_stream(
             os.replace(tmp, state_path)
 
     return counts.writeStream.outputMode("update").foreachBatch(_rank)
+
+def _ks_from_binned(cnt: DataFrame) -> DataFrame:
+    """KS statistic per event type from a (event_type, bin, ca, cb)
+    count table: cumulative integer sums over the bin support, max
+    absolute CDF gap. Shared verbatim by the batch twin and every
+    streaming trigger so the two can only disagree if the counts do."""
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("bin")
+    run = cnt.select(
+        "event_type",
+        "bin",
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("tota"),
+        F.sum("cb").over(wt).alias("totb"),
+        F.sum("ca").over(wo).alias("cuma"),
+        F.sum("cb").over(wo).alias("cumb"),
+    )
+    return (
+        run.filter((F.col("tota") > 0) & (F.col("totb") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("tota").cast("bigint").alias("n_early"),
+            F.max("totb").cast("bigint").alias("n_late"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cuma") / F.col("tota") - F.col("cumb") / F.col("totb")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _binned_sides(
+    events: DataFrame, split_ts_micros: int, bin_width: float
+) -> DataFrame:
+    return events.select(
+        "event_type",
+        F.floor(F.col("value") / F.lit(bin_width)).cast("bigint").alias("bin"),
+        F.when(F.unix_micros("ts") < F.lit(split_ts_micros), 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+
+
+def ks_drift_binned(
+    events: DataFrame, split_ts_micros: int, bin_width: float = 1.0
+) -> DataFrame:
+    """Batch twin of the streaming drift monitor: two-sample KS per
+    event type between the value distributions before/after a FIXED
+    cutover timestamp, on a binned support (bin = floor(value /
+    bin_width)). The registered events_ks_drift query is the
+    exact-support, data-derived-midpoint form; this fixed-cutover
+    binned form is the one a production monitor runs, because the
+    cutover (a deploy, a new ingestion source) is known up front and
+    the binned support is what bounds streaming state."""
+    sided = _binned_sides(events, split_ts_micros, bin_width)
+    cnt = sided.groupBy("event_type", "bin").agg(
+        F.sum("early").cast("bigint").alias("ca"),
+        (F.count("*") - F.sum("early")).cast("bigint").alias("cb"),
+    )
+    return _ks_from_binned(cnt)
+
+
+def drift_monitor_stream(
+    events: DataFrame,
+    split_ts_micros: int,
+    view_name: str = "drift_monitor",
+    bin_width: float = 1.0,
+):
+    """Streaming drift monitor against a fixed cutover timestamp: the
+    stateful half counts (event_type, bin, side) keys in update mode —
+    state is bounded by the VALUE DOMAIN (types x bins x 2), not by
+    stream lifetime, which is why the support is binned (per-distinct-
+    value keys would grow forever; event-time watermarks cannot evict
+    here because the keys are not windows). Each trigger's update rows
+    carry absolute counts, so the driver dashboard overwrites its copy
+    of the changed keys (idempotent under replay) and republishes the
+    KS table through the same _ks_from_binned transform the batch twin
+    uses. Returns the DataStreamWriter (caller starts/awaits)."""
+    sided = _binned_sides(events, split_ts_micros, bin_width)
+    counts = sided.groupBy("event_type", "bin", "early").agg(
+        F.count("*").alias("n")
+    )
+    latest: dict = {}  # (event_type, bin, early) -> n
+
+    def _publish(batch_df: DataFrame, _batch_id: int) -> None:
+        for r in batch_df.collect():
+            latest[(r["event_type"], r["bin"], r["early"])] = r["n"]
+        agg: dict = {}
+        for (t, b, e), n in latest.items():
+            ca, cb = agg.get((t, b), (0, 0))
+            agg[(t, b)] = (ca + n, cb) if e == 1 else (ca, cb + n)
+        rows = [(t, b, ca, cb) for (t, b), (ca, cb) in sorted(agg.items())]
+        spark = batch_df.sparkSession
+        cur = spark.createDataFrame(
+            rows, "event_type string, bin bigint, ca bigint, cb bigint"
+        )
+        out = _ks_from_binned(cur)
+        spark.createDataFrame(
+            out.collect(),
+            "event_type string, n_early bigint, n_late bigint, ks_stat double",
+        ).createOrReplaceGlobalTempView(view_name)
+
+    return counts.writeStream.outputMode("update").foreachBatch(_publish)

@@ -457,3 +457,37 @@ def test_trending_topk_stream_restart_restores_dashboard(spark, tmp_path):
         ).collect()
     }
     assert run1_windows & {w for (w, *_r) in got}
+
+
+def test_drift_monitor_stream_matches_batch(spark):
+    """The drift dashboard's final trigger must equal the batch twin
+    exactly: same binned side counts, same _ks_from_binned transform
+    (shared code), fixed midpoint cutover, availableNow drain."""
+    from github_miner_spark.io.tables import load_table
+    from github_miner_spark.streaming.events import (
+        drift_monitor_stream,
+        ks_drift_binned,
+        stream_events,
+    )
+
+    ev = load_table(spark, "events", SF)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    split = (lo + hi) // 2
+
+    stream = stream_events(spark, SF)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            drift_monitor_stream(stream, split, view_name="t_drift")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM global_temp.t_drift").collect()))
+    want = sorted(map(tuple, ks_drift_binned(ev, split).collect()))
+    assert got == want and len(got) > 0
+    for _t, n_early, n_late, ks in got:
+        assert n_early > 0 and n_late > 0
+        assert 0.0 <= ks <= 1.0
