@@ -102,6 +102,7 @@ HEADLINE = [
     "binned_quantile_estimates",
     "bloom_decontamination_prefilter",
     "node2vec_biased_walks",
+    "priority_sample_summary",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with

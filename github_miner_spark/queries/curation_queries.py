@@ -1138,3 +1138,113 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("false_positive_rate"),
         F.round(F.sum("pass") / F.count("*").cast("double"), 6).alias("pass_rate"),
     )
+
+@register(
+    "priority_sample_summary",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             n_chars / (('0x' || substr(md5(concat_ws('|', 'ps', doc_id)),
+                          1, 15))::BIGINT / power(2.0, 60)) AS priority
+      FROM documents
+    ),
+    top21 AS (
+      SELECT doc_id, n_chars, priority FROM pr
+      ORDER BY priority DESC, doc_id LIMIT 21
+    ),
+    tau_row AS (
+      SELECT priority AS tau, doc_id AS tau_doc FROM top21
+      ORDER BY priority ASC, doc_id DESC LIMIT 1
+    ),
+    selected AS (
+      SELECT t.* FROM top21 t, tau_row
+      WHERE NOT (t.priority = tau_row.tau AND t.doc_id = tau_row.tau_doc)
+    ),
+    tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS true_total FROM documents),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(s.doc_id) AS BIGINT) AS sum_sampled_ids,
+             CAST(coalesce(sum(CASE WHEN s.n_chars >= tau_row.tau
+                                    THEN s.n_chars END), 0) AS DOUBLE)
+               + count(CASE WHEN s.n_chars < tau_row.tau THEN 1 END)
+                 * tau_row.tau AS est_total
+      FROM selected s, tau_row GROUP BY tau_row.tau
+    )
+    SELECT 20 AS k,
+           round((SELECT tau FROM tau_row), 6) AS tau,
+           e.n_sampled, e.sum_sampled_ids,
+           round(e.est_total, 6) AS est_total_chars,
+           t.true_total AS true_total_chars,
+           round(abs(e.est_total - t.true_total) / t.true_total, 6) AS rel_error
+    FROM est e, tot t
+    """,
+    description="Priority sampling (Duffield, Lund & Thorup 2007) of "
+    "documents weighted by size: priority = weight / uniform with the "
+    "uniform drawn from the portable 60-bit md5 hash, keep the top "
+    "k=20, threshold tau = the (k+1)-th priority, and the unbiased "
+    "subset-sum estimate sum(max(w_i, tau)) over the sample -- the "
+    "weighted-sampling primitive behind token-budget mixture "
+    "construction (sample few large docs OR many small ones, estimate "
+    "total tokens either way). Deterministic across engines, runs and "
+    "retries: the priority is one float division per row (no "
+    "accumulation), selection is a TakeOrderedAndProject top-(k+1) "
+    "with a doc_id tiebreak, and the estimator is decomposed into an "
+    "exact integer sum (weights above tau) plus count-below-tau times "
+    "tau, so no order-dependent float summation exists anywhere. The "
+    "sample's membership is pinned by the sum-of-ids digest. At "
+    "100 TB this is one scan + a k+1-row per-partition heap -- no "
+    "sort, no shuffle beyond the top-k combine.",
+    tags=("curation", "sampling", "sketch", "approx"),
+)
+def priority_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    pr = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.col("n_chars")
+            / (
+                token_hash60(F.concat_ws("|", F.lit("ps"), F.col("doc_id")))
+                / F.pow(F.lit(2.0), F.lit(60))
+            )
+        ).alias("priority"),
+    )
+    top21 = pr.orderBy(F.desc("priority"), "doc_id").limit(21)
+    # the (k+1)-th row under (priority DESC, doc_id ASC) is the MIN of
+    # struct(priority, -doc_id): min priority, and among priority ties
+    # the largest doc_id (= the last-ordered row)
+    tau_row = top21.agg(
+        F.min(F.struct(F.col("priority"), (-F.col("doc_id")).alias("neg_id"))).alias(
+            "m"
+        )
+    ).select(
+        F.col("m.priority").alias("tau"), (-F.col("m.neg_id")).alias("tau_doc")
+    )
+    selected = top21.crossJoin(F.broadcast(tau_row)).filter(
+        ~((F.col("priority") == F.col("tau")) & (F.col("doc_id") == F.col("tau_doc")))
+    )
+    tot = docs.agg(F.sum("n_chars").cast("bigint").alias("true_total"))
+    est = selected.groupBy("tau").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("sum_sampled_ids"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("n_chars") >= F.col("tau"), F.col("n_chars"))),
+                F.lit(0),
+            ).cast("double")
+            + F.count(F.when(F.col("n_chars") < F.col("tau"), 1)) * F.col("tau")
+        ).alias("est_total"),
+    )
+    return est.crossJoin(F.broadcast(tot)).select(
+        F.lit(20).alias("k"),
+        F.round(F.col("tau"), 6).alias("tau"),
+        "n_sampled",
+        "sum_sampled_ids",
+        F.round(F.col("est_total"), 6).alias("est_total_chars"),
+        F.col("true_total").alias("true_total_chars"),
+        F.round(
+            F.abs(F.col("est_total") - F.col("true_total")) / F.col("true_total"), 6
+        ).alias("rel_error"),
+    )

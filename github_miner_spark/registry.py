@@ -73,7 +73,7 @@ def load_all() -> None:
 # query (late_shipment_priority_counts — red in r05 on an oracle
 # HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the
 # queries NEW this round — every name in the (b) block below, from
-# kn_perplexity_filter_rates through node2vec_biased_walks
+# kn_perplexity_filter_rates through priority_sample_summary
 # (the block's last entry); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
@@ -120,6 +120,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "binned_quantile_estimates",
     "bloom_decontamination_prefilter",
     "node2vec_biased_walks",
+    "priority_sample_summary",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -140,13 +141,12 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "pricing_summary",
     # (scalar_function_showcase / label_histogram / degree_breakdown /
     # events_sessionization / minhash_lsh_dups / embedding_topk_bruteforce /
-    # exact_dedup_summary / one_hop_neighborhood rotated out to make
-    # room for the eight closing registrations — their implementations
-    # are untouched this round and their families keep other rows in
-    # this window)
+    # exact_dedup_summary / one_hop_neighborhood / bfs_depth_profile
+    # rotated out to make room for the nine closing registrations —
+    # their implementations are untouched this round and their
+    # families keep other rows in this window)
     "top_dependants_modules",
     "closure_counts_from_anchor",
-    "bfs_depth_profile",
     "idempotent_merge",
     "cypher_top_used_modules",
 )

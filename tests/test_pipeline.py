@@ -430,3 +430,38 @@ def test_node2vec_walks_match_python_reference(spark):
         if ids != replay(r.start_module, r.seed, biased=False):
             bias_flipped = True
     assert bias_flipped, "p/q factors never changed a pick on this graph"
+
+
+def test_priority_sample_matches_python_reference(spark):
+    """From-spec replay of the DLT priority sample: recompute every
+    doc's priority with hashlib, take the top-20 under the same
+    (priority DESC, doc_id) order, and check tau, the membership
+    digest, and the exact-decomposed estimator against the query."""
+    import hashlib
+
+    from github_miner_spark.queries.curation_queries import priority_sample_summary
+
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, "documents", SF).select("doc_id", "n_chars").collect()
+    }
+
+    def prio(doc_id: int, w: int) -> float:
+        h = int(hashlib.md5(f"ps|{doc_id}".encode()).hexdigest()[:15], 16)
+        return w / (h / 2.0**60)
+
+    ordered = sorted(
+        ((prio(d, w), d, w) for d, w in docs.items()), key=lambda t: (-t[0], t[1])
+    )
+    top, tau_row = ordered[:20], ordered[20]
+    tau = tau_row[0]
+    est = float(sum(w for _p, _d, w in top if w >= tau)) + sum(
+        1 for _p, _d, w in top if w < tau
+    ) * tau
+
+    r = priority_sample_summary(spark, SF).collect()[0]
+    assert r.n_sampled == 20
+    assert r.sum_sampled_ids == sum(d for _p, d, _w in top)
+    assert abs(r.tau - tau) < 1e-6
+    assert abs(r.est_total_chars - est) < 1e-5
+    assert r.true_total_chars == sum(docs.values())
