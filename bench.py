@@ -103,6 +103,8 @@ HEADLINE = [
     "bloom_decontamination_prefilter",
     "node2vec_biased_walks",
     "priority_sample_summary",
+    "hll_shingle_estimates",
+    "kmv_set_operation_estimates",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with

@@ -1043,20 +1043,26 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
 
-@register(
-    "hll_vocab_estimates",
-    oracle=f"""
-    WITH t AS (SELECT source, {DUCK_TOKENS} AS toks FROM documents),
-    uni AS (SELECT source, unnest(toks) AS tok FROM t),
+def _hll_oracle(m_bits: int, vals_cte: str) -> str:
+    """HLL sketch oracle tail over a CTE that must define
+    vals(source, v VARCHAR): md5-derived 60-bit hash, low m_bits as
+    bucket, leading-zero rank of the remaining bits as register,
+    exact-integer register sums, standard alpha_m bias correction and
+    the linear-counting fallback below 2.5m."""
+    m = 1 << m_bits
+    rho_max = 60 - m_bits + 1
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    return f"""
+    WITH {vals_cte},
     h AS (
-      SELECT source, tok,
-             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-      FROM uni
+      SELECT source, v,
+             ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+      FROM vals
     ),
     r AS (
-      SELECT source, h & 1023 AS bucket,
-             CASE WHEN (h >> 10) = 0 THEN 51
-                  ELSE 51 - length(bin(h >> 10)) END AS rho
+      SELECT source, h & {m - 1} AS bucket,
+             CASE WHEN (h >> {m_bits}) = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h >> {m_bits})) END AS rho
       FROM h
     ),
     regs AS (
@@ -1065,24 +1071,25 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
       SELECT source,
              CAST(count(*) AS BIGINT) AS buckets_used,
-             CAST(sum(1::BIGINT << CAST(51 - r AS INTEGER)) AS BIGINT) AS s_int
+             CAST(sum(1::BIGINT << CAST({rho_max} - r AS INTEGER)) AS BIGINT)
+               AS s_int
       FROM regs GROUP BY source
     ),
     ex AS (
-      SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+      SELECT source, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
       FROM h GROUP BY source
     ),
     est AS (
       SELECT s.source, s.buckets_used, e.exact_distinct,
-             (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
-               / (CAST(s.s_int AS DOUBLE) / power(2.0, 51)
-                  + CAST(1024 - s.buckets_used AS DOUBLE)) AS e_raw
+             {alpha} * {m}.0 * {m}.0
+               / (CAST(s.s_int AS DOUBLE) / power(2.0, {rho_max})
+                  + CAST({m} - s.buckets_used AS DOUBLE)) AS e_raw
       FROM sums s JOIN ex e ON e.source = s.source
     ),
     fin AS (
       SELECT source, exact_distinct, buckets_used,
-             CASE WHEN e_raw <= 2560.0 AND buckets_used < 1024
-                  THEN 1024.0 * ln(1024.0 / CAST(1024 - buckets_used AS DOUBLE))
+             CASE WHEN e_raw <= 2.5 * {m}.0 AND buckets_used < {m}
+                  THEN {m}.0 * ln({m}.0 / CAST({m} - buckets_used AS DOUBLE))
                   ELSE e_raw END AS estimate
       FROM est
     )
@@ -1091,78 +1098,54 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(abs(estimate - CAST(exact_distinct AS DOUBLE))
                  / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
     FROM fin ORDER BY source
-    """,
-    description="HyperLogLog approximate distinct-token count per "
-    "source, graded against the exact count (Flajolet et al. 2007: "
-    "m=1024 registers, bucket = low 10 bits of a 60-bit md5-derived "
-    "hash, register = max leading-zero rank of the remaining 50 bits, "
-    "linear-counting fallback below 2.5m). This is the 100 TB "
-    "count-distinct story: the sketch path shuffles only (source x "
-    "1024) register rows with map-side partial max -- no distinct "
-    "shuffle of the token universe -- while the exact column (the "
-    "expensive path the sketch replaces) is computed here solely as "
-    "the graded ground truth, the same recall-grading pattern as "
-    "ivf_recall_at_k. Register sums stay in integer arithmetic "
-    "(sum of 1<<(51-r), order-independent) so both engines agree "
-    "bit-for-bit; the only floats are the final estimate expression. "
-    "Rank extraction is pure Catalyst (bin/length/shiftright), no "
-    "Python.",
-    tags=("text", "sketch", "approx", "curation"),
-)
-def hll_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_miner_spark.functions.skew import spread_to_session_width
+    """
+
+
+def _hll_estimates(vals: DataFrame, m_bits: int) -> DataFrame:
+    """Spark twin of _hll_oracle over a (source, v string) frame."""
     from github_miner_spark.functions.text import token_hash60
 
-    docs = load_table(spark, "documents", sf_dir)
-    # hash once, reuse for both the sketch and the exact ground truth
-    # (lazy checkpoint: one tokenize+explode pass, two consumers)
-    tok = (
-        spread_to_session_width(docs)
-        .select("source", tokenize(F.col("text")).alias("toks"))
-        .select("source", F.explode("toks").alias("tok"))
-        .select("source", "tok", token_hash60(F.col("tok")).alias("h"))
-        .localCheckpoint(eager=False)
-    )
-    w = F.shiftright(F.col("h"), 10)
-    rho = F.when(w == F.lit(0), F.lit(51)).otherwise(
-        F.lit(51) - F.length(F.bin(w))
+    m = 1 << m_bits
+    rho_max = 60 - m_bits + 1
+    tok = vals.select(
+        "source", "v", token_hash60(F.col("v")).alias("h")
+    ).localCheckpoint(eager=False)
+    w = F.shiftright(F.col("h"), m_bits)
+    rho = F.when(w == F.lit(0), F.lit(rho_max)).otherwise(
+        F.lit(rho_max) - F.length(F.bin(w))
     )
     regs = (
         tok.select(
             "source",
-            F.col("h").bitwiseAND(F.lit(1023)).alias("bucket"),
+            F.col("h").bitwiseAND(F.lit(m - 1)).alias("bucket"),
             rho.alias("rho"),
         )
         .groupBy("source", "bucket")
         .agg(F.max("rho").alias("r"))
     )
-    # integer register sum: sum(2^(51-r)) is exact and order-free,
-    # unlike a float sum of 2^-r whose 61-bit span rounds
+    # integer register sum: sum(2^(rho_max - r)) is exact and
+    # order-free, unlike a float sum of 2^-r whose wide span rounds
     sums = regs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("buckets_used"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(51 - r as int))")).alias(
-            "s_int"
-        ),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), cast({rho_max} - r as int))")
+        ).alias("s_int"),
     )
-    ex = tok.groupBy("source").agg(
-        F.countDistinct("tok").alias("exact_distinct")
-    )
+    ex = tok.groupBy("source").agg(F.countDistinct("v").alias("exact_distinct"))
     alpha_mm = (
         F.lit(0.7213)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
-        * F.lit(1024.0)
-        * F.lit(1024.0)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        * F.lit(float(m))
+        * F.lit(float(m))
     )
-    denom = F.col("s_int").cast("double") / F.pow(F.lit(2.0), F.lit(51)) + (
-        F.lit(1024) - F.col("buckets_used")
+    denom = F.col("s_int").cast("double") / F.pow(F.lit(2.0), F.lit(rho_max)) + (
+        F.lit(m) - F.col("buckets_used")
     ).cast("double")
     est = sums.join(ex, "source").withColumn("e_raw", alpha_mm / denom)
     estimate = F.when(
-        (F.col("e_raw") <= F.lit(2560.0)) & (F.col("buckets_used") < F.lit(1024)),
-        F.lit(1024.0)
-        * F.log(
-            F.lit(1024.0) / (F.lit(1024) - F.col("buckets_used")).cast("double")
-        ),
+        (F.col("e_raw") <= F.lit(2.5 * m)) & (F.col("buckets_used") < F.lit(m)),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / (F.lit(m) - F.col("buckets_used")).cast("double")),
     ).otherwise(F.col("e_raw"))
     return (
         est.select(
@@ -1178,6 +1161,83 @@ def hll_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "hll_vocab_estimates",
+    oracle=_hll_oracle(
+        10,
+        f"""t AS (SELECT source, {DUCK_TOKENS} AS toks FROM documents),
+    vals AS (SELECT source, unnest(toks) AS v FROM t)""",
+    ),
+    description="HyperLogLog approximate distinct-token count per "
+    "source, graded against the exact count (Flajolet et al. 2007: "
+    "m=1024 registers, bucket = low 10 bits of a 60-bit md5-derived "
+    "hash, register = max leading-zero rank of the remaining bits, "
+    "linear-counting fallback below 2.5m). This synthetic corpus has "
+    "a ~31-word per-source vocabulary, so this query deliberately "
+    "exercises and grades the LINEAR-COUNTING regime (the raw-"
+    "estimator regime is graded by hll_shingle_estimates, whose "
+    "universe is large relative to its register count). The 100 TB "
+    "count-distinct story: the sketch path shuffles only (source x "
+    "m) register rows with map-side partial max -- no distinct "
+    "shuffle of the value universe -- while the exact column (the "
+    "expensive path the sketch replaces) is computed solely as the "
+    "graded ground truth. Register sums stay in integer arithmetic "
+    "(sum of 1<<(rho_max-r), order-independent) so both engines "
+    "agree bit-for-bit; rank extraction is pure Catalyst "
+    "(bin/length/shiftright), no Python.",
+    tags=("text", "sketch", "approx", "curation"),
+)
+def hll_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.skew import spread_to_session_width
+
+    docs = load_table(spark, "documents", sf_dir)
+    vals = (
+        spread_to_session_width(docs)
+        .select("source", tokenize(F.col("text")).alias("toks"))
+        .select("source", F.explode("toks").alias("v"))
+    )
+    return _hll_estimates(vals, 10)
+
+
+@register(
+    "hll_shingle_estimates",
+    oracle=_hll_oracle(
+        8,
+        f"""t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT source,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> {DUCK_HASH.format(v="concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")})
+                    ELSE [] END) AS g
+      FROM t
+    ),
+    vals AS (SELECT source, CAST(g AS VARCHAR) AS v FROM sh)""",
+    ),
+    description="HyperLogLog distinct 3-gram-shingle count per source "
+    "at m=256 registers -- the companion to hll_vocab_estimates that "
+    "grades the RAW alpha_m*m^2/sum(2^-M) estimator branch: the "
+    "per-source shingle universe (~1.3k) exceeds the 2.5m linear-"
+    "counting threshold (640), so every source takes the harmonic-"
+    "mean path, pinning its cross-engine exactness in the driver "
+    "hash-compare. Input is the same per-doc shingle derivation the "
+    "dedup family uses (values are the portable 32-bit shingle "
+    "hashes, stringified identically in both engines before the "
+    "60-bit sketch hash). Same scale shape: one explode, (source x "
+    "256) register rows, exact column as grading only.",
+    tags=("text", "sketch", "approx", "dedup"),
+)
+def hll_shingle_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text_store import load_shingle_index
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    idx = load_shingle_index(spark, sf_dir)
+    vals = idx.join(docs, "doc_id").select(
+        "source", F.col("shingle").cast("string").alias("v")
+    )
+    return _hll_estimates(vals, 8)
 
 
 @register(
@@ -1361,4 +1421,216 @@ def cms_heavy_hitter_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate",
         )
         .orderBy(F.desc("exact_count"), "token")
+    )
+
+_KMV_K = 128
+
+
+@register(
+    "kmv_set_operation_estimates",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT source,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> {DUCK_HASH.format(v="concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])")})
+                    ELSE [] END) AS g
+      FROM t
+    ),
+    uni AS (
+      SELECT DISTINCT source, g,
+             ('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 15))::BIGINT AS kh
+      FROM sh
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY source),
+    inter AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS exact_inter
+      FROM uni a JOIN uni b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sk AS (
+      SELECT source, kh FROM (
+        SELECT source, kh, row_number() OVER (PARTITION BY source ORDER BY kh) AS r
+        FROM uni
+      ) WHERE r <= {_KMV_K}
+    ),
+    pu AS (
+      SELECT DISTINCT sa, sb, kh FROM (
+        SELECT i.sa, i.sb, s.kh FROM inter i JOIN sk s ON s.source = i.sa
+        UNION ALL
+        SELECT i.sa, i.sb, s.kh FROM inter i JOIN sk s ON s.source = i.sb
+      )
+    ),
+    pk AS (
+      SELECT sa, sb, kh FROM (
+        SELECT sa, sb, kh,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY kh) AS r
+        FROM pu
+      ) WHERE r <= {_KMV_K}
+    ),
+    flags AS (
+      SELECT p.sa, p.sb, p.kh,
+             CASE WHEN fa.kh IS NULL THEN 0 ELSE 1 END
+               * CASE WHEN fb.kh IS NULL THEN 0 ELSE 1 END AS both_sides
+      FROM pk p
+      LEFT JOIN sk fa ON fa.source = p.sa AND fa.kh = p.kh
+      LEFT JOIN sk fb ON fb.source = p.sb AND fb.kh = p.kh
+    ),
+    agg AS (
+      SELECT sa, sb,
+             CAST(count(*) AS BIGINT) AS n_u,
+             max(kh) AS m,
+             CAST(sum(both_sides) AS BIGINT) AS common
+      FROM flags GROUP BY sa, sb
+    ),
+    est AS (
+      SELECT sa, sb, common,
+             CASE WHEN n_u < {_KMV_K} THEN CAST(n_u AS DOUBLE)
+                  ELSE ({_KMV_K - 1}.0) / (CAST(m AS DOUBLE) / power(2.0, 60))
+             END AS est_union,
+             n_u
+      FROM agg
+    )
+    SELECT e.sa AS source_a, e.sb AS source_b,
+           za.n + zb.n - i.exact_inter AS exact_union,
+           round(e.est_union, 6) AS kmv_union,
+           i.exact_inter AS exact_intersection,
+           round(e.common / CAST(e.n_u AS DOUBLE) * e.est_union, 6)
+             AS kmv_intersection,
+           round(abs(e.est_union - (za.n + zb.n - i.exact_inter))
+                 / (za.n + zb.n - i.exact_inter), 6) AS union_rel_error
+    FROM est e
+    JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+    JOIN sizes za ON za.source = e.sa
+    JOIN sizes zb ON zb.source = e.sb
+    ORDER BY source_a, source_b
+    """,
+    description="KMV (k-minimum-values / bottom-k, Bar-Yossef et al. "
+    "2002) set-operation sketch over per-source 3-gram shingle sets, "
+    "graded against exact answers: each source keeps its 128 smallest "
+    "60-bit hashes of its distinct shingles (~1.3k per source, so the "
+    "(k-1)/theta estimator branch genuinely fires); a pair's union "
+    "cardinality is estimated from the k-th minimum of the merged "
+    "sketch and its intersection from the fraction of merged-sketch "
+    "members present in BOTH sides -- the sketch algebra HLL cannot "
+    "do (KMV sketches compose under union AND intersect), which is "
+    "what mixture planning over hundreds of sources needs: pairwise "
+    "overlap from 128-value sketches instead of vocabulary self-"
+    "joins. Sketch contents are pure integer order statistics "
+    "(bit-identical across engines); the pair universe and the "
+    "graded exact columns reuse source_overlap_matrix's bounded "
+    "shingle self-join shape over the materialized index. At 100 TB "
+    "the sketches are (sources x 128) rows built with one window "
+    "over the per-source distinct rollup; every pair estimate then "
+    "runs on 256-row inputs.",
+    tags=("text", "sketch", "approx", "mixture", "dedup"),
+)
+def kmv_set_operation_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from github_miner_spark.functions.text import token_hash60
+    from github_miner_spark.functions.text_store import load_shingle_index
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    idx = load_shingle_index(spark, sf_dir)
+    uni = (
+        idx.join(docs, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .select(
+            "source",
+            "shingle",
+            token_hash60(F.col("shingle").cast("string")).alias("kh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = uni.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = uni.alias("a"), uni.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    sk = (
+        uni.withColumn(
+            "r", F.row_number().over(Window.partitionBy("source").orderBy("kh"))
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .select("source", "kh")
+        .localCheckpoint(eager=False)
+    )
+    pairs = inter.select("sa", "sb")
+    # OR-join on the pair endpoints would plan as a cartesian; two
+    # equi-joins unioned cover the same (pair, sketch-entry) rows
+    pu = (
+        pairs.join(sk.withColumnRenamed("source", "sa"), "sa")
+        .select("sa", "sb", "kh")
+        .unionByName(
+            pairs.join(sk.withColumnRenamed("source", "sb"), "sb").select(
+                "sa", "sb", "kh"
+            )
+        )
+        .distinct()
+    )
+    pk = (
+        pu.withColumn(
+            "r", F.row_number().over(Window.partitionBy("sa", "sb").orderBy("kh"))
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .select("sa", "sb", "kh")
+    )
+    fa = sk.select(F.col("source").alias("sa"), "kh", F.lit(1).alias("ina"))
+    fb = sk.select(F.col("source").alias("sb"), "kh", F.lit(1).alias("inb"))
+    flags = (
+        pk.join(fa, ["sa", "kh"], "left")
+        .join(fb, ["sb", "kh"], "left")
+        .select(
+            "sa",
+            "sb",
+            "kh",
+            (
+                F.when(F.col("ina").isNull(), 0).otherwise(1)
+                * F.when(F.col("inb").isNull(), 0).otherwise(1)
+            ).alias("both_sides"),
+        )
+    )
+    agg = flags.groupBy("sa", "sb").agg(
+        F.count("*").cast("bigint").alias("n_u"),
+        F.max("kh").alias("m"),
+        F.sum("both_sides").cast("bigint").alias("common"),
+    )
+    est_union = F.when(
+        F.col("n_u") < _KMV_K, F.col("n_u").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / (F.col("m").cast("double") / F.pow(F.lit(2.0), F.lit(60)))
+    )
+    est = agg.select("sa", "sb", "common", "n_u", est_union.alias("est_union"))
+    za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    exact_union = F.col("na") + F.col("nb") - F.col("exact_inter")
+    return (
+        est.join(inter, ["sa", "sb"])
+        .join(F.broadcast(za), "sa")
+        .join(F.broadcast(zb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            exact_union.alias("exact_union"),
+            F.round(F.col("est_union"), 6).alias("kmv_union"),
+            F.col("exact_inter").alias("exact_intersection"),
+            F.round(
+                F.col("common") / F.col("n_u").cast("double") * F.col("est_union"),
+                6,
+            ).alias("kmv_intersection"),
+            F.round(
+                F.abs(F.col("est_union") - exact_union) / exact_union, 6
+            ).alias("union_rel_error"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -73,7 +73,7 @@ def load_all() -> None:
 # query (late_shipment_priority_counts — red in r05 on an oracle
 # HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the
 # queries NEW this round — every name in the (b) block below, from
-# kn_perplexity_filter_rates through priority_sample_summary
+# kn_perplexity_filter_rates through kmv_set_operation_estimates
 # (the block's last entry); then (c)
 # re-greens for every
 # implementation or oracle the round touched: the KN model now joins
@@ -121,6 +121,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "bloom_decontamination_prefilter",
     "node2vec_biased_walks",
     "priority_sample_summary",
+    "hll_shingle_estimates",
+    "kmv_set_operation_estimates",
     # -- (c) re-greens for round-6-touched implementations -------------
     "boilerplate_ngram_stats",
     "scc_summary",
@@ -138,17 +140,17 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "top_value_part_types",
     # -- (d) witness refresh: oldest green rows (r02/r03) + one rep ----
     #    per family not already covered above
-    "pricing_summary",
     # (scalar_function_showcase / label_histogram / degree_breakdown /
     # events_sessionization / minhash_lsh_dups / embedding_topk_bruteforce /
-    # exact_dedup_summary / one_hop_neighborhood / bfs_depth_profile
-    # rotated out to make room for the nine closing registrations —
-    # their implementations are untouched this round and their
-    # families keep other rows in this window)
+    # exact_dedup_summary / one_hop_neighborhood / bfs_depth_profile /
+    # pricing_summary / cypher_top_used_modules rotated out to make room
+    # for the eleven closing registrations — their implementations are
+    # untouched this round and their families keep other rows in this
+    # window (relational via the ten TPC-H re-greens, cypher via
+    # cypher_scc_readback)
     "top_dependants_modules",
     "closure_counts_from_anchor",
     "idempotent_merge",
-    "cypher_top_used_modules",
 )
 
 

@@ -465,3 +465,34 @@ def test_priority_sample_matches_python_reference(spark):
     assert abs(r.tau - tau) < 1e-6
     assert abs(r.est_total_chars - est) < 1e-5
     assert r.true_total_chars == sum(docs.values())
+
+
+def test_hll_shingle_estimates_exercise_raw_branch(spark):
+    """The shingle HLL must leave linear counting: ~1.2k+ distinct
+    shingles against 256 registers saturates nearly every bucket, so
+    the harmonic-mean estimator is the branch under test — and its
+    error must stay within a generous 5-sigma of 1.04/sqrt(256)."""
+    from github_miner_spark.queries.text_queries import hll_shingle_estimates
+
+    rows = hll_shingle_estimates(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.buckets_used >= 250, r  # raw branch, not linear counting
+        assert r.rel_error < 0.33, r
+
+
+def test_kmv_set_estimates_within_sketch_error(spark):
+    """KMV union estimates at k=128 have sigma ~ 1/sqrt(k-2) ~ 9%:
+    every pair must land within ~5 sigma and the median within ~1.5
+    sigma; intersections are non-negative and bounded by the union."""
+    import statistics
+
+    from github_miner_spark.queries.text_queries import kmv_set_operation_estimates
+
+    rows = kmv_set_operation_estimates(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.union_rel_error < 0.5, r
+        assert 0.0 <= r.kmv_intersection <= r.kmv_union + 1e-9, r
+        assert r.exact_union >= r.exact_intersection
+    assert statistics.median(r.union_rel_error for r in rows) < 0.15

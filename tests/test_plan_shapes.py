@@ -462,3 +462,16 @@ def test_bloom_prefilter_broadcasts_bits(spark):
 def test_node2vec_walks_no_allpairs(spark):
     plan = _plan(spark, "node2vec_biased_walks")
     assert "CartesianProduct" not in plan
+
+
+def test_hll_kmv_shingle_sketches_no_allpairs(spark):
+    """Both shingle sketches build from the materialized index: the
+    HLL is two keyed rollups; KMV's pair universe reuses the bounded
+    shingle self-join and its sketch merge runs on 128-row-per-source
+    frames. Never a CartesianProduct."""
+    for name in (
+        "hll_shingle_estimates",
+        "kmv_set_operation_estimates",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
