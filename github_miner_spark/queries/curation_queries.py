@@ -1192,8 +1192,10 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     "exact integer sum (weights above tau) plus count-below-tau times "
     "tau, so no order-dependent float summation exists anywhere. The "
     "sample's membership is pinned by the sum-of-ids digest. At "
-    "100 TB this is one scan + a k+1-row per-partition heap -- no "
-    "sort, no shuffle beyond the top-k combine.",
+    "100 TB the SAMPLING is one scan + a k+1-row per-partition heap "
+    "(checkpointed so tau and the selection reuse it) -- no sort, no "
+    "shuffle beyond the top-k combine; the second, aggregate-only "
+    "scan computes the exact total purely as grading.",
     tags=("curation", "sampling", "sketch", "approx"),
 )
 def priority_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,7 +1213,11 @@ def priority_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("priority"),
     )
-    top21 = pr.orderBy(F.desc("priority"), "doc_id").limit(21)
+    # top21 feeds both the tau derivation and the selected branch;
+    # the lazy checkpoint runs the scan + heap once, not twice
+    top21 = pr.orderBy(F.desc("priority"), "doc_id").limit(21).localCheckpoint(
+        eager=False
+    )
     # the (k+1)-th row under (priority DESC, doc_id ASC) is the MIN of
     # struct(priority, -doc_id): min priority, and among priority ties
     # the largest doc_id (= the last-ordered row)

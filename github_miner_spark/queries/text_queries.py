@@ -1455,11 +1455,15 @@ _KMV_K = 128
         FROM uni
       ) WHERE r <= {_KMV_K}
     ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM sizes a, sizes b WHERE a.source < b.source
+    ),
     pu AS (
       SELECT DISTINCT sa, sb, kh FROM (
-        SELECT i.sa, i.sb, s.kh FROM inter i JOIN sk s ON s.source = i.sa
+        SELECT p.sa, p.sb, s.kh FROM pairs p JOIN sk s ON s.source = p.sa
         UNION ALL
-        SELECT i.sa, i.sb, s.kh FROM inter i JOIN sk s ON s.source = i.sb
+        SELECT p.sa, p.sb, s.kh FROM pairs p JOIN sk s ON s.source = p.sb
       )
     ),
     pk AS (
@@ -1493,15 +1497,16 @@ _KMV_K = 128
       FROM agg
     )
     SELECT e.sa AS source_a, e.sb AS source_b,
-           za.n + zb.n - i.exact_inter AS exact_union,
+           za.n + zb.n - coalesce(i.exact_inter, 0) AS exact_union,
            round(e.est_union, 6) AS kmv_union,
-           i.exact_inter AS exact_intersection,
+           coalesce(i.exact_inter, 0) AS exact_intersection,
            round(e.common / CAST(e.n_u AS DOUBLE) * e.est_union, 6)
              AS kmv_intersection,
-           round(abs(e.est_union - (za.n + zb.n - i.exact_inter))
-                 / (za.n + zb.n - i.exact_inter), 6) AS union_rel_error
+           round(abs(e.est_union - (za.n + zb.n - coalesce(i.exact_inter, 0)))
+                 / (za.n + zb.n - coalesce(i.exact_inter, 0)), 6)
+             AS union_rel_error
     FROM est e
-    JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+    LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
     JOIN sizes za ON za.source = e.sa
     JOIN sizes zb ON zb.source = e.sb
     ORDER BY source_a, source_b
@@ -1518,9 +1523,11 @@ _KMV_K = 128
     "what mixture planning over hundreds of sources needs: pairwise "
     "overlap from 128-value sketches instead of vocabulary self-"
     "joins. Sketch contents are pure integer order statistics "
-    "(bit-identical across engines); the pair universe and the "
-    "graded exact columns reuse source_overlap_matrix's bounded "
-    "shingle self-join shape over the materialized index. At 100 TB "
+    "(bit-identical across engines); the pair universe is EVERY "
+    "source pair including disjoint ones (the informative case for "
+    "mixture planning), and the graded exact columns reuse "
+    "source_overlap_matrix's bounded shingle self-join shape over "
+    "the materialized index. At 100 TB "
     "the sketches are (sources x 128) rows built with one window "
     "over the per-source distinct rollup; every pair estimate then "
     "runs on 256-row inputs.",
@@ -1547,6 +1554,8 @@ def kmv_set_operation_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = uni.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
     a, b = uni.alias("a"), uni.alias("b")
+    # the expensive pass: checkpointed because the pair universe, both
+    # pu branches and the final grading join all consume it
     inter = (
         a.join(
             b,
@@ -1555,6 +1564,7 @@ def kmv_set_operation_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
         .agg(F.count("*").cast("bigint").alias("exact_inter"))
+        .localCheckpoint(eager=False)
     )
     sk = (
         uni.withColumn(
@@ -1564,7 +1574,14 @@ def kmv_set_operation_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "kh")
         .localCheckpoint(eager=False)
     )
-    pairs = inter.select("sa", "sb")
+    # EVERY source pair, including disjoint ones (a zero-overlap pair
+    # is the informative case for mixture planning) — the bounded
+    # sources frame self-pairs under a broadcast, never a cartesian
+    srcs = sizes.select("source")
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        F.broadcast(srcs.select(F.col("source").alias("sb"))),
+        F.col("sa") < F.col("sb"),
+    )
     # OR-join on the pair endpoints would plan as a cartesian; two
     # equi-joins unioned cover the same (pair, sketch-entry) rows
     pu = (
@@ -1613,9 +1630,10 @@ def kmv_set_operation_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = agg.select("sa", "sb", "common", "n_u", est_union.alias("est_union"))
     za = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
     zb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
-    exact_union = F.col("na") + F.col("nb") - F.col("exact_inter")
+    ei = F.coalesce(F.col("exact_inter"), F.lit(0).cast("bigint"))
+    exact_union = F.col("na") + F.col("nb") - ei
     return (
-        est.join(inter, ["sa", "sb"])
+        est.join(inter, ["sa", "sb"], "left")
         .join(F.broadcast(za), "sa")
         .join(F.broadcast(zb), "sb")
         .select(
@@ -1623,7 +1641,7 @@ def kmv_set_operation_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sb").alias("source_b"),
             exact_union.alias("exact_union"),
             F.round(F.col("est_union"), 6).alias("kmv_union"),
-            F.col("exact_inter").alias("exact_intersection"),
+            ei.alias("exact_intersection"),
             F.round(
                 F.col("common") / F.col("n_u").cast("double") * F.col("est_union"),
                 6,

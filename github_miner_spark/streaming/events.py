@@ -492,7 +492,10 @@ def _ks_from_binned(cnt: DataFrame) -> DataFrame:
 def _binned_sides(
     events: DataFrame, split_ts_micros: int, bin_width: float
 ) -> DataFrame:
-    return events.select(
+    # value-less events have no place in a value-distribution test;
+    # dropping them HERE keeps batch and stream identical (a NULL bin
+    # would also crash the dashboard's python-side sort)
+    return events.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.floor(F.col("value") / F.lit(bin_width)).cast("bigint").alias("bin"),
         F.when(F.unix_micros("ts") < F.lit(split_ts_micros), 1)
@@ -525,6 +528,7 @@ def drift_monitor_stream(
     split_ts_micros: int,
     view_name: str = "drift_monitor",
     bin_width: float = 1.0,
+    state_path: str | None = None,
 ):
     """Streaming drift monitor against a fixed cutover timestamp: the
     stateful half counts (event_type, bin, side) keys in update mode —
@@ -535,12 +539,29 @@ def drift_monitor_stream(
     carry absolute counts, so the driver dashboard overwrites its copy
     of the changed keys (idempotent under replay) and republishes the
     KS table through the same _ks_from_binned transform the batch twin
-    uses. Returns the DataStreamWriter (caller starts/awaits)."""
+    uses. Returns the DataStreamWriter (caller starts/awaits).
+
+    RESTART CONTRACT (same as trending_topk_stream): update mode only
+    re-delivers keys changed after a restart, so the dashboard cannot
+    rebuild itself from the stream alone — and a PARTIAL count table
+    yields a wrong KS, not a stale one. Pass ``state_path`` to persist
+    the count dict atomically after every trigger and restore it on
+    construction; restarting from the same checkpointLocation +
+    state_path then continues exactly. Without it, restart from a
+    fresh checkpoint (full replay)."""
     sided = _binned_sides(events, split_ts_micros, bin_width)
     counts = sided.groupBy("event_type", "bin", "early").agg(
         F.count("*").alias("n")
     )
     latest: dict = {}  # (event_type, bin, early) -> n
+    if state_path is not None and os.path.exists(state_path):
+        import json as _json
+
+        with open(state_path) as f:
+            snap = _json.load(f)
+        latest.update(
+            ((t, int(b), int(e)), int(n)) for t, b, e, n in snap["latest"]
+        )
 
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         for r in batch_df.collect():
@@ -559,5 +580,16 @@ def drift_monitor_stream(
             out.collect(),
             "event_type string, n_early bigint, n_late bigint, ks_stat double",
         ).createOrReplaceGlobalTempView(view_name)
+        if state_path is not None:
+            import json as _json
+
+            snap = {
+                "latest": [[t, int(b), int(e), int(n)] for (t, b, e), n in latest.items()],
+                "batch_id": int(_batch_id),
+            }
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(snap, f)
+            os.replace(tmp, state_path)
 
     return counts.writeStream.outputMode("update").foreachBatch(_publish)

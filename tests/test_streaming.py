@@ -491,3 +491,60 @@ def test_drift_monitor_stream_matches_batch(spark):
     for _t, n_early, n_late, ks in got:
         assert n_early > 0 and n_late > 0
         assert 0.0 <= ks <= 1.0
+
+
+def test_drift_monitor_stream_restart_restores_counts(spark, tmp_path):
+    """Restart contract: update mode only re-delivers changed keys, so
+    after a restart the KS dashboard must come back from the persisted
+    count snapshot — a PARTIAL count table yields a wrong statistic,
+    not a stale one. Run 1 drains the base events; run 2 restarts from
+    the SAME checkpoint + state_path with one new file; the rebuilt
+    view must equal the batch twin over the COMBINED corpus."""
+    import shutil
+
+    from github_miner_spark.io.tables import TABLE_SCHEMAS, load_table
+    from github_miner_spark.streaming.events import (
+        drift_monitor_stream,
+        ks_drift_binned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "part1.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "counts.json")
+    schema = TABLE_SCHEMAS["events"]
+
+    base = load_table(spark, "events", SF)
+    lo, hi = base.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    split = (lo + hi) // 2
+
+    def run_once():
+        stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+        q = (
+            drift_monitor_stream(
+                stream, split, view_name="t_drift_r", state_path=state
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    spark.catalog.dropGlobalTempView("t_drift_r")
+
+    extra = base.limit(400).withColumn("value", F.col("value") + 7.0)
+    extra.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "extra"))
+    for f in (tmp_path / "extra").glob("*.parquet"):
+        shutil.copy(f, src / "part2.parquet")
+    run_once()
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM global_temp.t_drift_r").collect())
+    )
+    combined = base.unionByName(spark.read.schema(schema).parquet(str(tmp_path / "extra")))
+    want = sorted(map(tuple, ks_drift_binned(combined, split).collect()))
+    assert got == want and len(got) > 0
