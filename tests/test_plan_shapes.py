@@ -299,6 +299,7 @@ def test_scaling_dims_not_hint_forced(spark):
         "regional_revenue",         # supplier dim
         "market_share_by_year",     # ASIA customers + supplier-nation
         "profit_by_nation_year",    # supplier-nation
+        "brand_discount_revenue",   # Q19: filtered part, SF-scaling
     ]
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

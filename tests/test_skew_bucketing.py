@@ -72,5 +72,24 @@ def test_spread_to_session_width(spark):
     spread = spread_to_session_width(narrow)
     assert spread.rdd.getNumPartitions() == width
     assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
-    wide = spark.range(1000).repartition(width + 4)
+    # already-wide, exchange-free input (range with explicit slices —
+    # repartition() would introduce an Exchange and trip the contract)
+    wide = spark.range(0, 1000, 1, width + 4)
     assert spread_to_session_width(wide) is wide
+
+
+def test_spread_to_session_width_rejects_shuffled_input(spark):
+    """The scan-only contract is enforced, not just documented: a plan
+    containing an Exchange raises before the df.rdd probe, so a future
+    call site on a shuffled frame fails loudly instead of silently
+    materializing (then re-running) its upstream AQE stages."""
+    import pytest as _pytest
+
+    from github_miner_spark.functions.skew import spread_to_session_width
+
+    shuffled = spark.range(1000).repartition(4)
+    with _pytest.raises(ValueError, match="scan-stage-only"):
+        spread_to_session_width(shuffled)
+    grouped = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    with _pytest.raises(ValueError, match="scan-stage-only"):
+        spread_to_session_width(grouped)
