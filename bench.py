@@ -4,26 +4,50 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>, ...}
 
 Each query is timed end-to-end (plan + execute + collect-to-count).
 The headline set is curated to cover every operator family: relational
 joins/aggs, graph degree/top-k, iterative closure, and the
 LLM-pipeline ops, so a regression anywhere shows up here.
+
+Measurement protocol (VERDICT r6 item 1 — the artifact must both parse
+and resolve finer than the box's ~2x ambient spread):
+
+- Passes are round-robin across queries (pass-level interleaving), 5
+  timed passes by default, the recorded number is the median and the
+  per-query min/max spread is recorded next to it in the side file.
+- The final stdout line is COMPACT and length-checked (<1800 chars —
+  the driver tail-captures 2000): it carries the total, a small core
+  per-family query map, and the paths to the full data. The full
+  per-query medians, per-pass samples, spreads, distributed lane and
+  scaling lane live in BENCH_samples.json.
+- Round-over-round claims come from the in-session interleaved A/B
+  mode (SPARK_GRAFT_BENCH_COMPARE=<sha>), never from cross-artifact
+  deltas: it clones the repo at the given SHA into a temp dir and
+  alternates old/new single-pass launches per repetition, so both
+  sides sample the same ambient-load window.
+- The scaling lane runs 3 interleaved (1x, 3x) pairs and records every
+  exponent plus the median; acceptance threshold documented inline.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
+import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 # Curated headline queries (name must exist in the registry), one or two
 # per operator family: relational, graph join/agg/top-k, iterative
@@ -107,6 +131,25 @@ HEADLINE = [
     "kmv_set_operation_estimates",
 ]
 
+# The per-family core whose medians ride in the compact final line (one
+# representative per operator family; everything else is in the side
+# file). Kept small so the line stays far under the driver's 2000-char
+# tail capture.
+CORE_LINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "top_dependants_modules",
+    "closure_counts_from_anchor",
+    "exact_dedup_summary",
+    "minhash_lsh_dups",
+    "embedding_ivf_topk",
+    "doc_token_stats",
+    "events_sessionization",
+    "pagerank_top20",
+    "scc_summary",
+    "louvain_communities",
+]
+
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with
 # SPARK_GRAFT_FORCE_DISTRIBUTED=1, which zeroes every driver-collect
 # gate (graph/algorithms.py:_gate, graph/paths.py:_gate) so the
@@ -130,8 +173,148 @@ DISTRIBUTED_LANE = [
     "weighted_shortest_distances",
 ]
 
+# The default query set for the interleaved A/B compare mode: the
+# judge's round-6 adjudication set plus the betweenness floor target.
+AB_DEFAULT = [
+    "pricing_summary",
+    "regional_revenue",
+    "minhash_lsh_dups",
+    "scc_summary",
+    "louvain_communities",
+    "closure_counts_from_anchor",
+    "duplicated_span_stats",
+    "pagerank_top20",
+    "kmv_set_operation_estimates",
+    "betweenness_centrality_sample",
+]
+
+MAX_LINE = 1800  # driver tail-captures 2000 chars; stay clear of it
+
+
+def _median(ts: list[float]) -> float:
+    return round(statistics.median(ts), 3)
+
+
+def _spread(ts: list[float]) -> list[float]:
+    return [round(min(ts), 3), round(max(ts), 3)]
+
+
+def run_compare(sha: str) -> None:
+    """Interleaved A/B: clone the repo at ``sha`` into a temp dir, then
+    alternate old/new single-timed-pass bench launches (each launch
+    warms its queries first) so both sides sample the same ambient-load
+    window. Cross-artifact round deltas are noise-dominated on this box
+    (±2x pass spread on identical plans — VERDICT r6); this is the only
+    protocol under which an old-vs-new claim means anything."""
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_COMPARE_REPS", "3"))
+    qnames = [
+        n.strip()
+        for n in os.environ.get(
+            "SPARK_GRAFT_BENCH_COMPARE_QUERIES", ",".join(AB_DEFAULT)
+        ).split(",")
+        if n.strip()
+    ]
+    tmp = tempfile.mkdtemp(prefix="bench_ab_")
+    old_dir = os.path.join(tmp, "old")
+    subprocess.run(
+        ["git", "clone", "-q", "--shared", REPO, old_dir], check=True
+    )
+    subprocess.run(["git", "-C", old_dir, "checkout", "-q", sha], check=True)
+
+    def launch(side_dir: str, out_path: str) -> dict[str, list[float]]:
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_BENCH_COMPARE", None)
+        env.update(
+            {
+                "SPARK_GRAFT_BENCH_PASSES": "1",
+                "SPARK_GRAFT_SKIP_DISTRIBUTED_LANE": "1",
+                "SPARK_GRAFT_SKIP_SCALING_LANE": "1",
+                "SPARK_GRAFT_BENCH_QUERIES": ",".join(qnames),
+                "SPARK_GRAFT_BENCH_SAMPLES": out_path,
+                "PYTHONPATH": side_dir,
+            }
+        )
+        subprocess.run(
+            [sys.executable, os.path.join(side_dir, "bench.py")],
+            check=True,
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        with open(out_path) as f:
+            return json.load(f)["samples"]
+
+    old_samples: dict[str, list[float]] = {n: [] for n in qnames}
+    new_samples: dict[str, list[float]] = {n: [] for n in qnames}
+    for rep in range(reps):
+        for label, side_dir, acc in (
+            ("old", old_dir, old_samples),
+            ("new", REPO, new_samples),
+        ):
+            out = os.path.join(tmp, f"{label}_{rep}.json")
+            t0 = time.perf_counter()
+            got = launch(side_dir, out)
+            print(
+                f"A/B rep {rep + 1}/{reps} {label}: "
+                f"{round(time.perf_counter() - t0, 1)}s",
+                file=sys.stderr,
+            )
+            for n in qnames:
+                acc[n].extend(got.get(n, []))
+
+    table = {
+        n: {
+            "old_median": _median(old_samples[n]),
+            "old_spread": _spread(old_samples[n]),
+            "new_median": _median(new_samples[n]),
+            "new_spread": _spread(new_samples[n]),
+            "ratio_new_over_old": round(
+                _median(new_samples[n]) / max(_median(old_samples[n]), 1e-9), 3
+            ),
+        }
+        for n in qnames
+        if old_samples[n] and new_samples[n]
+    }
+    side_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SAMPLES", os.path.join(REPO, "BENCH_ab.json")
+    )
+    payload = {
+        "mode": "interleaved_ab",
+        "old_sha": sha,
+        "reps": reps,
+        "protocol": "alternating old/new subprocess launches, each = "
+        "warmup pass + 1 timed pass per query; medians over all reps",
+        "queries": table,
+    }
+    with open(side_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "ab_compare_median_ratio_new_over_old",
+            "value": round(
+                statistics.median(
+                    v["ratio_new_over_old"] for v in table.values()
+                ),
+                3,
+            )
+            if table
+            else None,
+            "unit": "ratio",
+            "old_sha": sha[:12],
+            "n_queries": len(table),
+            "samples_path": side_path,
+        }
+    )
+    assert len(line) < MAX_LINE, len(line)
+    print(line)
+
 
 def main() -> None:
+    compare_sha = os.environ.get("SPARK_GRAFT_BENCH_COMPARE")
+    if compare_sha:
+        run_compare(compare_sha)
+        return
+
     from github_miner_spark import registry
     from github_miner_spark.session import get_spark
 
@@ -162,11 +345,13 @@ def main() -> None:
     for name in names:
         specs[name].spark(spark, SF_DIR).count()
 
-    # median of 3 timed passes per query: single-pass numbers on this
-    # box swing up to 3x on identical plans (ambient load / GC — the
-    # round-3 "regression" was exactly this), so the recorded number is
-    # the median, with per-pass samples kept for transparency
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # 5 round-robin timed passes per query (median recorded, min/max
+    # spread kept next to it): single-pass numbers on this box swing up
+    # to 2-3x on identical plans (ambient load / GC — the round-3 and
+    # round-6 "regressions" were exactly this). Pass-level interleaving
+    # means a load burst inflates one pass of EVERY query rather than
+    # every pass of one query, which the median then rejects.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
 
     def run_lane(lane_names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
         lane_samples: dict[str, list[float]] = {n: [] for n in lane_names}
@@ -176,7 +361,7 @@ def main() -> None:
                 specs[name].spark(spark, SF_DIR).count()
                 lane_samples[name].append(round(time.perf_counter() - t0, 3))
         lane_timings = {
-            name: sorted(ts)[len(ts) // 2] for name, ts in lane_samples.items()
+            name: _median(ts) for name, ts in lane_samples.items()
         }
         return lane_timings, lane_samples
 
@@ -200,16 +385,21 @@ def main() -> None:
         finally:
             del os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"]
 
-    # Third lane (VERDICT r5 item 8): a SECOND scale point for the two
-    # worst distributed floors (scc, all-shortest-paths). One timed
-    # point cannot distinguish O(E*depth) from O(E*rounds^2); the 1x
-    # and 3x timings give an empirical scaling exponent
-    # ln(t3/t1)/ln(3) recorded next to the floors. The 3x graph is
-    # three id-shifted copies of the cyclified module graph; for ASP
-    # the copies are chained by a link edge (132+i*hi ->
-    # anchor+(i+1)*hi) so the BFS genuinely traverses 3x the depth and
-    # data, targeting 132 in the last copy.
-    scaling: dict[str, dict[str, float]] = {}
+    # Third lane (VERDICT r5 item 8, protocol fixed per r6 item 2): a
+    # SECOND scale point for the two worst distributed floors (scc,
+    # all-shortest-paths). One timed point cannot distinguish
+    # O(E*depth) from O(E*rounds^2); the 1x and 3x timings give an
+    # empirical scaling exponent ln(t3/t1)/ln(3). THREE interleaved
+    # (1x, 3x) pairs are timed and every exponent recorded with the
+    # median — a single contended pair is exactly how the r6 artifact
+    # recorded ASP at 1.43 while a clean run measured 0.74. Acceptance:
+    # median exponent < 1.1 (>=1.3 would indicate an O(E*rounds^2)
+    # shape; linear-in-data with fixed round count is ~1.0, and
+    # sub-linear is common at bench SF where per-round fixed overhead
+    # dominates). The 3x graph is three id-shifted copies of the
+    # cyclified module graph; for ASP the copies are chained by a link
+    # edge so the BFS genuinely traverses 3x the depth and data.
+    scaling: dict[str, dict] = {}
     if not os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED") and not os.environ.get(
         "SPARK_GRAFT_SKIP_SCALING_LANE"
     ):
@@ -248,16 +438,28 @@ def main() -> None:
                 return g.unionByName(links).localCheckpoint(eager=True)
 
             g1, g3 = scaled(1), scaled(3)
-            import math
+            scaling_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
             def exponent(label, fn):
                 fn(g1)  # warm
-                t0 = time.perf_counter(); fn(g1); t1 = time.perf_counter() - t0
-                t0 = time.perf_counter(); fn(g3); t3 = time.perf_counter() - t0
+                fn(g3)  # warm the 3x shape too — its first run JITs new stages
+                pairs = []
+                for _ in range(scaling_reps):
+                    t0 = time.perf_counter(); fn(g1); t1 = time.perf_counter() - t0
+                    t0 = time.perf_counter(); fn(g3); t3 = time.perf_counter() - t0
+                    pairs.append(
+                        {
+                            "t_1x": round(t1, 3),
+                            "t_3x": round(t3, 3),
+                            "exponent": round(math.log(t3 / t1) / math.log(3.0), 3),
+                        }
+                    )
                 scaling[label] = {
-                    "t_1x": round(t1, 3),
-                    "t_3x": round(t3, 3),
-                    "exponent": round(math.log(t3 / t1) / math.log(3.0), 3),
+                    "pairs": pairs,
+                    "exponent_median": round(
+                        statistics.median(p["exponent"] for p in pairs), 3
+                    ),
+                    "acceptance": "median < 1.1",
                 }
 
             exponent("scc", lambda g: strongly_connected_components(g).count())
@@ -273,45 +475,54 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    # Per-pass samples go to a SIDE file, never the summary line: the
-    # driver tail-captures the last stdout line, and the r04 samples
-    # blob pushed the line past that window ("parsed": null). The final
-    # stdout line is the compact summary ONLY.
+    # Everything bulky goes to the SIDE file, never the summary line:
+    # the driver tail-captures the last 2000 stdout chars, and both the
+    # r04 and r06 artifacts were unparseable because per-query maps
+    # outgrew that window. The final stdout line is compact, carries
+    # the side-file path, and its length is ASSERTED below.
     side = {
+        "queries": timings,
+        "spreads": {n: _spread(ts) for n, ts in samples.items()},
         "samples": samples,
+        "timing": f"median of {passes} round-robin timed passes per query",
         "distributed_lane": {
             "note": "SPARK_GRAFT_FORCE_DISTRIBUTED=1, all driver gates 0",
             "queries": dist_timings,
+            "spreads": {n: _spread(ts) for n, ts in dist_samples.items()},
             "samples": dist_samples,
         },
         "scaling_lane": {
             "note": "forced-distributed scc/ASP at 1x and 3x synthetic "
-            "scale; exponent = ln(t3/t1)/ln(3)",
+            "scale; 3 interleaved (1x,3x) pairs per algorithm, exponent "
+            "= ln(t3/t1)/ln(3) per pair, median recorded; acceptance "
+            "median < 1.1",
             "results": scaling,
         },
     }
     side_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SAMPLES",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_samples.json"),
+        "SPARK_GRAFT_BENCH_SAMPLES", os.path.join(REPO, "BENCH_samples.json")
     )
     with open(side_path, "w") as f:
         json.dump(side, f, indent=1)
-    print(f"per-pass samples + distributed lane written to {side_path}", file=sys.stderr)
+    print(f"per-query medians/spreads/samples + lanes written to {side_path}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "timing": f"median of {passes} timed passes per query",
-                "distributed": dist_timings,
-                "scaling": {k: v["exponent"] for k, v in scaling.items()},
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {n: timings[n] for n in CORE_LINE if n in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+        "timing": f"median of {passes} passes",
+        "scaling": {k: v["exponent_median"] for k, v in scaling.items()},
+        "samples_path": side_path,
+    }
+    line = json.dumps(summary)
+    if len(line) >= MAX_LINE:  # belt and braces: drop the core map
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    assert len(line) < MAX_LINE, f"summary line {len(line)} chars"
+    print(line)
     spark.stop()
 
 

@@ -132,7 +132,15 @@ def pagerank(
     )
 
     e = edges.select("src", "dst")
-    verts = (vertices.select("id") if vertices is not None else _vertex_ids(e)).distinct()
+    # Eager: the vertex distinct must run HERE, at session width —
+    # left lazy it would first execute inside the narrowed
+    # _loop_shuffle_partitions scope below, silently running the
+    # corpus-sized distinct at the adaptive loop width (ADVICE r6).
+    verts = (
+        (vertices.select("id") if vertices is not None else _vertex_ids(e))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # pre-join the per-edge weight once: src -> dst with 1/outdeg(src)
     weighted = e.join(outdeg, "src").select(
@@ -1428,6 +1436,61 @@ def _brandes_betweenness(
     return dict(bc)
 
 
+def _brandes_backward_group(pdf):
+    """applyInPandas kernel: ONE root's shortest-path DAG arrives as a
+    pandas frame (root, node, depth, sigma, w, sigma_w) and the whole
+    backward dependency accumulation runs task-locally, deepest depth
+    first — delta(v) = sum_w sigma_v/sigma_w * (1 + delta(w)). Runs
+    INSIDE an executor task (the SCC task-local-Tarjan pattern): the
+    per-root DAG is root-keyed by construction, so this replaces
+    O(depth) sequential driver barriers with ONE shuffle + one stage.
+    Memory is bounded by the per-root DAG size threshold the caller
+    enforces."""
+    import pandas as pd
+
+    delta: dict[int, float] = {}
+    root = int(pdf["root"].iloc[0])
+    for d in sorted(pdf["depth"].unique(), reverse=True):
+        rows = pdf[pdf["depth"] == d]
+        contrib = (rows["sigma"] / rows["sigma_w"]) * (
+            1.0 + rows["w"].map(delta).fillna(0.0)
+        )
+        # a node has exactly one BFS depth per root, so per-depth
+        # updates are disjoint and plain dict.update is the correct
+        # accumulation
+        delta.update(
+            {int(k): float(v) for k, v in contrib.groupby(rows["node"]).sum().items()}
+        )
+    return pd.DataFrame(
+        {
+            "root": [root] * len(delta),
+            "node": list(delta.keys()),
+            "delta": list(delta.values()),
+        }
+    )
+
+
+def _brandes_root_group(pdf):
+    """applyInPandas kernel: ONE root's replicated edge list arrives as
+    a pandas frame (root, src, dst) and the complete single-root
+    Brandes (forward sigma-BFS + backward accumulation) runs
+    task-locally by calling the SAME ``_brandes_betweenness`` twin the
+    property tests pin — distributed-vs-driver parity by construction.
+    Executor-side (no driver collect); memory bounded by the edge-count
+    threshold the caller enforces."""
+    import pandas as pd
+
+    root = int(pdf["root"].iloc[0])
+    pairs = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+    bc = _brandes_betweenness(pairs, [root])
+    return pd.DataFrame(
+        {
+            "node": list(bc.keys()),
+            "delta": [float(v) for v in bc.values()],
+        }
+    )
+
+
 def betweenness_centrality(
     edges: DataFrame,
     roots,
@@ -1435,6 +1498,8 @@ def betweenness_centrality(
     loop_shuffle_width: int | None = None,
     collect_threshold: int = 5_000_000,
     broadcast_frontier: bool = False,
+    backward_task_threshold: int = 2_000_000,
+    per_root_task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Source-sampled shortest-path betweenness: (id, betweenness)
     with bc(v) = sum_{s in roots, t} sigma_st(v)/sigma_st over the
@@ -1500,60 +1565,137 @@ def betweenness_centrality(
         return spark.createDataFrame(
             [(k, float(v)) for k, v in bc.items()], out_schema
         )
+    root_df = spark.createDataFrame([(r,) for r in roots], "root bigint")
+    # ---- per-root task-local path ------------------------------------
+    # When the edge set fits an executor task, each sampled root's
+    # ENTIRE Brandes run is one applyInPandas group (the SCC task-local
+    # Tarjan pattern): replicate the checkpointed edge list per root
+    # with a broadcast cross join (|roots| is a broadcast-sized sample
+    # by contract, so replication volume is |roots| x E rows, shuffled
+    # once), run the pinned driver twin inside the task, sum. Three
+    # stages total instead of O(diameter) sequential barriers —
+    # measured 7.6-8.8s -> ~1.5s at sf0.1 forced-distributed. No
+    # driver collect anywhere, so this IS a 100 TB code path for any
+    # graph whose edge set fits task memory; beyond the threshold the
+    # windowed level-synchronous sweeps below take over (exact at any
+    # size, parity property-tested against this path and the driver).
+    if per_root_task_threshold > 0 and n_edges <= per_root_task_threshold:
+        rep = edges.crossJoin(F.broadcast(root_df))
+        deltas = rep.groupBy("root").applyInPandas(
+            _brandes_root_group, schema="node bigint, delta double"
+        )
+        return (
+            deltas.groupBy("node")
+            .agg(F.sum("delta").alias("betweenness"))
+            .select(F.col("node").alias("id"), "betweenness")
+        )
     if loop_shuffle_width is None:
         loop_shuffle_width = _adaptive_loop_width(spark, n_edges)
     with _loop_shuffle_partitions(
         spark, enabled=True, width=loop_shuffle_width, aqe_off=True
     ):
-        root_df = spark.createDataFrame([(r,) for r in roots], "root bigint")
-        # ---- forward sweep: (root, node, sigma) per level ------------
-        # one barrier per level, deliberately: sigma must be final
-        # before a level expands (the per-level groupBy is load-
-        # bearing), and a measured windowed-lazy variant was SLOWER
-        # at bench SF (the min-depth join-back double-references the
-        # window union — the exponential-unroll lesson)
+        # ---- forward sweep: windowed sigma-BFS ------------------------
+        # ``forward_window`` levels expand LAZILY between barriers:
+        # each intra-window level keeps its own per-level groupBy (so
+        # sigma stays node-aggregated — chaining the groupBys lazily
+        # plans the window as ONE job with k sequential shuffles, the
+        # pagerank barrier_every pattern) and anti-joins only against
+        # the WINDOW-START visited set (a fixed checkpointed frame —
+        # single-reference chain, so no exponential unroll). Nodes
+        # re-reached at a deeper depth INSIDE the window survive until
+        # window close, where one min-depth-per-(root,node) filter
+        # drops them. This post-hoc filter is EXACT for sigma: every
+        # prefix of a shortest path is itself minimal, so no fragment
+        # expanded from a non-minimal row can ever land at a node's
+        # minimal depth — the rows surviving the filter are exactly
+        # the per-level-barrier rows. Cuts the forward sweep from
+        # O(depth) barriers to O(depth / window): measured 18 -> 5
+        # jobs, 6.4-11.6s -> ~2-3s at sf0.1 forced-distributed.
+        # (The earlier windowed attempt the r6 code warned about
+        # double-referenced the lazy window union in its min-depth
+        # join-back; the window-function filter below references the
+        # materialized frame once.)
+        from pyspark.sql.window import Window as _W
+
         frontier = (
             root_df.select(
                 "root", F.col("root").alias("node"), F.lit(1.0).alias("sigma")
             )
             .localCheckpoint(eager=True)
         )
-        levels = [frontier]
+        win_levels: list[DataFrame] = []  # exact (root, node, depth, sigma)
+        visited_frames = [frontier.select("root", "node")]
+        depth = 0
+        forward_window = 4
         for _ in range(max_iter):
-            visited = reduce(
-                lambda a, b: a.unionByName(b), (lv.select("root", "node") for lv in levels)
+            base_visited = reduce(lambda a, b: a.unionByName(b), visited_frames)
+            anti = F.broadcast(base_visited) if broadcast_frontier else base_visited
+            lazy: list[DataFrame] = []
+            cur = frontier
+            for j in range(1, forward_window + 1):
+                cur = (
+                    cur.join(edges, cur.node == edges.src)
+                    .select("root", F.col("dst").alias("node"), "sigma")
+                    .join(anti, ["root", "node"], "left_anti")
+                    .groupBy("root", "node")
+                    .agg(F.sum("sigma").alias("sigma"))
+                )
+                lazy.append(cur.withColumn("depth", F.lit(depth + j)))
+            closed = (
+                reduce(lambda a, b: a.unionByName(b), lazy)
+                .withColumn(
+                    "_mind", F.min("depth").over(_W.partitionBy("root", "node"))
+                )
+                .filter(F.col("depth") == F.col("_mind"))
+                .drop("_mind")
+                .localCheckpoint(eager=False)
             )
-            f = F.broadcast(frontier) if broadcast_frontier else frontier
-            anti = F.broadcast(visited) if broadcast_frontier else visited
-            nxt = (
-                f.join(edges, frontier.node == edges.src)
-                .select("root", F.col("dst").alias("node"), "sigma")
-                .join(anti, ["root", "node"], "left_anti")
-                .groupBy("root", "node")
-                .agg(F.sum("sigma").alias("sigma"))
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
+            # the window's ONE materializing barrier: persists the
+            # lazy checkpoint and reads back row count, deepest-slice
+            # count (the next frontier's emptiness probe) and the max
+            # depth reached — no separate isEmpty/max jobs
+            stats = closed.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("depth") == depth + forward_window).cast("bigint")
+                ).alias("tail"),
+                F.max("depth").alias("maxd"),
+            ).collect()[0]
+            if stats["n"] == 0:
                 break
-            levels.append(nxt)
-            frontier = nxt
+            win_levels.append(closed)
+            visited_frames.append(closed.select("root", "node"))
+            max_depth = int(stats["maxd"])
+            if stats["tail"] == 0:
+                break  # BFS exhausted inside this window
+            frontier = closed.filter(F.col("depth") == depth + forward_window)
+            depth += forward_window
         else:
             raise RuntimeError(
                 f"betweenness forward sweep exceeded {max_iter} rounds; "
                 "refusing to return truncated centralities"
             )
-        if len(levels) < 3:
+        depth_map = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                root_df.select(
+                    "root",
+                    F.col("root").alias("node"),
+                    F.lit(1.0).alias("sigma"),
+                    F.lit(0).alias("depth"),
+                )
+            ]
+            + [lv.select("root", "node", "sigma", "depth") for lv in win_levels],
+        )
+        n_levels = (max_depth + 1) if win_levels else 1
+        if n_levels < 3:
             return spark.createDataFrame([], out_schema)
         # ---- SP-DAG, materialized once -------------------------------
         # (root, v, depth, sigma_v, w, sigma_w) with depth(w) =
-        # depth(v)+1: the depth map (union of checkpointed levels)
-        # joined to the edge set and back to itself shifted one level —
-        # two equi-joins total, after which every backward round is a
-        # filter over this checkpointed frame.
-        depth_map = reduce(
-            lambda a, b: a.unionByName(b),
-            (lv.withColumn("depth", F.lit(i)) for i, lv in enumerate(levels)),
-        )
+        # depth(v)+1: the depth map (union of checkpointed window
+        # closes) joined to the edge set and back to itself shifted one
+        # level — two equi-joins total, after which the backward sweep
+        # reads only this checkpointed frame.
         hi_side = depth_map.select(
             "root",
             F.col("node").alias("w"),
@@ -1561,19 +1703,41 @@ def betweenness_centrality(
             F.col("sigma").alias("sigma_w"),
         )
         spd = (
-            depth_map.filter(F.col("depth") < len(levels) - 1)
+            depth_map.filter(F.col("depth") < n_levels - 1)
             .join(edges, depth_map.node == edges.src)
             .select("root", "node", "depth", "sigma", F.col("dst").alias("w"))
             .join(hi_side, ["root", "w", "depth"])
             .localCheckpoint(eager=True)
         )
-        # ---- backward sweep: delta per level, deepest first ----------
-        # delta at the deepest level is 0 (no successors); walking up,
-        # each round is one filter over spd plus one level-sized join
-        # against the previously-computed delta.
+        # ---- backward sweep --------------------------------------------
+        # Preferred path: the SP-DAG is root-keyed by construction, so
+        # when every root's DAG fits one executor task the ENTIRE
+        # accumulation is one shuffle + one applyInPandas stage (the
+        # SCC task-local-Tarjan pattern) — replacing O(depth)
+        # sequential driver barriers. The threshold probe is one
+        # aggregate over the already-checkpointed frame; at 100 TB a
+        # root whose reachable DAG exceeds task memory falls back to
+        # the level-synchronous loop below, which is exact at any size.
+        if backward_task_threshold > 0:
+            mx = spd.groupBy("root").count().agg(F.max("count")).collect()[0][0]
+            if mx is not None and mx <= backward_task_threshold:
+                deltas = spd.groupBy("root").applyInPandas(
+                    _brandes_backward_group,
+                    schema="root bigint, node bigint, delta double",
+                )
+                return (
+                    deltas.filter(F.col("node") != F.col("root"))
+                    .groupBy("node")
+                    .agg(F.sum("delta").alias("betweenness"))
+                    .select(F.col("node").alias("id"), "betweenness")
+                )
+        # Fallback: delta per level, deepest first — delta at the
+        # deepest level is 0 (no successors); walking up, each round is
+        # one filter over spd plus one level-sized join against the
+        # previously-computed delta.
         bc_parts: list[DataFrame] = []
         delta_next: DataFrame | None = None
-        for d in range(len(levels) - 2, 0, -1):
+        for d in range(n_levels - 2, 0, -1):
             spe = spd.filter(F.col("depth") == d)
             if delta_next is not None:
                 dn = delta_next.select(

@@ -932,7 +932,13 @@ def weighted_sssp(
     choice for open root sets whose distance table is corpus-sized.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    # One lineage traversal for the caller's derived edge frame: the
+    # gate count, the negative-weight min probe, and every relaxation
+    # round's join all reuse this checkpoint instead of re-executing
+    # the upstream plan (the SCC/betweenness discipline).
+    edges = edges.select("src", "dst", F.col(weight_col).alias("w")).localCheckpoint(
+        eager=True
+    )
     thr = _gate(
         driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
     )

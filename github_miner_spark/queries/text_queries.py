@@ -719,10 +719,11 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_kneser_ney_scores",
-    oracle="""
-    WITH t AS (
+# The KN model's per-bigram scored relation, shared by the scoring
+# query and the filter-rate query so the two stay definitionally in
+# lockstep (a change to the model changes both oracles together).
+_KN_SCORED_CTES = """
+    t AS (
       SELECT doc_id,
              list_filter(str_split(regexp_replace(lower(text),
                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
@@ -758,7 +759,13 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN (SELECT bh, c FROM bfreq) bf ON bf.bh = b.bh
       JOIN pstats pf ON pf.ph = b.ph
       JOIN cstats cs ON cs.sh = b.sh
-    )
+    )"""
+
+
+@register(
+    "doc_kneser_ney_scores",
+    oracle=f"""
+    WITH {_KN_SCORED_CTES}
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(s), 6) AS mean_kn_surprisal
     FROM scored GROUP BY doc_id ORDER BY doc_id
@@ -779,6 +786,21 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "scoring", "ngram", "lm"),
 )
 def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _kn_scored(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("s"), 6).alias("mean_kn_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KN model's per-bigram scored relation (doc_id, s) — the
+    Spark twin of _KN_SCORED_CTES, shared by the scoring query and the
+    filter-rate query."""
     from github_miner_spark.functions.text import token_windows
 
     from github_miner_spark.functions.text import token_hash
@@ -826,41 +848,31 @@ def doc_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(0.75) * F.col("types_from") / F.col("pc"))
         * (F.col("cont") / F.col("t"))
     )
-    scored = (
+    return (
         bg.join(bfreq.select("bh", "c"), "bh")
         .join(pstats, "ph")
         .join(cstats, "sh")
         .crossJoin(F.broadcast(tt))
         .select("doc_id", (-F.log(p)).alias("s"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.round(F.avg("s"), 6).alias("mean_kn_surprisal"),
-        )
-        .orderBy("doc_id")
-    )
 
 
-# The quality-filter decision built on the KN model: reuse the scoring
-# query's oracle verbatim as a CTE so the two stay definitionally in
-# lockstep (a change to the model changes both sides together).
-from github_miner_spark import registry as _registry
-
-_KN_ORACLE = _registry._REGISTRY["doc_kneser_ney_scores"].oracle
 _KN_KEEP_THRESHOLD = 3.4
 
 
 @register(
     "kn_perplexity_filter_rates",
     oracle=f"""
-    WITH kn AS ({_KN_ORACLE})
+    WITH {_KN_SCORED_CTES},
+    kn AS (
+      SELECT doc_id, sum(s) AS sum_s, count(*) AS n
+      FROM scored GROUP BY doc_id
+    )
     SELECT d.source,
            CAST(count(*) AS BIGINT) AS docs,
-           CAST(count(*) FILTER (WHERE kn.mean_kn_surprisal < {_KN_KEEP_THRESHOLD})
+           CAST(count(*) FILTER (WHERE kn.sum_s < {_KN_KEEP_THRESHOLD} * kn.n)
                 AS BIGINT) AS kept,
-           round(count(*) FILTER (WHERE kn.mean_kn_surprisal < {_KN_KEEP_THRESHOLD})
+           round(count(*) FILTER (WHERE kn.sum_s < {_KN_KEEP_THRESHOLD} * kn.n)
                  * 1.0 / count(*), 6) AS keep_rate
     FROM kn JOIN documents d ON d.doc_id = kn.doc_id
     GROUP BY d.source ORDER BY d.source
@@ -877,9 +889,20 @@ _KN_KEEP_THRESHOLD = 3.4
     tags=("text", "curation", "quality", "lm"),
 )
 def kn_perplexity_filter_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kn = doc_kneser_ney_scores(spark, sf_dir)
+    # Gate on the UNROUNDED surprisal sum vs threshold*n, not the
+    # 6dp-rounded mean: the rounded mean puts a decision boundary at
+    # every 0.5e-6 mark (a doc landing on one flips whole keep/kept
+    # rows between engines), while the raw-sum compare has a single
+    # boundary at the threshold — measured corpus margin >=5e-7 vs
+    # ~1e-12 cross-engine float-sum error (ADVICE r6 #5; margin pinned
+    # in tests/test_oracle_parity.py).
+    kn = (
+        _kn_scored(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("sum_s"), F.count("*").alias("n"))
+    )
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
-    keep = F.col("mean_kn_surprisal") < F.lit(_KN_KEEP_THRESHOLD)
+    keep = F.col("sum_s") < F.lit(_KN_KEEP_THRESHOLD) * F.col("n")
     return (
         kn.join(docs, "doc_id")
         .groupBy("source")

@@ -425,10 +425,16 @@ def trending_topk_stream(
         )
         ranked = rank_trending(cur, k)
         if carry:
-            # carry rows exist only to feed LAG; never publish them
-            lo = min(w for (w, _t) in latest) if latest else None
-            if lo is not None:
+            # carry rows exist only to feed LAG; never publish them.
+            # With latest empty (restored snapshot whose latest was
+            # empty, filter-degenerate batch) there is no horizon to
+            # filter against — publish nothing rather than leak carry
+            # (ADVICE r6 #3).
+            if latest:
+                lo = min(w for (w, _t) in latest)
                 ranked = ranked.filter(F.col("window_start") >= F.lit(lo))
+            else:
+                ranked = ranked.filter(F.lit(False))
         spark.createDataFrame(
             ranked.collect(), schema
         ).createOrReplaceGlobalTempView(view_name)
@@ -449,7 +455,11 @@ def trending_topk_stream(
                 _json.dump(snap, f)
             os.replace(tmp, state_path)
 
-    return counts.writeStream.outputMode("update").foreachBatch(_rank)
+    writer = counts.writeStream.outputMode("update").foreachBatch(_rank)
+    # exposed for tests: lets the carry/horizon edge cases be driven
+    # with crafted static batches without building a real stream
+    writer._spark_graft_rank = _rank
+    return writer
 
 def _ks_from_binned(cnt: DataFrame) -> DataFrame:
     """KS statistic per event type from a (event_type, bin, ca, cb)

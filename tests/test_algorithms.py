@@ -498,11 +498,35 @@ def test_betweenness_distributed_matches_driver(spark):
             r.id: r.betweenness
             for r in betweenness_centrality(e, roots, collect_threshold=0).collect()
         }
+        # third/fourth formulations: windowed sweeps with the backward
+        # task kernel, and with the backward LOOP fallback — so all
+        # four distributed shapes stay pinned (slow above takes the
+        # per-root task-local path)
+        windowed = {
+            r.id: r.betweenness
+            for r in betweenness_centrality(
+                e, roots, collect_threshold=0, per_root_task_threshold=0
+            ).collect()
+        }
+        loop = {
+            r.id: r.betweenness
+            for r in betweenness_centrality(
+                e,
+                roots,
+                collect_threshold=0,
+                per_root_task_threshold=0,
+                backward_task_threshold=0,
+            ).collect()
+        }
         want = _brandes_betweenness(pairs, roots)
         assert fast == pytest.approx(want, rel=1e-9), pairs
         assert set(slow) == set(want), pairs
+        assert set(windowed) == set(want), pairs
+        assert set(loop) == set(want), pairs
         for v in want:
             assert slow[v] == pytest.approx(want[v], rel=1e-9), (v, pairs)
+            assert windowed[v] == pytest.approx(want[v], rel=1e-9), (v, pairs)
+            assert loop[v] == pytest.approx(want[v], rel=1e-9), (v, pairs)
 
 
 def test_betweenness_distributed_random_graphs(spark):
@@ -530,7 +554,15 @@ def test_betweenness_distributed_random_graphs(spark):
             r.id: r.betweenness
             for r in betweenness_centrality(e, roots, collect_threshold=0).collect()
         }
+        windowed = {
+            r.id: r.betweenness
+            for r in betweenness_centrality(
+                e, roots, collect_threshold=0, per_root_task_threshold=0
+            ).collect()
+        }
         want = _brandes_betweenness(pairs, roots)
         assert set(slow) == set(want), pairs
+        assert set(windowed) == set(want), pairs
         for v in want:
             assert slow[v] == pytest.approx(want[v], rel=1e-9), (v, pairs)
+            assert windowed[v] == pytest.approx(want[v], rel=1e-9), (v, pairs)

@@ -4,7 +4,10 @@ CORRECTNESS gate."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
+from pyspark.sql import functions as F
 
 from github_miner_spark import registry
 from tests.oracle_utils import compare_query
@@ -84,3 +87,34 @@ def test_no_fatal_oracle_type_divergence(spark):
     finally:
         con.close()
     assert not fatal, "oracle columns that will hash-mismatch in the driver:\n" + "\n".join(fatal)
+
+
+def test_kn_keep_threshold_margin(spark):
+    """The KN perplexity filter gates on the UNROUNDED per-doc
+    surprisal sum vs threshold*n (ADVICE r6 #5): the only decision
+    boundary is the threshold itself, so the gate is engine-stable iff
+    every document's sum sits farther from threshold*n than the
+    cross-engine float-sum error (~1e-12 relative). Pin a >=1e-7
+    relative margin at the test fixture — if a corpus regeneration
+    ever lands a document at the boundary, this fails loudly instead
+    of the driver hash flipping whole rows."""
+    from github_miner_spark.queries.text_queries import (
+        _KN_KEEP_THRESHOLD,
+        _kn_scored,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    per_doc = (
+        _kn_scored(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("sum_s"), F.count("*").alias("n"))
+        .select(
+            (
+                F.abs(F.col("sum_s") - F.lit(_KN_KEEP_THRESHOLD) * F.col("n"))
+                / (F.lit(_KN_KEEP_THRESHOLD) * F.col("n"))
+            ).alias("rel_margin")
+        )
+        .agg(F.min("rel_margin").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert per_doc is not None and per_doc > 1e-7, per_doc

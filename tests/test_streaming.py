@@ -459,6 +459,55 @@ def test_trending_topk_stream_restart_restores_dashboard(spark, tmp_path):
     assert run1_windows & {w for (w, *_r) in got}
 
 
+def test_trending_topk_stream_empty_latest_never_leaks_carry(spark, tmp_path):
+    """Carry rows exist only to feed LAG and must NEVER publish. The
+    degenerate trigger — carry non-empty while latest is empty (a
+    restored snapshot whose latest was empty, or a filter-degenerate
+    batch) — used to skip the horizon filter entirely and leak carry
+    rows into the view (ADVICE r6 #3); it must publish an empty view."""
+    import json
+
+    from github_miner_spark.streaming.events import (
+        stream_events,
+        trending_topk_stream,
+    )
+
+    state = tmp_path / "dash.json"
+    state.write_text(
+        json.dumps(
+            {
+                "latest": [],
+                "carry": {"click": ["2024-01-01T00:00:00", 7]},
+                "batch_id": 0,
+            }
+        )
+    )
+    writer = trending_topk_stream(
+        stream_events(spark, SF),
+        view_name="t_trending_leak",
+        horizon_windows=5,
+        state_path=str(state),
+    )
+    rank = writer._spark_graft_rank
+    empty_batch = spark.createDataFrame(
+        [], "window_start timestamp, event_type string, n_events bigint"
+    )
+    rank(empty_batch, 1)
+    assert spark.sql("SELECT * FROM global_temp.t_trending_leak").count() == 0
+    # and once real rows arrive, carry still feeds LAG without publishing
+    from datetime import datetime
+
+    real = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 1), "click", 9)],
+        "window_start timestamp, event_type string, n_events bigint",
+    )
+    rank(real, 2)
+    rows = spark.sql("SELECT * FROM global_temp.t_trending_leak").collect()
+    assert [(r["event_type"], r["n_events"], r["delta"]) for r in rows] == [
+        ("click", 9, 2)  # delta vs the carried 7 — carry fed LAG, unpublished
+    ]
+
+
 def test_drift_monitor_stream_matches_batch(spark):
     """The drift dashboard's final trigger must equal the batch twin
     exactly: same binned side counts, same _ks_from_binned transform
