@@ -129,6 +129,8 @@ HEADLINE = [
     "priority_sample_summary",
     "hll_shingle_estimates",
     "kmv_set_operation_estimates",
+    # round 7: the mergeable-quantile sketch joins the watch
+    "kll_quantile_merge",
 ]
 
 # The per-family core whose medians ride in the compact final line (one
@@ -215,11 +217,22 @@ def run_compare(sha: str) -> None:
         if n.strip()
     ]
     tmp = tempfile.mkdtemp(prefix="bench_ab_")
+    # BOTH sides run from clones in the same temp storage: running the
+    # old side from /tmp and the new side from the repo's own mount
+    # showed up as a uniform ~1.2x phantom delta on untouched queries.
     old_dir = os.path.join(tmp, "old")
-    subprocess.run(
-        ["git", "clone", "-q", "--shared", REPO, old_dir], check=True
-    )
-    subprocess.run(["git", "-C", old_dir, "checkout", "-q", sha], check=True)
+    new_dir = os.path.join(tmp, "new")
+    head = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "HEAD"],
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    for side_dir, ref in ((old_dir, sha), (new_dir, head)):
+        subprocess.run(
+            ["git", "clone", "-q", "--shared", REPO, side_dir], check=True
+        )
+        subprocess.run(["git", "-C", side_dir, "checkout", "-q", ref], check=True)
 
     def launch(side_dir: str, out_path: str) -> dict[str, list[float]]:
         env = dict(os.environ)
@@ -249,7 +262,7 @@ def run_compare(sha: str) -> None:
     for rep in range(reps):
         for label, side_dir, acc in (
             ("old", old_dir, old_samples),
-            ("new", REPO, new_samples),
+            ("new", new_dir, new_samples),
         ):
             out = os.path.join(tmp, f"{label}_{rep}.json")
             t0 = time.perf_counter()
@@ -281,6 +294,7 @@ def run_compare(sha: str) -> None:
     payload = {
         "mode": "interleaved_ab",
         "old_sha": sha,
+        "new_sha": head,
         "reps": reps,
         "protocol": "alternating old/new subprocess launches, each = "
         "warmup pass + 1 timed pass per query; medians over all reps",

@@ -368,6 +368,29 @@ def _bfs_in_driver(
     return out
 
 
+def _bfs_root_group_factory(max_iter: int):
+    """Build the applyInPandas kernel for per-root task-local BFS: one
+    root's replicated edge list arrives as (root, src, dst) and the
+    SAME ``_bfs_in_driver`` twin the parity tests pin runs inside the
+    executor task — no driver collect, no per-level barriers."""
+
+    def _bfs_root_group(pdf):
+        import pandas as pd
+
+        root = int(pdf["root"].iloc[0])
+        pairs = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+        rows = _bfs_in_driver(pairs, [root], max_iter)
+        return pd.DataFrame(
+            {
+                "root": [r for r, _n, _d in rows],
+                "node": [n for _r, n, _d in rows],
+                "depth": [d for _r, _n, d in rows],
+            }
+        )
+
+    return _bfs_root_group
+
+
 def bfs_depths(
     edges: DataFrame,
     roots=None,
@@ -376,6 +399,7 @@ def bfs_depths(
     broadcast_frontier: bool = False,
     checkpoint_every: int = 4,
     driver_threshold: int | None = None,
+    per_root_task_threshold: int = 0,
 ) -> DataFrame:
     """Min-depth BFS: (root, node, depth) with the smallest hop count
     root ->* node (depth >= 1). Cycle-safe via per-root visited sets.
@@ -422,6 +446,34 @@ def bfs_depths(
                 return spark.createDataFrame(
                     out or [], "root bigint, node bigint, depth int"
                 )
+    # ---- per-root task-local path (opt-in) ---------------------------
+    # The betweenness per-root pattern applied to plain min-depth BFS:
+    # when the caller vouches (threshold > 0) that the edge set fits an
+    # executor task and the root set is a bounded explicit sample,
+    # replicate the checkpointed edges per root (broadcast cross join)
+    # and run the pinned in-driver BFS twin INSIDE the task — 3 stages
+    # instead of O(diameter/window) sequential barriers, no driver
+    # collect. Returns the full depth map (the same superset contract
+    # as the driver path). Beyond the threshold, the windowed
+    # level-synchronous loop below is the at-scale path.
+    if (
+        per_root_task_threshold > 0
+        and roots is not None
+        and not isinstance(roots, DataFrame)
+        and len(roots) <= DRIVER_CLOSURE_ROOTS
+    ):
+        edges_ck = edges.localCheckpoint(eager=True)
+        if edges_ck.count() <= per_root_task_threshold:
+            root_df = spark.createDataFrame(
+                [(int(r),) for r in roots], "root bigint"
+            )
+            return edges_ck.crossJoin(F.broadcast(root_df)).groupBy(
+                "root"
+            ).applyInPandas(
+                _bfs_root_group_factory(max_iter),
+                schema="root bigint, node bigint, depth int",
+            )
+        edges = edges_ck  # reuse the checkpoint in the loop below
     root_df = _as_root_df(edges, roots)
     until_set: set[int] | None = None
     if until is not None:

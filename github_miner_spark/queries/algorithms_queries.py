@@ -1151,8 +1151,17 @@ def closeness_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = load_graph(spark, sf_dir)
     mm = g.module_dep_edges()
-    roots = mm.filter(F.col("src") < 200).select(F.col("src").alias("root")).distinct()
-    depths = bfs_depths(mm, roots=roots, broadcast_frontier=True)
+    roots = sorted(
+        r["src"]
+        for r in mm.filter(F.col("src") < 200).select("src").distinct().collect()
+    )
+    # per_root_task_threshold: the scan-backed module edge set fits an
+    # executor task at any bench SF, so each sampled root's BFS runs
+    # task-locally (3 stages, no per-level barriers); past the
+    # threshold bfs_depths falls back to its windowed loop
+    depths = bfs_depths(
+        mm, roots=roots, broadcast_frontier=True, per_root_task_threshold=5_000_000
+    )
     return (
         depths.groupBy("root")
         .agg(

@@ -771,3 +771,148 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Mergeable quantile sketch (deterministic KLL-style compaction) ---
+# The last gap in the sketch algebra (VERDICT r6 item 8): mergeable
+# quantiles across groups. Each group (event_type) is compacted
+# independently; the per-group sketches MERGE by plain union because
+# every survivor carries the same weight 2^L — the KLL property that
+# makes distributed quantiles one union + one order statistic instead
+# of a shuffle of the raw universe.
+_KLL_LEVELS = 5  # 2^5 = 32x compaction per group
+
+
+@register(
+    "kll_quantile_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100.0, 0) AS BIGINT) AS v,
+             event_id
+      FROM events
+    ),
+    p0 AS (SELECT event_type, v, event_id FROM base),
+    {", ".join(
+        f'''p{i} AS (
+      SELECT event_type, v, event_id FROM (
+        SELECT event_type, v, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rn
+        FROM p{i - 1}
+      ) WHERE rn % 2 = 1
+    )'''
+        for i in range(1, _KLL_LEVELS + 1)
+    )},
+    merged AS (
+      SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn,
+             count(*) OVER () AS m
+      FROM p{_KLL_LEVELS}
+    ),
+    exact AS (
+      SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM base
+    ),
+    qs AS (
+      SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                            ('p75', 3, 4), ('p90', 9, 10)) AS t(q, qn, qd)
+    ),
+    est AS (
+      SELECT qs.q, merged.v AS est_cents, merged.m
+      FROM qs JOIN merged
+        ON merged.rn = CAST(floor((qs.qn * merged.m + qs.qd - 1.0) / qs.qd)
+                            AS BIGINT)
+    ),
+    tru AS (
+      SELECT qs.q, exact.v AS exact_cents, exact.n
+      FROM qs JOIN exact
+        ON exact.rn = CAST(floor((qs.qn * exact.n + qs.qd - 1.0) / qs.qd)
+                           AS BIGINT)
+    )
+    SELECT est.q,
+           est.est_cents,
+           tru.exact_cents,
+           abs(est.est_cents - tru.exact_cents) AS abs_err_cents,
+           CAST(est.m AS BIGINT) AS sketch_rows,
+           CAST(tru.n AS BIGINT) AS exact_rows
+    FROM est JOIN tru ON tru.q = est.q
+    ORDER BY est.q
+    """,
+    description="Mergeable quantile sketch (deterministic KLL-style "
+    "rank-parity compaction, Karnin-Lang-Liberty 2016 made "
+    "deterministic for cross-engine parity): per event_type, "
+    f"{_KLL_LEVELS} compaction passes each keep the odd ranks of the "
+    "value-sorted survivors and double the item weight, leaving a "
+    "32x-compressed uniform-weight sample; the per-group sketches "
+    "merge by UNION (equal weights), and each requested quantile is "
+    "one order statistic over the merged sketch. Estimates are graded "
+    "in-query against the exact rank statistic over the raw rows "
+    "(integer cents, integer target ranks — bit-exact cross-engine). "
+    "At 100 TB the sketch side is a per-group window over "
+    "co-partitioned data + a union of 1/32-sized survivors; the "
+    "exact side exists only to grade, the same contract as the "
+    "KMV/HLL/CMS family.",
+    tags=("events", "sketch", "quantiles", "approx"),
+)
+def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("v"),
+        "event_id",
+    )
+    # compaction passes: all windows share the event_type partitioning,
+    # so Catalyst plans ONE exchange and chains the sorts/filters
+    cur = base
+    grp = Window.partitionBy("event_type").orderBy("v", "event_id")
+    for _ in range(_KLL_LEVELS):
+        cur = (
+            cur.withColumn("rn", F.row_number().over(grp))
+            .filter(F.col("rn") % 2 == 1)
+            .drop("rn")
+        )
+    # merged sketch + exact twin: global order statistics. The sketch
+    # side is sketch-sized by construction; the exact side's global
+    # sort is the grading harness, not the production path.
+    gw = Window.orderBy("v", "event_id")
+    merged = (
+        cur.withColumn("rn", F.row_number().over(gw))
+        .withColumn("m", F.count("*").over(Window.partitionBy()))
+        .select("v", "rn", "m")
+    )
+    exact = (
+        base.withColumn("rn", F.row_number().over(gw))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .select("v", "rn", "n")
+    )
+    qs = spark.createDataFrame(
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)],
+        "q string, qn int, qd int",
+    )
+    # target-rank joins: 4 broadcast rows against sketch-sized frames
+    # (the accepted broadcast-scalar crossJoin class); integer products
+    # stay < 2^24, so the float floor-division is exact
+    def rank_of(qn, qd, tot):
+        return F.floor((qn * tot + qd - 1.0) / qd).cast("bigint")
+
+    est = F.broadcast(qs).join(
+        merged, merged.rn == rank_of(qs.qn, qs.qd, merged.m)
+    ).select("q", F.col("v").alias("est_cents"), "m")
+    tru = F.broadcast(qs).join(
+        exact, exact.rn == rank_of(qs.qn, qs.qd, exact.n)
+    ).select(F.col("q").alias("tq"), F.col("v").alias("exact_cents"), "n")
+    return (
+        est.join(tru, est.q == tru.tq)
+        .select(
+            "q",
+            "est_cents",
+            "exact_cents",
+            F.abs(F.col("est_cents") - F.col("exact_cents")).alias(
+                "abs_err_cents"
+            ),
+            F.col("m").cast("bigint").alias("sketch_rows"),
+            F.col("n").cast("bigint").alias("exact_rows"),
+        )
+        .orderBy("q")
+    )

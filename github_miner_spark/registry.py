@@ -88,69 +88,66 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # -- (a) never driver-witnessed / never driver-green ---------------
-    "customer_spend_deciles",
-    "doc_kneser_ney_scores",
-    "events_trending_topk",
-    "late_shipment_priority_counts",
-    # -- (b) new this round --------------------------------------------
-    "kn_perplexity_filter_rates",
-    "ivf_recall_at_k",
-    "order_priority_checking",
-    "incremental_minhash_dedup",
-    "source_overlap_matrix",
-    "closeness_centrality_sample",
-    "betweenness_centrality_sample",
-    "parts_supplier_relationship",
-    "potential_part_promotion",
-    "embedding_pq_topk",
-    "pq_recall_at_k",
-    "min_cost_supplier",
-    "important_stock_by_nation",
-    "bigram_pmi_collocations",
-    "events_gap_filled_hourly",
-    "weighted_shortest_distances",
-    "span_corruption_plan",
-    "vocab_coverage_stats",
-    "hll_vocab_estimates",
-    "source_unigram_kl",
-    "events_ks_drift",
-    "deterministic_random_walks",
-    "cms_heavy_hitter_estimates",
-    "binned_quantile_estimates",
-    "bloom_decontamination_prefilter",
-    "node2vec_biased_walks",
-    "priority_sample_summary",
-    "hll_shingle_estimates",
-    "kmv_set_operation_estimates",
-    # -- (c) re-greens for round-6-touched implementations -------------
-    "boilerplate_ngram_stats",
-    "scc_summary",
-    "scc_size_histogram",
-    "cypher_scc_readback",
-    "shipping_priority",
-    "regional_revenue",
-    "nation_volume_shipping",
-    "returned_item_customers",
-    "top_supplier_revenue",
-    "market_share_by_year",
-    "profit_by_nation_year",
-    "suppliers_kept_waiting",
-    "promo_revenue_share",
-    "top_value_part_types",
-    # -- (d) witness refresh: oldest green rows (r02/r03) + one rep ----
-    #    per family not already covered above
-    # (scalar_function_showcase / label_histogram / degree_breakdown /
-    # events_sessionization / minhash_lsh_dups / embedding_topk_bruteforce /
-    # exact_dedup_summary / one_hop_neighborhood / bfs_depth_profile /
-    # pricing_summary / cypher_top_used_modules rotated out to make room
-    # for the eleven closing registrations — their implementations are
-    # untouched this round and their families keep other rows in this
-    # window (relational via the ten TPC-H re-greens, cypher via
-    # cypher_scc_readback)
-    "top_dependants_modules",
-    "closure_counts_from_anchor",
-    "idempotent_merge",
+    # Round-7 window (VERDICT r6 item 5): new-this-round first, then
+    # re-greens for every implementation round 7 touched, then the
+    # round-6-touched queries whose newest driver rows aged to r02/r03
+    # (the spread/projection family), then the oldest untouched
+    # witnesses (all 25 remaining r02 rows + the oldest r03 rows).
+    # -- (a) new this round ---------------------------------------------
+    "kll_quantile_merge",
+    # -- (b) re-greens for round-7-touched implementations --------------
+    "betweenness_centrality_sample",   # per-root task-local Brandes
+    "closeness_centrality_sample",     # per-root task-local BFS
+    "kn_perplexity_filter_rates",      # unrounded-sum keep gate
+    "doc_kneser_ney_scores",           # shared scored-relation refactor
+    "weighted_shortest_distances",     # edge-projection checkpoint
+    "pagerank_top20",                  # eager verts materialization
+    "cypher_pagerank_readback",        # same engine change via Cypher
+    "brand_discount_revenue",          # forced part broadcast removed
+    # -- (c) round-6-touched, driver rows aged to r02/r03 (VERDICT #5) --
+    "simhash_near_dups",
+    "simhash_values",
+    "node_similarity_jaccard",
+    "embedding_cosine_dups",
+    "embedding_similarity_buckets",
+    "embedding_lsh_topk",
+    "doc_shingle_profile",
+    "link_prediction_scores",
+    # -- (d) witness refresh: the 22 remaining r02 rows ------------------
+    "customers_with_open_orders",
+    "dependants_by_endpoint_label",
+    "detach_delete_impact",
+    "distinct_order_profiles",
+    "doc_bpe_token_counts",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "hosted_on_outer",
+    "language_id_confusion",
+    "lineitem_describe",
+    "manifest_dependency_totals",
+    "meta_graph",
+    "modules_per_repo_list",
+    "ngram_jaccard_dups",
+    "one_hop_neighborhood",
+    "parts_never_ordered",
+    "preferential_attachment",
+    "quantity_histogram",
+    "revenue_rollup",
+    "scalar_function_showcase",
+    "schema_histograms",
+    "self_loops",
+    # -- (e) oldest r03 rows to fill the 50 ------------------------------
+    "benchmark_decontamination",
+    "corpus_filter_funnel",
+    "customer_order_stats_outer",
+    "dedup_clusters",
+    "degree_breakdown",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "embedding_ivf_topk",
+    "embedding_topk_bruteforce",
+    "exact_dedup_summary",
+    "label_histogram",
 )
 
 

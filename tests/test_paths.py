@@ -207,6 +207,17 @@ def test_distributed_closure_adversarial_depth_and_hubs(spark):
     d_fast = bfs_depths(edges, roots=[0], max_iter=500)
     assert sorted(map(tuple, depths.collect())) == sorted(map(tuple, d_fast.collect()))
     assert depths.agg(F.max("depth")).collect()[0][0] >= 250
+    # per-root task-local path (opt-in): same full map as both twins
+    d_task = bfs_depths(
+        edges,
+        roots=[0],
+        max_iter=500,
+        driver_threshold=0,
+        per_root_task_threshold=5_000_000,
+    )
+    assert sorted(map(tuple, depths.collect())) == sorted(
+        map(tuple, d_task.collect())
+    )
 
 
 def wedges_df(spark, triples):

