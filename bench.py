@@ -477,10 +477,17 @@ def main() -> None:
                 }
 
             exponent("scc", lambda g: strongly_connected_components(g).count())
+            # per_root_task_threshold=0: the lane pins the DISTRIBUTED
+            # two-sweep pipeline's exponent (the path a 100 TB edge set
+            # takes), not the task-local kernel a bench-sized graph
+            # would otherwise route to
             exponent(
                 "all_shortest_paths",
                 lambda g: all_shortest_paths_multi(
-                    g, ANCHOR_MODULE, [132 + 2 * hi if g is g3 else 132]
+                    g,
+                    ANCHOR_MODULE,
+                    [132 + 2 * hi if g is g3 else 132],
+                    per_root_task_threshold=0,
                 ).count(),
             )
         finally:

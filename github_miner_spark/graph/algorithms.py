@@ -53,14 +53,27 @@ def _pagerank_driver(
     (src, dst, w) list becomes index arrays and each iteration is one
     deterministic numpy scatter-add — same recurrence, same dangling-
     mass decay, same personalization."""
+    rows = [(r["src"], r["dst"], r["w"]) for r in weighted.collect()]
+    ids = sorted(r["id"] for r in verts.collect())
+    out = _pagerank_rows_numpy(rows, ids, iterations, damping, sources)
+    return weighted.sparkSession.createDataFrame(out, "id bigint, rank double")
+
+
+def _pagerank_rows_numpy(
+    rows: list[tuple[int, int, float]],
+    ids: list[int],
+    iterations: int,
+    damping: float,
+    sources: list[int] | None,
+) -> list[tuple[int, float]]:
+    """The shared numpy power-iteration core: identical recurrence for
+    the in-driver twin and the executor-task kernel."""
     import numpy as np
 
-    ids = sorted(r["id"] for r in verts.collect())
     idx = {v: i for i, v in enumerate(ids)}
-    rows = weighted.collect()
-    src = np.fromiter((idx[r["src"]] for r in rows), dtype=np.int64, count=len(rows))
-    dst = np.fromiter((idx[r["dst"]] for r in rows), dtype=np.int64, count=len(rows))
-    w = np.fromiter((r["w"] for r in rows), dtype=np.float64, count=len(rows))
+    src = np.fromiter((idx[a] for a, _b, _w in rows), dtype=np.int64, count=len(rows))
+    dst = np.fromiter((idx[b] for _a, b, _w in rows), dtype=np.int64, count=len(rows))
+    w = np.fromiter((wv for _a, _b, wv in rows), dtype=np.float64, count=len(rows))
     n = len(ids)
     if sources is None:
         rank = np.ones(n)
@@ -81,9 +94,33 @@ def _pagerank_driver(
         msg = np.zeros(n)
         np.add.at(msg, dst, rank[src] * w)
         rank = base + damping * msg
-    return weighted.sparkSession.createDataFrame(
-        [(int(v), float(rank[i])) for v, i in idx.items()], "id bigint, rank double"
-    )
+    return [(int(v), float(rank[i])) for v, i in idx.items()]
+
+
+def _pagerank_group_factory(
+    iterations: int, damping: float, sources: list[int] | None
+):
+    """Build the applyInPandas kernel for task-local PageRank: the
+    weighted edge list arrives as one group and the shared numpy core
+    runs inside the executor task. Valid only when the vertex set is
+    edge-derived (vertices=None): every endpoint of e appears in the
+    weighted rows (a node with no out-edges still appears as dst), so
+    the kernel reconstructs exactly the ids the driver twin would."""
+
+    def _pagerank_group(pdf):
+        import pandas as pd
+
+        rows = [
+            (int(a), int(b), float(w))
+            for a, b, w in zip(pdf["src"], pdf["dst"], pdf["w"])
+        ]
+        ids = sorted({a for a, _b, _w in rows} | {b for _a, b, _w in rows})
+        out = _pagerank_rows_numpy(rows, ids, iterations, damping, sources)
+        return pd.DataFrame(
+            {"id": [v for v, _r in out], "rank": [r for _v, r in out]}
+        )
+
+    return _pagerank_group
 
 
 def pagerank(
@@ -96,6 +133,7 @@ def pagerank(
     barrier_every: int = 5,
     sources: list[int] | None = None,
     collect_threshold: int = 2_000_000,
+    task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank, OUTGOING direction, non-normalized
     Brin-Page form: rank_v = (1-d) + d * sum(rank_u / outdeg_u) — the
@@ -160,6 +198,23 @@ def pagerank(
     if thr > 0 and n_w <= thr:
         return _pagerank_driver(
             weighted, verts, iterations, damping, sources
+        )
+
+    # Task-local path (the SCC/betweenness/louvain pattern): when the
+    # weighted edge list fits one executor task AND the vertex set is
+    # edge-derived, the shared numpy power-iteration core runs inside
+    # ONE applyInPandas task — executor-side, no driver collect, the
+    # 4+ barrier-window jobs collapse to 2 stages. Past the threshold
+    # (or with an explicit vertices frame) the distributed loop below
+    # is the at-scale path.
+    if vertices is None and task_threshold > 0 and n_w <= task_threshold:
+        return (
+            weighted.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(
+                _pagerank_group_factory(iterations, damping, sources),
+                schema="id bigint, rank double",
+            )
         )
 
     if loop_shuffle_width is None:
@@ -1008,6 +1063,7 @@ def louvain(
     loop_shuffle_width: int | None = None,
     early_exit: bool = True,
     collect_threshold: int = 2_000_000,
+    task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Louvain community detection as DataFrame iteration — the real
     modularity-optimizing algorithm, not a label-propagation stand-in
@@ -1027,8 +1083,34 @@ def louvain(
     overhead at bench SF while a huge graph gets it back."""
     return _louvain_inner(
         edges, max_sweeps, levels, early_exit, collect_threshold,
-        loop_shuffle_width,
+        loop_shuffle_width, task_threshold,
     )
+
+
+def _louvain_group_factory(
+    m2: float, max_sweeps: int, levels: int, early_exit: bool
+):
+    """Build the applyInPandas kernel for task-local Louvain: the
+    symmetric weighted edge list arrives as one group and the SAME
+    ``_louvain_driver`` twin runs inside the executor task. The twin's
+    bit-parity argument (integer-valued-double sums are order-exact,
+    identical score operation tree) makes task-vs-distributed equality
+    exact, not approximate — the same guarantee the hybrid driver gate
+    already relies on, now without any driver collect."""
+
+    def _louvain_group(pdf):
+        import pandas as pd
+
+        rows = [
+            (int(s), int(d), float(w))
+            for s, d, w in zip(pdf["src"], pdf["dst"], pdf["w"])
+        ]
+        comm = _louvain_driver(rows, m2, max_sweeps, levels, early_exit)
+        return pd.DataFrame(
+            {"id": list(comm.keys()), "community": list(comm.values())}
+        )
+
+    return _louvain_group
 
 
 def _louvain_inner(
@@ -1038,6 +1120,7 @@ def _louvain_inner(
     early_exit: bool = True,
     collect_threshold: int = 2_000_000,
     loop_shuffle_width: int | None = None,
+    task_threshold: int = 5_000_000,
 ) -> DataFrame:
     from github_miner_spark.graph.paths import (
         _adaptive_loop_width,
@@ -1070,6 +1153,22 @@ def _louvain_inner(
         )
         return edges.sparkSession.createDataFrame(
             list(comm.items()), "id bigint, community bigint"
+        )
+
+    # Task-local path (the SCC/betweenness pattern): when the symmetric
+    # edge list fits one executor task, the whole two-level schedule
+    # runs inside ONE applyInPandas task via the bit-parity driver twin
+    # — executor-side, no driver collect, ~12 sweep barriers -> 2
+    # stages. Past the threshold the distributed sweeps below are the
+    # at-scale path; equality is exact (see _louvain_group_factory).
+    if task_threshold > 0 and n_sym <= task_threshold:
+        return (
+            sym.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(
+                _louvain_group_factory(float(m2), max_sweeps, levels, early_exit),
+                schema="id bigint, community bigint",
+            )
         )
 
     if loop_shuffle_width is None:
@@ -1295,11 +1394,28 @@ def _matula_beck_coreness(edge_list: list[tuple[int, int]]) -> dict[int, int]:
     return core
 
 
+def _coreness_group(pdf):
+    """applyInPandas kernel: the deduped undirected edge list arrives
+    as one group and the exact Matula-Beck bucket peel — the SAME twin
+    the parity tests pin — runs inside the executor task. No driver
+    collect, no h-index fixpoint barriers; memory bounded by the
+    edge-count threshold the caller enforces."""
+    import pandas as pd
+
+    core = _matula_beck_coreness(
+        list(zip(pdf["u"].astype(int), pdf["v"].astype(int)))
+    )
+    return pd.DataFrame(
+        {"id": list(core.keys()), "core": list(core.values())}
+    )
+
+
 def coreness(
     edges: DataFrame,
     max_iter: int = 100,
     loop_shuffle_width: int | None = None,
     collect_threshold: int = 5_000_000,
+    task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """k-core decomposition: core number per vertex of the UNDIRECTED
     simple graph underlying ``edges`` (self-loops dropped). Returns
@@ -1344,6 +1460,18 @@ def coreness(
         core = _matula_beck_coreness([(r["u"], r["v"]) for r in rows])
         return edges.sparkSession.createDataFrame(
             list(core.items()), "id bigint, core bigint"
+        )
+    # Task-local path (the SCC/betweenness/louvain/pagerank pattern):
+    # an undirected edge set that fits one executor task runs the exact
+    # Matula-Beck peel inside ONE applyInPandas task — executor-side,
+    # no driver collect, the O(iterations) h-index barriers collapse to
+    # 2 stages. Past the threshold the fixpoint loop below is the
+    # at-scale path.
+    if task_threshold > 0 and n_edges <= task_threshold:
+        return (
+            und.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(_coreness_group, schema="id bigint, core bigint")
         )
 
     from github_miner_spark.graph.paths import _adaptive_loop_width

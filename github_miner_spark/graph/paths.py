@@ -197,6 +197,29 @@ def _closure_in_driver(
     return out
 
 
+def _closure_group_factory(roots: list[int]):
+    """Build the applyInPandas kernel for task-local closure counting:
+    the edge list arrives as one group and the SAME
+    ``_closure_in_driver`` twin the parity tests pin runs inside the
+    executor task for every root at once."""
+
+    def _closure_group(pdf):
+        import pandas as pd
+
+        out = _closure_in_driver(
+            list(zip(pdf["src"].astype(int), pdf["dst"].astype(int))), roots
+        )
+        return pd.DataFrame(
+            {
+                "root": [r for r, _n, _p in out],
+                "node": [n for _r, n, _p in out],
+                "paths": [p for _r, _n, p in out],
+            }
+        )
+
+    return _closure_group
+
+
 def closure_path_counts(
     edges: DataFrame,
     roots=None,
@@ -205,6 +228,7 @@ def closure_path_counts(
     broadcast_frontier: bool = False,
     checkpoint_edges: bool = True,
     driver_threshold: int | None = None,
+    task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Transitive closure preserving path multiplicity.
 
@@ -276,6 +300,29 @@ def closure_path_counts(
                 return spark.createDataFrame(
                     out or [], "root bigint, node bigint, paths bigint"
                 )
+        # Task-local path (the betweenness/ASP pattern, driver gate
+        # off): an edge set that fits one executor task runs the same
+        # closure DP — all roots in one kernel call — inside ONE
+        # applyInPandas task; no driver collect, no frontier barriers.
+        # The cycle contract (RuntimeError) raises from the task and
+        # fails the job, same refusal semantics.
+        if (
+            task_threshold > 0
+            and not isinstance(roots, DataFrame)
+            and len(roots) <= DRIVER_CLOSURE_ROOTS
+        ):
+            e2 = edges.select("src", "dst").localCheckpoint(eager=True)
+            if e2.count() <= task_threshold:
+                return (
+                    e2.withColumn("g", F.lit(1))
+                    .groupBy("g")
+                    .applyInPandas(
+                        _closure_group_factory([int(r) for r in roots]),
+                        schema="root bigint, node bigint, paths bigint",
+                    )
+                )
+            edges = e2
+            checkpoint_edges = False  # already checkpointed above
     with _loop_shuffle_partitions(spark, enabled=broadcast_frontier):
         edges = edges.select("src", "dst")
         if checkpoint_edges:
@@ -693,8 +740,34 @@ def _asp_in_driver(
     return out
 
 
+def _asp_group_factory(src: int, targets: list[int], max_iter: int):
+    """Build the applyInPandas kernel for task-local all-shortest-paths:
+    the whole edge list arrives as one group and the SAME
+    ``_asp_in_driver`` twin the parity tests pin runs inside the
+    executor task — no driver collect, no BFS/expansion barriers."""
+
+    def _asp_group(pdf):
+        import pandas as pd
+
+        pairs = list(zip(pdf["src"].astype(int), pdf["dst"].astype(int)))
+        out = _asp_in_driver(pairs, src, targets, max_iter)
+        return pd.DataFrame(
+            {
+                "target": [t for t, _p, _l in out],
+                "path": [list(p) for _t, p, _l in out],
+                "length": [l for _t, _p, l in out],
+            }
+        )
+
+    return _asp_group
+
+
 def all_shortest_paths_multi(
-    edges: DataFrame, src: int, targets, max_iter: int = 1000
+    edges: DataFrame,
+    src: int,
+    targets,
+    max_iter: int = 1000,
+    per_root_task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """All shortest paths from ``src`` to EVERY id in ``targets`` in one
     batched pass: (target, path, length). Under the driver gate (small
@@ -725,6 +798,25 @@ def all_shortest_paths_multi(
         return spark.createDataFrame(
             out or [], "target bigint, path array<bigint>, length int"
         )
+    # task-local path (the betweenness/BFS/Dijkstra pattern): an edge
+    # set that fits an executor task runs the pinned in-driver twin
+    # inside ONE applyInPandas task — no driver collect, none of the
+    # 2-sweep + max_len expansion barriers. Past the threshold the
+    # distributed pipeline below is the at-scale path (and the bench
+    # scaling lane times THAT path explicitly by zeroing the
+    # threshold).
+    if per_root_task_threshold > 0 and len(targets) <= DRIVER_CLOSURE_ROOTS:
+        edges_ck = edges.localCheckpoint(eager=True)
+        if edges_ck.count() <= per_root_task_threshold:
+            return (
+                edges_ck.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(
+                    _asp_group_factory(int(src), targets, max_iter),
+                    schema="target bigint, path array<bigint>, length int",
+                )
+            )
+        edges = edges_ck
     # one forward sweep, early-exit once every target has a final depth
     fwd = bfs_depths(edges, [src], max_iter, until=targets, broadcast_frontier=True).select(
         "node", F.col("depth").alias("fd")
@@ -814,11 +906,68 @@ def all_shortest_paths_multi(
     return out.join(len_df, "target").select("target", "path", "length")
 
 
+def _dfs_enumerate(
+    pairs: list[tuple[int, int]], root: int
+) -> list[tuple[list[int], int]]:
+    """Iterative-recursion DFS emitting EVERY simple path of length
+    >= 1 out of ``root`` — the shared twin for the in-driver gate and
+    the executor-task kernel. Keeps duplicate (src, dst) rows: parallel
+    relationships multiply paths in the distributed join exactly as in
+    Cypher, and this twin must agree row-for-row."""
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    for ns in adj.values():
+        ns.sort()
+    out_rows: list[tuple[list[int], int]] = []
+    stack: list[int] = [root]
+    on_path = {root}
+
+    def emit_from(node: int) -> None:
+        for nxt in adj.get(node, ()):
+            if nxt in on_path:
+                continue
+            stack.append(nxt)
+            on_path.add(nxt)
+            out_rows.append((list(stack), len(stack) - 1))
+            emit_from(nxt)
+            on_path.discard(stack.pop())
+
+    import sys as _sys
+
+    old_limit = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old_limit, 10_000))
+    try:
+        emit_from(root)
+    finally:
+        _sys.setrecursionlimit(old_limit)
+    return out_rows
+
+
+def _enumerate_group_factory(root: int):
+    """Build the applyInPandas kernel for task-local simple-path
+    enumeration: the edge list arrives as one group and the shared DFS
+    twin runs inside the executor task."""
+
+    def _enumerate_group(pdf):
+        import pandas as pd
+
+        out = _dfs_enumerate(
+            list(zip(pdf["src"].astype(int), pdf["dst"].astype(int))), root
+        )
+        return pd.DataFrame(
+            {"path": [p for p, _l in out], "length": [l for _p, l in out]}
+        )
+
+    return _enumerate_group
+
+
 def enumerate_simple_paths(
     edges: DataFrame,
     root: int,
     max_iter: int = 1000,
     end_nodes: DataFrame | None = None,
+    task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Enumerate EVERY simple path of length >= 1 out of ``root`` as a
     node-id array: (path array<bigint>, length int) — Cypher's
@@ -848,41 +997,38 @@ def enumerate_simple_paths(
     spark = edges.sparkSession
     enum_thr = _gate(DRIVER_CLOSURE_EDGES)
     if enum_thr > 0 and e.count() <= enum_thr:
-        # keep duplicate (src, dst) rows: parallel relationships
-        # multiply paths in the distributed join exactly as in Cypher,
-        # and the driver twin must agree row-for-row
-        adj: dict[int, list[int]] = {}
-        for r in e.collect():
-            adj.setdefault(r["src"], []).append(r["dst"])
-        for ns in adj.values():
-            ns.sort()
         keep = None
         if end_nodes is not None:
             keep = {r["id"] for r in end_nodes.select("id").distinct().collect()}
-        out_rows: list[tuple[list[int], int]] = []
-        stack: list[int] = [root]
-        on_path = {root}
-
-        def emit_from(node: int) -> None:
-            for nxt in adj.get(node, ()):
-                if nxt in on_path:
-                    continue
-                stack.append(nxt)
-                on_path.add(nxt)
-                if keep is None or nxt in keep:
-                    out_rows.append((list(stack), len(stack) - 1))
-                emit_from(nxt)
-                on_path.discard(stack.pop())
-
-        import sys as _sys
-
-        old_limit = _sys.getrecursionlimit()
-        _sys.setrecursionlimit(max(old_limit, 10_000))
-        try:
-            emit_from(root)
-        finally:
-            _sys.setrecursionlimit(old_limit)
+        out_rows = [
+            (p, l)
+            for p, l in _dfs_enumerate(
+                [(r["src"], r["dst"]) for r in e.collect()], root
+            )
+            if keep is None or p[-1] in keep
+        ]
         return spark.createDataFrame(out_rows, "path array<bigint>, length int")
+    # Task-local path (the betweenness/ASP pattern): an edge set that
+    # fits one executor task enumerates inside ONE applyInPandas task
+    # via the same DFS twin — the end_nodes filter is applied
+    # DISTRIBUTED on the emitted paths (element_at(path, -1)), so no
+    # driver collect anywhere. Past the threshold the level loop below
+    # is the at-scale path (output-proportional either way).
+    if task_threshold > 0 and e.count() <= task_threshold:
+        paths = (
+            e.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(
+                _enumerate_group_factory(int(root)),
+                schema="path array<bigint>, length int",
+            )
+        )
+        if end_nodes is not None:
+            ends = end_nodes.select(F.col("id").alias("_end")).distinct()
+            paths = paths.join(
+                F.broadcast(ends), F.element_at(F.col("path"), -1) == F.col("_end")
+            ).drop("_end")
+        return paths
     frontier = (
         e.filter(F.col("src") == root)
         .select(
@@ -957,6 +1103,26 @@ def _dijkstra_in_driver(
     return sorted(dist.items())
 
 
+def _dijkstra_root_group(pdf):
+    """applyInPandas kernel: the (single-root) weighted edge list
+    arrives as a pandas frame (root, src, dst, w) and heap Dijkstra —
+    the SAME ``_dijkstra_in_driver`` twin the parity tests pin — runs
+    inside the executor task. No driver collect, no relaxation
+    barriers; memory bounded by the edge-count threshold the caller
+    enforces."""
+    import pandas as pd
+
+    root = int(pdf["root"].iloc[0])
+    rows = [
+        (int(a), int(b), float(w))
+        for a, b, w in zip(pdf["src"], pdf["dst"], pdf["w"])
+    ]
+    out = _dijkstra_in_driver(rows, root)
+    return pd.DataFrame(
+        {"node": [n for n, _d in out], "dist": [d for _n, d in out]}
+    )
+
+
 def weighted_sssp(
     edges: DataFrame,
     root: int,
@@ -964,6 +1130,7 @@ def weighted_sssp(
     max_iter: int = 200,
     broadcast_frontier: bool = False,
     driver_threshold: int | None = None,
+    per_root_task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Single-source weighted shortest distances (node, dist) from
     ``root`` over ``edges(src, dst, weight_col)`` — the algo.dijkstra
@@ -1006,6 +1173,21 @@ def weighted_sssp(
     wmin = edges.agg(F.min("w").alias("m")).collect()[0]["m"]
     if wmin is not None and wmin < 0:
         raise ValueError("weighted_sssp requires non-negative weights")
+    # per-root task-local path (the betweenness/BFS pattern): a single
+    # root needs no replication at all — tag the checkpointed edge list
+    # with the root and run the pinned heap-Dijkstra twin inside ONE
+    # applyInPandas task. No driver collect, zero relaxation barriers;
+    # past the threshold the Bellman-Ford loop below is the at-scale
+    # path (exact at any size, parity property-tested).
+    if (
+        per_root_task_threshold > 0
+        and edges.count() <= per_root_task_threshold
+    ):
+        return (
+            edges.withColumn("root", F.lit(int(root)))
+            .groupBy("root")
+            .applyInPandas(_dijkstra_root_group, schema="node bigint, dist double")
+        )
     with _loop_shuffle_partitions(spark, enabled=broadcast_frontier):
         dist = (
             edges.filter(F.col("src") == int(root))

@@ -48,15 +48,24 @@ def test_pagerank_matches_numpy(spark, pairs):
     e = edges_df(spark, pairs)
     # both hybrid paths: in-driver numpy matvec and the distributed loop
     got = {r.id: r.rank for r in pagerank(e, iterations=15, damping=0.85).collect()}
-    dist = {
+    # gated off, default task threshold: the task-local numpy kernel
+    task = {
         r.id: r.rank
         for r in pagerank(e, iterations=15, damping=0.85, collect_threshold=0).collect()
+    }
+    # both thresholds zeroed: the distributed power-iteration loop
+    dist = {
+        r.id: r.rank
+        for r in pagerank(
+            e, iterations=15, damping=0.85, collect_threshold=0, task_threshold=0
+        ).collect()
     }
     ids = {a for a, _ in pairs} | {b for _, b in pairs}
     want = numpy_pagerank(pairs, ids, 15, 0.85)
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], rel=1e-9), f"node {v}"
+        assert task[v] == pytest.approx(want[v], rel=1e-9), f"node {v} (task)"
         assert dist[v] == pytest.approx(want[v], rel=1e-9), f"node {v} (distributed)"
 
 
@@ -259,7 +268,8 @@ def test_louvain_driver_path_matches_distributed(spark):
     g = load_graph(spark, "/root/testdata/sf0.001")
     mm = g.module_dep_edges()
     fast = sorted(map(tuple, louvain(mm, max_sweeps=3, levels=2, early_exit=False).collect()))
-    slow = sorted(
+    # gated off, default task threshold: the task-local kernel path
+    task = sorted(
         map(
             tuple,
             louvain(
@@ -267,7 +277,22 @@ def test_louvain_driver_path_matches_distributed(spark):
             ).collect(),
         )
     )
-    assert fast == slow and len(fast) > 0
+    # both thresholds zeroed: the distributed half-sweep schedule
+    slow = sorted(
+        map(
+            tuple,
+            louvain(
+                mm,
+                max_sweeps=3,
+                levels=2,
+                early_exit=False,
+                collect_threshold=0,
+                task_threshold=0,
+            ).collect(),
+        )
+    )
+    assert fast == task and len(fast) > 0
+    assert fast == slow
 
 
 def test_label_propagation_driver_path_matches_distributed(spark):
@@ -290,13 +315,20 @@ def test_personalized_pagerank_driver_matches_distributed_edge_cases(spark):
     e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (1, 4)])
     srcs = [1, 1, 99]  # duplicate + absent
     fast = {r.id: r.rank for r in pagerank(e, iterations=10, sources=srcs).collect()}
-    dist = {
+    task = {
         r.id: r.rank
         for r in pagerank(e, iterations=10, sources=srcs, collect_threshold=0).collect()
     }
-    assert set(fast) == set(dist)
+    dist = {
+        r.id: r.rank
+        for r in pagerank(
+            e, iterations=10, sources=srcs, collect_threshold=0, task_threshold=0
+        ).collect()
+    }
+    assert set(fast) == set(dist) == set(task)
     for v in fast:
         assert fast[v] == pytest.approx(dist[v], rel=1e-12), v
+        assert fast[v] == pytest.approx(task[v], rel=1e-12), v
 
 
 def test_louvain_driver_matches_distributed_sf001(spark):
@@ -309,7 +341,8 @@ def test_louvain_driver_matches_distributed_sf001(spark):
 
     mm = load_graph(spark, "/root/testdata/sf0.01").module_dep_edges()
     fast = sorted(map(tuple, louvain(mm, max_sweeps=3, levels=2, early_exit=False).collect()))
-    slow = sorted(
+    # gated off, default task threshold: the task-local kernel path
+    task = sorted(
         map(
             tuple,
             louvain(
@@ -317,7 +350,22 @@ def test_louvain_driver_matches_distributed_sf001(spark):
             ).collect(),
         )
     )
-    assert fast == slow and len(fast) > 0
+    # both thresholds zeroed: the distributed half-sweep schedule
+    slow = sorted(
+        map(
+            tuple,
+            louvain(
+                mm,
+                max_sweeps=3,
+                levels=2,
+                early_exit=False,
+                collect_threshold=0,
+                task_threshold=0,
+            ).collect(),
+        )
+    )
+    assert fast == task and len(fast) > 0
+    assert fast == slow
 
 
 def test_label_propagation_driver_matches_distributed_sf001(spark):

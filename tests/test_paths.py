@@ -123,11 +123,20 @@ def test_asp_driver_path_matches_distributed(spark, monkeypatch):
         for r in P.all_shortest_paths_multi(mm, 2, targets).collect()
     }
     monkeypatch.setattr(P, "DRIVER_CLOSURE_EDGES", 0)
-    dist = {
+    # gated off, default threshold: the task-local kernel path
+    task = {
         (r["target"], tuple(r["path"]), r["length"])
         for r in P.all_shortest_paths_multi(mm, 2, targets).collect()
     }
-    assert driver == dist and len(driver) > 0
+    # threshold zeroed too: the distributed two-sweep pipeline
+    dist = {
+        (r["target"], tuple(r["path"]), r["length"])
+        for r in P.all_shortest_paths_multi(
+            mm, 2, targets, per_root_task_threshold=0
+        ).collect()
+    }
+    assert driver == task and len(driver) > 0
+    assert driver == dist
 
 
 def test_enumerate_simple_paths_driver_matches_distributed(spark):
@@ -145,13 +154,20 @@ def test_enumerate_simple_paths_driver_matches_distributed(spark):
     saved = P.DRIVER_CLOSURE_EDGES
     try:
         P.DRIVER_CLOSURE_EDGES = 0
-        slow = sorted(
+        # gated off, default task threshold: the task-local DFS kernel
+        task = sorted(
             (tuple(r["path"]), r["length"])
             for r in P.enumerate_simple_paths(edges, 1).collect()
         )
+        # task threshold zeroed: the distributed level loop
+        slow = sorted(
+            (tuple(r["path"]), r["length"])
+            for r in P.enumerate_simple_paths(edges, 1, task_threshold=0).collect()
+        )
     finally:
         P.DRIVER_CLOSURE_EDGES = saved
-    assert fast == slow and len(fast) > 0
+    assert fast == task and len(fast) > 0
+    assert fast == slow
     # the doubled 1->2 edge doubles every path through it
     assert fast.count(((1, 2), 1)) == 2
 
@@ -189,17 +205,23 @@ def test_distributed_closure_adversarial_depth_and_hubs(spark):
     )
 
     fast = closure_path_counts(edges, roots=[0], max_iter=500)  # driver DP
+    # gated off, default task threshold: the task-local DP kernel
+    task = closure_path_counts(edges, roots=[0], max_iter=500, driver_threshold=0)
+    # task threshold zeroed too: the distributed frontier loop
     slow = closure_path_counts(
         edges,
         roots=[0],
         max_iter=500,
         driver_threshold=0,
+        task_threshold=0,
         broadcast_frontier=True,
         checkpoint_every=10,
     )
     f_rows = sorted(map(tuple, fast.collect()))
+    t_rows = sorted(map(tuple, task.collect()))
     s_rows = sorted(map(tuple, slow.collect()))
-    assert f_rows == s_rows and len(f_rows) > 300
+    assert f_rows == t_rows and len(f_rows) > 300
+    assert f_rows == s_rows
 
     depths = bfs_depths(
         edges, roots=[0], max_iter=500, driver_threshold=0, checkpoint_every=10
@@ -256,8 +278,19 @@ def test_weighted_sssp_driver_matches_distributed(spark, monkeypatch):
         driver = sorted(map(tuple, P.weighted_sssp(edges, root).collect()))
         assert len(driver) > 0
         monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
-        dist = sorted(map(tuple, P.weighted_sssp(edges, root).collect()))
+        # forced path 1: per-root task kernel (default threshold)
+        task = sorted(map(tuple, P.weighted_sssp(edges, root).collect()))
+        # forced path 2: the Bellman-Ford relaxation loop
+        dist = sorted(
+            map(
+                tuple,
+                P.weighted_sssp(
+                    edges, root, per_root_task_threshold=0
+                ).collect(),
+            )
+        )
         monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED")
+        assert driver == task
         assert driver == dist
     # the cyclic fixture's expected map, by hand: 1->2 = 1, 1->3 = 1.5,
     # 1->4 = 3.5 (via the cycle-free 2-hop), 1->1 = 1.75 (round trip)

@@ -392,8 +392,15 @@ def test_coreness_both_paths_match_peel_reference(spark, edges):
         [(int(a), int(b)) for a, b in edges], "src bigint, dst bigint"
     )
     driver = {r.id: r.core for r in coreness(df).collect()}
-    distributed = {r.id: r.core for r in coreness(df, collect_threshold=0).collect()}
+    # gated off, default task threshold: the task-local peel kernel
+    task = {r.id: r.core for r in coreness(df, collect_threshold=0).collect()}
+    # both thresholds zeroed: the distributed h-index fixpoint
+    distributed = {
+        r.id: r.core
+        for r in coreness(df, collect_threshold=0, task_threshold=0).collect()
+    }
     assert driver == want
+    assert task == want
     assert distributed == want
 
 
