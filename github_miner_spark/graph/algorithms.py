@@ -170,15 +170,7 @@ def pagerank(
     )
 
     e = edges.select("src", "dst")
-    # Eager: the vertex distinct must run HERE, at session width —
-    # left lazy it would first execute inside the narrowed
-    # _loop_shuffle_partitions scope below, silently running the
-    # corpus-sized distinct at the adaptive loop width (ADVICE r6).
-    verts = (
-        (vertices.select("id") if vertices is not None else _vertex_ids(e))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    verts = (vertices.select("id") if vertices is not None else _vertex_ids(e)).distinct()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # pre-join the per-edge weight once: src -> dst with 1/outdeg(src)
     weighted = e.join(outdeg, "src").select(
@@ -219,6 +211,12 @@ def pagerank(
 
     if loop_shuffle_width is None:
         loop_shuffle_width = _adaptive_loop_width(e.sparkSession, n_w)
+    # Eager HERE, after the driver/task dispatches (which never read
+    # verts distributed — the twin collects it, the kernel derives the
+    # ids itself) and BEFORE the narrowed loop scope: left lazy, the
+    # corpus-sized vertex distinct would first execute inside
+    # _loop_shuffle_partitions at the adaptive loop width (ADVICE r6).
+    verts = verts.localCheckpoint(eager=True)
     # fixed-cadence loop with uniform vertex-sized state: AQE's
     # per-stage re-plan is pure overhead here (see _loop_shuffle_partitions)
     with _loop_shuffle_partitions(
