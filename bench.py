@@ -247,13 +247,25 @@ def run_compare(sha: str) -> None:
                 "PYTHONPATH": side_dir,
             }
         )
-        subprocess.run(
-            [sys.executable, os.path.join(side_dir, "bench.py")],
-            check=True,
-            env=env,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        )
+        # tee the launch's stderr to a file: a failing side (e.g. an
+        # old SHA whose registry lacks one of the requested queries)
+        # must surface its actual error, not a bare CalledProcessError
+        # after minutes of cloning + Spark startup
+        log_path = out_path + ".stderr"
+        with open(log_path, "wb") as log:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(side_dir, "bench.py")],
+                env=env,
+                stdout=subprocess.DEVNULL,
+                stderr=log,
+            )
+        if proc.returncode != 0:
+            with open(log_path, errors="replace") as f:
+                tail = f.read()[-2000:]
+            raise RuntimeError(
+                f"A/B launch failed (side={side_dir}, rc={proc.returncode}); "
+                f"stderr tail:\n{tail}"
+            )
         with open(out_path) as f:
             return json.load(f)["samples"]
 

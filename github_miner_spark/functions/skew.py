@@ -77,9 +77,15 @@ def spread_to_session_width(df: DataFrame) -> DataFrame:
 def _assert_exchange_free(df: DataFrame) -> None:
     """Raise if ``df``'s physical plan contains an Exchange. Planning
     is driver-side only (no job runs); with no exchanges in the plan,
-    the subsequent ``df.rdd`` probe cannot materialize query stages."""
+    the subsequent ``df.rdd`` probe cannot materialize query stages.
+    The match is anchored to OPERATOR positions in the tree string
+    (line start after the tree-drawing/codegen prefix), so a column or
+    identifier merely containing the word — e.g. ``ExchangeRate``
+    inside a Project's output list — cannot false-positive."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    if re.search(r"(?m)^[\s:+\-*()\d]*(?:Broadcast|Shuffle)?Exchange\b", plan):
         raise ValueError(
             "spread_to_session_width is scan-stage-only: the input plan "
             "contains an Exchange, so the df.rdd partition probe would "

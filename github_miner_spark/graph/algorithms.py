@@ -1675,7 +1675,11 @@ def betweenness_centrality(
     )
 
     spark = edges.sparkSession
-    roots = [int(r) for r in roots]
+    # dedup at entry: a repeated sampled source contributes ONCE on
+    # every path (the task kernel's groupBy and the distributed sweeps
+    # both merge duplicates; the driver twin iterates the list, so
+    # without this it would be the odd one out and the gate would leak)
+    roots = sorted({int(r) for r in roots})
     out_schema = "id bigint, betweenness double"
     if not roots:
         return spark.createDataFrame([], out_schema)
@@ -1759,8 +1763,13 @@ def betweenness_centrality(
             lazy: list[DataFrame] = []
             cur = frontier
             for j in range(1, forward_window + 1):
+                # small-probe mode keeps the frontier side broadcast so
+                # the big edge table never re-shuffles per level (the
+                # broadcast builds lazily inside the window's one job —
+                # no extra driver barrier)
+                f_side = F.broadcast(cur) if broadcast_frontier else cur
                 cur = (
-                    cur.join(edges, cur.node == edges.src)
+                    f_side.join(edges, cur.node == edges.src)
                     .select("root", F.col("dst").alias("node"), "sigma")
                     .join(anti, ["root", "node"], "left_anti")
                     .groupBy("root", "node")

@@ -289,30 +289,29 @@ def closure_path_counts(
         else:
             roots = [int(r) for r in roots]  # materialize once (generators)
         if (
-            thr > 0
-            and not isinstance(roots, DataFrame)
+            not isinstance(roots, DataFrame)
             and len(roots) <= DRIVER_CLOSURE_ROOTS
+            and (thr > 0 or task_threshold > 0)
         ):
-            e2 = edges.select("src", "dst")
-            if e2.count() <= thr:
+            # ONE materialization shared by the gate count, the driver
+            # collect, the task kernel and the fallback loop — the
+            # caller's edge derivation never runs twice (the SCC /
+            # betweenness one-lineage discipline).
+            e2 = edges.select("src", "dst").localCheckpoint(eager=True)
+            n_e = e2.count()
+            if thr > 0 and n_e <= thr:
                 rows = [(r["src"], r["dst"]) for r in e2.collect()]
                 out = _closure_in_driver(rows, roots)
                 return spark.createDataFrame(
                     out or [], "root bigint, node bigint, paths bigint"
                 )
-        # Task-local path (the betweenness/ASP pattern, driver gate
-        # off): an edge set that fits one executor task runs the same
-        # closure DP — all roots in one kernel call — inside ONE
-        # applyInPandas task; no driver collect, no frontier barriers.
-        # The cycle contract (RuntimeError) raises from the task and
-        # fails the job, same refusal semantics.
-        if (
-            task_threshold > 0
-            and not isinstance(roots, DataFrame)
-            and len(roots) <= DRIVER_CLOSURE_ROOTS
-        ):
-            e2 = edges.select("src", "dst").localCheckpoint(eager=True)
-            if e2.count() <= task_threshold:
+            # Task-local path (the betweenness/ASP pattern, driver gate
+            # off): an edge set that fits one executor task runs the
+            # same closure DP — all roots in one kernel call — inside
+            # ONE applyInPandas task; no driver collect, no frontier
+            # barriers. The cycle contract (RuntimeError) raises from
+            # the task and fails the job, same refusal semantics.
+            if task_threshold > 0 and n_e <= task_threshold:
                 return (
                     e2.withColumn("g", F.lit(1))
                     .groupBy("g")
@@ -467,6 +466,7 @@ def bfs_depths(
     per level — measured 3x faster on the sf0.1 DAG probes)."""
     spark = edges.sparkSession
     edges = edges.select("src", "dst")
+    edges_is_ck = False
     # driver fast path (same gate as closure_path_counts): a small
     # explicit root set over a collectable edge slice runs the BFS
     # in-driver and returns the FULL min-depth map — a superset of the
@@ -487,12 +487,18 @@ def bfs_depths(
             driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
         )
         if not isinstance(roots, DataFrame) and len(roots) <= DRIVER_CLOSURE_ROOTS:
-            if thr > 0 and edges.count() <= thr:
-                rows = [(r["src"], r["dst"]) for r in edges.collect()]
-                out = _bfs_in_driver(rows, roots, max_iter)
-                return spark.createDataFrame(
-                    out or [], "root bigint, node bigint, depth int"
-                )
+            if thr > 0:
+                # ONE materialization shared with the task path and the
+                # loop (the closure discipline): the gate count runs on
+                # the checkpoint, never the raw derivation
+                edges = edges.localCheckpoint(eager=True)
+                edges_is_ck = True
+                if edges.count() <= thr:
+                    rows = [(r["src"], r["dst"]) for r in edges.collect()]
+                    out = _bfs_in_driver(rows, roots, max_iter)
+                    return spark.createDataFrame(
+                        out or [], "root bigint, node bigint, depth int"
+                    )
     # ---- per-root task-local path (opt-in) ---------------------------
     # The betweenness per-root pattern applied to plain min-depth BFS:
     # when the caller vouches (threshold > 0) that the edge set fits an
@@ -509,18 +515,19 @@ def bfs_depths(
         and not isinstance(roots, DataFrame)
         and len(roots) <= DRIVER_CLOSURE_ROOTS
     ):
-        edges_ck = edges.localCheckpoint(eager=True)
-        if edges_ck.count() <= per_root_task_threshold:
+        if not edges_is_ck:
+            edges = edges.localCheckpoint(eager=True)
+            edges_is_ck = True
+        if edges.count() <= per_root_task_threshold:
             root_df = spark.createDataFrame(
                 [(int(r),) for r in roots], "root bigint"
             )
-            return edges_ck.crossJoin(F.broadcast(root_df)).groupBy(
+            return edges.crossJoin(F.broadcast(root_df)).groupBy(
                 "root"
             ).applyInPandas(
                 _bfs_root_group_factory(max_iter),
                 schema="root bigint, node bigint, depth int",
             )
-        edges = edges_ck  # reuse the checkpoint in the loop below
     root_df = _as_root_df(edges, roots)
     until_set: set[int] | None = None
     if until is not None:
@@ -792,31 +799,36 @@ def all_shortest_paths_multi(
     # collectable slice, skipping both BFS sweeps AND the ~max_len
     # expansion barriers
     asp_thr = _gate(DRIVER_CLOSURE_EDGES)
-    if len(targets) <= DRIVER_CLOSURE_ROOTS and asp_thr > 0 and edges.count() <= asp_thr:
-        rows = [(r["src"], r["dst"]) for r in edges.collect()]
-        out = _asp_in_driver(rows, int(src), targets, max_iter)
-        return spark.createDataFrame(
-            out or [], "target bigint, path array<bigint>, length int"
-        )
-    # task-local path (the betweenness/BFS/Dijkstra pattern): an edge
-    # set that fits an executor task runs the pinned in-driver twin
-    # inside ONE applyInPandas task — no driver collect, none of the
-    # 2-sweep + max_len expansion barriers. Past the threshold the
-    # distributed pipeline below is the at-scale path (and the bench
-    # scaling lane times THAT path explicitly by zeroing the
-    # threshold).
-    if per_root_task_threshold > 0 and len(targets) <= DRIVER_CLOSURE_ROOTS:
-        edges_ck = edges.localCheckpoint(eager=True)
-        if edges_ck.count() <= per_root_task_threshold:
+    if len(targets) <= DRIVER_CLOSURE_ROOTS and (
+        asp_thr > 0 or per_root_task_threshold > 0
+    ):
+        # ONE materialization shared by the gate count, the driver
+        # collect, the task kernel and the fallback pipeline (the
+        # closure discipline)
+        edges = edges.localCheckpoint(eager=True)
+        n_e = edges.count()
+        if asp_thr > 0 and n_e <= asp_thr:
+            rows = [(r["src"], r["dst"]) for r in edges.collect()]
+            out = _asp_in_driver(rows, int(src), targets, max_iter)
+            return spark.createDataFrame(
+                out or [], "target bigint, path array<bigint>, length int"
+            )
+        # task-local path (the betweenness/BFS/Dijkstra pattern): an
+        # edge set that fits an executor task runs the pinned in-driver
+        # twin inside ONE applyInPandas task — no driver collect, none
+        # of the 2-sweep + max_len expansion barriers. Past the
+        # threshold the distributed pipeline below is the at-scale path
+        # (and the bench scaling lane times THAT path explicitly by
+        # zeroing the threshold).
+        if per_root_task_threshold > 0 and n_e <= per_root_task_threshold:
             return (
-                edges_ck.withColumn("g", F.lit(1))
+                edges.withColumn("g", F.lit(1))
                 .groupBy("g")
                 .applyInPandas(
                     _asp_group_factory(int(src), targets, max_iter),
                     schema="target bigint, path array<bigint>, length int",
                 )
             )
-        edges = edges_ck
     # one forward sweep, early-exit once every target has a final depth
     fwd = bfs_depths(edges, [src], max_iter, until=targets, broadcast_frontier=True).select(
         "node", F.col("depth").alias("fd")
@@ -907,13 +919,15 @@ def all_shortest_paths_multi(
 
 
 def _dfs_enumerate(
-    pairs: list[tuple[int, int]], root: int
+    pairs: list[tuple[int, int]], root: int, keep: set[int] | None = None
 ) -> list[tuple[list[int], int]]:
     """Iterative-recursion DFS emitting EVERY simple path of length
     >= 1 out of ``root`` — the shared twin for the in-driver gate and
     the executor-task kernel. Keeps duplicate (src, dst) rows: parallel
     relationships multiply paths in the distributed join exactly as in
-    Cypher, and this twin must agree row-for-row."""
+    Cypher, and this twin must agree row-for-row. ``keep`` filters at
+    EMIT time (recursion unaffected), so a selective end-node set keeps
+    memory O(kept paths), not O(all simple paths)."""
     adj: dict[int, list[int]] = {}
     for a, b in pairs:
         adj.setdefault(a, []).append(b)
@@ -929,7 +943,8 @@ def _dfs_enumerate(
                 continue
             stack.append(nxt)
             on_path.add(nxt)
-            out_rows.append((list(stack), len(stack) - 1))
+            if keep is None or nxt in keep:
+                out_rows.append((list(stack), len(stack) - 1))
             emit_from(nxt)
             on_path.discard(stack.pop())
 
@@ -1000,13 +1015,9 @@ def enumerate_simple_paths(
         keep = None
         if end_nodes is not None:
             keep = {r["id"] for r in end_nodes.select("id").distinct().collect()}
-        out_rows = [
-            (p, l)
-            for p, l in _dfs_enumerate(
-                [(r["src"], r["dst"]) for r in e.collect()], root
-            )
-            if keep is None or p[-1] in keep
-        ]
+        out_rows = _dfs_enumerate(
+            [(r["src"], r["dst"]) for r in e.collect()], root, keep=keep
+        )
         return spark.createDataFrame(out_rows, "path array<bigint>, length int")
     # Task-local path (the betweenness/ASP pattern): an edge set that
     # fits one executor task enumerates inside ONE applyInPandas task

@@ -577,6 +577,28 @@ def test_betweenness_distributed_matches_driver(spark):
             assert loop[v] == pytest.approx(want[v], rel=1e-9), (v, pairs)
 
 
+def test_betweenness_duplicate_roots_count_once(spark):
+    """A repeated sampled source contributes ONCE on every path: the
+    task kernel's groupBy and the distributed sweeps merge duplicates
+    structurally, so the entry dedups the list and the driver twin
+    (which iterates per occurrence) can never be the odd one out."""
+    from github_miner_spark.graph.algorithms import (
+        _brandes_betweenness,
+        betweenness_centrality,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 4), (4, 3), (3, 5)]
+    e = edges_df(spark, pairs)
+    want = _brandes_betweenness(pairs, [1])
+    for kw in ({}, {"collect_threshold": 0},
+               {"collect_threshold": 0, "per_root_task_threshold": 0}):
+        got = {
+            r.id: r.betweenness
+            for r in betweenness_centrality(e, [1, 1], **kw).collect()
+        }
+        assert got == pytest.approx(want, rel=1e-9), kw
+
+
 def test_betweenness_distributed_random_graphs(spark):
     import random
 
