@@ -476,3 +476,15 @@ def test_hll_kmv_shingle_sketches_no_allpairs(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_kll_compaction_windows_share_one_exchange(spark):
+    """The 5 KLL rank-parity compaction passes all partition by
+    event_type, so Catalyst plans ONE hash exchange for the whole
+    per-group compaction chain (the chained sorts/filters reuse it) —
+    the property that makes the sketch build a single-shuffle pass at
+    any scale. Also: no cartesian anywhere (the 4-row target-rank
+    joins are broadcast)."""
+    plan = _plan(spark, "kll_quantile_merge")
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+    assert "CartesianProduct" not in plan
