@@ -636,3 +636,39 @@ def test_betweenness_distributed_random_graphs(spark):
         for v in want:
             assert slow[v] == pytest.approx(want[v], rel=1e-9), (v, pairs)
             assert windowed[v] == pytest.approx(want[v], rel=1e-9), (v, pairs)
+
+
+def test_betweenness_windowed_deep_chain_and_diamonds(spark):
+    """Windowed-sweep exactness across many window boundaries: a
+    30-deep chain of diamonds (two parallel 2-hop routes per stage, so
+    sigma doubles every stage and the SP-DAG is non-trivial at every
+    depth) forced onto the windowed distributed path. Depth 60 spans
+    ~15 forward windows; any min-depth/window-boundary bug shifts
+    whole levels and cannot cancel."""
+    from github_miner_spark.graph.algorithms import (
+        _brandes_betweenness,
+        betweenness_centrality,
+    )
+
+    pairs = []
+    for s in range(30):
+        a = 10 * s            # stage entry
+        b1, b2 = a + 1, a + 2  # the two middles
+        c = 10 * (s + 1)      # next entry
+        pairs += [(a, b1), (a, b2), (b1, c), (b2, c)]
+    e = edges_df(spark, pairs)
+    roots = [0]
+    want = _brandes_betweenness(pairs, roots)
+    windowed = {
+        r.id: r.betweenness
+        for r in betweenness_centrality(
+            e, roots, collect_threshold=0, per_root_task_threshold=0
+        ).collect()
+    }
+    assert set(windowed) == set(want)
+    for v in want:
+        assert windowed[v] == pytest.approx(want[v], rel=1e-9), v
+    # sanity: the middles of the deepest stage carry non-trivial
+    # accumulation (each lies on half the 2^29 shortest paths to the
+    # final entry), so the parity above is not vacuous
+    assert want[10 * 29 + 1] > 0 and want[10 * 29 + 2] > 0
