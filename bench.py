@@ -129,8 +129,10 @@ HEADLINE = [
     "priority_sample_summary",
     "hll_shingle_estimates",
     "kmv_set_operation_estimates",
-    # round 7: the mergeable-quantile sketch joins the watch
+    # round 7: the mergeable-quantile sketch and the skip-gram pair
+    # extraction join the watch
     "kll_quantile_merge",
+    "walk_skipgram_pairs",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

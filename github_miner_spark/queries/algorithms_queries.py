@@ -1250,10 +1250,12 @@ def betweenness_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("module_id")
     )
 
-def _walks_oracle_sql(steps: int = 4) -> str:
-    """Unrolled deterministic-walk oracle: one CTE per step, each
-    picking the out-neighbor minimizing the 60-bit md5-derived score
-    (the same portable hash the Spark side computes map-side)."""
+def _walks_oracle_ctes(steps: int = 4) -> str:
+    """The unrolled deterministic-walk CTE chain (s0..s{steps}), shared
+    by the walk-corpus oracle and the skip-gram-pairs oracle: one CTE
+    per step, each picking the out-neighbor minimizing the 60-bit
+    md5-derived score (the same portable hash the Spark side computes
+    map-side)."""
     ctes = [
         """
     , s0 AS (
@@ -1281,11 +1283,17 @@ def _walks_oracle_sql(steps: int = 4) -> str:
         GROUP BY s.start, s.seed, s.cur, s.path, s.depth
       )
     )""")
-    tail = f"""
+    return "".join(ctes)
+
+
+def _walks_oracle_sql(steps: int = 4) -> str:
+    return (
+        _walks_oracle_ctes(steps)
+        + f"""
     SELECT start AS start_module, seed, depth, cur AS terminal, path
     FROM s{steps} ORDER BY start_module, seed
     """
-    return "".join(ctes) + tail
+    )
 
 
 @register(
@@ -1309,6 +1317,19 @@ def _walks_oracle_sql(steps: int = 4) -> str:
     tags=("graph", "algorithm", "walks", "embedding-prep"),
 )
 def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _walk_corpus(spark, sf_dir).select(
+        F.col("start").alias("start_module"),
+        "seed",
+        "depth",
+        F.col("cur").alias("terminal"),
+        "path",
+    ).orderBy("start_module", "seed")
+
+
+def _walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic 4-step walk state (start, seed, cur, path,
+    depth) — shared by the walk-corpus query and the skip-gram pair
+    extraction."""
     from github_miner_spark.functions.text import token_hash60
 
     mm = load_graph(spark, sf_dir).module_dep_edges()
@@ -1356,13 +1377,7 @@ def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.when(F.col("m").isNull(), F.lit(0)).otherwise(F.lit(1))
             ).alias("depth"),
         )
-    return state.select(
-        F.col("start").alias("start_module"),
-        "seed",
-        "depth",
-        F.col("cur").alias("terminal"),
-        "path",
-    ).orderBy("start_module", "seed")
+    return state
 
 def _node2vec_oracle_sql(steps: int = 4) -> str:
     """Unrolled second-order biased-walk oracle: per step, candidates
@@ -1507,3 +1522,72 @@ def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur").alias("terminal"),
         "path",
     ).orderBy("start_module", "seed")
+
+
+@register(
+    "walk_skipgram_pairs",
+    oracle=GRAPH_ORACLE_CTES
+    + _walks_oracle_ctes()
+    + """
+    , wk AS (
+      SELECT seed, str_split(path, '->') AS nodes FROM s4
+    ),
+    pairs AS (
+      SELECT CAST(nodes[i] AS BIGINT) AS center,
+             CAST(nodes[i + d] AS BIGINT) AS context,
+             d
+      FROM wk,
+           generate_series(1, 5) AS g(i),
+           (SELECT unnest([1, 2]) AS d) AS w
+      WHERE i + d <= len(nodes)
+    )
+    SELECT center, context,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(1.0 / d), 6) AS w
+    FROM pairs
+    GROUP BY center, context
+    ORDER BY center, context
+    """,
+    description="Skip-gram training-pair extraction from the "
+    "deterministic walk corpus — the step that turns "
+    "deterministic_random_walks into word2vec-style (center, context) "
+    "examples for graph-embedding training (DeepWalk/node2vec phase "
+    "2): forward pairs within a 2-position window along each walk, "
+    "rolled up to (center, context) with the raw pair count and the "
+    "standard 1/distance position weight. The pair generation is one "
+    "per-walk keyed self-join on (start, seed) with the position gap "
+    "as a join-condition band (never a cartesian — walks join only to "
+    "themselves), and the rollup is a map-side-combinable hashed "
+    "aggregation over pair keys, so at 100 TB this is walk-corpus "
+    "linear with no driver state. The oracle reuses the walk CTEs "
+    "verbatim and expands positions arithmetically, so a walk-step "
+    "change re-grades both queries together.",
+    tags=("graph", "walks", "embedding-prep", "skipgram"),
+)
+def walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = _walk_corpus(spark, sf_dir)
+    rows = (
+        state.select(
+            "start",
+            "seed",
+            F.posexplode(F.split(F.col("path"), "->")).alias("i", "node"),
+        )
+        .select("start", "seed", "i", F.col("node").cast("bigint").alias("node"))
+    )
+    a = rows.select(
+        "start", "seed", F.col("i").alias("ia"), F.col("node").alias("center")
+    )
+    b = rows.select(
+        "start", "seed", F.col("i").alias("ib"), F.col("node").alias("context")
+    )
+    pairs = a.join(b, ["start", "seed"]).filter(
+        (F.col("ib") - F.col("ia")).between(1, 2)
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.sum(1.0 / (F.col("ib") - F.col("ia"))), 6).alias("w"),
+        )
+        .orderBy("center", "context")
+    )

@@ -95,6 +95,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # witnesses (all 25 remaining r02 rows + the oldest r03 rows).
     # -- (a) new this round ---------------------------------------------
     "kll_quantile_merge",
+    "walk_skipgram_pairs",
     # -- (b) re-greens for round-7-touched implementations --------------
     "betweenness_centrality_sample",   # per-root task-local Brandes
     "closeness_centrality_sample",     # per-root task-local BFS
@@ -147,7 +148,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "embedding_ivf_topk",
     "embedding_topk_bruteforce",
     "exact_dedup_summary",
-    "label_histogram",
 )
 
 
