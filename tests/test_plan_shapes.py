@@ -429,13 +429,25 @@ def test_drift_walks_additions_no_allpairs(spark):
     """KS drift is one event-scale rollup + per-type windows over the
     grouped value support (its only cross join is the broadcast
     one-row midpoint); the walk generator is four state-x-edges
-    equi-joins with map-side struct-argmin. Never a CartesianProduct."""
+    equi-joins with map-side struct-argmin. Never a CartesianProduct.
+    The walk queries now read the materialized store, so the
+    no-cartesian contract is pinned on the BUILDER plan (the plan
+    that actually runs the four-step pipeline) as well as the query."""
+    import contextlib
+    import io
+
+    from github_miner_spark.functions.walk_store import build_det_walks
+
     for name in (
         "events_ks_drift",
         "deterministic_random_walks",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        build_det_walks(spark, SF).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
 
 
 def test_sketch_family_no_allpairs(spark):
@@ -461,8 +473,17 @@ def test_bloom_prefilter_broadcasts_bits(spark):
 
 
 def test_node2vec_walks_no_allpairs(spark):
+    import contextlib
+    import io
+
+    from github_miner_spark.functions.walk_store import build_node2vec_walks
+
     plan = _plan(spark, "node2vec_biased_walks")
     assert "CartesianProduct" not in plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        build_node2vec_walks(spark, SF).explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
 
 
 def test_hll_kmv_shingle_sketches_no_allpairs(spark):
