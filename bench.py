@@ -526,7 +526,17 @@ def main() -> None:
                     "acceptance": "median < 1.1",
                 }
 
-            exponent("scc", lambda g: strongly_connected_components(g).count())
+            # whole_core_task_threshold=0: the lane pins the DISTRIBUTED
+            # split machinery (trim + WCC star contraction + per-WCC
+            # task kernels — the path a core too big for one task
+            # takes), not the single-group shortcut a bench-sized core
+            # would otherwise route to
+            exponent(
+                "scc",
+                lambda g: strongly_connected_components(
+                    g, whole_core_task_threshold=0
+                ).count(),
+            )
             # per_root_task_threshold=0: the lane pins the DISTRIBUTED
             # two-sweep pipeline's exponent (the path a 100 TB edge set
             # takes), not the task-local kernel a bench-sized graph

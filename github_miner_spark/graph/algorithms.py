@@ -392,9 +392,34 @@ def connected_components(
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            # fixpoint: edge set unchanged across the LS+SS round (both
-            # are distinct sets: equality = same count + one-way diff)
-            converged = small.count() == pairs.count() and small.exceptAll(pairs).isEmpty()
+            # fixpoint probe (ONE job, VERDICT r7 item 2 — the old
+            # count + exceptAll pair was two jobs, the exceptAll a
+            # full set-compare shuffle): alternating LS/SS converges
+            # exactly when the edge set is a STAR FOREST — every
+            # member node points to exactly one root and no root is
+            # itself a member. Star forests are verifiably stable
+            # under LS+SS (each star maps to itself), and any stable
+            # edge set is a star forest (a chain a>b>c rewrites under
+            # LS), so "is a star forest" == "is the fixpoint" — and
+            # it can be read off ONE role aggregation: a node in
+            # violation either carries >1 distinct root or appears on
+            # both sides.
+            roles = small.select(
+                F.col("a").alias("n"), F.col("b").alias("root")
+            ).unionByName(
+                small.select(
+                    F.col("b").alias("n"),
+                    F.lit(None).cast("bigint").alias("root"),
+                )
+            )
+            probe = roles.groupBy("n").agg(
+                F.count_distinct("root").alias("n_roots"),
+                F.max(F.col("root").isNull().cast("int")).alias("is_root"),
+            )
+            converged = probe.filter(
+                (F.col("n_roots") > 1)
+                | ((F.col("is_root") == 1) & (F.col("n_roots") > 0))
+            ).isEmpty()
             pairs = small
         if not converged:
             raise RuntimeError(
@@ -487,6 +512,7 @@ def strongly_connected_components(
     core_collect_threshold: int = 5_000_000,
     loop_shuffle_width: int | None = None,
     component_task_threshold: int = 5_000_000,
+    whole_core_task_threshold: int | None = None,
 ) -> DataFrame:
     """SCC, hybrid two-level (the set-at-a-time analog of the
     reference's algo.scc 'huge' graph run,
@@ -509,6 +535,13 @@ def strongly_connected_components(
          near-DAG trims to a core that fits comfortably in driver
          memory; paying 30+ distributed rounds of driver-loop latency
          to color a few thousand nodes is the wrong trade.
+      1b'. If the whole core fits ONE executor task
+         (<= ``whole_core_task_threshold`` edges, default =
+         ``component_task_threshold``), skip the WCC split and label
+         the core task-locally as a single applyInPandas group — the
+         split's only job is carving a too-big core into task-sized
+         pieces, and its star-contraction barriers were the dominant
+         distributed-floor cost at bench SF.
       1b. Otherwise, split the core by WEAKLY-connected component
          (star contraction, O(log^2 n) rounds; every SCC is inside one
          WCC), shuffle the edges BY COMPONENT, and label each component
@@ -552,6 +585,9 @@ def strongly_connected_components(
         return _scc_impl(
             dedup, n_edges, max_iter, core_collect_threshold,
             component_task_threshold,
+            component_task_threshold
+            if whole_core_task_threshold is None
+            else whole_core_task_threshold,
         )
 
 
@@ -561,6 +597,7 @@ def _scc_impl(
     max_iter: int,
     core_collect_threshold: int,
     component_task_threshold: int,
+    whole_core_task_threshold: int,
 ) -> DataFrame:
 
     # Fast path: if the WHOLE deduped edge set already fits under the
@@ -674,6 +711,35 @@ def _scc_impl(
                     list(comp.items()), "id bigint, component bigint"
                 )
             )
+        out = assigned_parts[0]
+        for part in assigned_parts[1:]:
+            out = out.unionByName(part)
+        return out
+
+    # Whole-core task shortcut (VERDICT r7 item 2): when the ENTIRE
+    # cyclic core fits one executor task, the WCC split below buys
+    # nothing — its only job is carving a too-big-for-one-task core
+    # into task-sized groups, and its star-contraction rounds were
+    # the dominant cost of the distributed floor (~7s of ~11s at
+    # bench SF, all barrier latency on a 31k-edge core). Run the
+    # per-component Tarjan kernel on the core as ONE group instead:
+    # executor-side compute with the same per-task memory budget the
+    # per-WCC path already accepts, deliberately NOT behind the
+    # driver-collect _gate (the established task-kernel precedent).
+    # ``whole_core_task_threshold=0`` disables the shortcut alone
+    # (the scaling lane's pin: WCC split + per-WCC kernels stay
+    # timed); a core above the threshold takes the WCC split
+    # unchanged — the 100 TB path.
+    if whole_core_task_threshold > 0 and core_edge_count <= whole_core_task_threshold:
+        if core_edge_count > 0:
+            scc_core = (
+                remaining_edges.withColumn("g", F.lit(1))
+                .groupBy("g")
+                .applyInPandas(
+                    _tarjan_component_group, "id bigint, component bigint"
+                )
+            )
+            assigned_parts.append(scc_core)
         out = assigned_parts[0]
         for part in assigned_parts[1:]:
             out = out.unionByName(part)

@@ -198,7 +198,8 @@ def test_scc_distributed_path_matches_hybrid(spark):
     }
     assert hybrid == distributed
     # third path: component_task_threshold=0 ALSO disables the per-WCC
-    # task-local Tarjan finish, forcing the full FW-BW coloring loop
+    # task-local Tarjan finish (and, by default, the whole-core
+    # shortcut), forcing the full FW-BW coloring loop
     colored = {
         (r["id"], r["component"])
         for r in strongly_connected_components(
@@ -206,6 +207,16 @@ def test_scc_distributed_path_matches_hybrid(spark):
         ).collect()
     }
     assert hybrid == colored
+    # fourth path: whole_core_task_threshold=0 disables ONLY the
+    # single-group shortcut — WCC star-contraction split + per-WCC
+    # task kernels (the scaling lane's configuration)
+    split = {
+        (r["id"], r["component"])
+        for r in strongly_connected_components(
+            edges, core_collect_threshold=0, whole_core_task_threshold=0
+        ).collect()
+    }
+    assert hybrid == split
     comp = dict(hybrid)
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[4] == comp[5] == 4
@@ -232,16 +243,19 @@ def test_louvain_modularity_floor_on_bench_slice(spark):
 
 def test_connected_components_converges_on_final_round(spark):
     """ADVICE r2: convergence reached DURING the last permitted round
-    must not raise — max_iter=4 is the empirically minimal budget for
-    this 9-vertex path, so any off-by-one re-raises here."""
+    must not raise — max_iter=3 is the empirically minimal budget for
+    this 9-vertex path (the round-8 star-forest probe detects the
+    fixpoint the round it is REACHED, one round earlier than the old
+    edge-set-equality check which needed a confirming no-change
+    round), so any off-by-one re-raises here."""
     e = edges_df(spark, [(i, i + 1) for i in range(1, 9)])
     got = {
         r.id: r.component
-        for r in connected_components(e, max_iter=4, collect_threshold=0).collect()
+        for r in connected_components(e, max_iter=3, collect_threshold=0).collect()
     }
     assert set(got.values()) == {1}
     with pytest.raises(RuntimeError):
-        connected_components(e, max_iter=3, collect_threshold=0)
+        connected_components(e, max_iter=2, collect_threshold=0)
 
 
 def test_scc_final_peel_round_not_forfeited(spark):
