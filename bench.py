@@ -138,6 +138,8 @@ HEADLINE = [
     # extraction join the watch
     "kll_quantile_merge",
     "walk_skipgram_pairs",
+    # round 8: the full BPE vocabulary-induction training loop
+    "bpe_vocab_induction",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

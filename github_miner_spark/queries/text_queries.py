@@ -488,6 +488,144 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGE_ROUNDS = 6
+
+
+def _bpe_vocab_oracle_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    """Unrolled BPE-training oracle: one (pairs, argmax, re-tokenized
+    state) CTE triple per merge round — the pagerank-style unrolled
+    fixpoint, so DuckDB replays the exact same training loop."""
+    ctes = [
+        f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    st0 AS (
+      SELECT doc_id, '<' || array_to_string(toks, '><') || '>' AS s
+      FROM t WHERE len(toks) >= 1
+    )"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+    , tk{k} AS (
+      SELECT str_split(s[2:length(s) - 1], '><') AS tk FROM st{k - 1}
+    ),
+    p{k} AS (
+      SELECT tk[i] || '|' || tk[i + 1] AS pair
+      FROM tk{k},
+           unnest(CASE WHEN len(tk) >= 2 THEN range(1, len(tk))
+                       ELSE [] END) AS u(i)
+    ),
+    c{k} AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n
+      FROM p{k} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    ),
+    st{k} AS (
+      SELECT doc_id,
+             replace(s,
+                     '<' || str_split(pair, '|')[1] || '><'
+                         || str_split(pair, '|')[2] || '>',
+                     '<' || str_split(pair, '|')[1] || ' '
+                         || str_split(pair, '|')[2] || '>') AS s
+      FROM st{k - 1}, c{k}
+    )""")
+    picks = " UNION ALL ".join(
+        f"SELECT {k} AS step, str_split(pair, '|')[1] AS left_sym, "
+        f"str_split(pair, '|')[2] AS right_sym, n AS n_occurrences FROM c{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "".join(ctes) + f" SELECT * FROM ({picks}) ORDER BY step"
+
+
+@register(
+    "bpe_vocab_induction",
+    oracle=_bpe_vocab_oracle_sql(),
+    description="Full BPE vocabulary-induction training loop (Sennrich "
+    "et al. 2016, the tokenizer-training pass) — the iterated form of "
+    f"bpe_merge_candidates: {_BPE_MERGE_ROUNDS} merge rounds, each "
+    "counting adjacent symbol pairs across the whole corpus, picking "
+    "the most frequent pair (count desc, pair asc tiebreak — "
+    "deterministic), and merging every non-overlapping occurrence "
+    "corpus-wide before the next round; word tokens stand in for the "
+    "byte alphabet as in doc_bpe_token_counts. Returns the learned "
+    "merge table (step, left, right, count) — the artifact a real "
+    "tokenizer trainer ships. Engine shape: corpus state is a "
+    "delimiter-wrapped symbol string per doc ('<a><b>...'), "
+    "materialized ONCE; each round is one vocabulary-bounded "
+    "map-side-combining pair count + a 1-row argmax collect (scalar "
+    "aggregate, the blessed driver-state class for training loops) + "
+    "one narrow string replace — greedy leftmost non-overlapping "
+    "replace IS the BPE merge step, and Spark and DuckDB share that "
+    "replace semantic, so the oracle unrolls the identical loop as "
+    "CTE triples. At 100 TB: no corpus-sized shuffle ever (pair "
+    "counts are vocab-bounded, merges are narrow maps over the one "
+    "checkpointed state), driver state is one (pair, count) row per "
+    "round.",
+    tags=("text", "tokens", "bpe", "iterative"),
+)
+def bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.skew import spread_to_session_width
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokenize(F.col("text"))
+    # ONE corpus materialization: the rounds chain narrow replaces on
+    # this checkpoint, so round k's pair count re-runs k cheap string
+    # replaces, never the tokenize regex (the lambda-CSE discipline).
+    # spread first: the bench fixture is a single-row-group scan, and
+    # every round's split+explode would otherwise run in one task.
+    st = (
+        spread_to_session_width(docs)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("<"), F.concat_ws("><", F.col("toks")), F.lit(">")
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out: list[tuple[int, str, str, int]] = []
+    for k in range(1, _BPE_MERGE_ROUNDS + 1):
+        tk = F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+        pairs = (
+            st.select(tk.alias("tk"))
+            .filter(F.size("tk") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 1), i -> "
+                        "concat(element_at(tk, i), '|', element_at(tk, i + 1)))"
+                    )
+                ).alias("pair")
+            )
+        )
+        # 1-row argmax: merged symbols contain spaces, so the pair key
+        # joins halves with '|' (never inside a token — tokens are
+        # [a-z0-9 ]* after merges) to keep keys collision-free
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split("|", 1)
+        out.append((k, a, b, int(top[0]["n"])))
+        # NO per-round checkpoint, deliberately: replaces are narrow
+        # single-pass string ops, so round k re-running k-1 of them
+        # from the one base checkpoint is CHEAPER than materializing
+        # corpus-sized state every round (measured 3.0s vs 3.5s at
+        # sf0.1) — the single-reference chain makes the lazy unroll
+        # linear, not the exponential trap the peel loops hit
+        st = st.withColumn(
+            "s", F.replace("s", F.lit(f"<{a}><{b}>"), F.lit(f"<{a} {b}>"))
+        )
+    return spark.createDataFrame(
+        out, "step int, left_sym string, right_sym string, n_occurrences bigint"
+    )
+
+
 @register(
     "doc_bigram_surprisal",
     oracle="""

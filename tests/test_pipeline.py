@@ -287,6 +287,63 @@ def test_events_ks_drift_bounds_and_totals(spark):
         assert r.n_early + r.n_late == totals[t], r
 
 
+def test_bpe_vocab_induction_matches_python_reference(spark):
+    """Full independent reference of the BPE training loop, written
+    from the spec (NOT from the engine/oracle algebra): tokenize each
+    doc, then per round count adjacent symbol pairs with a Counter,
+    pick argmax with (count desc, 'left|right' asc) tiebreak, and
+    merge via an EXPLICIT greedy left-to-right scan over token lists —
+    a different merge formulation than the string-replace both engine
+    and oracle share, so a replace-semantics bug mirrored into the
+    oracle fails here. Every emitted merge row must replay exactly."""
+    import re
+    from collections import Counter
+
+    from github_miner_spark.queries.text_queries import (
+        _BPE_MERGE_ROUNDS,
+        bpe_vocab_induction,
+    )
+
+    docs = [
+        r["text"]
+        for r in load_table(spark, "documents", SF).select("text").collect()
+    ]
+    corpus = [
+        [t for t in re.sub(r"[^a-z0-9]+", " ", d.lower()).split(" ") if t]
+        for d in docs
+    ]
+    corpus = [c for c in corpus if c]
+    expected = []
+    for step in range(1, _BPE_MERGE_ROUNDS + 1):
+        counts = Counter()
+        for toks in corpus:
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}|{kv[0][1]}"))
+        (a, b), n = best
+        expected.append((step, a, b, n))
+        merged_corpus = []
+        for toks in corpus:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(f"{a} {b}")
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            merged_corpus.append(out)
+        corpus = merged_corpus
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["n_occurrences"])
+        for r in bpe_vocab_induction(spark, SF).orderBy("step").collect()
+    ]
+    assert got == expected
+    assert len(got) == _BPE_MERGE_ROUNDS
+
+
 def test_random_walks_follow_real_edges(spark):
     """Every consecutive pair in every emitted path must be a real
     module-dependency edge, depth must equal len(path)-1, and the two
