@@ -138,8 +138,10 @@ HEADLINE = [
     # extraction join the watch
     "kll_quantile_merge",
     "walk_skipgram_pairs",
-    # round 8: the full BPE vocabulary-induction training loop
+    # round 8: the full BPE vocabulary-induction training loop and the
+    # deterministic skip-gram negative sampler
     "bpe_vocab_induction",
+    "skipgram_negative_samples",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

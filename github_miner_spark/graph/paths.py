@@ -134,6 +134,11 @@ DRIVER_CLOSURE_EDGES = int(
 )
 DRIVER_CLOSURE_ROOTS = 128
 
+# Cap on driver-collected keep/terminal id sets (enumerate_simple_paths'
+# emit-time filter): 64k bigints is broadcast-sized driver state; a
+# label set larger than this falls back to the distributed post-filter.
+KEEP_COLLECT_CAP = 65536
+
 
 def _gate(threshold: int) -> int:
     """Call-time gate override: SPARK_GRAFT_FORCE_DISTRIBUTED=1 zeroes
@@ -1027,19 +1032,27 @@ def enumerate_simple_paths(
         return spark.createDataFrame(out_rows, "path array<bigint>, length int")
     # Task-local path (the betweenness/ASP pattern): an edge set that
     # fits one executor task enumerates inside ONE applyInPandas task
-    # via the same DFS twin. The end_nodes set (tiny and distinct by
-    # contract — a label-constrained terminal set) is collected and
-    # passed as the kernel's emit-time keep filter, exactly like the
-    # driver twin: the task's in-memory result list is then O(kept
-    # paths), not O(all simple paths) — a selective end set over a
-    # branchy graph must never force one task to hold every path. Past
-    # the threshold the level loop below is the at-scale path
-    # (output-proportional either way).
+    # via the same DFS twin. The end_nodes set (usually a tiny
+    # label-constrained terminal set) is collected — bounded by
+    # KEEP_COLLECT_CAP, since a label set can grow with the corpus —
+    # and passed as the kernel's emit-time keep filter, exactly like
+    # the driver twin: the task's in-memory result list is then
+    # O(kept paths), not O(all simple paths) — a selective end set
+    # over a branchy graph must never force one task to hold every
+    # path (ADVICE r7). An end set ABOVE the cap is, by the same
+    # token, barely selective relative to the path set, so the kernel
+    # enumerates unfiltered and the broadcast post-filter keeps the
+    # old distributed shape. Past the threshold the level loop below
+    # is the at-scale path (output-proportional either way).
     if task_threshold > 0 and e.count() <= task_threshold:
         keep = None
         if end_nodes is not None:
-            keep = {r["id"] for r in end_nodes.select("id").distinct().collect()}
-        return (
+            sample = end_nodes.select("id").distinct().limit(
+                KEEP_COLLECT_CAP + 1
+            ).collect()
+            if len(sample) <= KEEP_COLLECT_CAP:
+                keep = {r["id"] for r in sample}
+        paths = (
             e.withColumn("g", F.lit(1))
             .groupBy("g")
             .applyInPandas(
@@ -1047,6 +1060,13 @@ def enumerate_simple_paths(
                 schema="path array<bigint>, length int",
             )
         )
+        if end_nodes is not None and keep is None:
+            ends = end_nodes.select(F.col("id").alias("_end")).distinct()
+            paths = paths.join(
+                F.broadcast(ends),
+                F.element_at(F.col("path"), -1) == F.col("_end"),
+            ).drop("_end")
+        return paths
     frontier = (
         e.filter(F.col("src") == root)
         .select(

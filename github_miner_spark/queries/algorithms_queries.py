@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from github_miner_spark.graph.algorithms import (
     connected_components,
@@ -1495,4 +1496,148 @@ def walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(1.0 / (F.col("ib") - F.col("ia"))), 6).alias("w"),
         )
         .orderBy("center", "context")
+    )
+
+
+@register(
+    "skipgram_negative_samples",
+    oracle=GRAPH_ORACLE_CTES
+    + _walks_oracle_ctes()
+    + """
+    , wk AS (SELECT seed, str_split(path, '->') AS nodes FROM s4),
+    pairs AS (
+      SELECT CAST(nodes[i] AS BIGINT) AS center,
+             CAST(nodes[i + d] AS BIGINT) AS context, d
+      FROM wk, generate_series(1, 5) AS g(i), (SELECT unnest([1, 2]) AS d) AS w
+      WHERE i + d <= len(nodes)
+    ),
+    sgp AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY center, context),
+    dist AS (SELECT context AS negative, CAST(sum(n_pairs) AS BIGINT) AS cnt
+             FROM sgp GROUP BY context),
+    cum AS (SELECT negative, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY negative
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS hi
+            FROM dist),
+    cum2 AS (SELECT negative, cnt, hi, hi - cnt AS lo FROM cum),
+    scal AS (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+                    greatest(1, CAST(sum(cnt) AS BIGINT) // count(*)) AS w
+             FROM dist),
+    buckets AS (
+      SELECT unnest(generate_series(c.lo // scal.w, (c.hi - 1) // scal.w))
+               AS bucket,
+             c.negative, c.lo, c.hi
+      FROM cum2 c, scal
+    ),
+    draws AS (
+      SELECT center, context, d AS neg_rank,
+             ('0x' || substr(md5(concat_ws('|', 'neg', center, context, d)),
+                             1, 14))::BIGINT % scal.t AS u
+      FROM sgp, (SELECT unnest([1, 2]) AS d), scal
+    )
+    SELECT d.center, d.context, d.neg_rank, b.negative
+    FROM draws d, scal
+    JOIN buckets b ON b.bucket = d.u // scal.w AND d.u >= b.lo AND d.u < b.hi
+    ORDER BY center, context, neg_rank
+    """,
+    description="Deterministic negative sampling for skip-gram "
+    "training (word2vec's unigram-table draw, Mikolov et al. 2013) — "
+    "the third rung of the embedding-prep family after walks and "
+    "pairs: for every (center, context) training pair, draw 2 "
+    "negatives from the corpus context distribution by inverse-CDF "
+    "over cumulative count intervals, with the draw a 56-bit md5 "
+    "uniform mod total (bit-reproducible across engines, runs and "
+    "retries — no seed service; plain unigram weights keep the CDF "
+    "pure-integer, documented simplification of the ^0.75 variant "
+    "whose float pow would put an engine-dependent rounding boundary "
+    "under every interval edge). The interval lookup is BUCKETIZED so "
+    "it is an EQUI-join, never a nested-loop range join: intervals "
+    "expand to the ~2x-vocab (bucket, interval) rows they overlap "
+    "(bucket width = total DIV vocab), draws map to one bucket each, "
+    "and a broadcast hash join + residual range filter resolves the "
+    "containment — at 100 TB the vocab-bounded bucket table "
+    "broadcasts while draws stay map-side, the alias-table analog in "
+    "relational form. The cumulative window is one vocab-sized sort, "
+    "never corpus-sized. Oracle: identical integer algebra over the "
+    "reused walk CTEs.",
+    tags=("graph", "walks", "embedding-prep", "skipgram", "sampling"),
+)
+def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import md5_prefix_hash
+
+    state = _walk_corpus(spark, sf_dir)
+    rows = (
+        state.select(
+            "start",
+            "seed",
+            F.posexplode(F.split(F.col("path"), "->")).alias("i", "node"),
+        )
+        .select("start", "seed", "i", F.col("node").cast("bigint").alias("node"))
+    )
+    a = rows.select(
+        "start", "seed", F.col("i").alias("ia"), F.col("node").alias("center")
+    )
+    b = rows.select(
+        "start", "seed", F.col("i").alias("ib"), F.col("node").alias("context")
+    )
+    sgp = (
+        a.join(b, ["start", "seed"])
+        .filter((F.col("ib") - F.col("ia")).between(1, 2))
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    dist = sgp.groupBy(F.col("context").alias("negative")).agg(
+        F.sum("n_pairs").cast("bigint").alias("cnt")
+    )
+    wcum = Window.orderBy("negative").rowsBetween(Window.unboundedPreceding, 0)
+    cum2 = dist.select(
+        "negative", "cnt", F.sum("cnt").over(wcum).cast("bigint").alias("hi")
+    ).withColumn("lo", F.col("hi") - F.col("cnt"))
+    scal = dist.agg(
+        F.sum("cnt").cast("bigint").alias("t"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("CAST(sum(cnt) AS BIGINT) DIV count(*)"),
+        ).alias("w"),
+    )
+    buckets = cum2.crossJoin(F.broadcast(scal)).select(
+        "negative",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(F.expr("lo DIV w"), F.expr("(hi - 1) DIV w"))
+        ).alias("bucket"),
+    )
+    draws = (
+        sgp.select(
+            "center",
+            "context",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("neg_rank"),
+        )
+        .crossJoin(F.broadcast(scal))
+        .withColumn(
+            "u",
+            md5_prefix_hash(
+                F.concat_ws(
+                    "|",
+                    F.lit("neg"),
+                    F.col("center"),
+                    F.col("context"),
+                    F.col("neg_rank"),
+                ),
+                14,
+            )
+            % F.col("t"),
+        )
+        .withColumn("bucket", F.expr("u DIV w"))
+    )
+    return (
+        draws.join(
+            F.broadcast(buckets.select("bucket", "negative", "lo", "hi")),
+            "bucket",
+        )
+        .filter((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+        .select("center", "context", "neg_rank", "negative")
+        .orderBy("center", "context", "neg_rank")
     )

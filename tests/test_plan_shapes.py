@@ -499,6 +499,23 @@ def test_hll_kmv_shingle_sketches_no_allpairs(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_negative_sampling_bucket_join_is_hash_not_nested_loop(spark):
+    """The inverse-CDF interval lookup must be the BUCKETIZED
+    equi-join (broadcast hash on the bucket key + residual range
+    filter), never a nested-loop RANGE join — a plain u BETWEEN lo
+    AND hi join would plan an Inner BroadcastNestedLoopJoin and cost
+    O(draws x vocab) comparisons at scale. The only permitted
+    nested-loop joins are the broadcast 1-row scalar crossJoins
+    (total, bucket width), which plan as BNLJ *Cross*."""
+    plan = _plan(spark, "skipgram_negative_samples")
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_sketch_family_global_stage_budget(spark):
     """VERDICT r7 item 7 — the sketch-family grading contract, pinned
     structurally: every approximate operator is registered WITH its
