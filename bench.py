@@ -398,12 +398,16 @@ def main() -> None:
         2x (the box's bimodal-contention signature: identical plans
         alternating between a clean mode and a 2-4x contended mode —
         VERDICT r7 'What's wrong' #2, node2vec's 4.62-vs-1.5 case).
-        Spread-exceeding queries get 3 extra round-robin passes and
-        their recorded number is the TRIMMED median — the median of
-        the 5 smallest of the 8 samples — which rejects up to 3
-        contended passes instead of letting them capture the median.
-        Which statistic each number is lands in the artifact
-        (``stats`` map: "median5" | "trimmed_median_5of8")."""
+        Spread-exceeding queries get ``extra`` additional round-robin
+        passes and their recorded number is the TRIMMED median — the
+        median of the ``passes`` smallest of the passes+extra samples
+        — which rejects up to ``extra`` contended passes instead of
+        letting them capture the median. The trim scales with the
+        configured pass count (a hardcoded 5-of-8 would mislabel any
+        SPARK_GRAFT_BENCH_PASSES override). Which statistic each
+        number is lands in the artifact (``stats`` map:
+        "median{p}" | "trimmed_median_{p}of{p+extra}")."""
+        extra = max(1, (passes + 1) // 2)
         lane_samples: dict[str, list[float]] = {n: [] for n in lane_names}
         for _ in range(passes):
             for name in lane_names:
@@ -415,18 +419,22 @@ def main() -> None:
             for n in lane_names
             if max(lane_samples[n]) > 2.0 * max(min(lane_samples[n]), 1e-9)
         ]
-        for _ in range(3):
+        for _ in range(extra):
             for name in unstable:
                 t0 = time.perf_counter()
                 specs[name].spark(spark, SF_DIR).count()
                 lane_samples[name].append(round(time.perf_counter() - t0, 3))
         lane_stats = {
-            n: ("trimmed_median_5of8" if n in unstable else f"median{passes}")
+            n: (
+                f"trimmed_median_{passes}of{passes + extra}"
+                if n in unstable
+                else f"median{passes}"
+            )
             for n in lane_names
         }
         lane_timings = {
             name: (
-                _median(sorted(ts)[:5]) if name in unstable else _median(ts)
+                _median(sorted(ts)[:passes]) if name in unstable else _median(ts)
             )
             for name, ts in lane_samples.items()
         }

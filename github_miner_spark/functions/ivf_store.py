@@ -14,7 +14,6 @@ inverted-list scan gets parquet min/max pruning instead of a full read.
 
 from __future__ import annotations
 
-import hashlib
 import math
 import os
 import shutil
@@ -23,18 +22,14 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from github_miner_spark.io.store_key import content_key
+
 STORE_ROOT = os.environ.get("SPARK_GRAFT_IVF_STORE", "/tmp/spark-graft-ivf")
 
 
 def _store_dir(sf_dir: str) -> str:
-    h = hashlib.md5(os.path.abspath(sf_dir).encode())
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(p)
-        h.update(f"embeddings:{st.st_size}:{st.st_mtime_ns}".encode())
-    except FileNotFoundError:
-        h.update(b"embeddings:missing")
-    return os.path.join(STORE_ROOT, h.hexdigest()[:16])
+    key = content_key(sf_dir, [("embeddings", "embeddings.parquet")])
+    return os.path.join(STORE_ROOT, key)
 
 
 def materialize_ivf_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:

@@ -28,13 +28,14 @@ partitions for parquet pruning.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from github_miner_spark.io.store_key import content_key
 
 from github_miner_spark.functions.similarity import dot, norm
 
@@ -47,14 +48,8 @@ SAMPLE_MOD = 31  # deterministic codebook sample: vec_id % 31 == 0
 
 
 def _store_dir(sf_dir: str) -> str:
-    h = hashlib.md5(os.path.abspath(sf_dir).encode())
-    p = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(p)
-        h.update(f"embeddings-pq:{st.st_size}:{st.st_mtime_ns}".encode())
-    except FileNotFoundError:
-        h.update(b"embeddings-pq:missing")
-    return os.path.join(STORE_ROOT, h.hexdigest()[:16])
+    key = content_key(sf_dir, [("embeddings-pq", "embeddings.parquet")])
+    return os.path.join(STORE_ROOT, key)
 
 
 def _normalized(emb: DataFrame) -> DataFrame:

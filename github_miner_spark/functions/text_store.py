@@ -13,7 +13,6 @@ min/max pruning."""
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 import tempfile
@@ -21,18 +20,14 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from github_miner_spark.io.store_key import content_key
+
 STORE_ROOT = os.environ.get("SPARK_GRAFT_TEXT_STORE", "/tmp/spark-graft-text")
 
 
 def _store_dir(sf_dir: str) -> str:
-    h = hashlib.md5(os.path.abspath(sf_dir).encode())
-    p = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(p)
-        h.update(f"documents:{st.st_size}:{st.st_mtime_ns}".encode())
-    except FileNotFoundError:
-        h.update(b"documents:missing")
-    return os.path.join(STORE_ROOT, h.hexdigest()[:16])
+    key = content_key(sf_dir, [("documents", "documents.parquet")])
+    return os.path.join(STORE_ROOT, key)
 
 
 def materialize_text_index(spark: SparkSession, sf_dir: str, force: bool = False) -> str:

@@ -24,13 +24,14 @@ silently graded against itself.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from github_miner_spark.io.store_key import GRAPH_BASE_TABLES, content_key
 
 STORE_ROOT = os.environ.get("SPARK_GRAFT_WALK_STORE", "/tmp/spark-graft-walks")
 
@@ -44,23 +45,16 @@ WALK_SEEDS = (0, 1)
 
 
 def _store_dir(sf_dir: str) -> str:
-    """Key = source path + (name, size, mtime) of the base-table files
-    the module graph derives from + the walk-spec version."""
-    h = hashlib.md5(os.path.abspath(sf_dir).encode())
-    h.update(WALK_SPEC_VERSION.encode())
-    for name in (
-        "customer.parquet",
-        "orders.parquet",
-        "part.parquet",
-        "lineitem.parquet",
-    ):
-        p = os.path.join(sf_dir, name)
-        try:
-            st = os.stat(p)
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-        except FileNotFoundError:
-            h.update(f"{name}:missing".encode())
-    return os.path.join(STORE_ROOT, h.hexdigest()[:16])
+    """Key = source path + the walk-spec version + (name, size, mtime)
+    of the base-table files the module graph derives from — the SAME
+    list the graph store keys on (io/store_key.py), since the walks
+    are a pure function of that store's output."""
+    key = content_key(
+        sf_dir,
+        [(n, n) for n in GRAPH_BASE_TABLES],
+        extra=(WALK_SPEC_VERSION,),
+    )
+    return os.path.join(STORE_ROOT, key)
 
 
 def build_det_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,18 +221,31 @@ def materialize_walks(
         _BUILDERS[scheme](spark, sf_dir).sortWithinPartitions(
             "start", "seed"
         ).write.mode("overwrite").parquet(os.path.join(tmp, fname))
-        if force and os.path.isdir(target):
-            shutil.rmtree(target)
+        # force replaces ONLY this scheme's file — the store dir is
+        # deliberately shared with the sibling scheme, whose corpus a
+        # whole-dir rmtree would destroy (and transiently break
+        # concurrent readers of the other scheme)
+        if force:
+            shutil.rmtree(os.path.join(target, fname), ignore_errors=True)
         try:
-            # merge into an existing store dir (the other scheme may
-            # already live there): rename the scheme file, not the dir
             if os.path.isdir(target):
                 os.rename(os.path.join(tmp, fname), os.path.join(target, fname))
                 shutil.rmtree(tmp, ignore_errors=True)
             else:
                 os.rename(tmp, target)
         except OSError:
-            # another builder won the race; use theirs
+            # Race lost. TWO cases: (a) another builder of THIS scheme
+            # won — its file is in place, use theirs; (b) a builder of
+            # the OTHER scheme renamed tmp->target first (dir now
+            # exists but without this scheme's file) — retry the
+            # per-file merge so this finished build is not discarded.
+            if not os.path.isdir(os.path.join(target, fname)):
+                try:
+                    os.rename(
+                        os.path.join(tmp, fname), os.path.join(target, fname)
+                    )
+                except OSError:
+                    pass  # a same-scheme builder won the retry window
             shutil.rmtree(tmp, ignore_errors=True)
         return target
     except BaseException:

@@ -16,7 +16,6 @@ complete store or build their own; rebuilds are idempotent.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
 import tempfile
@@ -24,6 +23,7 @@ import tempfile
 from pyspark.sql import SparkSession
 
 from github_miner_spark.graph.model import PropertyGraph, build_edges, build_vertices
+from github_miner_spark.io.store_key import GRAPH_BASE_TABLES, content_key
 
 STORE_ROOT = os.environ.get("SPARK_GRAFT_GRAPH_STORE", "/tmp/spark-graft-graph")
 
@@ -31,16 +31,9 @@ STORE_ROOT = os.environ.get("SPARK_GRAFT_GRAPH_STORE", "/tmp/spark-graft-graph")
 def _store_dir(sf_dir: str) -> str:
     """Key = source path + (name, size, mtime) of the base-table files,
     so a regenerated source dir at the same path never serves a stale
-    store."""
-    h = hashlib.md5(os.path.abspath(sf_dir).encode())
-    for name in ("customer.parquet", "orders.parquet", "part.parquet", "lineitem.parquet"):
-        p = os.path.join(sf_dir, name)
-        try:
-            st = os.stat(p)
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-        except FileNotFoundError:
-            h.update(f"{name}:missing".encode())
-    return os.path.join(STORE_ROOT, h.hexdigest()[:16])
+    store (shared helper: io/store_key.py)."""
+    key = content_key(sf_dir, [(n, n) for n in GRAPH_BASE_TABLES])
+    return os.path.join(STORE_ROOT, key)
 
 
 def materialize_graph(spark: SparkSession, sf_dir: str, force: bool = False) -> str:

@@ -45,20 +45,33 @@ def main() -> int:
     if not window_commit:
         print("no commit touches registry.py — nothing to check")
         return 0
-    later = _git("log", "--format=%H %s", f"{window_commit}..HEAD")
+    # AUTHORITATIVE check: the NET tree diff from the rotation commit
+    # to HEAD. Per-commit file listings miss merge commits entirely
+    # (`git show --name-only` prints nothing for them), so a merged
+    # branch could smuggle engine changes past a commit-walk; the net
+    # diff sees every change regardless of how it landed.
+    net = _git(
+        "diff", "--name-only", f"{window_commit}..HEAD", "--", *CODE_PATHS
+    ).splitlines()
     stale: list[str] = []
-    for line in later.splitlines():
-        sha, _, subject = line.partition(" ")
-        files = _git("show", "--name-only", "--format=", sha).splitlines()
-        touched = [
-            f
-            for f in files
-            if any(
-                f == p or f.startswith(p) for p in CODE_PATHS
-            )
-        ]
-        if touched:
-            stale.append(f"{sha[:9]} {subject}: {', '.join(touched)}")
+    if net:
+        stale.append(f"net diff {window_commit[:9]}..HEAD: {', '.join(net)}")
+        # best-effort per-commit attribution (first-parent walk; merge
+        # commits attribute via their own diff against first parent)
+        later = _git("log", "--format=%H %s", f"{window_commit}..HEAD")
+        for line in later.splitlines():
+            sha, _, subject = line.partition(" ")
+            files = _git(
+                "diff-tree", "-r", "--name-only", "--no-commit-id",
+                f"{sha}^", sha,
+            ).splitlines()
+            touched = [
+                f
+                for f in files
+                if any(f == p or f.startswith(p) for p in CODE_PATHS)
+            ]
+            if touched:
+                stale.append(f"  {sha[:9]} {subject}: {', '.join(touched)}")
     short = window_commit[:9]
     if stale:
         print(
