@@ -68,86 +68,85 @@ def load_all() -> None:
 # entries. This explicit window lists a covering set of SURVEY §2:
 # every operator family has at least one oracle-backed query inside it.
 #
-# Round-6 rotation (VERDICT r5 item 2): leads with (a) the 3 queries
-# registered after round 5's window filled plus the one never-green
-# query (late_shipment_priority_counts — red in r05 on an oracle
-# HUGEINT-vs-BIGINT typing bug, fixed this round); then (b) the
-# queries NEW this round — every name in the (b) block below, from
-# kn_perplexity_filter_rates through kmv_set_operation_estimates
-# (the block's last entry); then (c)
-# re-greens for every
-# implementation or oracle the round touched: the KN model now joins
-# on hashed keys (doc_kneser_ney_scores — also in (a)),
-# boilerplate_ngram_stats' corpus count folded into the plan, the
-# SF-scaling broadcast hints dropped from ten TPC-H shapes, and the
-# SCC family rewired through the per-WCC task-local Tarjan path
-# (scc_summary / scc_size_histogram / cypher_scc_readback). The tail
-# (d) refreshes driver witnesses for queries whose newest green row
-# dates to r02/r03 — correctness rows age as implementations around
-# them move, so the rotation re-earns them a round at a time. The full
+# Rotation policy (refined each round; r8 adds the freshness guard):
+# (a) queries whose implementation changed AFTER the previous window
+# was pinned (they have no post-change driver witness), then (b) the
+# queries NEW this round, then (c) re-greens for every implementation
+# this round touched, then (d) the oldest driver witnesses — rows age
+# as implementations around them move, so the rotation re-earns them
+# a round at a time. The rotation commit must be the round's LAST
+# code-touching commit (tools/check_window_freshness.py verifies the
+# net diff from it to HEAD), so (c) can never silently rot. The full
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-7 window (VERDICT r6 item 5): new-this-round first, then
-    # re-greens for every implementation round 7 touched, then the
-    # round-6-touched queries whose newest driver rows aged to r02/r03
-    # (the spread/projection family), then the oldest untouched
-    # witnesses (all 25 remaining r02 rows + the oldest r03 rows).
-    # -- (a) new this round ---------------------------------------------
-    "kll_quantile_merge",
+    # Round-8 window (VERDICT r7 item 1). Rotation discipline: this
+    # rotation is the round's LAST code-touching commit, verified by
+    # tools/check_window_freshness.py (net-diff from this commit to
+    # HEAD must touch no engine/query code), so every re-green below
+    # witnesses the shipped implementation — the r7 race class is
+    # mechanically closed.
+    # -- (a) r7 task-kernel family (ce85fdc landed AFTER the r7 window
+    #        was pinned; these ten had no post-change driver witness) --
+    "louvain_communities",
+    "louvain_per_reltype",
+    "cypher_community_readback",
+    "all_shortest_paths_pairs",
+    "k_core_decomposition",
+    "closure_counts_from_anchor",
+    "closure_per_root",
+    "cypher_closure_from_anchor",
+    "dependency_graph_paths",
+    "dependency_chains",
+    # -- (b) new this round ---------------------------------------------
+    "bpe_vocab_induction",
+    "skipgram_negative_samples",
+    # -- (c) re-greens for round-8-touched implementations: the walk
+    #        store (3 queries), the depth-profile task opt-in (3), the
+    #        betweenness replication gate, the weighted-SSSP conditional
+    #        checkpoint, the SCC whole-core shortcut (3), the CC
+    #        star-forest probe's consumers (4), and the skew-guard /
+    #        store-key refactor representatives (2) ----------------------
+    "deterministic_random_walks",
+    "node2vec_biased_walks",
     "walk_skipgram_pairs",
-    # -- (b) re-greens for round-7-touched implementations --------------
-    "betweenness_centrality_sample",   # per-root task-local Brandes
-    "closeness_centrality_sample",     # per-root task-local BFS
-    "kn_perplexity_filter_rates",      # unrounded-sum keep gate
-    "doc_kneser_ney_scores",           # shared scored-relation refactor
-    "weighted_shortest_distances",     # edge-projection checkpoint
-    "pagerank_top20",                  # eager verts materialization
-    "cypher_pagerank_readback",        # same engine change via Cypher
-    "brand_discount_revenue",          # forced part broadcast removed
-    # -- (c) round-6-touched, driver rows aged to r02/r03 (VERDICT #5) --
-    "simhash_near_dups",
-    "simhash_values",
-    "node_similarity_jaccard",
-    "embedding_cosine_dups",
-    "embedding_similarity_buckets",
-    "embedding_lsh_topk",
-    "doc_shingle_profile",
-    "link_prediction_scores",
-    # -- (d) witness refresh: the 22 remaining r02 rows ------------------
-    "customers_with_open_orders",
-    "dependants_by_endpoint_label",
-    "detach_delete_impact",
-    "distinct_order_profiles",
-    "doc_bpe_token_counts",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "hosted_on_outer",
-    "language_id_confusion",
-    "lineitem_describe",
-    "manifest_dependency_totals",
-    "meta_graph",
-    "modules_per_repo_list",
-    "ngram_jaccard_dups",
-    "one_hop_neighborhood",
-    "parts_never_ordered",
-    "preferential_attachment",
-    "quantity_histogram",
-    "revenue_rollup",
-    "scalar_function_showcase",
-    "schema_histograms",
-    "self_loops",
-    # -- (e) oldest r03 rows to fill the 50 ------------------------------
-    "benchmark_decontamination",
-    "corpus_filter_funnel",
-    "customer_order_stats_outer",
+    "bfs_depth_profile",
+    "depth_extremes_per_root",
+    "harmonic_centrality_roots",
+    "betweenness_centrality_sample",
+    "weighted_shortest_distances",
+    "scc_summary",
+    "scc_size_histogram",
+    "cypher_scc_readback",
+    "connected_components_summary",
     "dedup_clusters",
-    "degree_breakdown",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "embedding_ivf_topk",
-    "embedding_topk_bruteforce",
-    "exact_dedup_summary",
+    "leakage_free_split_assignment",
+    "corpus_filter_funnel",
+    "simhash_values",
+    "simhash_near_dups",
+    # -- (d) witness backlog: all 16 remaining r03 rows -------------------
+    "label_histogram",
+    "manifest_edge_roundtrip",
+    "minhash_lsh_dups",
+    "modules_used_by_repo",
+    "motif_shared_module_pairs",
+    "motif_unhosted_dependencies",
+    "multimodal_byte_features",
+    "orders_running_rank",
+    "pricing_summary",
+    "rel_type_histogram",
+    "repos_depending_on_module",
+    "sql_supplier_nation_rollup",
+    "stratified_sample_counts",
+    "triangle_counts_top",
+    "users_by_repos_owned",
+    "version_range_profile",
+    # -- (e) oldest r04 rows to fill the 50 -------------------------------
+    "embedding_int8_topk",
+    "embedding_ivf_int8_topk",
+    "bpe_merge_candidates",
+    "clustering_coefficient_summary",
+    "two_hop_dependencies",
 )
 
 
