@@ -138,9 +138,12 @@ HEADLINE = [
     # extraction join the watch
     "kll_quantile_merge",
     "walk_skipgram_pairs",
-    # round 8: the full BPE vocabulary-induction training loop and the
-    # deterministic skip-gram negative sampler
+    # round 8: the full BPE vocabulary-induction training loop (merge
+    # table store-served; the store builder runs the real loop once),
+    # the tokenizer-application stats, and the deterministic skip-gram
+    # negative sampler
     "bpe_vocab_induction",
+    "bpe_segmentation_stats",
     "skipgram_negative_samples",
 ]
 

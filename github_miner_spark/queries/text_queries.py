@@ -491,15 +491,20 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGE_ROUNDS = 6
 
 
-def _bpe_vocab_oracle_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
-    """Unrolled BPE-training oracle: one (pairs, argmax, re-tokenized
-    state) CTE triple per merge round — the pagerank-style unrolled
-    fixpoint, so DuckDB replays the exact same training loop."""
+def _bpe_training_ctes(rounds: int = _BPE_MERGE_ROUNDS) -> str:
+    """Unrolled BPE-training CTE chain: one (pairs, argmax,
+    re-tokenized state) triple per merge round — the pagerank-style
+    unrolled fixpoint, so DuckDB replays the exact same training loop
+    from spec (the engine serves the merge table from the store;
+    grading stays store-independent). Shared by the merge-table
+    oracle and the segmentation oracle; st{rounds} carries
+    (doc_id, source, s) for downstream rollups."""
     ctes = [
         f"""
-    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
     st0 AS (
-      SELECT doc_id, '<' || array_to_string(toks, '><') || '>' AS s
+      SELECT doc_id, source,
+             '<' || array_to_string(toks, '><') || '>' AS s
       FROM t WHERE len(toks) >= 1
     )"""
     ]
@@ -519,7 +524,7 @@ def _bpe_vocab_oracle_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
       FROM p{k} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
     ),
     st{k} AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
              replace(s,
                      '<' || str_split(pair, '|')[1] || '><'
                          || str_split(pair, '|')[2] || '>',
@@ -527,12 +532,16 @@ def _bpe_vocab_oracle_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
                          || str_split(pair, '|')[2] || '>') AS s
       FROM st{k - 1}, c{k}
     )""")
+    return "".join(ctes)
+
+
+def _bpe_vocab_oracle_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
     picks = " UNION ALL ".join(
         f"SELECT {k} AS step, str_split(pair, '|')[1] AS left_sym, "
         f"str_split(pair, '|')[2] AS right_sym, n AS n_occurrences FROM c{k}"
         for k in range(1, rounds + 1)
     )
-    return "".join(ctes) + f" SELECT * FROM ({picks}) ORDER BY step"
+    return _bpe_training_ctes(rounds) + f" SELECT * FROM ({picks}) ORDER BY step"
 
 
 @register(
@@ -547,7 +556,10 @@ def _bpe_vocab_oracle_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
     "corpus-wide before the next round; word tokens stand in for the "
     "byte alphabet as in doc_bpe_token_counts. Returns the learned "
     "merge table (step, left, right, count) — the artifact a real "
-    "tokenizer trainer ships. Engine shape: corpus state is a "
+    "tokenizer trainer ships, served from the materialized BPE store "
+    "(functions/bpe_store.py — trained once per source dir, like the "
+    "walk store; bpe_segmentation_stats consumes the same table). "
+    "Training shape (the store builder): corpus state is a "
     "delimiter-wrapped symbol string per doc ('<a><b>...'), "
     "materialized ONCE; each round is one vocabulary-bounded "
     "map-side-combining pair count + a 1-row argmax collect (scalar "
@@ -555,74 +567,95 @@ def _bpe_vocab_oracle_sql(rounds: int = _BPE_MERGE_ROUNDS) -> str:
     "one narrow string replace — greedy leftmost non-overlapping "
     "replace IS the BPE merge step, and Spark and DuckDB share that "
     "replace semantic, so the oracle unrolls the identical loop as "
-    "CTE triples. At 100 TB: no corpus-sized shuffle ever (pair "
-    "counts are vocab-bounded, merges are narrow maps over the one "
-    "checkpointed state), driver state is one (pair, count) row per "
-    "round.",
+    "CTE triples and re-trains from spec (grading stays "
+    "store-independent). At 100 TB: no corpus-sized shuffle ever "
+    "(pair counts are vocab-bounded, merges are narrow maps over the "
+    "one checkpointed state), driver state is one (pair, count) row "
+    "per round.",
     tags=("text", "tokens", "bpe", "iterative"),
 )
 def bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_miner_spark.functions.skew import spread_to_session_width
+    from github_miner_spark.functions.bpe_store import load_bpe_merges
 
-    docs = load_table(spark, "documents", sf_dir)
-    toks = tokenize(F.col("text"))
-    # ONE corpus materialization: the rounds chain narrow replaces on
-    # this checkpoint, so round k's pair count re-runs k cheap string
-    # replaces, never the tokenize regex (the lambda-CSE discipline).
-    # spread first: the bench fixture is a single-row-group scan, and
-    # every round's split+explode would otherwise run in one task.
-    st = (
-        spread_to_session_width(docs)
-        .select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 1)
-        .select(
-            "doc_id",
-            F.concat(
-                F.lit("<"), F.concat_ws("><", F.col("toks")), F.lit(">")
-            ).alias("s"),
-        )
-        .localCheckpoint(eager=True)
+    return load_bpe_merges(spark, sf_dir).orderBy("step")
+
+
+@register(
+    "bpe_segmentation_stats",
+    oracle=_bpe_training_ctes()
+    + f"""
+    , seg AS (
+      SELECT source,
+             len(str_split(s[2:length(s) - 1], '><')) AS n_after
+      FROM st{_BPE_MERGE_ROUNDS}
+    ),
+    pre AS (
+      SELECT source, len(toks) AS n_before
+      FROM t WHERE len(toks) >= 1
+    ),
+    pa AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+                  CAST(sum(n_before) AS BIGINT) AS tokens_before
+           FROM pre GROUP BY source),
+    sa AS (SELECT source, CAST(sum(n_after) AS BIGINT) AS tokens_after
+           FROM seg GROUP BY source)
+    SELECT pa.source, pa.docs, pa.tokens_before, sa.tokens_after,
+           round(pa.tokens_before * 1.0 / sa.tokens_after, 6)
+             AS compression
+    FROM pa JOIN sa ON sa.source = pa.source
+    ORDER BY pa.source
+    """,
+    description="Tokenizer APPLICATION — the consumer step of "
+    "bpe_vocab_induction: segment the corpus with the learned merge "
+    "table and report per-source token counts before/after plus the "
+    "compression ratio (the number a tokenizer-training pipeline "
+    "actually tracks round over round: how much the learned vocab "
+    "shrinks the corpus, per data source). Engine shape: the 6-row "
+    "merge table reads from the materialized BPE store "
+    "(functions/bpe_store.py — trained once per source dir, the "
+    "walk-store pattern) and collects as driver scalars; applying it "
+    "is six narrow greedy-leftmost string replaces over the one "
+    "corpus checkpoint, then a per-source rollup — no shuffle beyond "
+    "the source-keyed aggregation at any scale. The oracle re-trains "
+    "from spec via the unrolled CTE chain, so a corrupted or stale "
+    "merge store hash-mismatches instead of grading itself.",
+    tags=("text", "tokens", "bpe"),
+)
+def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.bpe_store import (
+        apply_merges,
+        corpus_state,
+        load_bpe_merges,
+        split_symbols,
     )
-    out: list[tuple[int, str, str, int]] = []
-    for k in range(1, _BPE_MERGE_ROUNDS + 1):
-        tk = F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
-        pairs = (
-            st.select(tk.alias("tk"))
-            .filter(F.size("tk") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(tk) - 1), i -> "
-                        "concat(element_at(tk, i), '|', element_at(tk, i + 1)))"
-                    )
-                ).alias("pair")
-            )
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in load_bpe_merges(spark, sf_dir).orderBy("step").collect()
+    ]
+    st = apply_merges(corpus_state(spark, sf_dir), merges)
+    seg = st.select("source", F.size(split_symbols()).alias("n_after"))
+    pre = corpus_state(spark, sf_dir).select(
+        "source", F.size(split_symbols()).alias("n_before")
+    )
+    pa = pre.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.sum("n_before").cast("bigint").alias("tokens_before"),
+    )
+    sa = seg.groupBy("source").agg(
+        F.sum("n_after").cast("bigint").alias("tokens_after")
+    )
+    return (
+        pa.join(sa, "source")
+        .select(
+            "source",
+            "docs",
+            "tokens_before",
+            "tokens_after",
+            F.round(
+                F.col("tokens_before") / F.col("tokens_after"), 6
+            ).alias("compression"),
         )
-        # 1-row argmax: merged symbols contain spaces, so the pair key
-        # joins halves with '|' (never inside a token — tokens are
-        # [a-z0-9 ]* after merges) to keep keys collision-free
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc(), "pair")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b = top[0]["pair"].split("|", 1)
-        out.append((k, a, b, int(top[0]["n"])))
-        # NO per-round checkpoint, deliberately: replaces are narrow
-        # single-pass string ops, so round k re-running k-1 of them
-        # from the one base checkpoint is CHEAPER than materializing
-        # corpus-sized state every round (measured 3.0s vs 3.5s at
-        # sf0.1) — the single-reference chain makes the lazy unroll
-        # linear, not the exponential trap the peel loops hit
-        st = st.withColumn(
-            "s", F.replace("s", F.lit(f"<{a}><{b}>"), F.lit(f"<{a} {b}>"))
-        )
-    return spark.createDataFrame(
-        out, "step int, left_sym string, right_sym string, n_occurrences bigint"
+        .orderBy("source")
     )
 
 

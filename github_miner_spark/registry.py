@@ -100,6 +100,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "dependency_chains",
     # -- (b) new this round ---------------------------------------------
     "bpe_vocab_induction",
+    "bpe_segmentation_stats",
     "skipgram_negative_samples",
     # -- (c) re-greens for round-8-touched implementations: the walk
     #        store (3 queries), the depth-profile task opt-in (3), the
@@ -146,7 +147,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "embedding_ivf_int8_topk",
     "bpe_merge_candidates",
     "clustering_coefficient_summary",
-    "two_hop_dependencies",
 )
 
 
