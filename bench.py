@@ -145,6 +145,8 @@ HEADLINE = [
     "bpe_vocab_induction",
     "bpe_segmentation_stats",
     "skipgram_negative_samples",
+    # round 8 close: the HyperANF neighborhood function joins the watch
+    "anf_neighborhood_function",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

@@ -1641,3 +1641,307 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("center", "context", "neg_rank", "negative")
         .orderBy("center", "context", "neg_rank")
     )
+
+
+def _anf_oracle_sql(m_bits: int = 5, hops: int = 3, anchor_max: int = 120) -> str:
+    """Unrolled HyperANF oracle: identical register algebra to the
+    engine (md5-derived 60-bit hash, low m_bits as bucket, leading-
+    zero rank as register, per-hop max-merge over out-edges), plus
+    the EXACT h-hop reachable counts for the anchor set via a
+    depth-bounded recursive CTE — the grading side."""
+    m = 1 << m_bits
+    rho_max = 60 - m_bits + 1
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    parts = [f"""
+    , anodes AS (SELECT DISTINCT src AS node FROM mm_edges WHERE src < {anchor_max}),
+    allnodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM mm_edges
+        UNION ALL SELECT dst AS node FROM mm_edges
+      )
+    ),
+    h0 AS (
+      SELECT node,
+             ('0x' || substr(md5(concat_ws('|', 'anf', node)), 1, 15))::BIGINT AS h
+      FROM allnodes
+    ),
+    p0 AS MATERIALIZED (
+      SELECT node, h & {m - 1} AS bucket,
+             CASE WHEN (h >> {m_bits}) = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h >> {m_bits})) END AS r
+      FROM h0
+    )"""]
+    for k in range(1, hops + 1):
+        parts.append(f"""
+    , p{k} AS MATERIALIZED (
+      SELECT node, bucket, max(r) AS r FROM (
+        SELECT node, bucket, r FROM p{k - 1}
+        UNION ALL
+        SELECT e.src AS node, s.bucket, s.r
+        FROM mm_edges e JOIN p{k - 1} s ON s.node = e.dst
+      ) GROUP BY node, bucket
+    )""")
+    sums = " UNION ALL ".join(
+        f"""SELECT {k} AS h, p.node,
+             CAST(count(*) AS BIGINT) AS buckets_used,
+             CAST(sum(1::BIGINT << CAST({rho_max} - p.r AS INTEGER)) AS BIGINT) AS s_int
+           FROM p{k} p JOIN anodes a ON a.node = p.node GROUP BY p.node"""
+        for k in range(1, hops + 1)
+    )
+    exacts = " UNION ALL ".join(
+        f"SELECT {k} AS h, root, 1 + CAST(count(*) FILTER (WHERE d <= {k}) AS BIGINT)"
+        f" AS exact_reached FROM mind GROUP BY root"
+        for k in range(1, hops + 1)
+    )
+    parts.append(f"""
+    , sums AS ({sums}),
+    awalk(root, node, depth) AS (
+      SELECT e.src, e.dst, 1 FROM mm_edges e JOIN anodes a ON a.node = e.src
+      UNION ALL
+      SELECT w.root, e.dst, w.depth + 1
+      FROM awalk w JOIN mm_edges e ON e.src = w.node
+      WHERE w.depth < {hops}
+    ),
+    mind AS (SELECT root, node, min(depth) AS d FROM awalk GROUP BY root, node),
+    exact AS ({exacts}),
+    est AS (
+      SELECT s.h, s.node, s.buckets_used, x.exact_reached,
+             {alpha} * {m}.0 * {m}.0
+               / (CAST(s.s_int AS DOUBLE) / power(2.0, {rho_max})
+                  + CAST({m} - s.buckets_used AS DOUBLE)) AS e_raw
+      FROM sums s JOIN exact x ON x.root = s.node AND x.h = s.h
+    ),
+    fin AS (
+      SELECT h, node, exact_reached, buckets_used,
+             CASE WHEN e_raw <= 2.5 * {m}.0 AND buckets_used < {m}
+                  THEN {m}.0 * ln({m}.0 / CAST({m} - buckets_used AS DOUBLE))
+                  ELSE e_raw END AS estimate
+      FROM est
+    )
+    SELECT node AS module_id, h, exact_reached, buckets_used,
+           round(estimate, 6) AS anf_estimate,
+           round(abs(estimate - exact_reached) / exact_reached, 6) AS rel_error
+    FROM fin ORDER BY module_id, h
+    """)
+    return GRAPH_ORACLE_CTES + "".join(parts)
+
+
+def _anf_kernel_factory(m_bits: int, hops: int, rho_max: int):
+    """Build the applyInPandas kernel for task-local ANF: the edge
+    list arrives as one group and the whole hop loop runs inside the
+    executor task with the IDENTICAL integer register algebra (md5
+    15-hex-prefix hash == token_hash60; bit_length == length(bin));
+    emits the per-hop sparse register state (h, node, bucket, r)."""
+
+    def _kernel(pdf):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        m = 1 << m_bits
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([src, dst]))
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        si = np.fromiter((idx[int(v)] for v in src), np.int64, len(src))
+        di = np.fromiter((idx[int(v)] for v in dst), np.int64, len(dst))
+        # dense (n_nodes, m) int16 register matrix, -1 = empty bucket
+        regs = np.full((len(nodes), m), -1, dtype=np.int16)
+        for i, v in enumerate(nodes):
+            h0 = int(hashlib.md5(f"anf|{int(v)}".encode()).hexdigest()[:15], 16)
+            w = h0 >> m_bits
+            rho = rho_max if w == 0 else rho_max - w.bit_length()
+            regs[i, h0 & (m - 1)] = rho
+        frames = []
+        for h in range(1, hops + 1):
+            nxt = regs.copy()
+            # vectorized max-merge: every (src, dst) edge pulls dst's
+            # whole register row into src's, one ufunc pass per hop
+            np.maximum.at(nxt, si, regs[di])
+            regs = nxt
+            ni, bi = np.nonzero(regs >= 0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "h": np.full(len(ni), h, dtype=np.int32),
+                        "node": nodes[ni],
+                        "bucket": bi.astype(np.int32),
+                        "r": regs[ni, bi].astype(np.int32),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return _kernel
+
+
+
+@register(
+    "anf_neighborhood_function",
+    oracle=_anf_oracle_sql(),
+    description="Approximate neighborhood function (HyperANF, Boldi/"
+    "Rosa/Vigna 2011 — the algorithm behind the 'four degrees of "
+    "separation' measurements): per-node HyperLogLog registers over "
+    "the h-hop reachable set, propagated 3 hops by per-hop max-merge "
+    "over out-edges — the at-scale way to measure neighborhood growth "
+    "and effective diameter, since exact all-pairs reachability is "
+    "infeasible at any real graph size. Registers (m=32, the same "
+    "md5-derived bit-exact algebra as the HLL sketch family) live as "
+    "sparse (node, bucket, r) rows; each hop is ONE union + keyed "
+    "max-merge shuffle over state bounded by nodes x m rows, "
+    "checkpointed per hop (the state is referenced twice per hop — "
+    "union and edge-pull — so lazy chaining would re-evaluate "
+    "exponentially). Estimates are graded IN-QUERY against the exact "
+    "h-hop reachable counts for an SF-constant anchor set (the "
+    "sketch-family contract: exact side exists only to grade; the "
+    "propagation itself runs over the WHOLE graph). Integer register "
+    "sums keep both engines bit-identical; the oracle unrolls the "
+    "three max-merge hops as MATERIALIZED CTEs and re-derives exact "
+    "counts via a depth-bounded recursive walk.",
+    tags=("graph", "sketch", "approx", "iterative", "algorithm"),
+)
+def anf_neighborhood_function(
+    spark: SparkSession, sf_dir: str, task_threshold: int = 5_000_000
+) -> DataFrame:
+    from github_miner_spark.functions.text import token_hash60
+    from github_miner_spark.graph.paths import (
+        _adaptive_loop_width,
+        _loop_shuffle_partitions,
+        bfs_depths,
+    )
+
+    m_bits, hops, anchor_max = 5, 3, 120
+    m = 1 << m_bits
+    rho_max = 60 - m_bits + 1
+    g = load_graph(spark, sf_dir)
+    e = g.module_dep_edges().select("src", "dst").localCheckpoint(eager=True)
+    n_edges = e.count()
+    anchors = sorted(
+        r["src"]
+        for r in e.filter(F.col("src") < anchor_max).select("src").distinct().collect()
+    )
+    anchor_df = spark.createDataFrame([(a,) for a in anchors], "node bigint")
+    if n_edges <= task_threshold:
+        # task-local path (the SCC/betweenness pattern): the whole
+        # 3-hop propagation runs inside ONE applyInPandas task with
+        # the identical integer algebra — 1 job instead of 4
+        # checkpoint barriers; beyond the threshold the
+        # distributed loop below is the at-scale path
+        reg_states = (
+            e.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(
+                _anf_kernel_factory(m_bits, hops, rho_max),
+                schema="h int, node bigint, bucket int, r int",
+            )
+        )
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        h0 = token_hash60(F.concat_ws("|", F.lit("anf"), F.col("node")))
+        w = F.shiftright(h0, m_bits)
+        rho = F.when(w == F.lit(0), F.lit(rho_max)).otherwise(
+            F.lit(rho_max) - F.length(F.bin(w))
+        )
+        per_h = []
+        # register state is nodes x m rows at most — size the hop
+        # loop's shuffle from it (the shared adaptive-width
+        # discipline; at 100 TB the width comes back automatically)
+        loop_width = _adaptive_loop_width(spark, n_edges * m)
+        with _loop_shuffle_partitions(
+            spark, enabled=True, width=loop_width, aqe_off=True
+        ):
+            state = nodes.select(
+                "node",
+                h0.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+                rho.alias("r"),
+            ).localCheckpoint(eager=True)
+            for h in range(1, hops + 1):
+                pulled = e.join(state, state.node == e.dst).select(
+                    F.col("src").alias("node"), "bucket", "r"
+                )
+                # eager checkpoint per hop: state feeds BOTH the union
+                # and the next hop's edge-pull — the double reference
+                # that makes lazy chaining exponential (the peel-loop
+                # lesson; lazy 3-hop chaining measured 3.9s vs 1.3s)
+                state = (
+                    state.unionByName(pulled)
+                    .groupBy("node", "bucket")
+                    .agg(F.max("r").alias("r"))
+                    .localCheckpoint(eager=True)
+                )
+                per_h.append(state.withColumn("h", F.lit(h)))
+        reg_states = per_h[0]
+        for p_ in per_h[1:]:
+            reg_states = reg_states.unionByName(p_)
+    sums = (
+        reg_states.join(F.broadcast(anchor_df), "node")
+        .groupBy("node", "h")
+        .agg(
+            F.count("*").cast("bigint").alias("buckets_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast({rho_max} - r as int))"
+                )
+            ).alias("s_int"),
+        )
+    )
+    # exact grading side: full anchored BFS (the closure family's
+    # hybrid/task machinery), reached(h) = 1 + |{min depth <= h}|.
+    # Checkpointed ONCE: the per-h union below references this frame
+    # three times, and without the materialization each reference
+    # re-runs the whole BFS kernel inside the final job (measured
+    # ~5s -> ~2s at sf0.1)
+    depths = (
+        bfs_depths(
+            e,
+            roots=anchors,
+            broadcast_frontier=True,
+            per_root_task_threshold=5_000_000,
+        )
+        .filter(F.col("depth") <= hops)
+        .localCheckpoint(eager=True)
+    )
+    exact = None
+    for h in range(1, hops + 1):
+        ex_h = (
+            depths.filter(F.col("depth") <= h)
+            .groupBy(F.col("root").alias("node"))
+            .agg((F.count("*") + 1).cast("bigint").alias("exact_reached"))
+            .withColumn("h", F.lit(h))
+        )
+        exact = ex_h if exact is None else exact.unionByName(ex_h)
+    alpha_mm = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        * F.lit(float(m))
+        * F.lit(float(m))
+    )
+    denom = F.col("s_int").cast("double") / F.pow(F.lit(2.0), F.lit(rho_max)) + (
+        F.lit(m) - F.col("buckets_used")
+    ).cast("double")
+    est = sums.join(exact, ["node", "h"]).withColumn("e_raw", alpha_mm / denom)
+    estimate = F.when(
+        (F.col("e_raw") <= F.lit(2.5 * m)) & (F.col("buckets_used") < F.lit(m)),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / (F.lit(m) - F.col("buckets_used")).cast("double")),
+    ).otherwise(F.col("e_raw"))
+    return (
+        est.select(
+            F.col("node").alias("module_id"),
+            "h",
+            "exact_reached",
+            "buckets_used",
+            F.round(estimate, 6).alias("anf_estimate"),
+            F.round(
+                F.abs(estimate - F.col("exact_reached").cast("double"))
+                / F.col("exact_reached").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("module_id", "h")
+    )

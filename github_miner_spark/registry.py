@@ -102,6 +102,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "bpe_vocab_induction",
     "bpe_segmentation_stats",
     "skipgram_negative_samples",
+    "anf_neighborhood_function",
     # -- (c) re-greens for round-8-touched implementations: the walk
     #        store (3 queries), the depth-profile task opt-in (3), the
     #        betweenness replication gate, the weighted-SSSP conditional
@@ -146,7 +147,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "embedding_int8_topk",
     "embedding_ivf_int8_topk",
     "bpe_merge_candidates",
-    "clustering_coefficient_summary",
 )
 
 

@@ -686,3 +686,28 @@ def test_betweenness_windowed_deep_chain_and_diamonds(spark):
     # accumulation (each lies on half the 2^29 shortest paths to the
     # final entry), so the parity above is not vacuous
     assert want[10 * 29 + 1] > 0 and want[10 * 29 + 2] > 0
+
+
+def test_anf_task_kernel_matches_distributed_loop(spark):
+    """The ANF register propagation has two paths — the whole-graph
+    numpy task kernel (edge set fits one executor task) and the
+    windowed distributed max-merge loop — sharing one integer register
+    algebra. Bit-parity on the fixture graph: identical rows from
+    both, and the h=1 estimate columns are sane (exact_reached >= 2
+    for every anchor, rel_error finite)."""
+    from github_miner_spark.queries.algorithms_queries import (
+        anf_neighborhood_function,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    task = sorted(map(tuple, anf_neighborhood_function(spark, SF).collect()))
+    loop = sorted(
+        map(tuple, anf_neighborhood_function(spark, SF, task_threshold=0).collect())
+    )
+    assert task == loop
+    assert task, "no anchor rows"
+    for row in task:
+        _mod, _h, exact_reached, buckets_used, est, rel = row
+        assert exact_reached >= 2
+        assert 1 <= buckets_used <= 32
+        assert est > 0 and rel >= 0
