@@ -299,11 +299,28 @@ def _union_find_components(nodes: list[int], pairs: list[tuple[int, int]]) -> di
     return out
 
 
+def _union_find_group(pdf):
+    """applyInPandas kernel: the whole deduped pair list arrives as
+    one group and path-compressed union-find labels it task-locally —
+    executor-side, no driver collect, the SCC whole-core pattern
+    applied to WCC. Isolated vertices are the caller's left-join
+    concern (same contract as the distributed tail)."""
+    import pandas as pd
+
+    pairs = list(zip(pdf["a"].astype(int), pdf["b"].astype(int)))
+    nodes = sorted({v for p in pairs for v in p})
+    comp = _union_find_components(nodes, pairs)
+    return pd.DataFrame(
+        {"id": list(comp.keys()), "component": list(comp.values())}
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     loop_shuffle_width: int | None = None,
     collect_threshold: int = 2_000_000,
+    task_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Weakly-connected components via alternating large-star/small-star
     pointer doubling (the MapReduce CC algorithm of Kiveris et al.,
@@ -349,6 +366,25 @@ def connected_components(
         )
         return edges.sparkSession.createDataFrame(
             list(comp.items()), "id bigint, component bigint"
+        )
+    # Whole-graph task shortcut (the SCC whole-core pattern): a pair
+    # set that fits one executor task is labeled by path-compressed
+    # union-find inside ONE applyInPandas group — one job instead of
+    # O(log^2 n) star-contraction barriers. Executor-side compute,
+    # deliberately NOT behind the driver-collect _gate; callers that
+    # need the distributed rounds timed (the SCC scaling lane) pass
+    # task_threshold=0, and a pair set above the threshold takes the
+    # star contraction unchanged — the 100 TB path. Isolated and
+    # self-loop-only vertices come back via the same left-join tail
+    # the distributed loop uses.
+    if task_threshold > 0 and n_pairs <= task_threshold:
+        roots = (
+            pairs.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(_union_find_group, "id bigint, component bigint")
+        )
+        return verts.join(roots, "id", "left_outer").select(
+            "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
         )
     if loop_shuffle_width is None:
         loop_shuffle_width = _adaptive_loop_width(base.sparkSession, n_pairs)
@@ -766,10 +802,15 @@ def _scc_impl(
     # a larger pair collect through connected_components' own gate
     # (and with the gate forced to 0, the star contraction runs fully
     # distributed here too)
+    # WCC's own task shortcut inherits the whole-core knob: a caller
+    # pinning the distributed split machinery (the scaling lane's
+    # whole_core_task_threshold=0) must get the star-contraction
+    # rounds it came to measure, not a union-find kernel
     wcc = connected_components(
         remaining_edges,
         max_iter=max_iter,
         collect_threshold=min(core_collect_threshold, 2_000_000),
+        task_threshold=whole_core_task_threshold,
     )
     edges_w = remaining_edges.join(
         wcc.select(F.col("id").alias("src"), F.col("component").alias("wcc")),

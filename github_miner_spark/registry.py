@@ -107,8 +107,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #        store (3 queries), the depth-profile task opt-in (3), the
     #        betweenness replication gate, the weighted-SSSP conditional
     #        checkpoint, the SCC whole-core shortcut (3), the CC
-    #        star-forest probe's consumers (4), and the skew-guard /
-    #        store-key refactor representatives (2) ----------------------
+    #        star-forest probe + whole-graph union-find kernel's
+    #        consumers (4), and the skew-guard / store-key refactor
+    #        representatives (2) ------------------------------------------
     "deterministic_random_walks",
     "node2vec_biased_walks",
     "walk_skipgram_pairs",

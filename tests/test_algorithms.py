@@ -82,8 +82,20 @@ def test_connected_components_long_path_converges(spark):
     # non-convergence now raises instead of returning bad components.
     n = 500
     e = edges_df(spark, [(i, i + 1) for i in range(n)])
-    got = {r.id: r.component for r in connected_components(e, collect_threshold=0).collect()}
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            e, collect_threshold=0, task_threshold=0
+        ).collect()
+    }
     assert got == {i: 0 for i in range(n + 1)}
+    # whole-graph task kernel (the SCC whole-core pattern): identical
+    # labels from the single-group union-find path
+    task = {
+        r.id: r.component
+        for r in connected_components(e, collect_threshold=0).collect()
+    }
+    assert task == got
 
 
 def test_connected_components_reversed_path_and_star(spark):
@@ -251,11 +263,13 @@ def test_connected_components_converges_on_final_round(spark):
     e = edges_df(spark, [(i, i + 1) for i in range(1, 9)])
     got = {
         r.id: r.component
-        for r in connected_components(e, max_iter=3, collect_threshold=0).collect()
+        for r in connected_components(
+            e, max_iter=3, collect_threshold=0, task_threshold=0
+        ).collect()
     }
     assert set(got.values()) == {1}
     with pytest.raises(RuntimeError):
-        connected_components(e, max_iter=2, collect_threshold=0)
+        connected_components(e, max_iter=2, collect_threshold=0, task_threshold=0)
 
 
 def test_scc_final_peel_round_not_forfeited(spark):
