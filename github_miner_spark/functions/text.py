@@ -223,3 +223,45 @@ def token_windows(tokens: Column, w: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(tokens, i, w)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def hll_estimate_expr(m: int, rho_max: int, s_int: Column, buckets_used: Column) -> Column:
+    """The HLL estimate from exact-integer register sums — ONE shared
+    definition of the bias-corrected raw estimator + linear-counting
+    fallback, used by every HLL-register consumer (per-source token/
+    shingle sketches, the ANF neighborhood function). The algebra must
+    stay bit-identical across engines and sketch families; sharing the
+    expression removes the copy-drift risk (round-8 review finding).
+    SQL twin: :func:`hll_estimate_case_sql` / :func:`hll_alpha_sql`."""
+    alpha_mm = (
+        F.lit(0.7213)
+        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+        * F.lit(float(m))
+        * F.lit(float(m))
+    )
+    denom = s_int.cast("double") / F.pow(F.lit(2.0), F.lit(rho_max)) + (
+        F.lit(m) - buckets_used
+    ).cast("double")
+    e_raw = alpha_mm / denom
+    return F.when(
+        (e_raw <= F.lit(2.5 * m)) & (buckets_used < F.lit(m)),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / (F.lit(m) - buckets_used).cast("double")),
+    ).otherwise(e_raw)
+
+
+def hll_alpha_sql(m: int) -> str:
+    """DuckDB text of the alpha_m bias constant — the oracle twin of
+    :func:`hll_estimate_expr`'s alpha term."""
+    return f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+
+
+def hll_estimate_case_sql(m: int) -> str:
+    """DuckDB text of the linear-counting fallback CASE over columns
+    named e_raw / buckets_used — the oracle twin of
+    :func:`hll_estimate_expr`'s branch."""
+    return (
+        f"CASE WHEN e_raw <= 2.5 * {m}.0 AND buckets_used < {m} "
+        f"THEN {m}.0 * ln({m}.0 / CAST({m} - buckets_used AS DOUBLE)) "
+        f"ELSE e_raw END"
+    )

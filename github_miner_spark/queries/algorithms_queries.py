@@ -1649,9 +1649,11 @@ def _anf_oracle_sql(m_bits: int = 5, hops: int = 3, anchor_max: int = 120) -> st
     zero rank as register, per-hop max-merge over out-edges), plus
     the EXACT h-hop reachable counts for the anchor set via a
     depth-bounded recursive CTE — the grading side."""
+    from github_miner_spark.functions.text import hll_alpha_sql, hll_estimate_case_sql
+
     m = 1 << m_bits
     rho_max = 60 - m_bits + 1
-    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    alpha = hll_alpha_sql(m)
     parts = [f"""
     , anodes AS (SELECT DISTINCT src AS node FROM mm_edges WHERE src < {anchor_max}),
     allnodes AS (
@@ -1713,9 +1715,7 @@ def _anf_oracle_sql(m_bits: int = 5, hops: int = 3, anchor_max: int = 120) -> st
     ),
     fin AS (
       SELECT h, node, exact_reached, buckets_used,
-             CASE WHEN e_raw <= 2.5 * {m}.0 AND buckets_used < {m}
-                  THEN {m}.0 * ln({m}.0 / CAST({m} - buckets_used AS DOUBLE))
-                  ELSE e_raw END AS estimate
+             {hll_estimate_case_sql(m)} AS estimate
       FROM est
     )
     SELECT node AS module_id, h, exact_reached, buckets_used,
@@ -1726,12 +1726,19 @@ def _anf_oracle_sql(m_bits: int = 5, hops: int = 3, anchor_max: int = 120) -> st
     return GRAPH_ORACLE_CTES + "".join(parts)
 
 
-def _anf_kernel_factory(m_bits: int, hops: int, rho_max: int):
+def _anf_kernel_factory(
+    m_bits: int, hops: int, rho_max: int, keep: frozenset[int] | None = None
+):
     """Build the applyInPandas kernel for task-local ANF: the edge
     list arrives as one group and the whole hop loop runs inside the
     executor task with the IDENTICAL integer register algebra (md5
     15-hex-prefix hash == token_hash60; bit_length == length(bin));
-    emits the per-hop sparse register state (h, node, bucket, r)."""
+    emits the per-hop sparse register state (h, node, bucket, r).
+    ``keep`` (the anchor id set) filters AT EMIT time: the propagation
+    runs over the whole graph, but only the anchors' rows leave the
+    task — without it a multi-million-node graph would Arrow-serialize
+    nodes x m x hops rows out of one task only for the downstream
+    anchor join to discard all but ~1k (round-8 review finding)."""
 
     def _kernel(pdf):
         import hashlib
@@ -1760,7 +1767,13 @@ def _anf_kernel_factory(m_bits: int, hops: int, rho_max: int):
             # whole register row into src's, one ufunc pass per hop
             np.maximum.at(nxt, si, regs[di])
             regs = nxt
-            ni, bi = np.nonzero(regs >= 0)
+            if keep is not None:
+                mask = np.isin(nodes, np.fromiter(keep, np.int64, len(keep)))
+                sel = regs.copy()
+                sel[~mask] = -1
+                ni, bi = np.nonzero(sel >= 0)
+            else:
+                ni, bi = np.nonzero(regs >= 0)
             frames.append(
                 pd.DataFrame(
                     {
@@ -1832,7 +1845,9 @@ def anf_neighborhood_function(
             e.withColumn("g", F.lit(1))
             .groupBy("g")
             .applyInPandas(
-                _anf_kernel_factory(m_bits, hops, rho_max),
+                _anf_kernel_factory(
+                    m_bits, hops, rho_max, keep=frozenset(anchors)
+                ),
                 schema="h int, node bigint, bucket int, r int",
             )
         )
@@ -1915,21 +1930,10 @@ def anf_neighborhood_function(
             .withColumn("h", F.lit(h))
         )
         exact = ex_h if exact is None else exact.unionByName(ex_h)
-    alpha_mm = (
-        F.lit(0.7213)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
-        * F.lit(float(m))
-        * F.lit(float(m))
-    )
-    denom = F.col("s_int").cast("double") / F.pow(F.lit(2.0), F.lit(rho_max)) + (
-        F.lit(m) - F.col("buckets_used")
-    ).cast("double")
-    est = sums.join(exact, ["node", "h"]).withColumn("e_raw", alpha_mm / denom)
-    estimate = F.when(
-        (F.col("e_raw") <= F.lit(2.5 * m)) & (F.col("buckets_used") < F.lit(m)),
-        F.lit(float(m))
-        * F.log(F.lit(float(m)) / (F.lit(m) - F.col("buckets_used")).cast("double")),
-    ).otherwise(F.col("e_raw"))
+    from github_miner_spark.functions.text import hll_estimate_expr
+
+    est = sums.join(exact, ["node", "h"])
+    estimate = hll_estimate_expr(m, rho_max, F.col("s_int"), F.col("buckets_used"))
     return (
         est.select(
             F.col("node").alias("module_id"),

@@ -632,11 +632,13 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["left_sym"], r["right_sym"])
         for r in load_bpe_merges(spark, sf_dir).orderBy("step").collect()
     ]
-    st = apply_merges(corpus_state(spark, sf_dir), merges)
+    # ONE corpus materialization for both sides (corpus_state is an
+    # eager checkpoint — calling it twice would tokenize and
+    # materialize the corpus twice for no reason)
+    base = corpus_state(spark, sf_dir)
+    st = apply_merges(base, merges)
     seg = st.select("source", F.size(split_symbols()).alias("n_after"))
-    pre = corpus_state(spark, sf_dir).select(
-        "source", F.size(split_symbols()).alias("n_before")
-    )
+    pre = base.select("source", F.size(split_symbols()).alias("n_before"))
     pa = pre.groupBy("source").agg(
         F.count("*").cast("bigint").alias("docs"),
         F.sum("n_before").cast("bigint").alias("tokens_before"),
@@ -1243,9 +1245,11 @@ def _hll_oracle(m_bits: int, vals_cte: str) -> str:
     bucket, leading-zero rank of the remaining bits as register,
     exact-integer register sums, standard alpha_m bias correction and
     the linear-counting fallback below 2.5m."""
+    from github_miner_spark.functions.text import hll_alpha_sql, hll_estimate_case_sql
+
     m = 1 << m_bits
     rho_max = 60 - m_bits + 1
-    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    alpha = hll_alpha_sql(m)
     return f"""
     WITH {vals_cte},
     h AS (
@@ -1282,9 +1286,7 @@ def _hll_oracle(m_bits: int, vals_cte: str) -> str:
     ),
     fin AS (
       SELECT source, exact_distinct, buckets_used,
-             CASE WHEN e_raw <= 2.5 * {m}.0 AND buckets_used < {m}
-                  THEN {m}.0 * ln({m}.0 / CAST({m} - buckets_used AS DOUBLE))
-                  ELSE e_raw END AS estimate
+             {hll_estimate_case_sql(m)} AS estimate
       FROM est
     )
     SELECT source, exact_distinct, buckets_used,
@@ -1326,21 +1328,10 @@ def _hll_estimates(vals: DataFrame, m_bits: int) -> DataFrame:
         ).alias("s_int"),
     )
     ex = tok.groupBy("source").agg(F.countDistinct("v").alias("exact_distinct"))
-    alpha_mm = (
-        F.lit(0.7213)
-        / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
-        * F.lit(float(m))
-        * F.lit(float(m))
-    )
-    denom = F.col("s_int").cast("double") / F.pow(F.lit(2.0), F.lit(rho_max)) + (
-        F.lit(m) - F.col("buckets_used")
-    ).cast("double")
-    est = sums.join(ex, "source").withColumn("e_raw", alpha_mm / denom)
-    estimate = F.when(
-        (F.col("e_raw") <= F.lit(2.5 * m)) & (F.col("buckets_used") < F.lit(m)),
-        F.lit(float(m))
-        * F.log(F.lit(float(m)) / (F.lit(m) - F.col("buckets_used")).cast("double")),
-    ).otherwise(F.col("e_raw"))
+    from github_miner_spark.functions.text import hll_estimate_expr
+
+    est = sums.join(ex, "source")
+    estimate = hll_estimate_expr(m, rho_max, F.col("s_int"), F.col("buckets_used"))
     return (
         est.select(
             "source",

@@ -80,7 +80,8 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-8 window (VERDICT r7 item 1). Rotation discipline: this
+    # Round-8 window (VERDICT r7 item 1; re-pinned after each late
+    # engine commit). Rotation discipline: this
     # rotation is the round's LAST code-touching commit, verified by
     # tools/check_window_freshness.py (net-diff from this commit to
     # HEAD must touch no engine/query code), so every re-green below
