@@ -114,14 +114,33 @@ def _assert_exchange_free(df: DataFrame) -> None:
     except Exception as exc:  # pragma: no cover - introspection drift
         import re
 
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        if re.search(r"(?m)^[\s:+\-*()\d]*(?:Broadcast|Shuffle)?Exchange\b", plan):
+        # The fallback itself renders the plan through the same py4j
+        # surface that just failed — guard it too, or the degrade path
+        # becomes a new uncaught crash mode.
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
             warnings.warn(
                 "spread_to_session_width: plan-tree introspection failed "
-                f"({exc!r}) and the plan string suggests an Exchange — "
-                "the df.rdd probe may double-run upstream stages.",
+                f"({exc!r}) and the plan string could not be rendered — "
+                "cannot verify the plan is scan-stage-only; the df.rdd "
+                "probe may double-run upstream stages.",
                 RuntimeWarning,
                 stacklevel=3,
+            )
+            return
+        if re.search(r"(?m)^[\s:+\-*()\d]*(?:Broadcast|Shuffle)?Exchange\b", plan):
+            # A POSITIVE string match is not introspection uncertainty —
+            # the plan really contains an Exchange, so proceeding to the
+            # df.rdd probe would silently double-run the upstream
+            # stages. Raise exactly as the tree walk would have.
+            raise ValueError(
+                "spread_to_session_width is scan-stage-only: plan-tree "
+                f"introspection failed ({exc!r}) but the rendered plan "
+                "string contains an Exchange, so the df.rdd partition "
+                "probe would eagerly materialize (and later re-run) the "
+                "upstream shuffle stages. Repartition explicitly at the "
+                "call site instead."
             )
 
 

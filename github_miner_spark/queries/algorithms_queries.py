@@ -1760,6 +1760,17 @@ def _anf_kernel_factory(
             w = h0 >> m_bits
             rho = rho_max if w == 0 else rho_max - w.bit_length()
             regs[i, h0 & (m - 1)] = rho
+        # nodes and keep are fixed across hops: resolve the anchor rows
+        # to ROW INDICES once, outside the loop — the per-hop work is
+        # then a |anchors| x m slice, never an np.isin over all nodes
+        # or a full register-matrix copy per hop
+        emit_rows = (
+            np.nonzero(
+                np.isin(nodes, np.fromiter(keep, np.int64, len(keep)))
+            )[0]
+            if keep is not None
+            else None
+        )
         frames = []
         for h in range(1, hops + 1):
             nxt = regs.copy()
@@ -1767,11 +1778,10 @@ def _anf_kernel_factory(
             # whole register row into src's, one ufunc pass per hop
             np.maximum.at(nxt, si, regs[di])
             regs = nxt
-            if keep is not None:
-                mask = np.isin(nodes, np.fromiter(keep, np.int64, len(keep)))
-                sel = regs.copy()
-                sel[~mask] = -1
-                ni, bi = np.nonzero(sel >= 0)
+            if emit_rows is not None:
+                sub = regs[emit_rows]
+                ri, bi = np.nonzero(sub >= 0)
+                ni = emit_rows[ri]
             else:
                 ni, bi = np.nonzero(regs >= 0)
             frames.append(
