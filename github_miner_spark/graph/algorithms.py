@@ -981,6 +981,9 @@ def _symmetrize_weighted(edges: DataFrame) -> DataFrame:
     )
 
 
+_LV_SEQ = 0  # temp-view namespace for concurrent/nested phase1 calls
+
+
 def _louvain_phase1(
     sym: DataFrame, m2: float, max_sweeps: int, early_exit: bool = True
 ) -> DataFrame:
@@ -988,90 +991,137 @@ def _louvain_phase1(
     (src, dst, w); self-rows (src==dst) carry intra-node weight from
     prior aggregation levels. Returns (id, community).
 
-    Semi-synchronous: each sweep moves even-id nodes then odd-id nodes
-    (two half-sweeps), which prevents the two-coloring oscillation that
-    plain synchronous moving exhibits, while staying set-at-a-time.
-    Ties break to the smallest community id, so runs are deterministic.
-    """
-    k = sym.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
-    k = k.localCheckpoint(eager=True)
-    comm = k.select("id", F.col("id").alias("community"))
-    for _ in range(max_sweeps):
-        moved_any = False
-        for parity in (0, 1):
-            sum_tot = (
-                comm.join(k, "id").groupBy("community").agg(F.sum("k").alias("tot"))
-            )
-            nbr_comm = comm.select(
-                F.col("id").alias("dst"), F.col("community").alias("opt")
-            )
-            # neighbour-community weights, self-rows excluded (edges to
-            # the moving node travel with it)
-            k_in = (
-                sym.filter(F.col("src") != F.col("dst"))
-                .join(nbr_comm, "dst")
-                .groupBy("src", "opt")
-                .agg(F.sum("w").alias("k_in"))
-            )
-            cur = comm.select(
-                F.col("id").alias("src"),
-                F.col("community").alias("cur"),
-                F.col("community").alias("opt"),
-                F.lit(0.0).alias("k_in"),
-            )
-            options = (
-                k_in.join(comm.select(F.col("id").alias("src"), F.col("community").alias("cur")), "src")
-                .select("src", "cur", "opt", "k_in")
-                .unionByName(cur)
-                .groupBy("src", "cur", "opt")
-                .agg(F.max("k_in").alias("k_in"))
-            )
-            scored = (
-                options.join(sum_tot, options.opt == sum_tot.community)
-                .join(k.select(F.col("id").alias("src"), "k"), "src")
-                .withColumn(
-                    "adj_tot",
-                    F.col("tot") - F.when(F.col("opt") == F.col("cur"), F.col("k")).otherwise(0.0),
-                )
-                .withColumn("score", F.col("k_in") - F.col("k") * F.col("adj_tot") / F.lit(m2))
-            )
-            best = (
-                scored.withColumn("ord", F.struct((-F.col("score")).alias("ns"), F.col("opt")))
-                .groupBy("src", "cur")
-                .agg(F.min("ord").alias("b"))
-                .select(
-                    F.col("src").alias("id"),
-                    F.col("cur"),
-                    F.col("b.opt").alias("choice"),
-                )
-            )
-            # hash parity, not id parity: real id spaces are often all
-            # even (ours: p*10+2), which would degenerate the half-sweep
-            # into fully-synchronous moving and oscillate on pair swaps.
-            # Portable md5 parity (functions.text.token_hash semantics)
-            # rather than xxhash64, so the DuckDB oracle can reproduce
-            # the sweep schedule bit-for-bit.
-            from github_miner_spark.functions.text import token_hash
+    Semi-synchronous: each sweep moves even-hash nodes then odd-hash
+    nodes (two half-sweeps), which prevents the two-coloring
+    oscillation that plain synchronous moving exhibits, while staying
+    set-at-a-time. Ties break to the smallest community id, so runs
+    are deterministic.
 
-            hash_parity = F.pmod(token_hash(F.col("id").cast("string")), F.lit(2))
-            new_comm = best.select(
-                "id",
-                F.when(hash_parity == parity, F.col("choice"))
-                .otherwise(F.col("cur"))
-                .alias("community"),
-                ((hash_parity == parity) & (F.col("choice") != F.col("cur"))).alias("moved"),
-            ).localCheckpoint(eager=True)
-            # the convergence probe is one driver job per half-sweep;
-            # fixed-schedule callers (whose oracle unrolls exactly
-            # max_sweeps sweeps — extra sweeps past convergence are
-            # identity) skip it and save 2 jobs x sweeps x levels
-            if early_exit:
-                changed = not new_comm.filter(F.col("moved")).isEmpty()
-                moved_any = moved_any or changed
-            comm = new_comm.select("id", "community")
-        if early_exit and not moved_any:
-            break
-    return comm
+    Shape (r9 floor work, two independent cuts):
+
+    - The loop state is ONE checkpointed frame (id, community, k) —
+      carrying the degree kills the two per-sweep k-joins of the r8
+      shape — and each half-sweep is ~6 exchanges: sum_tot aggregates
+      the state by community and joins straight back (same key,
+      exchange reused), the neighbour side carries tot INTO the k_in
+      aggregation (max of the functionally-dependent value, no
+      opt-keyed join afterwards), and the stay-with-current candidate
+      merges against the best neighbour option via one least() on the
+      shared (‑score, opt) order struct instead of a union + second
+      aggregation.
+    - Each half-sweep is ONE ``spark.sql`` statement over temp views
+      of the checkpointed state: building the same plan through the
+      Column API costs ~500 py4j round trips (~1.4 ms each on this
+      box — measured at 1.5-1.7 s of pure driver-side chatter per
+      half-sweep, more than the execution itself), where the SQL form
+      is 3 calls. The physical plan is identical; this changes WHERE
+      the plan is written down, not what runs.
+
+    Every float lands from the identical expression tree as the r8
+    shape (k/tot/k_in are integer-valued-double sums, order exact), so
+    the driver twin, the task kernel, and the unrolled CTE oracle stay
+    bit-identical — pinned by the 4-way parity tests.
+    """
+    global _LV_SEQ
+    _LV_SEQ += 1
+    spark = sym.sparkSession
+    tag = f"lv{_LV_SEQ}"
+    sym.createOrReplaceTempView(f"{tag}_sym")
+    m2_sql = f"CAST({m2!r} AS DOUBLE)"
+    # state = (id, community, k); k includes self-row weight (level-2
+    # super nodes carry intra-community mass as self-rows)
+    state = spark.sql(
+        f"SELECT src AS id, src AS community, sum(w) AS k "
+        f"FROM {tag}_sym GROUP BY src"
+    ).localCheckpoint(eager=True)
+    half_sweep_sql = f"""
+    WITH sum_tot AS (
+      SELECT community, sum(k) AS tot FROM {tag}_state GROUP BY community
+    ),
+    joined AS (
+      SELECT s.id, s.community, s.k, t.tot
+      FROM {tag}_state s JOIN sum_tot t USING (community)
+    ),
+    -- neighbour-community weights exclude self-rows (edges to the
+    -- moving node travel with it); tot rides the aggregation as a
+    -- max() of the functionally-dependent value
+    k_in AS (
+      SELECT e.src, n.opt, sum(e.w) AS k_in, max(n.tot) AS tot
+      FROM {tag}_sym e
+      JOIN (SELECT id AS dst, community AS opt, tot FROM joined) n
+        USING (dst)
+      WHERE e.src <> e.dst
+      GROUP BY e.src, n.opt
+    ),
+    cand AS (
+      SELECT c.src, s.cur, s.k, c.opt,
+             c.k_in - s.k * (c.tot - CASE WHEN c.opt = s.cur
+                                          THEN s.k ELSE 0.0 END) / {m2_sql}
+               AS score
+      FROM k_in c
+      JOIN (SELECT id AS src, community AS cur, k FROM {tag}_state) s
+        USING (src)
+    ),
+    best_nb AS (
+      SELECT src, min(struct(-score AS ns, opt)) AS b FROM cand GROUP BY src
+    ),
+    -- staying put scores the identical expression with k_in=0 and
+    -- opt=cur; least() on the shared order struct is the old
+    -- union+max-then-argmin, one aggregation cheaper. The left join
+    -- keeps isolated / self-loop-only nodes, whose b is null —
+    -- least() skips nulls.
+    stay AS (
+      SELECT id AS src, community AS cur, k,
+             struct(-(0.0 - k * (tot - k) / {m2_sql}) AS ns,
+                    community AS opt) AS stay_ord
+      FROM joined
+    ),
+    merged AS (
+      SELECT s.src AS id, s.cur, s.k,
+             least(b.b, s.stay_ord).opt AS choice
+      FROM stay s LEFT JOIN best_nb b ON b.src = s.src
+    )
+    -- hash parity, not id parity: real id spaces are often all even
+    -- (ours: p*10+2), which would degenerate the half-sweep into
+    -- fully-synchronous moving and oscillate on pair swaps. Portable
+    -- md5 parity (functions.text.token_hash semantics) rather than
+    -- xxhash64, so the DuckDB oracle can reproduce the sweep schedule
+    -- bit-for-bit.
+    SELECT id,
+           CASE WHEN pmod(CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8),
+                                    16, 10) AS BIGINT), 2) = {{parity}}
+                THEN choice ELSE cur END AS community,
+           k,
+           (pmod(CAST(conv(substring(md5(CAST(id AS STRING)), 1, 8),
+                           16, 10) AS BIGINT), 2) = {{parity}}
+            AND choice <> cur) AS moved
+    FROM merged
+    """
+    try:
+        for _ in range(max_sweeps):
+            moved_any = False
+            for parity in (0, 1):
+                state.createOrReplaceTempView(f"{tag}_state")
+                new_state = spark.sql(
+                    half_sweep_sql.format(parity=parity)
+                ).localCheckpoint(eager=True)
+                # the convergence probe is one driver job per
+                # half-sweep; fixed-schedule callers (whose oracle
+                # unrolls exactly max_sweeps sweeps — extra sweeps past
+                # convergence are identity) skip it and save 2 jobs x
+                # sweeps x levels
+                if early_exit:
+                    changed = not new_state.filter(F.col("moved")).isEmpty()
+                    moved_any = moved_any or changed
+                # the extra `moved` column rides along — the next
+                # half-sweep's SQL picks columns by name
+                state = new_state
+            if early_exit and not moved_any:
+                break
+    finally:
+        spark.catalog.dropTempView(f"{tag}_sym")
+        spark.catalog.dropTempView(f"{tag}_state")
+    return state.select("id", "community")
 
 
 def _md5_parity(v: int) -> int:
@@ -1179,6 +1229,8 @@ def louvain(
     early_exit: bool = True,
     collect_threshold: int = 2_000_000,
     task_threshold: int = 5_000_000,
+    sym: DataFrame | None = None,
+    sym_stats: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Louvain community detection as DataFrame iteration — the real
     modularity-optimizing algorithm, not a label-propagation stand-in
@@ -1198,7 +1250,7 @@ def louvain(
     overhead at bench SF while a huge graph gets it back."""
     return _louvain_inner(
         edges, max_sweeps, levels, early_exit, collect_threshold,
-        loop_shuffle_width, task_threshold,
+        loop_shuffle_width, task_threshold, sym, sym_stats,
     )
 
 
@@ -1236,17 +1288,25 @@ def _louvain_inner(
     collect_threshold: int = 2_000_000,
     loop_shuffle_width: int | None = None,
     task_threshold: int = 5_000_000,
+    sym: DataFrame | None = None,
+    sym_stats: tuple[float, int] | None = None,
 ) -> DataFrame:
     from github_miner_spark.graph.paths import (
         _adaptive_loop_width,
         _loop_shuffle_partitions,
     )
 
-    sym = _symmetrize_weighted(edges)
-    m2 = sym.agg(F.sum("w")).collect()[0][0]  # scalar 2m, loop constant
+    if sym is None:
+        sym = _symmetrize_weighted(edges)
+    # ONE action for both loop constants (2m and the edge count) — the
+    # r8 shape paid a collect plus a count per call; callers that
+    # already aggregated the shared sym pass (m2, n_sym) straight in
+    if sym_stats is not None:
+        m2, n_sym = sym_stats
+    else:
+        m2, n_sym = sym.agg(F.sum("w"), F.count(F.lit(1))).collect()[0]
     if not m2:
         return edges.sparkSession.createDataFrame([], "id bigint, community bigint")
-    n_sym = sym.count()
 
     # Hybrid fast path (README: anchored-probe hybrid execution): the
     # sweep loop pays 2 driver barriers per sweep per level, so under
@@ -1284,6 +1344,10 @@ def _louvain_inner(
                 _louvain_group_factory(float(m2), max_sweeps, levels, early_exit),
                 schema="id bigint, community bigint",
             )
+            # consumers reference the assignment several times
+            # (modularity joins it twice, size histograms once);
+            # without this pin each reference re-runs the kernel task
+            .localCheckpoint(eager=True)
         )
 
     if loop_shuffle_width is None:
@@ -1337,19 +1401,33 @@ def _louvain_distributed(
 
 
 def modularity(
-    edges: DataFrame, assignment: DataFrame, collect_threshold: int = 2_000_000
+    edges: DataFrame,
+    assignment: DataFrame,
+    collect_threshold: int = 2_000_000,
+    sym: DataFrame | None = None,
+    sym_stats: tuple[float, int] | None = None,
 ) -> float:
     """Newman modularity Q of ``assignment`` (id, community) on the
     undirected simple graph induced by ``edges``. Under
     ``collect_threshold`` symmetric edges the sums run in-driver (all
     are sums of integer-valued doubles — exact in IEEE-754 in any
-    order — so the two paths return the identical float)."""
-    sym = _symmetrize_weighted(edges)
-    m2 = sym.agg(F.sum("w")).collect()[0][0]
+    order — so the two paths return the identical float).
+
+    ``sym`` / ``sym_stats``: optionally the precomputed
+    ``_symmetrize_weighted(edges)`` frame and its (m2, n_sym)
+    aggregate — queries that run louvain + modularity over the same
+    graph pass them to both so the symmetrization is checkpointed and
+    aggregated once."""
+    if sym is None:
+        sym = _symmetrize_weighted(edges)
+    if sym_stats is not None:
+        m2, n_sym = sym_stats
+    else:
+        m2, n_sym = sym.agg(F.sum("w"), F.count(F.lit(1))).collect()[0]
     if not m2:
         return 0.0
     thr = _gate(collect_threshold)
-    if thr > 0 and sym.count() <= thr:
+    if thr > 0 and n_sym <= thr:
         comm = {r["id"]: r["community"] for r in assignment.collect()}
         internal = 0.0
         k: dict[int, float] = {}
@@ -1364,22 +1442,40 @@ def modularity(
             tot[c] = tot.get(c, 0.0) + kv
         sq = sum(t * t for t in tot.values())
         return float(internal) / m2 - sq / (m2 * m2)
-    cmap_src = assignment.select(F.col("id").alias("src"), F.col("community").alias("csrc"))
-    cmap_dst = assignment.select(F.col("id").alias("dst"), F.col("community").alias("cdst"))
-    internal = (
-        sym.join(cmap_src, "src")
-        .join(cmap_dst, "dst")
-        .filter(F.col("csrc") == F.col("cdst"))
-        .agg(F.sum("w"))
-        .collect()[0][0]
-    ) or 0.0
-    k = sym.groupBy("src").agg(F.sum("w").alias("k"))
-    tots = (
-        k.join(assignment.select(F.col("id").alias("src"), "community"), "src")
-        .groupBy("community")
-        .agg(F.sum("k").alias("tot"))
-    )
-    sq = tots.agg(F.sum(F.col("tot") * F.col("tot"))).collect()[0][0] or 0.0
+    # distributed path: BOTH sums in one SQL statement / one action
+    # (the r8 shape paid two collects and ~40 py4j column calls — on
+    # this box driver-side plan chatter is ~7 ms per column op, a real
+    # slice of an iterative query's floor). The two 1-row aggregates
+    # cross-join into a single row — scalar-by-scalar, not a cartesian.
+    global _LV_SEQ
+    _LV_SEQ += 1
+    tag = f"mq{_LV_SEQ}"
+    spark = sym.sparkSession
+    sym.createOrReplaceTempView(f"{tag}_sym")
+    assignment.createOrReplaceTempView(f"{tag}_comm")
+    try:
+        internal, sq = spark.sql(f"""
+        WITH internal AS (
+          SELECT sum(e.w) AS v
+          FROM {tag}_sym e
+          JOIN {tag}_comm cs ON cs.id = e.src
+          JOIN {tag}_comm cd ON cd.id = e.dst
+          WHERE cs.community = cd.community
+        ),
+        ksum AS (SELECT src, sum(w) AS k FROM {tag}_sym GROUP BY src),
+        tots AS (
+          SELECT c.community, sum(k.k) AS tot
+          FROM ksum k JOIN {tag}_comm c ON c.id = k.src
+          GROUP BY c.community
+        ),
+        sq AS (SELECT sum(tot * tot) AS v FROM tots)
+        SELECT coalesce(internal.v, 0.0) AS internal,
+               coalesce(sq.v, 0.0) AS sq
+        FROM internal CROSS JOIN sq
+        """).collect()[0]
+    finally:
+        spark.catalog.dropTempView(f"{tag}_sym")
+        spark.catalog.dropTempView(f"{tag}_comm")
     return float(internal) / m2 - sq / (m2 * m2)
 
 
