@@ -147,6 +147,10 @@ HEADLINE = [
     "skipgram_negative_samples",
     # round 8 close: the HyperANF neighborhood function joins the watch
     "anf_neighborhood_function",
+    # round 9: the unigram-LM (SentencePiece-style) tokenizer pair —
+    # the EM complement to the BPE training loop, store-served like it
+    "unigram_lm_vocab_induction",
+    "unigram_lm_segmentation_stats",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

@@ -661,6 +661,244 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_training_ctes() -> str:
+    """The unigram-LM training loop (functions/unigram_store.py)
+    unrolled as chained DuckDB CTEs — seed substring counts, then
+    EM_ROUNDS hard-EM rounds of quantized-score Viterbi segmentation
+    (E) and usage re-counting with the single-char add-one floor (M),
+    then the final-vocabulary segmentation ube_fin. Scores are
+    integer-quantized (round((ln(c)-ln(T))*1e9) AS BIGINT) in BOTH
+    engines, so every argmax is exact integer algebra; min(struct) is
+    the portable tie-break (fewer pieces, then smallest '|'-joined
+    segmentation)."""
+    from github_miner_spark.functions.unigram_store import (
+        EM_ROUNDS,
+        PIECE_MAX_LEN,
+        SCORE_SCALE,
+    )
+
+    parts = [f"""
+    WITH ut AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    uw AS MATERIALIZED (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(toks) AS w FROM ut) GROUP BY w
+    ),
+    uch AS (
+      SELECT DISTINCT unnest(list_transform(
+        generate_series(1, length(word)),
+        i -> substring(word, i, 1))) AS piece
+      FROM uw
+    ),
+    ucand AS MATERIALIZED (
+      SELECT word, m, CAST(len(pieces) AS BIGINT) AS n_pieces, pieces,
+             array_to_string(pieces, '|') AS seg
+      FROM (
+        SELECT word, m,
+               list_transform(
+                 generate_series(1, len(bounds) - 1),
+                 j -> substring(word, bounds[j] + 1,
+                                bounds[j + 1] - bounds[j])) AS pieces
+        FROM (
+          SELECT word, n, m,
+                 list_concat(list_concat(
+                   [0],
+                   list_filter(generate_series(1, n - 1),
+                               i -> (m >> (i - 1)) % 2 = 1)),
+                   [n]) AS bounds
+          FROM (
+            SELECT word, length(word) AS n,
+                   unnest(generate_series(
+                     0::BIGINT,
+                     (1::BIGINT << (length(word) - 1)) - 1)) AS m
+            FROM uw
+          )
+        )
+      )
+      WHERE len(list_filter(pieces, p -> length(p) > {PIECE_MAX_LEN})) = 0
+    ),
+    uc0 AS MATERIALIZED (
+      SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
+        SELECT f, unnest(flatten(list_transform(
+          generate_series(1, length(word)),
+          i -> list_transform(
+            generate_series(1, least({PIECE_MAX_LEN},
+                                     length(word) - i + 1)),
+            l -> substring(word, i, l))))) AS piece
+        FROM uw
+      ) GROUP BY piece
+    )"""]
+    for r in range(EM_ROUNDS + 1):
+        fin = r == EM_ROUNDS
+        tag = "fin" if fin else str(r)
+        parts.append(f""",
+    uq{tag} AS (
+      SELECT piece,
+             CAST(round((ln(CAST(cnt AS DOUBLE))
+               - ln(CAST((SELECT sum(cnt) FROM uc{r}) AS DOUBLE)))
+               * {SCORE_SCALE}, 0) AS BIGINT) AS q
+      FROM uc{r}
+    ),
+    ube{tag} AS MATERIALIZED (
+      SELECT word, b.seg AS seg, b.np AS n_pieces FROM (
+        SELECT s.word,
+               min(struct_pack(ns := -s.score, np := s.n_pieces,
+                               seg := s.seg)) AS b
+        FROM (
+          SELECT c.word, c.m, c.n_pieces, c.seg,
+                 CAST(sum(q.q) AS BIGINT) AS score, count(*) AS n_in
+          FROM (SELECT word, m, n_pieces, seg, unnest(pieces) AS piece
+                FROM ucand) c
+          JOIN uq{tag} q USING (piece)
+          GROUP BY c.word, c.m, c.n_pieces, c.seg
+          HAVING count(*) = c.n_pieces
+        ) s
+        GROUP BY s.word
+      )
+    )""")
+        if not fin:
+            parts.append(f""",
+    uc{r + 1} AS MATERIALIZED (
+      SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        SELECT e.piece, CAST(sum(w.f) AS BIGINT) AS cnt FROM (
+          SELECT word, unnest(str_split(seg, '|')) AS piece FROM ube{r}
+        ) e JOIN uw w USING (word) GROUP BY e.piece
+        UNION ALL
+        SELECT piece, 1::BIGINT AS cnt FROM uch
+      ) GROUP BY piece
+    )""")
+    return "".join(parts)
+
+
+from github_miner_spark.functions.unigram_store import (  # noqa: E402
+    EM_ROUNDS as _UNIGRAM_EM_ROUNDS,
+)
+
+_UC_FIN = f"uc{_UNIGRAM_EM_ROUNDS}"
+
+
+@register(
+    "unigram_lm_vocab_induction",
+    oracle=_unigram_training_ctes()
+    + f"""
+    SELECT piece, cnt AS usage_count,
+           round(ln(CAST(cnt AS DOUBLE))
+             - ln(CAST((SELECT sum(cnt) FROM {_UC_FIN}) AS DOUBLE)), 6)
+             AS logprob
+    FROM {_UC_FIN}
+    ORDER BY usage_count DESC, piece
+    """,
+    description="Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer "
+    "vocabulary induction — the EM complement to bpe_vocab_induction's "
+    "merge-based training: seed piece counts from every substring "
+    "(length <= 4) of the word dictionary, then 2 hard-EM rounds of "
+    "Viterbi-best segmentation (E) and usage re-counting with an "
+    "add-one floor on single characters (M). Served from the "
+    "materialized unigram store (functions/unigram_store.py — trained "
+    "once per source dir, the walk/BPE-store pattern); the oracle "
+    "re-trains the whole loop from spec as unrolled CTEs, so grading "
+    "is store-independent. Cross-engine determinism by construction: "
+    "piece scores are integer-quantized (round((ln c - ln T) * 1e9) "
+    "AS BIGINT), so segmentation argmaxes are exact integer algebra "
+    "with a (fewer-pieces, lexicographic) tie-break, not float "
+    "comparisons. Scale shape: everything is dictionary/vocab-sized — "
+    "the corpus is touched once for word frequencies; segmentations "
+    "enumerate per DISTINCT word as cut-position bitmasks bounded by "
+    "WORD_MAX_LEN=16 (raise-don't-cap beyond).",
+    tags=("text", "tokens", "unigram", "iterative"),
+)
+def unigram_lm_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from github_miner_spark.functions.unigram_store import load_unigram_vocab
+
+    vocab = load_unigram_vocab(spark, sf_dir)
+    total = F.sum("cnt").over(Window.partitionBy())
+    return vocab.select(
+        "piece",
+        F.col("cnt").alias("usage_count"),
+        F.round(
+            F.log(F.col("cnt").cast("double")) - F.log(total.cast("double")),
+            6,
+        ).alias("logprob"),
+    ).orderBy(F.desc("usage_count"), "piece")
+
+
+@register(
+    "unigram_lm_segmentation_stats",
+    oracle=_unigram_training_ctes()
+    + """
+    , utok AS (SELECT source, unnest(toks) AS word FROM ut),
+    uj AS (
+      SELECT t.source, e.seg, e.n_pieces
+      FROM utok t JOIN ubefin e USING (word)
+    ),
+    upc AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+             CAST(sum(n_pieces) AS BIGINT) AS pieces_total
+      FROM uj GROUP BY source
+    ),
+    upd AS (
+      SELECT source, CAST(count(DISTINCT piece) AS BIGINT)
+               AS distinct_pieces
+      FROM (SELECT source, unnest(str_split(seg, '|')) AS piece FROM uj)
+      GROUP BY source
+    )
+    SELECT c.source, c.tokens, c.pieces_total,
+           round(c.pieces_total / CAST(c.tokens AS DOUBLE), 6)
+             AS pieces_per_token,
+           d.distinct_pieces
+    FROM upc c JOIN upd d USING (source)
+    ORDER BY c.source
+    """,
+    description="Tokenizer APPLICATION for the unigram LM — the "
+    "consumer step of unigram_lm_vocab_induction, mirroring "
+    "bpe_segmentation_stats: segment the corpus with the trained "
+    "model and report per-source token counts, total pieces, pieces "
+    "per token, and the distinct pieces actually used. Engine shape: "
+    "the per-word Viterbi segmentations are dictionary constants "
+    "served from the unigram store and BROADCAST onto the exploded "
+    "corpus tokens (the vocabulary-bounded join a 100 TB tokenizer "
+    "application runs), then two source-keyed rollups. The oracle "
+    "re-trains and re-segments everything from spec, so a stale "
+    "store hash-mismatches instead of grading itself.",
+    tags=("text", "tokens", "unigram"),
+)
+def unigram_lm_segmentation_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from github_miner_spark.functions.text import tokenize
+    from github_miner_spark.functions.unigram_store import load_word_segs
+
+    segs = load_word_segs(spark, sf_dir).select("word", "seg", "n_pieces")
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    j = toks.join(F.broadcast(segs), "word")
+    per_source = j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("tokens"),
+        F.sum("n_pieces").cast("bigint").alias("pieces_total"),
+    )
+    distinct_pieces = (
+        j.select("source", F.explode(F.split("seg", "[|]")).alias("piece"))
+        .groupBy("source")
+        .agg(F.countDistinct("piece").cast("bigint").alias("distinct_pieces"))
+    )
+    return (
+        per_source.join(distinct_pieces, "source")
+        .select(
+            "source",
+            "tokens",
+            "pieces_total",
+            F.round(
+                F.col("pieces_total") / F.col("tokens").cast("double"), 6
+            ).alias("pieces_per_token"),
+            "distinct_pieces",
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "doc_bigram_surprisal",
     oracle="""
