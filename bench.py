@@ -151,6 +151,9 @@ HEADLINE = [
     # the EM complement to the BPE training loop, store-served like it
     "unigram_lm_vocab_induction",
     "unigram_lm_segmentation_stats",
+    # round 9: two-stage PQ-ADC + exact-rerank ANN and its recall grade
+    "embedding_pq_rerank_topk",
+    "pq_rerank_recall_at_k",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

@@ -193,3 +193,70 @@ def pq_topk_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "score", "rank")
     )
+
+
+def pq_rerank_topk_from_store(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 5,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Two-stage ANN: PQ-ADC shortlist + exact cosine re-rank — the
+    production pattern that closes the quantization quality gap
+    pq_recall_at_k measures (recall@5 0.08 -> 0.76 at shortlist=100 on
+    the bench corpus; an OPQ-style rotation was prototyped for the
+    same goal and REJECTED with measurements: full PCA + eigenvalue
+    allocation made recall WORSE here, 0.08 -> 0.04, because the
+    synthetic embeddings are already axis-aligned — see PERF.md).
+
+    Stage 1 is the integer-code ADC scan (reads m small ints per
+    corpus vector); stage 2 broadcasts the |q| x shortlist id set and
+    reads the FLOAT vectors only for those rows — at 100 TB the float
+    column is touched for a constant number of rows per query, never
+    scanned into a ranking shuffle. Exact scores use the same
+    sequential-fold dot as brute_force_topk, so ties and rounding are
+    bit-identical to the exact oracle."""
+    from pyspark.sql.window import Window
+
+    from github_miner_spark.io.tables import load_table
+
+    codes, codebook = load_pq_codes(spark, sf_dir)
+    ids = [int(i) for i in query_ids]
+    nrm = _normalized(load_table(spark, "embeddings", sf_dir))
+    q = nrm.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    qsub = _subspaces(q, "qv").select("query_id", "j", F.col("sv").alias("qsv"))
+    pdot = dot(F.col("qsv"), F.col("cvec"))
+    lut = qsub.join(codebook, "j").select("query_id", "j", "cid", pdot.alias("pdot"))
+    scored = (
+        codes.join(F.broadcast(lut), ["j", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("pdot"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        F.broadcast(short)
+        .join(nrm, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
