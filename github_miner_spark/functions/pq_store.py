@@ -211,12 +211,16 @@ def pq_rerank_topk_from_store(
     synthetic embeddings are already axis-aligned — see PERF.md).
 
     Stage 1 is the integer-code ADC scan (reads m small ints per
-    corpus vector); stage 2 broadcasts the |q| x shortlist id set and
-    reads the FLOAT vectors only for those rows — at 100 TB the float
-    column is touched for a constant number of rows per query, never
-    scanned into a ranking shuffle. Exact scores use the same
-    sequential-fold dot as brute_force_topk, so ties and rounding are
-    bit-identical to the exact oracle."""
+    corpus vector); stage 2 broadcasts the |q| x shortlist id set onto
+    ONE column-pruned pass over the float column — only the |q| x
+    shortlist surviving rows carry floats into normalization-per-use
+    and the ranking, and nothing float-sized ever shuffles. (The scan
+    itself still reads the column once per batch; a 100 TB deployment
+    would push the bounded shortlist down as an IN-filter / point
+    lookups against a vec_id-sorted store to skip even that — the
+    shuffle-free join shape here is the same either way.) Exact
+    scores use the same sequential-fold dot as brute_force_topk, so
+    ties and rounding are bit-identical to the exact oracle."""
     from pyspark.sql.window import Window
 
     from github_miner_spark.io.tables import load_table

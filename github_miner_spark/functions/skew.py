@@ -87,9 +87,11 @@ def _assert_exchange_free(df: DataFrame) -> None:
     AQE wraps exactly the plans that contain exchanges or subqueries,
     and it hides its inner plan from ``children()``, so the wrapper
     itself is the signal. If the JVM tree introspection ever breaks
-    (py4j surface change), degrade to a WARNING on the plan-string
-    heuristic rather than a hard failure — the contract is a guard
-    against silent double-execution, not a new crash mode."""
+    (py4j surface change), the plan-string heuristic takes over: a
+    POSITIVE Exchange match still raises (the plan really would
+    double-run), while an unreadable/unmatched plan degrades to a
+    WARNING — introspection uncertainty must not become a crash mode,
+    but a confirmed Exchange must not proceed either."""
     import warnings
 
     try:

@@ -146,7 +146,10 @@ def materialize_source_overlap(
 
     base = materialize_text_index(spark, sf_dir)
     target = os.path.join(base, f"source_overlap_{SOURCE_OVERLAP_VERSION}")
-    if os.path.isdir(target) and not force:
+    # gate on an INNER artifact, not the bare directory — a partially
+    # created / foreign target dir must trigger a rebuild, not be
+    # served forever (the sibling stores' discipline)
+    if os.path.isdir(os.path.join(target, "pair_inter.parquet")) and not force:
         return target
     tmp = tempfile.mkdtemp(prefix="building-overlap-", dir=STORE_ROOT)
     try:

@@ -981,7 +981,14 @@ def _symmetrize_weighted(edges: DataFrame) -> DataFrame:
     )
 
 
-_LV_SEQ = 0  # temp-view namespace for concurrent/nested phase1 calls
+# temp-view namespace for concurrent/nested phase1/modularity calls:
+# itertools.count.__next__ is atomic under the GIL, so two threads on
+# one SparkSession can never draw the same view tag (a bare integer
+# += would race and cross-contaminate loop state through the shared
+# temp-view names)
+import itertools as _itertools
+
+_LV_SEQ = _itertools.count(1)
 
 
 def _louvain_phase1(
@@ -1022,10 +1029,8 @@ def _louvain_phase1(
     the driver twin, the task kernel, and the unrolled CTE oracle stay
     bit-identical — pinned by the 4-way parity tests.
     """
-    global _LV_SEQ
-    _LV_SEQ += 1
     spark = sym.sparkSession
-    tag = f"lv{_LV_SEQ}"
+    tag = f"lv{next(_LV_SEQ)}"
     sym.createOrReplaceTempView(f"{tag}_sym")
     m2_sql = f"CAST({m2!r} AS DOUBLE)"
     # state = (id, community, k); k includes self-row weight (level-2
@@ -1447,9 +1452,7 @@ def modularity(
     # this box driver-side plan chatter is ~7 ms per column op, a real
     # slice of an iterative query's floor). The two 1-row aggregates
     # cross-join into a single row — scalar-by-scalar, not a cartesian.
-    global _LV_SEQ
-    _LV_SEQ += 1
-    tag = f"mq{_LV_SEQ}"
+    tag = f"mq{next(_LV_SEQ)}"
     spark = sym.sparkSession
     sym.createOrReplaceTempView(f"{tag}_sym")
     assignment.createOrReplaceTempView(f"{tag}_comm")

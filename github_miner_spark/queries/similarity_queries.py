@@ -976,11 +976,14 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prototyped and REJECTED with measurements (full PCA + eigenvalue "
     "allocation made recall WORSE on this corpus, 0.08 -> 0.04 — the "
     "synthetic embeddings are already axis-aligned; see PERF.md), "
-    "while the re-rank lifts recall@5 0.08 -> 0.76. At 100 TB the "
-    "float column is read for |q| x 100 broadcast-joined rows, never "
-    "scanned into a ranking shuffle; exact scores share "
-    "brute_force_topk's sequential-fold dot, so rounding and ties are "
-    "bit-identical to the exact oracle.",
+    "while the re-rank lifts recall@5 0.08 -> 0.76. The exact stage "
+    "broadcasts the |q| x 100 shortlist onto one column-pruned pass "
+    "over the float column — only shortlist rows carry floats into "
+    "the ranking and nothing float-sized shuffles (at 100 TB the "
+    "bounded shortlist would additionally push down as point lookups "
+    "to skip the scan itself); exact scores share brute_force_topk's "
+    "sequential-fold dot, so rounding and ties are bit-identical to "
+    "the exact oracle.",
     tags=("similarity", "ann", "quantization", "topk"),
 )
 def embedding_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,75 +80,74 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-8 window (VERDICT r7 item 1; re-pinned after each late
-    # engine commit). Rotation discipline: this
-    # rotation is the round's LAST code-touching commit, verified by
-    # tools/check_window_freshness.py (net-diff from this commit to
-    # HEAD must touch no engine/query code), so every re-green below
-    # witnesses the shipped implementation — the r7 race class is
-    # mechanically closed.
-    # -- (a) r7 task-kernel family (ce85fdc landed AFTER the r7 window
-    #        was pinned; these ten had no post-change driver witness) --
+    # Round-9 window. Rotation discipline: this rotation is the
+    # round's LAST code-touching commit, and tools/
+    # check_window_freshness.py now verifies BOTH the ordering (no
+    # engine commit after this one) AND the coverage (every query the
+    # round's net diff touches — derived from the AST reference graph
+    # — holds a slot below), closing the r8 helper-rewrite loophole
+    # mechanically.
+    # -- (a) new this round -----------------------------------------
+    "unigram_lm_vocab_induction",
+    "unigram_lm_segmentation_stats",
+    "embedding_pq_rerank_topk",
+    "pq_rerank_recall_at_k",
+    # -- (b) VERDICT r8 item 1's named witness debt: the HLL pair
+    #        (helper rewritten in r8 after the rotation) and the
+    #        store-key-refactor ANN consumers with only representative
+    #        r8 coverage ---------------------------------------------
+    "hll_vocab_estimates",
+    "hll_shingle_estimates",
+    "embedding_pq_topk",
+    "pq_recall_at_k",
+    "embedding_ivf_topk",
+    "embedding_ivf_lloyd_topk",
+    "ivf_recall_at_k",
+    "semantic_dedup_candidates",
+    # -- (c) every remaining query the r9 net diff touches, per the
+    #        freshness tool's AST map (louvain floor work; the SQL-form
+    #        phase1 + shared-sym/modularity changes reach the whole
+    #        algorithms module and its cypher readbacks; the KMV/
+    #        source-overlap rollup; text_queries module edits) ---------
     "louvain_communities",
     "louvain_per_reltype",
     "cypher_community_readback",
-    "all_shortest_paths_pairs",
-    "k_core_decomposition",
-    "closure_counts_from_anchor",
-    "closure_per_root",
-    "cypher_closure_from_anchor",
-    "dependency_graph_paths",
-    "dependency_chains",
-    # -- (b) new this round ---------------------------------------------
-    "bpe_vocab_induction",
-    "bpe_segmentation_stats",
-    "skipgram_negative_samples",
-    "anf_neighborhood_function",
-    # -- (c) re-greens for round-8-touched implementations: the walk
-    #        store (3 queries), the depth-profile task opt-in (3), the
-    #        betweenness replication gate, the weighted-SSSP conditional
-    #        checkpoint, the SCC whole-core shortcut (3), the CC
-    #        star-forest probe + whole-graph union-find kernel's
-    #        consumers (4), and the skew-guard / store-key refactor
-    #        representatives (2) ------------------------------------------
-    "deterministic_random_walks",
-    "node2vec_biased_walks",
-    "walk_skipgram_pairs",
-    "bfs_depth_profile",
-    "depth_extremes_per_root",
-    "harmonic_centrality_roots",
-    "betweenness_centrality_sample",
-    "weighted_shortest_distances",
     "scc_summary",
     "scc_size_histogram",
     "cypher_scc_readback",
+    "pagerank_top20",
+    "cypher_pagerank_readback",
+    "personalized_pagerank_top",
+    "label_propagation_summary",
+    "k_core_decomposition",
     "connected_components_summary",
-    "dedup_clusters",
-    "leakage_free_split_assignment",
-    "corpus_filter_funnel",
+    "anf_neighborhood_function",
+    "cypher_closure_from_anchor",
+    "cypher_collect_unwind_roundtrip",
+    "cypher_delete_counters",
+    "cypher_hosted_on_outer",
+    "cypher_meta_graph_call",
+    "cypher_subdeps_per_devdep",
+    "cypher_top_used_modules",
+    "cypher_unhosted_dependency_count",
+    "cypher_with_chain_fanout",
+    "cypher_with_topk_pipeline",
+    "kmv_set_operation_estimates",
+    "source_overlap_matrix",
+    "bpe_vocab_induction",
+    "bpe_segmentation_stats",
+    "cms_heavy_hitter_estimates",
+    "doc_kneser_ney_scores",
+    "kn_perplexity_filter_rates",
+    "source_unigram_kl",
     "simhash_values",
     "simhash_near_dups",
-    # -- (d) witness backlog: all 16 remaining r03 rows -------------------
-    "label_histogram",
-    "manifest_edge_roundtrip",
-    "minhash_lsh_dups",
-    "modules_used_by_repo",
-    "motif_shared_module_pairs",
-    "motif_unhosted_dependencies",
-    "multimodal_byte_features",
-    "orders_running_rank",
-    "pricing_summary",
-    "rel_type_histogram",
-    "repos_depending_on_module",
-    "sql_supplier_nation_rollup",
-    "stratified_sample_counts",
-    "triangle_counts_top",
-    "users_by_repos_owned",
-    "version_range_profile",
-    # -- (e) oldest r04 rows to fill the 50 -------------------------------
-    "embedding_int8_topk",
-    "embedding_ivf_int8_topk",
-    "bpe_merge_candidates",
+    "embedding_cosine_dups",
+    "embedding_lsh_topk",
+    # -- (d) oldest r04 backlog rows to fill the 50 -------------------
+    "two_hop_dependencies",
+    "events_json_extract",
+    "events_daily_active_users",
 )
 
 

@@ -177,3 +177,39 @@ def test_r8_slip_fails_end_to_end():
     assert proc.returncode == 1, proc.stdout + proc.stderr
     assert "hll_vocab_estimates" in proc.stdout
     assert "hll_shingle_estimates" in proc.stdout
+
+
+def test_parse_diff_deleted_file():
+    """Old-side lines of a DELETED file must be attributed under its
+    old path — the first cut keyed off '+++ b/' and dropped deletions
+    entirely (r9 review finding), so a removed helper module could
+    ship with no coverage seeds."""
+    diff = (
+        "diff --git a/github_miner_spark/keep.py b/github_miner_spark/keep.py\n"
+        "--- a/github_miner_spark/keep.py\n"
+        "+++ b/github_miner_spark/keep.py\n"
+        "@@ -5 +5 @@ def f():\n-x\n+y\n"
+        "diff --git a/github_miner_spark/gone.py b/github_miner_spark/gone.py\n"
+        "--- a/github_miner_spark/gone.py\n"
+        "+++ /dev/null\n"
+        "@@ -1,3 +0,0 @@\n-a\n-b\n-c\n"
+        "diff --git a/github_miner_spark/new.py b/github_miner_spark/new.py\n"
+        "--- /dev/null\n"
+        "+++ b/github_miner_spark/new.py\n"
+        "@@ -0,0 +1,2 @@\n+p\n+q\n"
+    )
+    got = cwf.parse_diff(diff)
+    assert got["github_miner_spark/keep.py"] == ({5}, {5})
+    assert got["github_miner_spark/gone.py"] == ({1, 2, 3}, set())
+    assert got["github_miner_spark/new.py"] == (set(), {1, 2})
+
+
+def test_local_import_does_not_shadow_module_alias(graph):
+    """A function-local import must not rewrite the module-wide alias
+    table (it would misroute resolution for every symbol scanned
+    afterwards)."""
+    info = graph.mods["github_miner_spark.queries.text_queries"]
+    before = dict(info.aliases)
+    for sym in list(info.spans):
+        info.references(sym)
+    assert info.aliases == before

@@ -91,22 +91,30 @@ class ModuleInfo:
         self.queries: dict[str, str] = {}
         self._scan_toplevel(tree)
 
-    def _record_import(self, node: ast.AST) -> list[str]:
+    def _record_import(
+        self, node: ast.AST, into: dict[str, tuple] | None = None
+    ) -> list[str]:
+        """Record import bindings into ``into`` (default: the module's
+        shared alias table — only correct for TOP-LEVEL imports; scans
+        of function bodies must pass a scoped overlay, or a local
+        import shadowing a module-level alias would misroute every
+        symbol scanned afterwards — r9 review finding)."""
+        aliases = self.aliases if into is None else into
         names: list[str] = []
         if isinstance(node, ast.ImportFrom) and node.module:
             for a in node.names:
                 local = a.asname or a.name
-                self.aliases[local] = ("from", node.module, a.name)
+                aliases[local] = ("from", node.module, a.name)
                 names.append(local)
         elif isinstance(node, ast.Import):
             for a in node.names:
                 local = a.asname or a.name.split(".")[0]
                 if a.asname:
-                    self.aliases[local] = ("module", a.name)
+                    aliases[local] = ("module", a.name)
                 else:
                     # `import pkg.sub.mod` binds `pkg`; attribute chains
                     # on it are resolved textually in _resolve
-                    self.aliases[local] = ("module", a.name.split(".")[0])
+                    aliases[local] = ("module", a.name.split(".")[0])
                 names.append(local)
         return names
 
@@ -156,13 +164,18 @@ class ModuleInfo:
                 return names
         return None
 
-    def references(self, symbol: str) -> tuple[set[str], set[tuple[str, str]]]:
-        """(bare names referenced, (alias, attr) attribute accesses) in
-        the symbol's body, decorators included; function-local imports
-        contribute both an alias binding (scoped here to the module —
-        conservative) and a direct name reference."""
+    def references(
+        self, symbol: str
+    ) -> tuple[set[str], set[tuple[str, str]], dict[str, tuple]]:
+        """(bare names referenced, (alias, attr) attribute accesses,
+        function-local import aliases) in the symbol's body,
+        decorators included. Local aliases come back as a SCOPED
+        overlay rather than being written into the module table, so a
+        local import that shadows a module-level alias only affects
+        this symbol's resolution."""
         names: set[str] = set()
         attrs: set[tuple[str, str]] = set()
+        local_aliases: dict[str, tuple] = {}
         for body in self._bodies.get(symbol, []):
             for n in ast.walk(body):
                 if isinstance(n, ast.Name):
@@ -172,8 +185,8 @@ class ModuleInfo:
                 ):
                     attrs.add((n.value.id, n.attr))
                 elif isinstance(n, (ast.Import, ast.ImportFrom)):
-                    names.update(self._record_import(n))
-        return names, attrs
+                    names.update(self._record_import(n, into=local_aliases))
+        return names, attrs, local_aliases
 
 
 def _register_query_name(dec: ast.expr) -> str | None:
@@ -217,12 +230,18 @@ class SymbolGraph:
         self._build_edges()
 
     def _resolve(
-        self, info: ModuleInfo, name: str, attr: str | None = None
+        self,
+        info: ModuleInfo,
+        name: str,
+        attr: str | None = None,
+        overlay: dict[str, tuple] | None = None,
     ) -> list[tuple[str, str]]:
         """Resolve a referenced name (optionally ``name.attr``) to
-        (module, symbol) targets inside the package."""
+        (module, symbol) targets inside the package. ``overlay``
+        carries the symbol's function-local import aliases, which
+        shadow the module-level table for this resolution only."""
         out: list[tuple[str, str]] = []
-        alias = info.aliases.get(name)
+        alias = (overlay or {}).get(name) or info.aliases.get(name)
         if alias is None:
             if attr is None and name in info.spans:
                 out.append((info.module, name))
@@ -261,13 +280,15 @@ class SymbolGraph:
         for mod, info in self.mods.items():
             for sym in list(info.spans):
                 src = (mod, sym)
-                names, attrs = info.references(sym)
+                names, attrs, local_aliases = info.references(sym)
                 for n in names:
-                    for tgt in self._resolve(info, n):
+                    for tgt in self._resolve(info, n, overlay=local_aliases):
                         if tgt != src:
                             self.dependents[tgt].add(src)
                 for base, attr in attrs:
-                    for tgt in self._resolve(info, base, attr):
+                    for tgt in self._resolve(
+                        info, base, attr, overlay=local_aliases
+                    ):
                         if tgt != src:
                             self.dependents[tgt].add(src)
             # every symbol depends on its module's loose top-level code
@@ -302,19 +323,30 @@ class SymbolGraph:
 
 def parse_diff(diff_text: str) -> dict[str, tuple[set[int], set[int]]]:
     """path -> (old-file changed lines, new-file changed lines) from a
-    ``git diff -U0 --no-renames`` body."""
+    ``git diff -U0 --no-renames`` body. Old-side lines of a DELETED
+    file are attributed under its old path (the ``--- a/`` header) —
+    the first cut keyed everything off ``+++ b/`` and silently dropped
+    deletions, so a removed helper module could ship with no coverage
+    seeds at all (r9 review finding)."""
     out: dict[str, tuple[set[int], set[int]]] = {}
+    old_path = None
     path = None
     for line in diff_text.splitlines():
-        if line.startswith("+++ b/"):
+        if line.startswith("diff --git"):
+            old_path = None
+            path = None
+        elif line.startswith("--- a/"):
+            old_path = line[6:]
+        elif line.startswith("--- /dev/null"):
+            old_path = None  # file added: no old side
+        elif line.startswith("+++ b/"):
             path = line[6:]
             out.setdefault(path, (set(), set()))
         elif line.startswith("+++ /dev/null"):
-            path = None  # deletion: old side attributed via --- header
-        elif line.startswith("--- a/") and path is None:
-            # file deleted at HEAD; track under its old path
-            path = line[6:]
-            out.setdefault(path, (set(), set()))
+            # file deleted at HEAD: track under its old path
+            path = old_path
+            if path is not None:
+                out.setdefault(path, (set(), set()))
         elif line.startswith("@@ ") and path is not None:
             m = re.match(r"@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@", line)
             if not m:
@@ -384,7 +416,7 @@ def touched_symbols(
                 # the imported names (resolved on the HEAD graph)
                 for local in imported:
                     for s in info.spans:
-                        names, attrs = info.references(s)
+                        names, attrs, _locals = info.references(s)
                         if local in names or any(
                             b == local for b, _ in attrs
                         ):
