@@ -196,19 +196,17 @@ def pagerank(
     # i.e. to the repo-wide 6dp rounding convention every consumer
     # (and the DuckDB oracle, which sums in its own order) already
     # applies; parity at that convention is pinned in tests.
-    thr = _gate(collect_threshold)
-    if thr > 0 and n_w <= thr:
-        return _pagerank_driver(
-            weighted, verts, iterations, damping, sources
-        )
-
-    # Task-local path (the SCC/betweenness/louvain pattern): when the
-    # weighted edge list fits one executor task AND the vertex set is
-    # edge-derived, the shared numpy power-iteration core runs inside
-    # ONE applyInPandas task — executor-side, no driver collect, the
-    # 4+ barrier-window jobs collapse to 2 stages. Past the threshold
-    # (or with an explicit vertices frame) the distributed loop below
-    # is the at-scale path.
+    # Task-local path FIRST (r9 flip): when the weighted edge list fits
+    # one executor task AND the vertex set is edge-derived, the shared
+    # numpy power-iteration core runs inside ONE applyInPandas task —
+    # executor-side, no driver collect, the 4+ barrier-window jobs
+    # collapse to 2 stages. The driver twin below collects ~|E| rows
+    # and re-ships |V| ranks through the pickle createDataFrame path,
+    # which MEASURES 2x the kernel at bench SF (2.0-3.1s vs 1.0-1.4s
+    # same-session) — so the kernel outranks it whenever both apply;
+    # the twin remains for explicit-vertices callers and as the pinned
+    # parity anchor. Past the thresholds the distributed loop below is
+    # the at-scale path.
     if vertices is None and task_threshold > 0 and n_w <= task_threshold:
         return (
             weighted.withColumn("g", F.lit(1))
@@ -217,6 +215,12 @@ def pagerank(
                 _pagerank_group_factory(iterations, damping, sources),
                 schema="id bigint, rank double",
             )
+        )
+
+    thr = _gate(collect_threshold)
+    if thr > 0 and n_w <= thr:
+        return _pagerank_driver(
+            weighted, verts, iterations, damping, sources
         )
 
     if loop_shuffle_width is None:

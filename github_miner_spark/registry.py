@@ -109,8 +109,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #        phase1 + shared-sym/modularity changes reach the whole
     #        algorithms module and its cypher readbacks; the KMV/
     #        source-overlap rollup; text_queries module edits; window
-    #        re-pinned with the late anf anchored-reach rollup commit —
-    #        anf_neighborhood_function already holds its slot below) ---
+    #        re-pinned with the late anf anchored-reach rollup commit
+    #        and again with the pagerank task-kernel dispatch flip —
+    #        anf_neighborhood_function and the three pagerank consumers
+    #        already hold their slots below) ---------------------------
     "louvain_communities",
     "louvain_per_reltype",
     "cypher_community_readback",
