@@ -1092,3 +1092,192 @@ def pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composite (IVFADC): coarse quantizer + residual product
+# quantization — the index shape billion-vector deployments run.
+# The oracle re-derives the ENTIRE index from spec: stride centroids,
+# coarse assignment, residuals, the shared residual codebooks, the
+# integer codes, probe selection, and the ADC score
+# dot(q, c) + sum_j LUT[j][code_j] — so both the store build and the
+# probed-scan query path are hash-checked end to end.
+# --------------------------------------------------------------------------
+
+IVFPQ_N_PROBE = 3
+
+_IVFPQ_CHAIN = f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    nrm AS (
+      SELECT vec_id,
+             list_transform(ev, x -> x / sqrt(list_sum(list_transform(ev, y -> y * y)))) AS nv
+      FROM e
+    ),
+    par AS (
+      SELECT CAST(ceil(count(*) / floor(sqrt(count(*)))) AS BIGINT) AS stride FROM nrm
+    ),
+    cents AS (
+      SELECT vec_id AS cid, nv AS cvec FROM nrm
+      WHERE vec_id % (SELECT stride FROM par) = 0
+    ),
+    asg AS (
+      SELECT vec_id, nv, cid AS list_id, cvec FROM (
+        SELECT n.vec_id, n.nv, c.cid, c.cvec,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                 i -> n.nv[i] * c.cvec[i])), 6) DESC, c.cid) AS rn
+        FROM nrm n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT vec_id, list_id,
+             list_transform(generate_series(1, 64), i -> nv[i] - cvec[i]) AS rv
+      FROM asg
+    ),
+    rcb_sample AS (
+      SELECT vec_id, rv FROM res WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    rcb_ranked AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, rv FROM rcb_sample
+    ),
+    subspaces AS (SELECT j FROM generate_series(0, 3) AS t(j)),
+    rcodebook AS (
+      SELECT s.j, c.cid, list_slice(c.rv, s.j * 16 + 1, (s.j + 1) * 16) AS cvec
+      FROM rcb_ranked c CROSS JOIN subspaces s
+    ),
+    sub AS (
+      SELECT r.vec_id, r.list_id, s.j,
+             list_slice(r.rv, s.j * 16 + 1, (s.j + 1) * 16) AS sv
+      FROM res r CROSS JOIN subspaces s
+    ),
+    dists AS (
+      SELECT s.vec_id, s.list_id, s.j, c.cid,
+             list_sum(list_transform(generate_series(1, 16),
+                      i -> (s.sv[i] - c.cvec[i]) * (s.sv[i] - c.cvec[i]))) AS d
+      FROM sub s JOIN rcodebook c ON c.j = s.j
+    ),
+    codes AS (
+      SELECT vec_id, list_id, j, cid FROM (
+        SELECT vec_id, list_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, nv AS qv FROM nrm WHERE vec_id IN (0, 1, 2, 3, 4)),
+    probes AS (
+      SELECT query_id, qv, cid AS list_id, cdot FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> q.qv[i] * c.cvec[i])) AS cdot,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, 64),
+                                 i -> q.qv[i] * c.cvec[i])), 6) DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {IVFPQ_N_PROBE}
+    ),
+    lut AS (
+      SELECT q.query_id, c.j, c.cid,
+             list_sum(list_transform(generate_series(1, 16),
+                      i -> q.qv[c.j * 16 + i] * c.cvec[i])) AS pdot
+      FROM q CROSS JOIN rcodebook c
+    ),
+    scored AS (
+      SELECT p.query_id, cd.vec_id AS neighbor_id,
+             round(min(p.cdot) + sum(l.pdot), 6) AS score
+      FROM codes cd
+      JOIN probes p ON p.list_id = cd.list_id
+      JOIN lut l ON l.query_id = p.query_id AND l.j = cd.j AND l.cid = cd.cid
+      WHERE cd.vec_id <> p.query_id
+      GROUP BY p.query_id, cd.vec_id
+    )"""
+
+_IVFPQ_ORACLE = _IVFPQ_CHAIN + """,
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "embedding_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    description="IVFADC top-5 (Jegou et al. 2011 §IV) from the "
+    "materialized composite index (functions/ivfpq_store.py): coarse "
+    "stride-sampled quantizer over the normalized corpus + shared "
+    "4x16-entry codebooks over the RESIDUALS v - c, so the codebook "
+    "resolution is spent on within-list spread rather than re-encoding "
+    "list position. The query path composes the two pruning levers the "
+    "flat IVF and PQ stores exercise separately: probe the 3 nearest "
+    "lists (|q| x sqrt(n) vs broadcast centroids), then scan ONLY the "
+    "probed slice of the 4-small-int code table (list_id-sorted at "
+    "rest for parquet pruning), scoring dot(q, centroid) + 4 ADC table "
+    "hits per candidate — at 100 TB that reads n_probe/sqrt(n) of the "
+    "corpus at 1/16th of the vector bytes, and the only shuffle is the "
+    "map-side-combined (query, vector) partial sum. The oracle "
+    "re-derives centroids, assignment, residual codebooks, codes, and "
+    "the ADC scores from spec in SQL, so the whole index build is "
+    "hash-checked, not just the search.",
+    tags=("similarity", "ann", "ivf", "quantization", "topk"),
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ivfpq_store import ivfpq_topk_from_store
+
+    return ivfpq_topk_from_store(
+        spark, sf_dir, PROBE_IDS, k=5, n_probe=IVFPQ_N_PROBE
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "ivfpq_recall_at_k",
+    oracle=f"""
+    WITH brute AS ({_BRUTE_ORACLE}),
+    approx AS ({_IVFPQ_ORACLE})
+    SELECT b.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_found,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id ORDER BY b.query_id
+    """,
+    description="recall@5 of the IVFADC composite index against exact "
+    "brute-force cosine — the number that closes the quantization "
+    "ladder's evaluation row (IVF flat / int8 / PQ / PQ+rerank / "
+    "IVFADC), showing what residual encoding buys over flat PQ at the "
+    "same code budget and what the 3-probe list pruning costs vs a "
+    "full ADC scan. Same probe-set-sized in-engine grading loop as "
+    "ivf_recall_at_k / pq_recall_at_k.",
+    tags=("similarity", "ann", "ivf", "quantization", "evaluation"),
+)
+def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ivfpq_store import ivfpq_topk_from_store
+
+    exact = brute_force_topk(
+        load_table(spark, "embeddings", sf_dir).withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ),
+        PROBE_IDS,
+        k=5,
+    ).select("query_id", F.col("neighbor_id").alias("true_neighbor"))
+    approx = ivfpq_topk_from_store(
+        spark, sf_dir, PROBE_IDS, k=5, n_probe=IVFPQ_N_PROBE
+    ).select("query_id", F.col("neighbor_id").alias("found_neighbor"))
+    graded = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.true_neighbor == approx.found_neighbor),
+        "left_outer",
+    ).select(exact.query_id, "found_neighbor")
+    return (
+        graded.groupBy("query_id")
+        .agg(
+            F.count("found_neighbor").alias("n_found"),
+            F.round(F.count("found_neighbor") / F.lit(5.0), 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -455,3 +455,56 @@ def test_pq_adc_score_is_reconstruction_dot(spark, tmp_path, monkeypatch):
         )
         want = float(emb[row["query_id"]] @ recon)
         assert abs(row["score"] - round(want, 6)) <= 2e-6, row
+
+
+def test_ivfpq_store_layout_reuse_and_adc_identity(spark, tmp_path, monkeypatch):
+    """IVFADC contracts: (a) at-rest codes are tinyint and carry their
+    list_id (the probe-pruning key), (b) the second materialize reuses
+    the store, (c) every vector's list is the TRUE rounded-dot argmax
+    vs the centroid set, and (d) the ADC score of each returned
+    (query, neighbor) equals dot(q, c + r_hat) — the defining IVFADC
+    identity: centroid dot plus the residual reconstruction dot."""
+    import github_miner_spark.functions.ivfpq_store as ivfpq_store
+
+    monkeypatch.setattr(ivfpq_store, "STORE_ROOT", str(tmp_path))
+    topk = ivfpq_store.ivfpq_topk_from_store(spark, SF, PROBES, k=5, n_probe=3).collect()
+    assert len(topk) > 0
+    codes, cents, rcb = ivfpq_store.load_ivfpq_index(spark, SF)
+    dt = dict(codes.dtypes)
+    assert dt["j"] == "tinyint" and dt["cid"] == "tinyint"
+    assert "list_id" in codes.columns
+    assert ivfpq_store.materialize_ivfpq_index(spark, SF) == ivfpq_store._store_dir(SF)
+
+    from github_miner_spark.functions.pq_store import _normalized
+
+    emb = {
+        r["vec_id"]: np.array(r["nv"])
+        for r in _normalized(load_table(spark, "embeddings", SF)).collect()
+    }
+    cvecs = {r["cid"]: np.array(r["cvec"]) for r in cents.collect()}
+    cb = {(r["j"], r["cid"]): np.array(r["cvec"]) for r in rcb.collect()}
+    assignment = {}
+    code_map = {}
+    for r in codes.collect():
+        assignment[r["vec_id"]] = r["list_id"]
+        code_map.setdefault(r["vec_id"], {})[r["j"]] = r["cid"]
+    # (c) assignment is the rounded-dot argmax, ties to lowest cid
+    for vid in list(assignment)[:100]:
+        want = min(
+            ((-round(float(emb[vid] @ cv), 6), cid) for cid, cv in cvecs.items())
+        )[1]
+        assert assignment[vid] == want, vid
+    # (d) score == dot(q, centroid) + dot(q_sub, residual codewords)
+    for row in topk:
+        nid = row["neighbor_id"]
+        q = emb[row["query_id"]]
+        recon = cvecs[assignment[nid]] + np.concatenate(
+            [cb[(j, code_map[nid][j])] for j in range(ivfpq_store.M_SUB)]
+        )
+        want = float(q @ recon)
+        assert abs(row["score"] - round(want, 6)) <= 2e-6, row
+        # every returned neighbor sits in a probed list
+        probe_lists = sorted(
+            cvecs, key=lambda cid: (-round(float(q @ cvecs[cid]), 6), cid)
+        )[:3]
+        assert assignment[nid] in probe_lists, row
