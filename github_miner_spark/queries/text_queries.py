@@ -2292,3 +2292,157 @@ def wordpiece_segmentation_stats(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval — the lexical-retrieval operator beside
+# doc_tfidf_top_terms' salient-term extraction.
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("order", "fast", "window")
+# per-term scores are quantized to integers and SUMMED AS BIGINTS, so
+# the cross-engine doc ranking is exact integer algebra (the unigram
+# store's convention; a float sum over terms would be order-sensitive)
+BM25_SCALE = 1_000_000_000
+
+
+def _bm25_oracle_sql(k: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+    ),
+    d AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+      FROM t WHERE len(toks) >= 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+      FROM d
+    ),
+    hits AS (
+      SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM d
+      ) WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term
+    ),
+    per_term AS (
+      SELECT h.doc_id,
+             CAST(round(
+               ln(1 + (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                      / (CAST(f.df AS DOUBLE) + 0.5))
+               * (CAST(h.tf AS DOUBLE) * ({BM25_K1} + 1))
+               / (CAST(h.tf AS DOUBLE)
+                  + {BM25_K1} * (1 - {BM25_B}
+                     + {BM25_B} * CAST(h.dl AS DOUBLE)
+                       / (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+               * {BM25_SCALE}, 0) AS BIGINT) AS wq
+      FROM hits h JOIN dfreq f USING (term) CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id, CAST(sum(wq) AS BIGINT) AS score_q FROM per_term
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score_q, round(score_q / {BM25_SCALE}.0, 6) AS score,
+           CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT)
+             AS rank
+    FROM scored
+    ORDER BY score_q DESC, doc_id LIMIT {k}
+    """
+
+
+@register(
+    "bm25_retrieval_topk",
+    oracle=_bm25_oracle_sql(),
+    description="BM25 ranked retrieval (Robertson/Lucene variant: "
+    "idf = ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75): top-20 "
+    "documents for a fixed query-term set — the lexical-retrieval "
+    "operator a RAG or eval pipeline runs beside the embedding ANN "
+    "stack, complementing doc_tfidf_top_terms' per-doc salient-term "
+    "extraction with query-side ranked search. Determinism: each "
+    "(term, doc) partial score is quantized to a BIGINT before the "
+    "per-doc sum, so ranking is exact integer algebra on both engines "
+    "(a float sum over terms would be accumulation-order-sensitive). "
+    "100 TB shape: ONE corpus scan with the term filter applied "
+    "directly under the explode (hits are query-term-bounded, a tiny "
+    "fraction of corpus tokens), doc-frequency and corpus stats are "
+    "broadcast scalars, and the final ranking is one "
+    "TakeOrderedAndProject over per-doc rows — no corpus-sized "
+    "shuffle, no full-posting materialization.",
+    tags=("text", "retrieval", "bm25", "topk"),
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    d = d.select("doc_id", "toks", F.size("toks").cast("bigint").alias("dl"))
+    stats = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+    )
+    hits = (
+        d.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    w = (
+        idf
+        * (F.col("tf").cast("double") * (BM25_K1 + 1))
+        / (
+            F.col("tf").cast("double")
+            + BM25_K1
+            * (
+                1
+                - BM25_B
+                + BM25_B
+                * F.col("dl").cast("double")
+                / (F.col("sdl").cast("double") / F.col("n").cast("double"))
+            )
+        )
+    )
+    per_term = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(w * BM25_SCALE, 0).cast("bigint").alias("wq"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("wq").cast("bigint").alias("score_q")
+    )
+    from pyspark.sql.window import Window
+
+    # TakeOrderedAndProject bounds the result to 20 rows BEFORE the
+    # rank window runs — the single-partition row_number only ever
+    # sees k rows, never the full scored-doc set
+    top = scored.orderBy(F.desc("score_q"), "doc_id").limit(20)
+    return (
+        top.select(
+            "doc_id",
+            "score_q",
+            F.round(F.col("score_q") / F.lit(float(BM25_SCALE)), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_q"), F.asc("doc_id")))
+            .cast("int"),
+        )
+        .orderBy(F.desc("score_q"), "doc_id")
+    )

@@ -613,3 +613,59 @@ def test_kll_quantile_merge_from_spec_replay(spark):
     }
     assert got == want
     assert all(v[3] < v[4] for v in want.values())  # genuinely compacted
+
+
+def test_bm25_matches_python_reference(spark):
+    """The registered BM25 top-20 must equal an independent Python
+    implementation of the Robertson/Lucene formula over the same
+    tokenization, with the same per-term integer quantization."""
+    import math
+    import re
+    from collections import Counter
+
+    from github_miner_spark.io.tables import load_table
+    from github_miner_spark.queries.text_queries import (
+        BM25_B,
+        BM25_K1,
+        BM25_SCALE,
+        BM25_TERMS,
+        bm25_retrieval_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = []
+    for r in load_table(spark, "documents", sf).select("doc_id", "text").collect():
+        toks = [
+            t
+            for t in re.sub(r"[^a-z0-9]+", " ", r["text"].lower()).split(" ")
+            if t
+        ]
+        if toks:
+            docs.append((r["doc_id"], toks))
+    n = len(docs)
+    sdl = sum(len(t) for _, t in docs)
+    avgdl = sdl / n
+    df = Counter(
+        term for _, toks in docs for term in set(toks) if term in BM25_TERMS
+    )
+    want_scores = {}
+    for doc_id, toks in docs:
+        tf = Counter(t for t in toks if t in BM25_TERMS)
+        if not tf:
+            continue
+        sq = 0
+        for term, f in tf.items():
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            w = (
+                idf
+                * (f * (BM25_K1 + 1))
+                / (f + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avgdl))
+            )
+            sq += round(w * BM25_SCALE)
+        want_scores[doc_id] = sq
+    want = sorted(want_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["doc_id"], r["score_q"], r["rank"])
+        for r in bm25_retrieval_topk(spark, sf).collect()
+    ]
+    assert got == [(d, s, i + 1) for i, (d, s) in enumerate(want)]
