@@ -1655,6 +1655,69 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anf_distributed_reg_states(
+    spark: SparkSession,
+    e: DataFrame,
+    m_bits: int,
+    hops: int,
+    rho_max: int,
+    n_edges: int,
+) -> DataFrame:
+    """The at-scale HyperANF propagation loop, shared by the
+    per-anchor neighborhood-function query and the whole-graph
+    effective-diameter readout: sparse (node, bucket, r) register
+    state, each hop ONE union + keyed max-merge shuffle, eagerly
+    checkpointed per hop (state feeds BOTH the union and the next
+    hop's edge-pull — the double reference that makes lazy chaining
+    exponential; lazy 3-hop chaining measured 3.9s vs 1.3s). Returns
+    the union of the per-hop states tagged with h."""
+    from github_miner_spark.functions.text import token_hash60
+    from github_miner_spark.graph.paths import (
+        _adaptive_loop_width,
+        _loop_shuffle_partitions,
+    )
+
+    m = 1 << m_bits
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h0 = token_hash60(F.concat_ws("|", F.lit("anf"), F.col("node")))
+    w = F.shiftright(h0, m_bits)
+    rho = F.when(w == F.lit(0), F.lit(rho_max)).otherwise(
+        F.lit(rho_max) - F.length(F.bin(w))
+    )
+    per_h = []
+    # register state is nodes x m rows at most — size the hop loop's
+    # shuffle from it (the shared adaptive-width discipline; at
+    # 100 TB the width comes back automatically)
+    loop_width = _adaptive_loop_width(spark, n_edges * m)
+    with _loop_shuffle_partitions(
+        spark, enabled=True, width=loop_width, aqe_off=True
+    ):
+        state = nodes.select(
+            "node",
+            h0.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("r"),
+        ).localCheckpoint(eager=True)
+        for h in range(1, hops + 1):
+            pulled = e.join(state, state.node == e.dst).select(
+                F.col("src").alias("node"), "bucket", "r"
+            )
+            state = (
+                state.unionByName(pulled)
+                .groupBy("node", "bucket")
+                .agg(F.max("r").alias("r"))
+                .localCheckpoint(eager=True)
+            )
+            per_h.append(state.withColumn("h", F.lit(h)))
+    reg_states = per_h[0]
+    for p_ in per_h[1:]:
+        reg_states = reg_states.unionByName(p_)
+    return reg_states
+
+
 def _anf_oracle_sql(m_bits: int = 5, hops: int = 3, anchor_max: int = 120) -> str:
     """Unrolled HyperANF oracle: identical register algebra to the
     engine (md5-derived 60-bit hash, low m_bits as bucket, leading-
@@ -1739,7 +1802,11 @@ def _anf_oracle_sql(m_bits: int = 5, hops: int = 3, anchor_max: int = 120) -> st
 
 
 def _anf_kernel_factory(
-    m_bits: int, hops: int, rho_max: int, keep: frozenset[int] | None = None
+    m_bits: int,
+    hops: int,
+    rho_max: int,
+    keep: frozenset[int] | None = None,
+    emit_sums: bool = False,
 ):
     """Build the applyInPandas kernel for task-local ANF: the edge
     list arrives as one group and the whole hop loop runs inside the
@@ -1750,7 +1817,12 @@ def _anf_kernel_factory(
     runs over the whole graph, but only the anchors' rows leave the
     task — without it a multi-million-node graph would Arrow-serialize
     nodes x m x hops rows out of one task only for the downstream
-    anchor join to discard all but ~1k (round-8 review finding)."""
+    anchor join to discard all but ~1k (round-8 review finding).
+    ``emit_sums`` is the whole-graph emit shape for the SAME concern:
+    the effective-diameter readout needs every node, so the kernel
+    reduces registers to per-(h, node) exact-integer sums
+    (buckets_used, s_int) INSIDE the task and Arrow-serializes
+    nodes x hops rows, never nodes x m x hops."""
 
     def _kernel(pdf):
         import hashlib
@@ -1790,6 +1862,23 @@ def _anf_kernel_factory(
             # whole register row into src's, one ufunc pass per hop
             np.maximum.at(nxt, si, regs[di])
             regs = nxt
+            if emit_sums:
+                used = regs >= 0
+                r64 = regs.astype(np.int64)
+                s_int = np.where(
+                    used, np.int64(1) << (rho_max - r64), np.int64(0)
+                ).sum(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "h": np.full(len(nodes), h, dtype=np.int32),
+                            "node": nodes,
+                            "buckets_used": used.sum(axis=1).astype(np.int64),
+                            "s_int": s_int,
+                        }
+                    )
+                )
+                continue
             if emit_rows is not None:
                 sub = regs[emit_rows]
                 ri, bi = np.nonzero(sub >= 0)
@@ -1839,12 +1928,6 @@ def _anf_kernel_factory(
 def anf_neighborhood_function(
     spark: SparkSession, sf_dir: str, task_threshold: int = 5_000_000
 ) -> DataFrame:
-    from github_miner_spark.functions.text import token_hash60
-    from github_miner_spark.graph.paths import (
-        _adaptive_loop_width,
-        _loop_shuffle_partitions,
-    )
-
     m_bits, hops, anchor_max = 5, 3, 120
     m = 1 << m_bits
     rho_max = 60 - m_bits + 1
@@ -1873,47 +1956,9 @@ def anf_neighborhood_function(
             )
         )
     else:
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .unionByName(e.select(F.col("dst").alias("node")))
-            .distinct()
+        reg_states = _anf_distributed_reg_states(
+            spark, e, m_bits, hops, rho_max, n_edges
         )
-        h0 = token_hash60(F.concat_ws("|", F.lit("anf"), F.col("node")))
-        w = F.shiftright(h0, m_bits)
-        rho = F.when(w == F.lit(0), F.lit(rho_max)).otherwise(
-            F.lit(rho_max) - F.length(F.bin(w))
-        )
-        per_h = []
-        # register state is nodes x m rows at most — size the hop
-        # loop's shuffle from it (the shared adaptive-width
-        # discipline; at 100 TB the width comes back automatically)
-        loop_width = _adaptive_loop_width(spark, n_edges * m)
-        with _loop_shuffle_partitions(
-            spark, enabled=True, width=loop_width, aqe_off=True
-        ):
-            state = nodes.select(
-                "node",
-                h0.bitwiseAND(F.lit(m - 1)).alias("bucket"),
-                rho.alias("r"),
-            ).localCheckpoint(eager=True)
-            for h in range(1, hops + 1):
-                pulled = e.join(state, state.node == e.dst).select(
-                    F.col("src").alias("node"), "bucket", "r"
-                )
-                # eager checkpoint per hop: state feeds BOTH the union
-                # and the next hop's edge-pull — the double reference
-                # that makes lazy chaining exponential (the peel-loop
-                # lesson; lazy 3-hop chaining measured 3.9s vs 1.3s)
-                state = (
-                    state.unionByName(pulled)
-                    .groupBy("node", "bucket")
-                    .agg(F.max("r").alias("r"))
-                    .localCheckpoint(eager=True)
-                )
-                per_h.append(state.withColumn("h", F.lit(h)))
-        reg_states = per_h[0]
-        for p_ in per_h[1:]:
-            reg_states = reg_states.unionByName(p_)
     sums = (
         reg_states.join(F.broadcast(anchor_df), "node")
         .groupBy("node", "h")
@@ -1956,4 +2001,168 @@ def anf_neighborhood_function(
             ).alias("rel_error"),
         )
         .orderBy("module_id", "h")
+    )
+
+
+def _anf_diameter_oracle_sql(m_bits: int = 5, hops: int = 3) -> str:
+    """Whole-graph HyperANF readout oracle: the identical register
+    chain as _anf_oracle_sql, reduced to per-(h, node) exact-integer
+    sums over ALL nodes, per-node estimates quantized to BIGINTs
+    before the global sum (a float sum over nodes would be
+    accumulation-order-sensitive), and the effective-diameter pick as
+    pure integer algebra (10 * nf_q(h) >= 9 * nf_q(hmax))."""
+    from github_miner_spark.functions.text import hll_alpha_sql, hll_estimate_case_sql
+
+    m = 1 << m_bits
+    rho_max = 60 - m_bits + 1
+    alpha = hll_alpha_sql(m)
+    parts = [f"""
+    , allnodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM mm_edges
+        UNION ALL SELECT dst AS node FROM mm_edges
+      )
+    ),
+    h0 AS (
+      SELECT node,
+             ('0x' || substr(md5(concat_ws('|', 'anf', node)), 1, 15))::BIGINT AS h
+      FROM allnodes
+    ),
+    p0 AS MATERIALIZED (
+      SELECT node, h & {m - 1} AS bucket,
+             CASE WHEN (h >> {m_bits}) = 0 THEN {rho_max}
+                  ELSE {rho_max} - length(bin(h >> {m_bits})) END AS r
+      FROM h0
+    )"""]
+    for k in range(1, hops + 1):
+        parts.append(f"""
+    , p{k} AS MATERIALIZED (
+      SELECT node, bucket, max(r) AS r FROM (
+        SELECT node, bucket, r FROM p{k - 1}
+        UNION ALL
+        SELECT e.src AS node, s.bucket, s.r
+        FROM mm_edges e JOIN p{k - 1} s ON s.node = e.dst
+      ) GROUP BY node, bucket
+    )""")
+    sums = " UNION ALL ".join(
+        f"""SELECT {k} AS h, node,
+             CAST(count(*) AS BIGINT) AS buckets_used,
+             CAST(sum(1::BIGINT << CAST({rho_max} - r AS INTEGER)) AS BIGINT) AS s_int
+           FROM p{k} GROUP BY node"""
+        for k in range(1, hops + 1)
+    )
+    parts.append(f"""
+    , sums AS ({sums}),
+    est AS (
+      SELECT h, node, buckets_used,
+             {alpha} * {m}.0 * {m}.0
+               / (CAST(s_int AS DOUBLE) / power(2.0, {rho_max})
+                  + CAST({m} - buckets_used AS DOUBLE)) AS e_raw
+      FROM sums
+    ),
+    fin AS (
+      SELECT h,
+             CAST(round({hll_estimate_case_sql(m)} * 1000000, 0) AS BIGINT)
+               AS eq
+      FROM est
+    ),
+    tot AS (
+      SELECT h, CAST(sum(eq) AS BIGINT) AS nf_q FROM fin GROUP BY h
+    ),
+    mx AS (SELECT max(nf_q) AS mq FROM tot),
+    eff AS (
+      SELECT min(h) AS eff_h FROM tot, mx WHERE 10 * nf_q >= 9 * mq
+    )
+    SELECT t.h, round(t.nf_q / 1000000.0, 6) AS nf_estimate,
+           round(CAST(t.nf_q AS DOUBLE) / CAST(m2.mq AS DOUBLE), 6)
+             AS frac_of_hmax,
+           t.h = (SELECT eff_h FROM eff) AS is_effective_diameter
+    FROM tot t, mx m2 ORDER BY t.h
+    """)
+    return GRAPH_ORACLE_CTES + "".join(parts)
+
+
+@register(
+    "anf_effective_diameter",
+    oracle=_anf_diameter_oracle_sql(),
+    description="Effective diameter via HyperANF — the headline "
+    "statistic the algorithm exists to compute (Boldi/Rosa/Vigna "
+    "2011; the 'four degrees of separation' number): the whole-graph "
+    "neighborhood function N(h) = sum over ALL nodes of the "
+    "HLL-estimated h-hop ball size, and the smallest h with N(h) >= "
+    "0.9 * N(hmax). Shares anf_neighborhood_function's register "
+    "propagation verbatim (same hash, same max-merge, same estimator "
+    "expression — that query also grades the registers per-anchor "
+    "against exact reachability, so this readout rides on a graded "
+    "sketch); per-node estimates quantize to BIGINTs BEFORE the "
+    "global sum, so the cross-engine total and the diameter pick are "
+    "exact integer algebra. Scale shape: under the task threshold the "
+    "kernel reduces registers to per-(h, node) integer sums INSIDE "
+    "the executor task and Arrow-serializes nodes x hops rows (never "
+    "nodes x m x hops); beyond it the shared distributed max-merge "
+    "loop runs with per-hop checkpoints and the readout is one "
+    "hops-bounded rollup.",
+    tags=("graph", "sketch", "approx", "iterative", "algorithm"),
+)
+def anf_effective_diameter(
+    spark: SparkSession, sf_dir: str, task_threshold: int = 5_000_000
+) -> DataFrame:
+    from github_miner_spark.functions.text import hll_estimate_expr
+
+    m_bits, hops = 5, 3
+    m = 1 << m_bits
+    rho_max = 60 - m_bits + 1
+    g = load_graph(spark, sf_dir)
+    e = g.module_dep_edges().select("src", "dst").localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges <= task_threshold:
+        sums = (
+            e.withColumn("g", F.lit(1))
+            .groupBy("g")
+            .applyInPandas(
+                _anf_kernel_factory(m_bits, hops, rho_max, emit_sums=True),
+                schema="h int, node bigint, buckets_used long, s_int long",
+            )
+        )
+    else:
+        reg_states = _anf_distributed_reg_states(
+            spark, e, m_bits, hops, rho_max, n_edges
+        )
+        sums = reg_states.groupBy("node", "h").agg(
+            F.count("*").cast("bigint").alias("buckets_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast({rho_max} - r as int))"
+                )
+            ).alias("s_int"),
+        )
+    estimate = hll_estimate_expr(
+        m, rho_max, F.col("s_int"), F.col("buckets_used")
+    )
+    tot = (
+        sums.select(
+            "h", F.round(estimate * 1_000_000, 0).cast("bigint").alias("eq")
+        )
+        .groupBy("h")
+        .agg(F.sum("eq").cast("bigint").alias("nf_q"))
+    )
+    # hops-bounded frame (3 rows): the single-partition windows below
+    # never see more than `hops` rows
+    w_all = Window.partitionBy()
+    mq = F.max("nf_q").over(w_all)
+    eff_h = F.min(
+        F.when(F.lit(10) * F.col("nf_q") >= F.lit(9) * mq, F.col("h"))
+    ).over(w_all)
+    return (
+        tot.select(
+            "h",
+            F.round(F.col("nf_q") / F.lit(1_000_000.0), 6).alias(
+                "nf_estimate"
+            ),
+            F.round(
+                F.col("nf_q").cast("double") / mq.cast("double"), 6
+            ).alias("frac_of_hmax"),
+            (F.col("h") == eff_h).alias("is_effective_diameter"),
+        )
+        .orderBy("h")
     )

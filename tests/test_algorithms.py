@@ -725,3 +725,27 @@ def test_anf_task_kernel_matches_distributed_loop(spark):
         assert exact_reached >= 2
         assert 1 <= buckets_used <= 32
         assert est > 0 and rel >= 0
+
+
+def test_anf_effective_diameter_parity_and_semantics(spark):
+    """The effective-diameter readout's two dispatch paths (emit-sums
+    task kernel vs the shared distributed max-merge loop) must agree
+    bit-for-bit, N(h) must be non-decreasing in h, the hmax fraction
+    must be exactly 1.0, and the flagged h must be the FIRST one at
+    >= 0.9 of N(hmax)."""
+    from github_miner_spark.queries.algorithms_queries import (
+        anf_effective_diameter,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    task = sorted(map(tuple, anf_effective_diameter(spark, SF).collect()))
+    loop = sorted(
+        map(tuple, anf_effective_diameter(spark, SF, task_threshold=0).collect())
+    )
+    assert task == loop
+    assert [h for h, *_ in task] == [1, 2, 3]
+    nfs = [nf for _, nf, _, _ in task]
+    assert nfs == sorted(nfs), "N(h) must be non-decreasing"
+    assert task[-1][2] == 1.0
+    first_over = next(h for h, _, frac, _ in task if frac >= 0.9)
+    assert [h for h, _, _, eff in task if eff] == [first_over]
