@@ -154,6 +154,16 @@ HEADLINE = [
     # round 9: two-stage PQ-ADC + exact-rerank ANN and its recall grade
     "embedding_pq_rerank_topk",
     "pq_rerank_recall_at_k",
+    # round 9 close: the IVFADC composite index + its recall grade, the
+    # WordPiece tokenizer pair (third family: likelihood-scored merges,
+    # max-munch application), BM25 ranked retrieval, and the
+    # whole-graph HyperANF effective-diameter readout
+    "embedding_ivfpq_topk",
+    "ivfpq_recall_at_k",
+    "wordpiece_vocab_induction",
+    "wordpiece_segmentation_stats",
+    "bm25_retrieval_topk",
+    "anf_effective_diameter",
 ]
 
 # The per-family core whose medians ride in the compact final line (one
@@ -223,6 +233,7 @@ ITERATIVE_WATCH = set(
         "betweenness_centrality_sample",
         "weighted_shortest_distances",
         "anf_neighborhood_function",
+        "anf_effective_diameter",
         "deterministic_random_walks",
         "node2vec_biased_walks",
     ]
