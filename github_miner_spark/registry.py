@@ -80,30 +80,45 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-9 window. Rotation discipline: this rotation is the
-    # round's LAST code-touching commit, and tools/
-    # check_window_freshness.py now verifies BOTH the ordering (no
-    # engine commit after this one) AND the coverage (every query the
-    # round's net diff touches — derived from the AST reference graph
-    # — holds a slot below), closing the r8 helper-rewrite loophole
-    # mechanically.
+    # Round-9 window (re-pinned at round close for the six late
+    # registrations: IVFADC pair, WordPiece pair, BM25, ANF effective
+    # diameter — whose anf refactor also re-touches the ANF/HLL
+    # consumers). Rotation discipline: this rotation is the round's
+    # LAST code-touching commit, and tools/check_window_freshness.py
+    # verifies BOTH the ordering (no engine commit after this one) AND
+    # the coverage (every query the round's net diff touches — derived
+    # from the AST reference graph — holds a slot below), closing the
+    # r8 helper-rewrite loophole mechanically. The 48 diff-touched
+    # queries plus two witness-debt rows fill all 50 slots exactly.
     # -- (a) new this round -----------------------------------------
     "unigram_lm_vocab_induction",
     "unigram_lm_segmentation_stats",
     "embedding_pq_rerank_topk",
     "pq_rerank_recall_at_k",
+    "embedding_ivfpq_topk",
+    "ivfpq_recall_at_k",
+    "wordpiece_vocab_induction",
+    "wordpiece_segmentation_stats",
+    "bm25_retrieval_topk",
+    "anf_effective_diameter",
     # -- (b) VERDICT r8 item 1's named witness debt: the HLL pair
     #        (helper rewritten in r8 after the rotation) and the
     #        store-key-refactor ANN consumers with only representative
-    #        r8 coverage ---------------------------------------------
+    #        r8 coverage. The round-9-close registrations grew the
+    #        diff-touched set to 48, so only two debt slots remain
+    #        beside it: hll_shingle_estimates completes the named HLL
+    #        pair (hll_vocab_estimates is itself diff-touched), and
+    #        ivf_recall_at_k re-runs the whole IVF store search path
+    #        in-query, the strongest single witness of the store-key
+    #        consumers. embedding_ivf_topk / embedding_ivf_lloyd_topk /
+    #        semantic_dedup_candidates — the class the verdict itself
+    #        rated mildest (store-independent oracles hash-fail stale
+    #        stores) — carry to the round-10 rotation.
     "hll_vocab_estimates",
     "hll_shingle_estimates",
     "embedding_pq_topk",
     "pq_recall_at_k",
-    "embedding_ivf_topk",
-    "embedding_ivf_lloyd_topk",
     "ivf_recall_at_k",
-    "semantic_dedup_candidates",
     # -- (c) every remaining query the r9 net diff touches, per the
     #        freshness tool's AST map (louvain floor work; the SQL-form
     #        phase1 + shared-sym/modularity changes reach the whole
@@ -148,10 +163,13 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "simhash_near_dups",
     "embedding_cosine_dups",
     "embedding_lsh_topk",
-    # -- (d) oldest r04 backlog rows to fill the 50 -------------------
-    "two_hop_dependencies",
-    "events_json_extract",
-    "events_daily_active_users",
+    # -- (d) r04 backlog: the six round-9-close registrations took the
+    #        three filler slots this section held mid-round
+    #        (two_hop_dependencies, events_json_extract,
+    #        events_daily_active_users) — the window is exactly 50
+    #        touched-or-debt queries, so the r04 rows carry to the
+    #        round-10 rotation (they are untouched and locally green
+    #        in every all-registry sweep) ------------------------------
 )
 
 
