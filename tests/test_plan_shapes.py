@@ -566,3 +566,70 @@ def test_kll_compaction_windows_share_one_exchange(spark):
     plan = _plan(spark, "kll_quantile_merge")
     assert plan.count("hashpartitioning(event_type") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_wordpiece_segmentation_pure_scan(spark):
+    """wordpiece_segmentation_stats claims ZERO shuffles beyond the
+    final source rollup: the vocabulary is driver constants inlined
+    into a transform() jump table and one aggregate() fold, so the
+    plan must contain NO joins and exactly two exchanges — the
+    hashpartitioning(source) for the rollup and the result-sized
+    rangepartitioning for the final ORDER BY."""
+    import re
+
+    plan = _plan(spark, "wordpiece_segmentation_stats")
+    assert "Join" not in plan, plan
+    hashex = re.findall(r"hashpartitioning\(source", plan)
+    assert len(hashex) == 1, plan
+    assert len(re.findall(r"rangepartitioning\(", plan)) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_bm25_broadcast_stats_and_takeordered(spark):
+    """bm25_retrieval_topk: doc-frequency and corpus stats must arrive
+    as broadcasts (the 1-row stats frame as a broadcast Cross BNLJ,
+    dfreq as a BroadcastHashJoin), the ranking must be bounded by a
+    TakeOrderedAndProject before the k-row rank window, and nothing
+    may sort-merge or cartesian."""
+    import re
+
+    plan = _plan(spark, "bm25_retrieval_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_scan_reads_codes_not_floats(spark):
+    """The IVFADC search scan must read ONLY the integer code table
+    (vec_id, list_id, j, cid) — the float embedding column may appear
+    solely in the probe/LUT subtrees, whose embeddings scans carry the
+    query-id IN filter pushed down. Every join in the search is a
+    broadcast; a sort-merge join would mean the code scan got
+    shuffled."""
+    import re
+
+    plan = _plan(spark, "embedding_ivfpq_topk")
+    scan_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    code_scans = [s for s in scan_schemas if "cid" in s]
+    assert code_scans, plan
+    for s in code_scans:
+        assert "embedding" not in s, s
+    emb_scans = [s for s in scan_schemas if "embedding" in s]
+    assert emb_scans, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_anf_diameter_no_joins_in_readout(spark):
+    """anf_effective_diameter under the task threshold: the kernel
+    emits per-(h, node) integer sums, so the whole readout is
+    aggregations and hops-bounded windows — the plan must contain no
+    join operators at all, and the Arrow stage must be the grouped
+    kernel (FlatMapGroupsInPandas), not a per-row UDF."""
+    plan = _plan(spark, "anf_effective_diameter")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
