@@ -175,6 +175,43 @@ def load_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base, "merges.parquet"))
 
 
+def max_munch_piece_count(pieces: list[str], toks_col: str = "toks"):
+    """Column: the number of greedy longest-match-first (max-munch)
+    pieces covering the token-array column — the WordPiece inference
+    walk as ONE aggregate() fold: at each position i that the walk
+    reaches, jump by the length of the longest piece matching there
+    (single tokens are the implicit fallback alphabet). Pure narrow
+    expression — no joins, no shuffles, no UDF — so segmentation
+    stays a scan at any corpus size.
+
+    ``pieces`` are space-joined token n-grams (multi-token entries
+    only matter; singles are the fallback). Tokens must be
+    [a-z0-9]+ — the literals are inlined into the expression."""
+    import re as _re
+
+    multi = sorted(
+        {p for p in pieces if " " in p},
+        key=lambda p: (-len(p.split(" ")), p),
+    )
+    for p in multi:
+        if not _re.fullmatch(r"[a-z0-9]+( [a-z0-9]+)+", p):
+            raise ValueError(f"piece not inlinable as a literal: {p!r}")
+    branches = " ".join(
+        f"WHEN i + {len(p.split(' ')) - 1} <= size({toks_col}) "
+        f"AND array_join(slice({toks_col}, i, {len(p.split(' '))}), ' ') "
+        f"= '{p}' THEN {len(p.split(' '))}"
+        for p in multi
+    )
+    jump = f"CASE {branches} ELSE 1 END" if branches else "1"
+    return F.expr(
+        f"aggregate(sequence(1, size({toks_col})), "
+        "named_struct('nxt', 1, 'cnt', 0), "
+        f"(acc, i) -> IF(i = acc.nxt, "
+        f"named_struct('nxt', i + {jump}, 'cnt', acc.cnt + 1), acc), "
+        "acc -> acc.cnt)"
+    )
+
+
 def vocab_pieces(spark: SparkSession, sf_dir: str) -> list[str]:
     """The learned multi-token pieces as space-joined token n-grams —
     each merge product 'left right' flattens to a contiguous token

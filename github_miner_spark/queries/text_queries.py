@@ -2244,35 +2244,23 @@ def _wordpiece_seg_oracle_sql(rounds: int = _WP_ROUNDS) -> str:
 def wordpiece_segmentation_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from github_miner_spark.functions.wordpiece_store import vocab_pieces
+    from github_miner_spark.functions.wordpiece_store import (
+        max_munch_piece_count,
+        vocab_pieces,
+    )
 
     pieces = vocab_pieces(spark, sf_dir)
     docs = load_table(spark, "documents", sf_dir)
     base = docs.select("source", tokenize(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 1
     )
-    # longest-first CASE over the <= WP_MERGE_ROUNDS learned pieces
-    # (tokens are [a-z0-9]+ — no quoting hazards in the literals)
-    branches = " ".join(
-        f"WHEN i + {len(p.split(' ')) - 1} <= size(toks) "
-        f"AND array_join(slice(toks, i, {len(p.split(' '))}), ' ') = '{p}' "
-        f"THEN {len(p.split(' '))}"
-        for p in pieces
-    )
-    case_expr = f"CASE {branches} ELSE 1 END" if branches else "1"
-    jumps = F.expr(f"transform(sequence(1, size(toks)), i -> {case_expr})")
-    walk = F.expr(
-        "aggregate(sequence(1, size(toks)), "
-        "named_struct('nxt', 1, 'cnt', 0), "
-        "(acc, i) -> IF(i = acc.nxt, "
-        "named_struct('nxt', i + element_at(jumps, i), "
-        "'cnt', acc.cnt + 1), acc), "
-        "acc -> acc.cnt)"
-    )
-    per_doc = base.withColumn("jumps", jumps).select(
+    # the greedy walk is one shared fold expression — property-tested
+    # against a Python reference on random vocabularies in
+    # tests/test_properties.py
+    per_doc = base.select(
         "source",
         F.size("toks").cast("bigint").alias("n"),
-        walk.cast("bigint").alias("pieces"),
+        max_munch_piece_count(pieces).cast("bigint").alias("pieces"),
     )
     return (
         per_doc.groupBy("source")

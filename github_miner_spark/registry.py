@@ -90,6 +90,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # from the AST reference graph — holds a slot below), closing the
     # r8 helper-rewrite loophole mechanically. The 48 diff-touched
     # queries plus two witness-debt rows fill all 50 slots exactly.
+    # Re-pinned with the max-munch fold factoring (the greedy walk
+    # moved into functions/wordpiece_store.py for property testing;
+    # both WordPiece queries already hold slots below).
     # -- (a) new this round -----------------------------------------
     "unigram_lm_vocab_induction",
     "unigram_lm_segmentation_stats",

@@ -600,3 +600,56 @@ def test_incremental_minhash_equals_full_run_filtered(spark, texts, cut_frac):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    pieces=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=2, max_size=3),
+        min_size=0,
+        max_size=5,
+    ),
+)
+@_settings
+def test_max_munch_fold_matches_python_reference(spark, docs, pieces):
+    """The WordPiece greedy longest-match fold (one aggregate()
+    expression) vs a straightforward Python walk, over random docs and
+    random multi-token vocabularies from a tiny alphabet — the
+    structure generator produces overlapping pieces, shared prefixes,
+    pieces longer than the doc, and repeated tokens."""
+    from github_miner_spark.functions.wordpiece_store import (
+        max_munch_piece_count,
+    )
+
+    piece_strs = [" ".join(p) for p in pieces]
+    vocab = {tuple(p) for p in pieces}
+    max_len = max((len(v) for v in vocab), default=1)
+
+    def ref(toks):
+        i, cnt = 0, 0
+        while i < len(toks):
+            step = 1
+            for L in range(min(max_len, len(toks) - i), 1, -1):
+                if tuple(toks[i : i + L]) in vocab:
+                    step = L
+                    break
+            i += step
+            cnt += 1
+        return cnt
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        r["doc_id"]: r["cnt"]
+        for r in df.select(
+            "doc_id", max_munch_piece_count(piece_strs).alias("cnt")
+        ).collect()
+    }
+    want = {i: ref(toks) for i, toks in enumerate(docs)}
+    assert got == want
