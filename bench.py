@@ -164,6 +164,7 @@ HEADLINE = [
     "wordpiece_segmentation_stats",
     "bm25_retrieval_topk",
     "anf_effective_diameter",
+    "item_cooccurrence_topk",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

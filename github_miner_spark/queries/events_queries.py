@@ -916,3 +916,110 @@ def kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# item-item co-occurrence similarity (recsys candidate generation)
+
+COOC_USER_CAP = 64  # drop power users whose distinct-item fanout
+# would dominate the pair join — the standard degree cap; part of the
+# spec, replicated exactly in the oracle
+
+
+@register(
+    "item_cooccurrence_topk",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    kept AS (
+      SELECT user_id, item FROM ui
+      QUALIFY count(*) OVER (PARTITION BY user_id) <= {COOC_USER_CAP}
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS co_users
+      FROM kept a JOIN kept b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+    ),
+    pops AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n_users
+      FROM kept GROUP BY item
+    )
+    SELECT p.item_a, p.item_b, p.co_users,
+           round(p.co_users / sqrt(pa.n_users * pb.n_users), 6) AS cosine,
+           CAST(row_number() OVER (
+             ORDER BY round(p.co_users / sqrt(pa.n_users * pb.n_users), 6)
+                      DESC, p.item_a, p.item_b) AS INT) AS rank
+    FROM pairs p
+    JOIN pops pa ON pa.item = p.item_a
+    JOIN pops pb ON pb.item = p.item_b
+    ORDER BY cosine DESC, item_a, item_b LIMIT 20
+    """,
+    description="Item-item co-occurrence cosine top-20 — the classic "
+    "collaborative-filtering candidate generator ('users who touched "
+    "X also touched Y'), computed from the events stream's item prop: "
+    "binary user-item incidence, cosine = co_users / "
+    "sqrt(pop_a * pop_b), ranked globally. 100 TB shape: the pair "
+    "join is keyed on user_id with per-user fanout bounded by the "
+    "degree cap (power users above {cap} distinct items are dropped "
+    "whole — the standard recsys cap, part of the spec so the oracle "
+    "replicates it exactly), so candidate volume is "
+    "sum-of-capped-squares, never items x items; item popularities "
+    "are a vocabulary-sized broadcast; the final ranking is one "
+    "TakeOrderedAndProject. Counts are integers and the cosine is a "
+    "single-op double division, so ranking agrees bit-for-bit across "
+    "engines.".format(cap=COOC_USER_CAP),
+    tags=("events", "similarity", "recsys", "topk"),
+)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    item = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    kept = (
+        ui.withColumn(
+            "n_items", F.count("*").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("n_items") <= COOC_USER_CAP)
+        .select("user_id", "item")
+    )
+    a = kept.select("user_id", F.col("item").alias("item_a"))
+    b = kept.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("co_users"))
+    )
+    pops = kept.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    pa = pops.select(F.col("item").alias("item_a"), F.col("n_users").alias("na"))
+    pb = pops.select(F.col("item").alias("item_b"), F.col("n_users").alias("nb"))
+    cosine = F.round(
+        F.col("co_users") / F.sqrt(F.col("na") * F.col("nb")), 6
+    )
+    scored = (
+        pairs.join(F.broadcast(pa), "item_a")
+        .join(F.broadcast(pb), "item_b")
+        .select("item_a", "item_b", "co_users", cosine.alias("cosine"))
+    )
+    top = scored.orderBy(F.desc("cosine"), "item_a", "item_b").limit(20)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), "item_a", "item_b"))
+            .cast("int"),
+        )
+        .orderBy(F.desc("cosine"), "item_a", "item_b")
+    )

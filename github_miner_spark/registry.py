@@ -104,6 +104,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "wordpiece_segmentation_stats",
     "bm25_retrieval_topk",
     "anf_effective_diameter",
+    "item_cooccurrence_topk",
     # -- (b) VERDICT r8 item 1's named witness debt: the HLL pair
     #        (helper rewritten in r8 after the rotation) and the
     #        store-key-refactor ANN consumers with only representative
@@ -116,12 +117,15 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #        consumers. embedding_ivf_topk / embedding_ivf_lloyd_topk /
     #        semantic_dedup_candidates — the class the verdict itself
     #        rated mildest (store-independent oracles hash-fail stale
-    #        stores) — carry to the round-10 rotation.
+    #        stores) — carry to the round-10 rotation. The
+    #        item_cooccurrence_topk registration then took the
+    #        ivf_recall_at_k slot (49 touched + 1 debt = 50): the HLL
+    #        pair completes in full, ivf_recall_at_k joins the carried
+    #        store-key class.
     "hll_vocab_estimates",
     "hll_shingle_estimates",
     "embedding_pq_topk",
     "pq_recall_at_k",
-    "ivf_recall_at_k",
     # -- (c) every remaining query the r9 net diff touches, per the
     #        freshness tool's AST map (louvain floor work; the SQL-form
     #        phase1 + shared-sym/modularity changes reach the whole

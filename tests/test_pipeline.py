@@ -669,3 +669,44 @@ def test_bm25_matches_python_reference(spark):
         for r in bm25_retrieval_topk(spark, sf).collect()
     ]
     assert got == [(d, s, i + 1) for i, (d, s) in enumerate(want)]
+
+
+def test_item_cooccurrence_matches_python_reference(spark):
+    """The co-occurrence top-20 must equal an independent Python
+    implementation: distinct user-item incidence from the props JSON,
+    the power-user degree cap, pair counts, and the cosine ranking."""
+    import json as _json
+    import math
+    from collections import Counter, defaultdict
+
+    from github_miner_spark.io.tables import load_table
+    from github_miner_spark.queries.events_queries import (
+        COOC_USER_CAP,
+        item_cooccurrence_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    per_user = defaultdict(set)
+    for r in load_table(spark, "events", sf).select("user_id", "props").collect():
+        k = _json.loads(r["props"]).get("k")
+        if k is not None:
+            per_user[r["user_id"]].add(int(k))
+    kept = {u: items for u, items in per_user.items() if len(items) <= COOC_USER_CAP}
+    co: Counter = Counter()
+    pop: Counter = Counter()
+    for items in kept.values():
+        s = sorted(items)
+        pop.update(s)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                co[(a, b)] += 1
+    scored = [
+        (a, b, n, round(n / math.sqrt(pop[a] * pop[b]), 6))
+        for (a, b), n in co.items()
+    ]
+    want = sorted(scored, key=lambda t: (-t[3], t[0], t[1]))[:20]
+    got = [
+        (r["item_a"], r["item_b"], r["co_users"], r["cosine"], r["rank"])
+        for r in item_cooccurrence_topk(spark, sf).collect()
+    ]
+    assert got == [(a, b, n, c, i + 1) for i, (a, b, n, c) in enumerate(want)]
