@@ -985,12 +985,17 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item").isNotNull())
         .distinct()
     )
+    # materialize the capped incidence ONCE: four consumers (both pair
+    # sides and both popularity lookups) would otherwise each re-run
+    # the scan + JSON parse + distinct + degree window — the expensive
+    # part of the whole query at any scale
     kept = (
         ui.withColumn(
             "n_items", F.count("*").over(Window.partitionBy("user_id"))
         )
         .filter(F.col("n_items") <= COOC_USER_CAP)
         .select("user_id", "item")
+        .localCheckpoint(eager=True)
     )
     a = kept.select("user_id", F.col("item").alias("item_a"))
     b = kept.select("user_id", F.col("item").alias("item_b"))

@@ -92,7 +92,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # queries plus two witness-debt rows fill all 50 slots exactly.
     # Re-pinned with the max-munch fold factoring (the greedy walk
     # moved into functions/wordpiece_store.py for property testing;
-    # both WordPiece queries already hold slots below).
+    # both WordPiece queries already hold slots below), and again with
+    # item_cooccurrence_topk's incidence checkpoint (measured ~15%:
+    # four consumers re-derived the scan+JSON+distinct+window).
     # -- (a) new this round -----------------------------------------
     "unigram_lm_vocab_induction",
     "unigram_lm_segmentation_stats",
