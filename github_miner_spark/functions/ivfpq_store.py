@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from github_miner_spark.functions.pq_store import (
+    ADC_SCALE,
     D_SUB,
     KSUB,
     M_SUB,
@@ -231,31 +232,42 @@ def ivfpq_topk_from_store(
             "query_id",
             "qv",
             "cid",
-            cdot.alias("cdot"),
+            # centroid dot quantized to BIGINT at 1e9 (ADVICE r9):
+            # the score sum below is then exact integer algebra on
+            # both engines, same convention as the flat-PQ path
+            F.round(cdot * ADC_SCALE, 0).cast("bigint").alias("cq"),
             F.round(cdot, 6).alias("cscore"),
         )
         .withColumn("rn", F.row_number().over(qw))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", F.col("cid").alias("list_id"), "cdot")
+        .select("query_id", "qv", F.col("cid").alias("list_id"), "cq")
     )
     qsub = _subspaces(q, "qv").select("query_id", "j", F.col("sv").alias("qsv"))
     lut = qsub.join(rcb, "j").select(
-        "query_id", "j", "cid", dot(F.col("qsv"), F.col("cvec")).alias("pdot")
+        "query_id", "j", "cid",
+        F.round(dot(F.col("qsv"), F.col("cvec")) * ADC_SCALE, 0)
+        .cast("bigint")
+        .alias("pq"),
     )
     scored = (
         codes.join(
-            F.broadcast(probes.select("query_id", "list_id", "cdot")), "list_id"
+            F.broadcast(probes.select("query_id", "list_id", "cq")), "list_id"
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "j", "cid"])
         .groupBy("query_id", "vec_id")
         # every row in a (query, vec) group shares one list hence one
-        # cdot; min() is the order-insensitive way to pick it
-        .agg(F.round(F.min("cdot") + F.sum("pdot"), 6).alias("score"))
+        # cq; min() is the order-insensitive way to pick it
+        .agg((F.min("cq") + F.sum("pq")).cast("bigint").alias("score_q"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "score", "rank")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("score_q") / F.lit(float(ADC_SCALE)), 6).alias("score"),
+            "rank",
+        )
     )

@@ -45,6 +45,12 @@ M_SUB = 4  # subspaces
 D_SUB = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
 KSUB = 16  # codebook entries per subspace
 SAMPLE_MOD = 31  # deterministic codebook sample: vec_id % 31 == 0
+# ADC partial dots are quantized to BIGINT at 1e9 before the
+# order-sensitive per-(query, vector) sum (ADVICE r9): a ulp-order
+# difference between Spark's partial aggregation and DuckDB's could
+# in principle flip a 6dp rounding boundary; integer sums cannot.
+# Same convention as the BM25 / unigram-LM / WordPiece scores.
+ADC_SCALE = 1_000_000_000
 
 
 def _store_dir(sf_dir: str) -> str:
@@ -180,18 +186,26 @@ def pq_topk_from_store(
     ).select(F.col("vec_id").alias("query_id"), "nv")
     qsub = _subspaces(q, "nv").select("query_id", "j", F.col("sv").alias("qsv"))
     pdot = dot(F.col("qsv"), F.col("cvec"))
-    lut = qsub.join(codebook, "j").select("query_id", "j", "cid", pdot.alias("pdot"))
+    lut = qsub.join(codebook, "j").select(
+        "query_id", "j", "cid",
+        F.round(pdot * ADC_SCALE, 0).cast("bigint").alias("pq"),
+    )
     scored = (
         codes.join(F.broadcast(lut), ["j", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("pdot"), 6).alias("score"))
+        .agg(F.sum("pq").cast("bigint").alias("score_q"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "score", "rank")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("score_q") / F.lit(float(ADC_SCALE)), 6).alias("score"),
+            "rank",
+        )
     )
 
 
@@ -233,14 +247,17 @@ def pq_rerank_topk_from_store(
     )
     qsub = _subspaces(q, "qv").select("query_id", "j", F.col("sv").alias("qsv"))
     pdot = dot(F.col("qsv"), F.col("cvec"))
-    lut = qsub.join(codebook, "j").select("query_id", "j", "cid", pdot.alias("pdot"))
+    lut = qsub.join(codebook, "j").select(
+        "query_id", "j", "cid",
+        F.round(pdot * ADC_SCALE, 0).cast("bigint").alias("pq"),
+    )
     scored = (
         codes.join(F.broadcast(lut), ["j", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("pdot"), 6).alias("score"))
+        .agg(F.sum("pq").cast("bigint").alias("score_q"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("vec_id"))
     short = (
         scored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= shortlist)

@@ -929,10 +929,14 @@ COOC_USER_CAP = 64  # drop power users whose distinct-item fanout
     "item_cooccurrence_topk",
     oracle=f"""
     WITH ui AS (
+      -- TRY_CAST, not CAST: the Spark side's get_json_object(...)
+      -- .cast('bigint') silently nulls non-numeric k values, so the
+      -- oracle must drop malformed rows identically instead of
+      -- erroring on them (ADVICE r9)
       SELECT DISTINCT user_id,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
       FROM events
-      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
     ),
     kept AS (
       SELECT user_id, item FROM ui

@@ -888,13 +888,19 @@ _PQ_CHAIN = """
     ),
     q AS (SELECT vec_id AS query_id, nv AS qv FROM nrm WHERE vec_id IN (0, 1, 2, 3, 4)),
     lut AS (
+      -- partial dots quantized to BIGINT at 1e9 BEFORE the
+      -- order-sensitive per-(query, vector) sum (ADVICE r9): the
+      -- score sum is then exact integer algebra on both engines,
+      -- same convention as BM25 / unigram-LM
       SELECT q.query_id, c.j, c.cid,
-             list_sum(list_transform(generate_series(1, 16),
-                      i -> q.qv[c.j * 16 + i] * c.cvec[i])) AS pdot
+             CAST(round(list_sum(list_transform(generate_series(1, 16),
+                      i -> q.qv[c.j * 16 + i] * c.cvec[i]))
+                  * 1000000000, 0) AS BIGINT) AS pq
       FROM q CROSS JOIN codebook c
     ),
     scored AS (
-      SELECT l.query_id, cd.vec_id AS neighbor_id, round(sum(l.pdot), 6) AS score
+      SELECT l.query_id, cd.vec_id AS neighbor_id,
+             CAST(sum(l.pq) AS BIGINT) AS score_q
       FROM codes cd
       JOIN lut l ON l.j = cd.j AND l.cid = cd.cid
       WHERE cd.vec_id <> l.query_id
@@ -903,9 +909,10 @@ _PQ_CHAIN = """
 
 _PQ_ORACLE = _PQ_CHAIN + """,
     ranked AS (
-      SELECT query_id, neighbor_id, score,
+      SELECT query_id, neighbor_id,
+             round(score_q / 1000000000.0, 6) AS score,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, neighbor_id ASC) AS rank
+                                ORDER BY score_q DESC, neighbor_id ASC) AS rank
       FROM scored
     )
     SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
@@ -919,7 +926,7 @@ _PQ_RERANK_ORACLE = _PQ_CHAIN + f""",
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, neighbor_id ASC) AS r
+                                  ORDER BY score_q DESC, neighbor_id ASC) AS r
         FROM scored
       ) WHERE r <= {PQ_RERANK_SHORTLIST}
     ),
@@ -1165,7 +1172,10 @@ _IVFPQ_CHAIN = f"""
     ),
     q AS (SELECT vec_id AS query_id, nv AS qv FROM nrm WHERE vec_id IN (0, 1, 2, 3, 4)),
     probes AS (
-      SELECT query_id, qv, cid AS list_id, cdot FROM (
+      -- cdot quantized to BIGINT at 1e9 like the lut entries below
+      -- (ADVICE r9) so the ADC score sum is exact integer algebra
+      SELECT query_id, qv, cid AS list_id,
+             CAST(round(cdot * 1000000000, 0) AS BIGINT) AS cq FROM (
         SELECT q.query_id, q.qv, c.cid,
                list_sum(list_transform(generate_series(1, 64),
                         i -> q.qv[i] * c.cvec[i])) AS cdot,
@@ -1177,13 +1187,14 @@ _IVFPQ_CHAIN = f"""
     ),
     lut AS (
       SELECT q.query_id, c.j, c.cid,
-             list_sum(list_transform(generate_series(1, 16),
-                      i -> q.qv[c.j * 16 + i] * c.cvec[i])) AS pdot
+             CAST(round(list_sum(list_transform(generate_series(1, 16),
+                      i -> q.qv[c.j * 16 + i] * c.cvec[i]))
+                  * 1000000000, 0) AS BIGINT) AS pq
       FROM q CROSS JOIN rcodebook c
     ),
     scored AS (
       SELECT p.query_id, cd.vec_id AS neighbor_id,
-             round(min(p.cdot) + sum(l.pdot), 6) AS score
+             CAST(min(p.cq) + sum(l.pq) AS BIGINT) AS score_q
       FROM codes cd
       JOIN probes p ON p.list_id = cd.list_id
       JOIN lut l ON l.query_id = p.query_id AND l.j = cd.j AND l.cid = cd.cid
@@ -1193,9 +1204,10 @@ _IVFPQ_CHAIN = f"""
 
 _IVFPQ_ORACLE = _IVFPQ_CHAIN + """,
     ranked AS (
-      SELECT query_id, neighbor_id, score,
+      SELECT query_id, neighbor_id,
+             round(score_q / 1000000000.0, 6) AS score,
              row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, neighbor_id ASC) AS rank
+                                ORDER BY score_q DESC, neighbor_id ASC) AS rank
       FROM scored
     )
     SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
