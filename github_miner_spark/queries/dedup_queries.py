@@ -461,6 +461,120 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "duplicated_span_removal_plan",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(str_split(regexp_replace(lower(text),
+                        '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
+               FROM documents),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS win
+      FROM t, unnest(CASE WHEN len(toks) >= 5
+                          THEN range(1, len(toks) - 3)
+                          ELSE [] END) AS u(i)
+    ),
+    sites AS (
+      -- keep the corpus-first occurrence of every duplicated window
+      -- (min (doc_id, pos)); every later occurrence is a removal site
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY win
+                                  ORDER BY doc_id, pos) AS rn
+        FROM wins
+      ) WHERE rn >= 2
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS brk
+      FROM sites
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM runs
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_sites
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+    description="Exact-substring dedup REMOVAL PLAN — the actionable "
+    "upgrade of duplicated_span_stats toward Lee et al. 2022 "
+    "('Deduplicating Training Data Makes Language Models Better', "
+    "ExactSubstr): every occurrence of a duplicated 5-token window "
+    "EXCEPT the corpus-first one (ordered by doc_id, then position) "
+    "is a removal site, and per-doc sites are merged into MAXIMAL "
+    "spans — overlapping or touching windows (start gap <= 5) "
+    "coalesce — emitting (doc_id, span_start, span_end, span_tokens, "
+    "n_sites) 1-based inclusive token extents a downstream pass can "
+    "cut verbatim. 100 TB shape: one explode (O(corpus tokens)), one "
+    "window partitioned by the 8-byte xxhash64 window key (the "
+    "first-occurrence rule, no self-join), one window partitioned by "
+    "doc_id for the run merge — no pairwise doc comparison anywhere, "
+    "every shuffle keyed on hash or doc id. The oracle partitions on "
+    "the raw window text; only positions and extents are compared, "
+    "so the key representation stays engine-local.",
+    tags=("dedup", "spans", "curation", "plan"),
+)
+def duplicated_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from github_miner_spark.functions.text import token_windows, tokenize
+
+    w = 5
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    wins = toks.select(
+        "doc_id", F.posexplode(token_windows(F.col("toks"), w)).alias("p0", "win")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.xxhash64("win").alias("wh"),
+    )
+    first_w = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    sites = (
+        wins.withColumn("rn", F.row_number().over(first_w))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    doc_w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = sites.withColumn("prev", F.lag("pos").over(doc_w)).withColumn(
+        "brk",
+        F.when(
+            F.col("prev").isNull() | (F.col("pos") - F.col("prev") > w), 1
+        ).otherwise(0),
+    )
+    isl = runs.withColumn(
+        "island",
+        F.sum("brk").over(doc_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + w - 1).cast("bigint").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_sites"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_sites",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@register(
     "incremental_minhash_dedup",
     oracle=_minhash_oracle().replace(
         "ORDER BY c.doc_a, c.doc_b",

@@ -710,3 +710,59 @@ def test_item_cooccurrence_matches_python_reference(spark):
         for r in item_cooccurrence_topk(spark, sf).collect()
     ]
     assert got == [(a, b, n, c, i + 1) for i, (a, b, n, c) in enumerate(want)]
+
+
+def test_span_removal_plan_from_spec_replay(spark):
+    """FROM-SPEC replay of the exact-substring removal plan in plain
+    Python: tokenize with the same regex, enumerate 5-token windows,
+    keep the corpus-first occurrence of every duplicated window
+    (ordered by doc_id then position), merge later occurrences into
+    maximal spans (start gap <= 5 coalesces), and compare the emitted
+    extents row-for-row. Also pins the Lee et al. invariants: spans
+    never overlap within a doc, every span covers >= 5 tokens, and
+    every span lies inside its document."""
+    import re
+    from collections import defaultdict
+
+    from github_miner_spark.queries.dedup_queries import (
+        duplicated_span_removal_plan,
+    )
+
+    w = 5
+    toks_by_doc = {}
+    for r in load_table(spark, "documents", SF).select("doc_id", "text").collect():
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", r["text"].lower()).split(" ") if t]
+        toks_by_doc[r["doc_id"]] = toks
+    occs = defaultdict(list)
+    for doc_id in sorted(toks_by_doc):
+        toks = toks_by_doc[doc_id]
+        for p in range(len(toks) - w + 1):
+            occs[" ".join(toks[p : p + w])].append((doc_id, p + 1))
+    sites = defaultdict(list)
+    for sites_of_win in occs.values():
+        for doc_id, pos in sorted(sites_of_win)[1:]:  # corpus-first kept
+            sites.setdefault(doc_id, []).append(pos)
+    want = []
+    for doc_id in sorted(sites):
+        run = []
+        for pos in sorted(sites[doc_id]):
+            if run and pos - run[-1] > w:
+                want.append((doc_id, run[0], run[-1] + w - 1, len(run)))
+                run = []
+            run.append(pos)
+        if run:
+            want.append((doc_id, run[0], run[-1] + w - 1, len(run)))
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_sites"])
+        for r in duplicated_span_removal_plan(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) > 0  # the planted near-dup pairs guarantee spans
+    by_doc = defaultdict(list)
+    for doc_id, s, e, _n in got:
+        assert e - s + 1 >= w
+        assert 1 <= s <= e <= len(toks_by_doc[doc_id])
+        by_doc[doc_id].append((s, e))
+    for spans in by_doc.values():
+        for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # maximal: no overlap, no touching runs left

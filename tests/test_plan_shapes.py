@@ -217,6 +217,16 @@ def test_duplicated_spans_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_span_removal_plan_no_joins(spark):
+    # the removal plan is explode + two windows (first-occurrence rule
+    # on the hashed window key, run-merge per doc) — no join of any
+    # kind, so no pairwise doc work can hide anywhere
+    plan = _plan(spark, "duplicated_span_removal_plan")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+
+
 def test_q7_shape_broadcasts_dims(spark):
     # nation/supplier/customer sides broadcast; the only real shuffle
     # join is fact-to-fact on orderkey
