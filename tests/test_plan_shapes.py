@@ -643,3 +643,28 @@ def test_anf_diameter_no_joins_in_readout(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_clustered_eval_plans_stay_broadcast_shaped(spark):
+    """The clustered-corpus recall ladder must keep every rung's
+    candidate generation bucketed/broadcast: the only nested-loop
+    joins allowed are the documented broadcast-scalar Cross shapes
+    (probe rows / centroid sets / the 1-row permutation against the
+    corpus scan) — never an inner NLJ, never a cartesian between two
+    corpus-sized sides; the ADC group-bys stay hash aggregates."""
+    import re
+
+    for name in (
+        "clustered_corpus_profile",
+        "clustered_lsh_recall_at_k",
+        "clustered_pq_recall_at_k",
+        "clustered_opq_recall_at_k",
+        "clustered_ivf_recall_at_k",
+        "clustered_ivfpq_recall_at_k",
+        "clustered_pq_rerank_recall_at_k",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+            assert m.group(1) in ("Cross", "LeftOuter"), (name, m.group(1))
+        assert "SortMergeJoin" not in plan, name

@@ -508,3 +508,98 @@ def test_ivfpq_store_layout_reuse_and_adc_identity(spark, tmp_path, monkeypatch)
             cvecs, key=lambda cid: (-round(float(q @ cvecs[cid]), 6), cid)
         )[:3]
         assert assignment[nid] in probe_lists, row
+
+
+# ---------------------------------------------------------------------------
+# clustered evaluation corpus (queries/clustered_eval.py)
+# ---------------------------------------------------------------------------
+
+
+def test_clustered_corpus_from_spec_replay(spark):
+    """FROM-SPEC numpy replay of the clustered evaluation corpus:
+    md5-seeded cluster assignment, md5-derived per-cluster offsets,
+    0.5-amplitude shift, renormalization — every vector must match
+    the engine's derivation to double precision, and every cluster
+    must be non-empty (the corpus is genuinely mixture-shaped)."""
+    import hashlib
+
+    from github_miner_spark.queries.clustered_eval import CLU_NC, _cnv
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in _double_emb(spark).collect()
+    }
+    offs = {
+        c: np.array(
+            [(h32(f"off{c}_{i}") % 2001 - 1000) / 1000.0 for i in range(1, 65)]
+        )
+        for c in range(CLU_NC)
+    }
+    got = {r.vec_id: (r.c, np.array(r.nv)) for r in _cnv(spark, SF).collect()}
+    assert set(got) == set(emb)
+    seen_clusters = set()
+    for vid, ev in emb.items():
+        c = h32(f"clu{vid}") % CLU_NC
+        seen_clusters.add(c)
+        sv = ev + 0.5 * offs[c]
+        nv = sv / np.sqrt((sv * sv).sum())
+        gc, gnv = got[vid]
+        assert gc == c, vid
+        assert np.abs(gnv - nv).max() < 1e-9, vid
+    assert seen_clusters == set(range(CLU_NC))
+
+
+def test_clustered_permutation_bijection_and_balance(spark):
+    """The OPQ permutation must be a true component bijection (every
+    permuted vector holds exactly the original multiset of values)
+    and must BALANCE per-subspace variance: the max/min spread of
+    summed per-dim variances across the 4 subspaces must shrink vs
+    the contiguous slicing flat PQ uses."""
+    from github_miner_spark.queries.clustered_eval import _clu_permuted, _cnv
+
+    cnv = _cnv(spark, SF)
+    orig = {r.vec_id: sorted(r.nv) for r in cnv.collect()}
+    perm = {r.vec_id: r.nv for r in _clu_permuted(cnv).collect()}
+    assert set(perm) == set(orig)
+    for vid, nv in perm.items():
+        assert sorted(nv) == orig[vid], vid
+    X = np.array([r for _v, r in sorted(perm.items())])
+    O = np.array(
+        [r.nv for r in cnv.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    def spread(M):
+        sub = [M[:, j * 16 : (j + 1) * 16].var(axis=0).sum() for j in range(4)]
+        return max(sub) - min(sub)
+    assert spread(X) < spread(O)
+
+
+def test_clustered_ladder_separation(spark):
+    """The regime pins VERDICT r9 item 2 asked for: on the clustered
+    corpus the ladder separates — IVF and the exact re-rank recover
+    nearly everything, flat PQ sits on the codebook floor, and the
+    permutation-form OPQ allocation strictly beats flat PQ (the
+    reversal of the isotropic-corpus rejection; both measurements
+    recorded in PERF.md)."""
+    from github_miner_spark import registry
+
+    specs = registry.all_specs()
+
+    def mean_recall(name: str) -> float:
+        rows = specs[name].spark(spark, SF).collect()
+        return sum(r.recall_at_5 for r in rows) / len(rows)
+
+    pq = mean_recall("clustered_pq_recall_at_k")
+    opq = mean_recall("clustered_opq_recall_at_k")
+    ivf = mean_recall("clustered_ivf_recall_at_k")
+    rerank = mean_recall("clustered_pq_rerank_recall_at_k")
+    ivfpq = mean_recall("clustered_ivfpq_recall_at_k")
+    lsh = mean_recall("clustered_lsh_recall_at_k")
+    assert ivf >= 0.8, ivf  # cluster-aligned lists recover the cluster
+    assert rerank >= 0.9, rerank
+    assert rerank > max(pq, opq, ivfpq), (rerank, pq, opq, ivfpq)
+    assert opq > pq, (opq, pq)  # the adopted re-adjudication claim
+    assert pq <= 0.3, pq  # the codebook-budget floor stays a floor
+    assert 0.0 < lsh < 1.0, lsh  # bucket-only: selective, not exhaustive
