@@ -165,6 +165,16 @@ HEADLINE = [
     "bm25_retrieval_topk",
     "anf_effective_diameter",
     "item_cooccurrence_topk",
+    # round 10: the exact-substring removal plan and the clustered
+    # ANN evaluation corpus ladder (profile + 6 recall rungs)
+    "duplicated_span_removal_plan",
+    "clustered_corpus_profile",
+    "clustered_lsh_recall_at_k",
+    "clustered_pq_recall_at_k",
+    "clustered_opq_recall_at_k",
+    "clustered_ivf_recall_at_k",
+    "clustered_ivfpq_recall_at_k",
+    "clustered_pq_rerank_recall_at_k",
 ]
 
 # The per-family core whose medians ride in the compact final line (one
@@ -647,6 +657,74 @@ def main() -> None:
                     per_root_task_threshold=0,
                 ).count(),
             )
+            # round 10 (VERDICT r9 item 3): exponents for the
+            # remaining iterative floors — louvain, k-core,
+            # betweenness, closeness, ANF. Whole-graph entries see 3x
+            # nodes+edges directly; the rooted sweeps start from the
+            # copy-0 anchor and traverse the whole chain through the
+            # link edges, so 3x data AND 3x depth (the ASP protocol).
+            # Task-kernel thresholds zeroed — the lane times the
+            # distributed loops themselves. OPT-IN
+            # (SPARK_GRAFT_EXTENDED_SCALING_LANE=1): these five
+            # entries cost ~15-20 min under the full 3-pair protocol
+            # (their distributed loops are barrier-dominated at bench
+            # SF — measured: k-core ~24s, closeness ~16s, betweenness
+            # ~14s warm per 1x call at sf0.01), which would triple the
+            # per-round driver bench; the round-10 measurement ran the
+            # full protocol once and committed the artifact
+            # (BENCH_scaling_r10.json, PERF.md round 10). The louvain
+            # entry times the PHASE-1 local-moving sweeps (2 sweeps,
+            # 1 level): the at-scale dominant loop — the super-node
+            # level re-runs the same sweeps on a contracted graph
+            # orders of magnitude smaller, while the FULL distributed
+            # two-level run is plan-compile-bound at bench SF (352s
+            # cold on 3k edges — all barrier/codegen overhead, no
+            # data signal).
+            if os.environ.get("SPARK_GRAFT_EXTENDED_SCALING_LANE"):
+                from github_miner_spark.graph.algorithms import (
+                    betweenness_centrality,
+                    coreness,
+                    louvain,
+                )
+                from github_miner_spark.graph.paths import bfs_depths
+                from github_miner_spark.queries.algorithms_queries import (
+                    _anf_distributed_reg_states,
+                )
+
+                exponent(
+                    "louvain_phase1",
+                    lambda g: louvain(
+                        g, max_sweeps=2, levels=1, task_threshold=0
+                    ).count(),
+                )
+                exponent(
+                    "k_core",
+                    lambda g: coreness(g, task_threshold=0).count(),
+                )
+                exponent(
+                    "betweenness",
+                    lambda g: betweenness_centrality(
+                        g,
+                        [ANCHOR_MODULE],
+                        backward_task_threshold=0,
+                        per_root_task_threshold=0,
+                    ).count(),
+                )
+                exponent(
+                    "closeness",
+                    lambda g: bfs_depths(
+                        g,
+                        roots=[ANCHOR_MODULE],
+                        broadcast_frontier=True,
+                        per_root_task_threshold=0,
+                    ).count(),
+                )
+                exponent(
+                    "anf",
+                    lambda g: _anf_distributed_reg_states(
+                        spark, g, 5, 3, 56, g.count()
+                    ).count(),
+                )
         finally:
             del os.environ["SPARK_GRAFT_FORCE_DISTRIBUTED"]
 

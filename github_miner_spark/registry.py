@@ -81,105 +81,85 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-9 window (re-pinned at round close for the six late
-    # registrations: IVFADC pair, WordPiece pair, BM25, ANF effective
-    # diameter — whose anf refactor also re-touches the ANF/HLL
-    # consumers). Rotation discipline: this rotation is the round's
-    # LAST code-touching commit, and tools/check_window_freshness.py
-    # verifies BOTH the ordering (no engine commit after this one) AND
-    # the coverage (every query the round's net diff touches — derived
-    # from the AST reference graph — holds a slot below), closing the
-    # r8 helper-rewrite loophole mechanically. The 48 diff-touched
-    # queries plus two witness-debt rows fill all 50 slots exactly.
-    # Re-pinned with the max-munch fold factoring (the greedy walk
-    # moved into functions/wordpiece_store.py for property testing;
-    # both WordPiece queries already hold slots below), and again with
-    # item_cooccurrence_topk's incidence checkpoint (measured ~15%:
-    # four consumers re-derived the scan+JSON+distinct+window).
-    # -- (a) new this round -----------------------------------------
-    "unigram_lm_vocab_induction",
-    "unigram_lm_segmentation_stats",
+    # Round-10 window — the deliberately LOW-CHURN witness-hygiene
+    # round VERDICT r9 item 1 prescribed: the r9 equilibrium (48
+    # diff-touched rows/round) left no aging capacity, so round 10
+    # capped code churn at 15 touched queries and spends the other 35
+    # slots draining the witness backlog. Rotation discipline
+    # unchanged: this rotation is the round's LAST code-touching
+    # commit; tools/check_window_freshness.py verifies the ordering
+    # AND that every diff-touched query (AST coverage map) holds a
+    # slot below. 15 touched + 4 carried store-key debt + all 23 r04
+    # rows + the 8 alphabetically-first free r05 rows = 50 exactly;
+    # after this round the oldest driver witness is r05 (11 rows),
+    # meeting the verdict's "oldest >= r05" done-criterion.
+    # -- (a) new this round: the exact-substring removal plan and the
+    #        clustered ANN evaluation corpus + its recall ladder
+    #        (VERDICT r9 items 2 and 4) -----------------------------
+    "duplicated_span_removal_plan",
+    "clustered_corpus_profile",
+    "clustered_lsh_recall_at_k",
+    "clustered_pq_recall_at_k",
+    "clustered_opq_recall_at_k",
+    "clustered_ivf_recall_at_k",
+    "clustered_ivfpq_recall_at_k",
+    "clustered_pq_rerank_recall_at_k",
+    # -- (b) touched by the ADVICE r9 fixes: the ADC integer
+    #        quantization re-touches the whole PQ/IVFADC family
+    #        (pq_store/ivfpq_store score paths + their oracles), and
+    #        the TRY_CAST oracle hardening touches the co-occurrence
+    #        query ------------------------------------------------
+    "embedding_pq_topk",
+    "pq_recall_at_k",
     "embedding_pq_rerank_topk",
     "pq_rerank_recall_at_k",
     "embedding_ivfpq_topk",
     "ivfpq_recall_at_k",
-    "wordpiece_vocab_induction",
-    "wordpiece_segmentation_stats",
-    "bm25_retrieval_topk",
-    "anf_effective_diameter",
     "item_cooccurrence_topk",
-    # -- (b) VERDICT r8 item 1's named witness debt: the HLL pair
-    #        (helper rewritten in r8 after the rotation) and the
-    #        store-key-refactor ANN consumers with only representative
-    #        r8 coverage. The round-9-close registrations grew the
-    #        diff-touched set to 48, so only two debt slots remain
-    #        beside it: hll_shingle_estimates completes the named HLL
-    #        pair (hll_vocab_estimates is itself diff-touched), and
-    #        ivf_recall_at_k re-runs the whole IVF store search path
-    #        in-query, the strongest single witness of the store-key
-    #        consumers. embedding_ivf_topk / embedding_ivf_lloyd_topk /
-    #        semantic_dedup_candidates — the class the verdict itself
-    #        rated mildest (store-independent oracles hash-fail stale
-    #        stores) — carry to the round-10 rotation. The
-    #        item_cooccurrence_topk registration then took the
-    #        ivf_recall_at_k slot (49 touched + 1 debt = 50): the HLL
-    #        pair completes in full, ivf_recall_at_k joins the carried
-    #        store-key class.
-    "hll_vocab_estimates",
-    "hll_shingle_estimates",
-    "embedding_pq_topk",
-    "pq_recall_at_k",
-    # -- (c) every remaining query the r9 net diff touches, per the
-    #        freshness tool's AST map (louvain floor work; the SQL-form
-    #        phase1 + shared-sym/modularity changes reach the whole
-    #        algorithms module and its cypher readbacks; the KMV/
-    #        source-overlap rollup; text_queries module edits; window
-    #        re-pinned with the late anf anchored-reach rollup commit
-    #        and again with the pagerank task-kernel dispatch flip —
-    #        anf_neighborhood_function and the three pagerank consumers
-    #        already hold their slots below) ---------------------------
-    "louvain_communities",
-    "louvain_per_reltype",
-    "cypher_community_readback",
-    "scc_summary",
-    "scc_size_histogram",
-    "cypher_scc_readback",
-    "pagerank_top20",
-    "cypher_pagerank_readback",
-    "personalized_pagerank_top",
-    "label_propagation_summary",
-    "k_core_decomposition",
-    "connected_components_summary",
-    "anf_neighborhood_function",
-    "cypher_closure_from_anchor",
-    "cypher_collect_unwind_roundtrip",
-    "cypher_delete_counters",
-    "cypher_hosted_on_outer",
-    "cypher_meta_graph_call",
-    "cypher_subdeps_per_devdep",
-    "cypher_top_used_modules",
-    "cypher_unhosted_dependency_count",
-    "cypher_with_chain_fanout",
-    "cypher_with_topk_pipeline",
-    "kmv_set_operation_estimates",
-    "source_overlap_matrix",
-    "bpe_vocab_induction",
-    "bpe_segmentation_stats",
-    "cms_heavy_hitter_estimates",
-    "doc_kneser_ney_scores",
-    "kn_perplexity_filter_rates",
-    "source_unigram_kl",
-    "simhash_values",
-    "simhash_near_dups",
-    "embedding_cosine_dups",
-    "embedding_lsh_topk",
-    # -- (d) r04 backlog: the six round-9-close registrations took the
-    #        three filler slots this section held mid-round
-    #        (two_hop_dependencies, events_json_extract,
-    #        events_daily_active_users) — the window is exactly 50
-    #        touched-or-debt queries, so the r04 rows carry to the
-    #        round-10 rotation (they are untouched and locally green
-    #        in every all-registry sweep) ------------------------------
+    # -- (c) VERDICT r9 item "What's missing #2": the store-key ANN/
+    #        dedup consumers carried two rounds — they lead the
+    #        backlog drain --------------------------------------------
+    "embedding_ivf_topk",
+    "ivf_recall_at_k",
+    "embedding_ivf_lloyd_topk",
+    "semantic_dedup_candidates",
+    # -- (d) the full r04 witness tail (23 rows — every query whose
+    #        latest driver witness is CORRECTNESS_r04; untouched since,
+    #        locally green in every all-registry sweep) ----------------
+    "clustering_coefficient_summary",
+    "corpus_mixture_report",
+    "degree_assortativity",
+    "doc_repetition_signals",
+    "doc_unigram_surprisal",
+    "events_asof_last_purchase",
+    "events_daily_active_users",
+    "events_error_anomaly_scores",
+    "events_funnel",
+    "events_json_extract",
+    "events_purchase_attribution",
+    "events_session_windows",
+    "events_sessionization",
+    "events_sliding_windows",
+    "events_top_purchasers",
+    "events_tumbling_hourly",
+    "events_weekly_retention",
+    "lineitem_price_quantiles",
+    "minhash_decontamination",
+    "multimodal_frame_stats",
+    "priority_order_counts",
+    "sequence_packing_plan",
+    "two_hop_dependencies",
+    # -- (e) the oldest r05 rows (8 of the 19; the debt rows in (c)
+    #        cover 2 more; the remaining 11 r05 rows lead round 11's
+    #        aging section) -------------------------------------------
+    "corpus_zipf_fit",
+    "customer_order_distribution",
+    "doc_bigram_surprisal",
+    "doc_chunk_plan",
+    "doc_classifier_scores",
+    "dormant_rich_customers",
+    "duplicated_span_stats",
+    "embedding_decontamination",
 )
 
 
