@@ -653,3 +653,62 @@ def test_max_munch_fold_matches_python_reference(spark, docs, pieces):
     }
     want = {i: ref(toks) for i, toks in enumerate(docs)}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_settings
+def test_span_removal_plan_matches_python_reference(spark, tmp_path_factory, docs):
+    """Randomized-structure check of the exact-substring removal plan:
+    synthetic corpora over a 5-letter alphabet (dense window
+    collisions — within-doc repeats, cross-doc repeats, overlapping
+    and touching runs all occur) written as a documents.parquet
+    fixture, then the registered query compared row-for-row against
+    the pure-Python first-occurrence + run-merge reference."""
+    import re
+    from collections import defaultdict
+
+    from github_miner_spark.queries.dedup_queries import (
+        duplicated_span_removal_plan,
+    )
+
+    w = 5
+    tmp = tmp_path_factory.mktemp("span_prop")
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    occs = defaultdict(list)
+    for doc_id, text in rows:
+        toks = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+        for p in range(len(toks) - w + 1):
+            occs[" ".join(toks[p : p + w])].append((doc_id, p + 1))
+    sites = defaultdict(list)
+    for sites_of_win in occs.values():
+        for doc_id, pos in sorted(sites_of_win)[1:]:
+            sites[doc_id].append(pos)
+    want = []
+    for doc_id in sorted(sites):
+        run = []
+        for pos in sorted(sites[doc_id]):
+            if run and pos - run[-1] > w:
+                want.append((doc_id, run[0], run[-1] + w - 1, len(run)))
+                run = []
+            run.append(pos)
+        if run:
+            want.append((doc_id, run[0], run[-1] + w - 1, len(run)))
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_sites"])
+        for r in duplicated_span_removal_plan(spark, str(tmp)).collect()
+    ]
+    assert got == want
