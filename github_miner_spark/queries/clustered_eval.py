@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from github_miner_spark.functions.similarity import dot, lsh_bucket, norm
+from github_miner_spark.functions.similarity import dot, norm
 from github_miner_spark.functions.text import md5_prefix_hash
 from github_miner_spark.io.tables import load_table
 from github_miner_spark.queries.similarity_queries import _plane_signs
@@ -374,7 +374,10 @@ def _cnv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, c, nv): the clustered corpus, derived from spec —
     cluster assignment and per-cluster offsets are both in-engine md5
     arithmetic (no literals to drift), the shift is one zip_with, the
-    normalization the shared sequential fold."""
+    normalization the shared sequential fold. Deliberately NOT
+    checkpointed: the derivation is one cheap scan-shaped pass, and a
+    per-query eager materialization measured as a net LOSS (~+0.2s
+    per grader) against the recompute it saves."""
     emb = load_table(spark, "embeddings", sf_dir)
     ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     c = (
@@ -688,9 +691,29 @@ def clustered_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def clustered_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnv = _cnv(spark, sf_dir)
-    lb = cnv.select(
-        "vec_id", "nv", lsh_bucket(F.col("nv"), 4, CLU_DIMS).alias("b")
-    )
+    # bucket from PRE-COMPUTED sign literals (_plane_signs — the same
+    # md5-derived ±1s functions/similarity.hyperplane_bit builds as
+    # in-plan md5 expressions): the expression form costs ~3.5s of
+    # driver-side Catalyst optimization PER PLAN at 4 planes x 64 dims
+    # (256 md5/conv/substring subtrees folded per build — measured in
+    # the round-10 closing bench, where this grader was the slowest
+    # watch entry at 3.4s vs ~1.2s for its ladder peers); 256 double
+    # literals plan in milliseconds and produce identical buckets
+    def bucket(vec: Column) -> Column:
+        acc = F.lit(0)
+        for p in range(4):
+            signs = F.array(
+                *[F.lit(float(s)) for s in _plane_signs(p, CLU_DIMS)]
+            )
+            d = F.aggregate(
+                F.zip_with(vec, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc2, v: acc2 + v,
+            )
+            acc = acc + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return acc
+
+    lb = cnv.select("vec_id", "nv", bucket(F.col("nv")).alias("b"))
     q = lb.filter(F.col("vec_id").isin(list(CLU_PROBES))).select(
         F.col("vec_id").alias("query_id"),
         F.col("nv").alias("qv"),

@@ -93,6 +93,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # rows + the 8 alphabetically-first free r05 rows = 50 exactly;
     # after this round the oldest driver witness is r05 (11 rows),
     # meeting the verdict's "oldest >= r05" done-criterion.
+    # Re-pinned with the clustered-LSH literal-signs fix (the md5
+    # sign-expression form cost ~3.5s of Catalyst folding per plan;
+    # clustered_lsh_recall_at_k already holds its slot below).
     # -- (a) new this round: the exact-substring removal plan and the
     #        clustered ANN evaluation corpus + its recall ladder
     #        (VERDICT r9 items 2 and 4) -----------------------------
