@@ -603,3 +603,37 @@ def test_clustered_ladder_separation(spark):
     assert opq > pq, (opq, pq)  # the adopted re-adjudication claim
     assert pq <= 0.3, pq  # the codebook-budget floor stays a floor
     assert 0.0 < lsh < 1.0, lsh  # bucket-only: selective, not exhaustive
+
+
+def test_pq_adc_integer_quantization_exact_replay(spark, tmp_path, monkeypatch):
+    """FROM-SPEC replay of the ADVICE-r9 integer ADC convention: the
+    returned PQ score must equal round(sum_j round(pdot_j * 1e9) /
+    1e9, 6) EXACTLY (not within tolerance) — the partial dots
+    quantized to BIGINT before the order-sensitive sum, ranking done
+    on the integer sum. numpy recomputes the quantized scores from
+    the store's own codebook and codes."""
+    import github_miner_spark.functions.pq_store as pq_store
+
+    monkeypatch.setattr(pq_store, "STORE_ROOT", str(tmp_path))
+    topk = pq_store.pq_topk_from_store(spark, SF, PROBES, k=5).collect()
+    assert topk
+    codes, codebook = pq_store.load_pq_codes(spark, SF)
+    cb = {(r["j"], r["cid"]): np.array(r["cvec"]) for r in codebook.collect()}
+    code_map: dict = {}
+    for r in codes.collect():
+        code_map.setdefault(r["vec_id"], {})[r["j"]] = r["cid"]
+    emb = {
+        r["vec_id"]: np.array(r["nv"])
+        for r in pq_store._normalized(load_table(spark, "embeddings", SF)).collect()
+    }
+    S = pq_store.ADC_SCALE
+    for row in topk:
+        q = emb[row["query_id"]]
+        score_q = sum(
+            int(np.round(
+                float(q[j * pq_store.D_SUB : (j + 1) * pq_store.D_SUB]
+                      @ cb[(j, code_map[row["neighbor_id"]][j])]) * S
+            ))
+            for j in range(pq_store.M_SUB)
+        )
+        assert row["score"] == round(score_q / S, 6), row
