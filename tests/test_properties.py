@@ -712,3 +712,74 @@ def test_span_removal_plan_matches_python_reference(spark, tmp_path_factory, doc
         for r in duplicated_span_removal_plan(spark, str(tmp)).collect()
     ]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-400, max_value=400).map(lambda v: v / 100.0),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=6,
+        max_size=12,
+    )
+)
+@_settings
+def test_clustered_opq_permutation_matches_numpy(spark, tmp_path_factory, vecs):
+    """Randomized check of the whole OPQ-permutation derivation chain
+    (queries/clustered_eval.py): synthetic embeddings written as a
+    temporary embeddings.parquet, then the engine's permuted corpus
+    compared against an independent numpy replay of the spec —
+    md5-seeded cluster shift + renormalize, per-dim variance from
+    1e5-quantized components in integer algebra, rank desc (ties by
+    dim), round-robin deal across the 4 subspaces, permute."""
+    import hashlib
+
+    import numpy as np
+
+    from github_miner_spark.queries.clustered_eval import (
+        CLU_NC,
+        VARQ_SCALE,
+        _clu_permuted,
+        _cnv,
+    )
+
+    tmp = tmp_path_factory.mktemp("opq_prop")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    # the float32 parquet round-trip is part of the spec: replay from
+    # the stored float32 values, as the engine reads them
+    E = np.array([np.array(v, dtype=np.float32).astype(np.float64) for _i, v in rows])
+    offs = np.array(
+        [
+            [(h32(f"off{c}_{i}") % 2001 - 1000) / 1000.0 for i in range(1, 65)]
+            for c in range(CLU_NC)
+        ]
+    )
+    c = np.array([h32(f"clu{i}") % CLU_NC for i, _v in rows])
+    S = E + 0.5 * offs[c]
+    nv = S / np.sqrt((S * S).sum(axis=1, keepdims=True))
+    Q = np.round(nv * VARQ_SCALE).astype(np.int64)
+    n = len(rows)
+    varq = n * (Q * Q).sum(axis=0) - Q.sum(axis=0) ** 2
+    order = np.lexsort((np.arange(64), -varq))  # variance desc, dim asc
+    slots: dict[int, list[int]] = {j: [] for j in range(4)}
+    for r, dim in enumerate(order):
+        slots[r % 4].append(dim)
+    perm = [d for j in range(4) for d in slots[j]]
+    want = {i: [nv[i][d] for d in perm] for i, _v in rows}
+
+    got = {
+        r.vec_id: list(r.nv)
+        for r in _clu_permuted(_cnv(spark, str(tmp))).collect()
+    }
+    assert set(got) == set(want)
+    for vid in want:
+        assert np.abs(np.array(got[vid]) - np.array(want[vid])).max() < 1e-9, vid
