@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from github_miner_spark.functions.pq_store import ADC_SCALE
 from github_miner_spark.functions.similarity import dot, norm
 from github_miner_spark.functions.text import md5_prefix_hash
 from github_miner_spark.io.tables import load_table
@@ -56,7 +57,8 @@ CLU_SHORTLIST = 100  # rerank shortlist
 # n * sum(q^2) and sum(q)^2 inside BIGINT through sf10 while the
 # ranking stays exact integer algebra on both engines
 VARQ_SCALE = 100_000
-ADC_SCALE = 1_000_000_000  # functions/pq_store.py convention
+# ADC_SCALE is IMPORTED from functions/pq_store.py — one convention,
+# one definition; the ladder must move with the store-backed family
 
 # ---------------------------------------------------------------------------
 # shared DuckDB chain: the clustered corpus, probe queries, brute truth
@@ -468,10 +470,6 @@ def _subvec(vec: Column, j: Column) -> Column:
     return F.slice(vec, j * 16 + 1, 16)
 
 
-def _fold_dot(a: Column, b: Column) -> Column:
-    return dot(a, b)
-
-
 def _sq_l2(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -523,7 +521,7 @@ def _clu_pq_scored(nv_df: DataFrame) -> DataFrame:
         "query_id",
         "j",
         "cid",
-        F.round(_fold_dot(F.col("qsv"), F.col("cvec")) * ADC_SCALE, 0)
+        F.round(dot(F.col("qsv"), F.col("cvec")) * ADC_SCALE, 0)
         .cast("bigint")
         .alias("pq"),
     )
@@ -613,14 +611,14 @@ def _clu_ivf_parts(
             "nv",
             "cid",
             "cvec",
-            F.round(_fold_dot(F.col("nv"), F.col("cvec")), 6).alias("cscore"),
+            F.round(dot(F.col("nv"), F.col("cvec")), 6).alias("cscore"),
         )
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
         .select("vec_id", "nv", F.col("cid").alias("list_id"), "cvec")
     )
     q = _clu_probes(cnv)
-    cdot = _fold_dot(F.col("qv"), F.col("cvec"))
+    cdot = dot(F.col("qv"), F.col("cvec"))
     pw = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
     probes = (
         q.crossJoin(F.broadcast(cents))
@@ -725,7 +723,7 @@ def clustered_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_fold_dot(F.col("qv"), F.col("nv")), 6).alias("score"),
+        F.round(dot(F.col("qv"), F.col("nv")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -806,7 +804,7 @@ def clustered_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_fold_dot(F.col("qv"), F.col("nv")), 6).alias("score"),
+        F.round(dot(F.col("qv"), F.col("nv")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -882,7 +880,7 @@ def clustered_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "j",
         "cid",
-        F.round(_fold_dot(F.col("qsv"), F.col("cvec")) * ADC_SCALE, 0)
+        F.round(dot(F.col("qsv"), F.col("cvec")) * ADC_SCALE, 0)
         .cast("bigint")
         .alias("pq"),
     )
@@ -932,7 +930,7 @@ def clustered_pq_rerank_recall_at_k(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_fold_dot(F.col("qv"), F.col("nv")), 6).alias("score"),
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("score"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

@@ -516,12 +516,13 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coalesce — emitting (doc_id, span_start, span_end, span_tokens, "
     "n_sites) 1-based inclusive token extents a downstream pass can "
     "cut verbatim. 100 TB shape: one explode (O(corpus tokens)), one "
-    "window partitioned by the 8-byte xxhash64 window key (the "
-    "first-occurrence rule, no self-join), one window partitioned by "
-    "doc_id for the run merge — no pairwise doc comparison anywhere, "
-    "every shuffle keyed on hash or doc id. The oracle partitions on "
-    "the raw window text; only positions and extents are compared, "
-    "so the key representation stays engine-local.",
+    "window partitioned by the RAW window text (the first-occurrence "
+    "rule, no self-join — text, not a hash, because this output is "
+    "an actionable cut list: a 64-bit collision would mark unique "
+    "text for removal, a data-destroying failure the stats query's "
+    "count-skew tolerance does not share), one window partitioned by "
+    "doc_id for the run merge — no pairwise doc comparison anywhere. "
+    "The oracle partitions on the same raw text.",
     tags=("dedup", "spans", "curation", "plan"),
 )
 def duplicated_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,14 +533,22 @@ def duplicated_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = 5
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # the window KEY is the raw text, not a hash: unlike the stats
+    # query (where a 64-bit collision skews one count), this output
+    # is an actionable cut list — a collision would mark unique text
+    # for verbatim removal, which at exact-substring scale (billions
+    # of windows) puts 64-bit birthday collisions in reach. The
+    # ~30-byte text key costs shuffle width; it buys the correctness
+    # the artifact's contract requires (and matches the oracle's
+    # partitioning exactly).
     wins = toks.select(
         "doc_id", F.posexplode(token_windows(F.col("toks"), w)).alias("p0", "win")
     ).select(
         "doc_id",
         (F.col("p0") + 1).alias("pos"),
-        F.xxhash64("win").alias("wh"),
+        "win",
     )
-    first_w = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    first_w = Window.partitionBy("win").orderBy("doc_id", "pos")
     sites = (
         wins.withColumn("rn", F.row_number().over(first_w))
         .filter(F.col("rn") >= 2)

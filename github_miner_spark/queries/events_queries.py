@@ -929,14 +929,17 @@ COOC_USER_CAP = 64  # drop power users whose distinct-item fanout
     "item_cooccurrence_topk",
     oracle=f"""
     WITH ui AS (
-      -- TRY_CAST, not CAST: the Spark side's get_json_object(...)
-      -- .cast('bigint') silently nulls non-numeric k values, so the
-      -- oracle must drop malformed rows identically instead of
-      -- erroring on them (ADVICE r9)
-      SELECT DISTINCT user_id,
-             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-      FROM events
-      WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      -- malformed k values must be dropped IDENTICALLY on both
+      -- engines (ADVICE r9). A bare cast diverges three ways: ANSI
+      -- Spark THROWS on 'abc', DuckDB CAST errors, and DuckDB
+      -- TRY_CAST ROUNDS '12.5' to 13 while Spark try_cast nulls it —
+      -- so both sides gate on the same integer-literal regex and
+      -- only then cast (exact-integer strings cast identically
+      -- everywhere).
+      SELECT DISTINCT user_id, CAST(ks AS BIGINT) AS item FROM (
+        SELECT user_id, json_extract_string(props, '$.k') AS ks
+        FROM events
+      ) WHERE regexp_matches(ks, '^-?[0-9]+$')
     ),
     kept AS (
       SELECT user_id, item FROM ui
@@ -983,7 +986,13 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, "events", sf_dir)
-    item = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    # gate on the integer-literal regex BEFORE casting: under the
+    # session's ANSI mode a bare cast would THROW on a malformed k,
+    # and try_cast would disagree with DuckDB's rounding TRY_CAST on
+    # '12.5'-style values — the regex + cast pair behaves identically
+    # on both engines (see the oracle comment)
+    ks = F.get_json_object(F.col("props"), "$.k")
+    item = F.when(ks.rlike(r"^-?[0-9]+$"), ks).cast("bigint")
     ui = (
         ev.select("user_id", item.alias("item"))
         .filter(F.col("item").isNotNull())

@@ -95,7 +95,14 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # meeting the verdict's "oldest >= r05" done-criterion.
     # Re-pinned with the clustered-LSH literal-signs fix (the md5
     # sign-expression form cost ~3.5s of Catalyst folding per plan;
-    # clustered_lsh_recall_at_k already holds its slot below).
+    # clustered_lsh_recall_at_k already holds its slot below), and
+    # again with the round-10 review fixes: the integer-literal regex
+    # gate for malformed co-occurrence item props (ANSI cast throws,
+    # DuckDB TRY_CAST rounds — both now drop identically), the
+    # text-keyed first-occurrence window in the removal plan (a hash
+    # collision must never plan a cut of unique text), and the
+    # ADC_SCALE single-definition import — every touched query
+    # already holds a slot above.
     # -- (a) new this round: the exact-substring removal plan and the
     #        clustered ANN evaluation corpus + its recall ladder
     #        (VERDICT r9 items 2 and 4) -----------------------------

@@ -766,3 +766,57 @@ def test_span_removal_plan_from_spec_replay(spark):
     for spans in by_doc.values():
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert e1 < s2  # maximal: no overlap, no touching runs left
+
+
+def test_item_cooccurrence_drops_malformed_k_identically(spark, tmp_path):
+    """Malformed item props must be DROPPED, not crash and not round
+    (ADVICE r9 / round-10 review): under the session's ANSI mode a
+    bare cast throws on 'abc', and DuckDB's TRY_CAST rounds '12.5' to
+    13 while Spark's try_cast nulls it — the shipped integer-literal
+    regex gate must behave identically on both engines. Crafted
+    events: integral k (kept, incl. negative), decimal / scientific /
+    alpha / empty / null k (all dropped)."""
+    import datetime
+
+    import duckdb
+
+    from github_miner_spark.queries.events_queries import item_cooccurrence_topk
+    from github_miner_spark.registry import all_specs
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = []
+    # three users sharing items 1 and 2 (plus user-specific extras) so
+    # the kept pairs produce a non-empty top-k
+    for u, ks in [
+        (1, ["1", "2", "-3"]),
+        (2, ["1", "2", "12.5", "abc"]),
+        (3, ["1", "2", "1e3", ""]),
+        (4, ["7", None, "00042"]),
+    ]:
+        for i, k in enumerate(ks):
+            props = "{}" if k is None else '{"k": "%s"}' % k
+            rows.append((len(rows), ts, u, "click", 0.0, props))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = item_cooccurrence_topk(spark, str(tmp_path)).collect()
+    kept_items = {r["item_a"] for r in got} | {r["item_b"] for r in got}
+    # only integral-literal k values survive; '00042' casts to 42
+    assert kept_items <= {-3, 1, 2, 7, 42}
+    assert (1, 2) in {(r["item_a"], r["item_b"]) for r in got}
+    assert all(i not in kept_items for i in (13, 1000, 12,)), kept_items
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = con.sql(all_specs()["item_cooccurrence_topk"].oracle).fetchall()
+    want = sorted(
+        (r["item_a"], r["item_b"], r["co_users"], r["cosine"], r["rank"])
+        for r in got
+    )
+    assert want == sorted(tuple(r) for r in oracle)
