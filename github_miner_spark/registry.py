@@ -102,7 +102,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # text-keyed first-occurrence window in the removal plan (a hash
     # collision must never plan a cut of unique text), and the
     # ADC_SCALE single-definition import — every touched query
-    # already holds a slot above.
+    # already holds a slot above. Final re-pin: the regex gate
+    # measured 1.66x on the co-occurrence scan (A/B), so the engine
+    # side moved to try_cast (one JSON parse, no per-row regex) with
+    # the oracle replicating Spark's exact try_cast semantics.
     # -- (a) new this round: the exact-substring removal plan and the
     #        clustered ANN evaluation corpus + its recall ladder
     #        (VERDICT r9 items 2 and 4) -----------------------------
