@@ -1054,7 +1054,8 @@ def _run_gephi_stream(graph: PropertyGraph, m: re.Match) -> DataFrame:
 # reference's procedure invocations (documentation/queries.md:88-90,
 # 124-127, 180-182), compiled onto graph/procedures.py. The written
 # graph is returned to callers via apply_cypher_call; run_cypher
-# returns the YIELD row.
+# returns the YIELD row and commits write:true property write-backs
+# to the passed graph in place (Neo4j database-write semantics).
 _ALGO_CALL_RE = re.compile(
     r"^CALL\s+(?P<proc>algo\.[\w.]+)\s*\(\s*"
     r"'(?P<label>\w+)'\s*,\s*'(?P<rel>\w+)'\s*"
@@ -1124,45 +1125,45 @@ def apply_cypher_call(graph: PropertyGraph, query: str) -> tuple[PropertyGraph, 
     return out, spark.createDataFrame([tuple(row[c] for c in wanted)], schema)
 
 
-def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
-    """Execute a cypher_lite query against the property graph."""
+def _run_statement(
+    graph: PropertyGraph, query: str
+) -> tuple[PropertyGraph, DataFrame, bool]:
+    """Execute ONE cypher_lite statement. Returns (graph as left by
+    the statement, result frame, destructive) — the threaded graph
+    carries CALL write:true property write-backs and DELETE removals
+    so a script's later statements see them (Neo4j session semantics);
+    ``destructive`` marks deletes, which never commit back to the
+    caller's graph object (see run_cypher)."""
     q = re.sub(r"\s+", " ", query.strip())
     if _META_CALL_RE.match(q):
         # CALL apoc.meta.graph() (documentation/queries.md:1-4): the
         # schema meta-graph — label nodes, (src_label, rel_type,
         # dst_label) edges with counts (the G9 operator)
         return (
+            graph,
             graph.edges.groupBy("src_label", "rel_type", "dst_label")
             .agg(F.count("*").alias("edge_count"))
-            .orderBy("src_label", "rel_type", "dst_label")
+            .orderBy("src_label", "rel_type", "dst_label"),
+            False,
         )
     am = _ALGO_CALL_RE.match(q)
     if am:
-        if re.search(r"\bwrite\s*:\s*true\b", am.group("opts") or "", re.IGNORECASE):
-            # run_cypher returns only the YIELD row — the graph carrying
-            # the written property is dropped here, and a follow-up
-            # MATCH read-back through this entry point would see NULLs.
-            # Warn (not raise: YIELD-only summaries of a write:true
-            # corpus statement are legitimate); the two-step reference
-            # workflows chain through apply_cypher_call (ADVICE r4).
-            import warnings
-
-            warnings.warn(
-                "CALL with write:true through run_cypher discards the "
-                "mutated graph; use apply_cypher_call(graph, query) and "
-                "chain its returned graph into the MATCH read-back",
-                stacklevel=2,
-            )
-        return apply_cypher_call(graph, q)[1]
+        # write:true threads the written graph to the caller — the
+        # follow-up MATCH read-back (the reference's two-step
+        # workflows, documentation/queries.md:122-125,177-190) sees
+        # the property through the plain API (VERDICT r10 item 1; the
+        # r4 interim warned-and-discarded here).
+        out, frame = apply_cypher_call(graph, q)
+        return out, frame, False
     gm = _GEPHI_RE.match(q)
     if gm:
-        return _run_gephi_stream(graph, gm)
+        return graph, _run_gephi_stream(graph, gm), False
     sp = _SHORTEST_RE.match(q)
     if sp:
-        return _run_shortest_paths(graph, sp)
+        return graph, _run_shortest_paths(graph, sp), False
     lp = _LINKPRED_RE.match(q)
     if lp:
-        return _run_linkprediction(graph, lp)
+        return graph, _run_linkprediction(graph, lp), False
     pe = _PATH_ENUM_RE.match(q)
     if pe and not re.match(
         r"^count\s*\(", pe.group("ret").strip(), re.IGNORECASE
@@ -1170,22 +1171,26 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
         pe.group("ret").strip() == pe.group("pv")
         or re.search(rf"nodes\s*\(\s*{re.escape(pe.group('pv'))}\s*\)", pe.group("ret"))
     ):
-        return _run_path_enumeration(graph, pe)
+        return graph, _run_path_enumeration(graph, pe), False
     low = q.lower()
     for marker, hint in _UNSUPPORTED.items():
         if marker in low:
             raise NotImplementedError(f"cypher_lite does not cover {marker!r} — {hint}")
     if re.search(r"\b(detach\s+)?delete\b", low):
         # Writes return Neo4j-style update counters (one row); the
-        # mutated graph itself is available via
-        # graph.mutations.apply_cypher_deletes for chaining.
+        # mutated graph threads to later script statements and stays
+        # available via graph.mutations.apply_cypher_deletes.
         from github_miner_spark.graph.mutations import (
             apply_cypher_deletes,
             delete_counters_df,
         )
 
         result = apply_cypher_deletes(graph, q)
-        return delete_counters_df(graph.vertices.sparkSession, result)
+        return (
+            result.graph,
+            delete_counters_df(graph.vertices.sparkSession, result),
+            True,
+        )
 
     # group clauses into WITH-terminated segments + the final RETURN;
     # a WHERE directly after a WITH filters the WITH rows (Cypher's
@@ -1247,12 +1252,70 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
             unwinds=seg_unwinds,
         )
         if kw == "RETURN":
-            return out
+            return graph, out, False
         # Cypher WITH scoping: only the listed items survive
         carried, carried_names = out, out_names
         carried_single = single_row
         carried_nodes = node_vars
     raise AssertionError("unreachable")
+
+
+def run_cypher_script(
+    graph: PropertyGraph, script: str
+) -> tuple[PropertyGraph, DataFrame]:
+    """Execute a ``;``-separated Cypher script with Neo4j session
+    semantics: each statement sees the graph as left by the previous
+    one — CALL write:true property write-backs AND deletes both thread
+    (the reference's multi-step workflows run as one script, e.g.
+    documentation/queries.md:122-143 step 1 + step 2). Returns (graph
+    after all writes, last statement's result frame). The caller's
+    graph object is NOT mutated — chain the returned graph, or go
+    through :func:`run_cypher` for the in-place write-back commit."""
+    stmts = _split_top_level(script, ";")
+    if not stmts:
+        raise ValueError("empty Cypher script")
+    frame: DataFrame | None = None
+    for s in stmts:
+        graph, frame, _destructive = _run_statement(graph, s)
+    return graph, frame
+
+
+def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
+    """Execute a cypher_lite query (or ``;``-separated script) against
+    the property graph; returns the last statement's result frame.
+
+    Write semantics mirror Neo4j's stateful database where that is
+    safe for an engine over immutable DataFrames: a ``CALL algo.*
+    {write:true, writeProperty:...}`` statement commits the property
+    write-back to the PASSED graph object in place
+    (PropertyGraph.commit_write_back — additive: new vertex column,
+    same ids/edges), so the reference's two-step workflows
+    (documentation/queries.md:122-125 scc → :137-143 read-back,
+    :177-182 pageRank → :185-190 read-back) mutate-then-read through
+    this one entry point, as separate calls or as one script. DELETE
+    statements return Neo4j-style update counters and thread within
+    the script they appear in, but never mutate the caller's graph —
+    destructive writes stay explicit (graph.mutations /
+    run_cypher_script); a script mixing deletes with write-backs is
+    treated as delete-bearing and commits nothing."""
+    stmts = _split_top_level(query, ";")
+    if not stmts:
+        raise ValueError("empty Cypher query")
+    g = graph
+    frame: DataFrame | None = None
+    wrote_props = False
+    has_delete = False
+    for s in stmts:
+        g2, frame, destructive = _run_statement(g, s)
+        if g2 is not g:
+            if destructive:
+                has_delete = True
+            else:
+                wrote_props = True
+        g = g2
+    if wrote_props and not has_delete and g is not graph:
+        graph.commit_write_back(g)
+    return frame
 
 
 def _exec_segment(

@@ -67,15 +67,23 @@ def call_procedure(
     load_ms = int((time.perf_counter() - t0) * 1000)
 
     write = bool(opts.get("write", False))
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # write:true reads the result twice (YIELD stats here + the
+        # with_vertex_property join every read-back pays) — pin the
+        # one-row-per-vertex assignment so the algorithm runs once,
+        # not once per consumer. YIELD-only calls stay lazy.
+        return df.localCheckpoint(eager=True) if write else df
+
     t1 = time.perf_counter()
     if proc == "algo.pageRank":
         from github_miner_spark.graph.algorithms import pagerank
 
         iterations = int(opts.get("iterations", 20))
         damping = float(opts.get("dampingFactor", 0.85))
-        result = pagerank(sub, iterations=iterations, damping=damping).select(
+        result = _pin(pagerank(sub, iterations=iterations, damping=damping).select(
             "id", F.round("rank", 6).alias("value")
-        )
+        ))
         n = result.count()
         compute_ms = int((time.perf_counter() - t1) * 1000)
         row = {
@@ -88,9 +96,9 @@ def call_procedure(
     elif proc == "algo.scc":
         from github_miner_spark.graph.algorithms import strongly_connected_components
 
-        result = strongly_connected_components(sub).select(
+        result = _pin(strongly_connected_components(sub).select(
             "id", F.col("component").alias("value")
-        )
+        ))
         sizes = result.groupBy("value").agg(F.count("*").alias("sz"))
         stats = sizes.agg(
             F.count("*").alias("setCount"),
@@ -108,9 +116,9 @@ def call_procedure(
         # connected; the undirected twin of algo.scc)
         from github_miner_spark.graph.algorithms import connected_components
 
-        result = connected_components(sub).select(
+        result = _pin(connected_components(sub).select(
             "id", F.col("component").alias("value")
-        )
+        ))
         sizes = result.groupBy("value").agg(F.count("*").alias("sz"))
         stats = sizes.agg(
             F.count("*").alias("setCount"),
@@ -127,9 +135,9 @@ def call_procedure(
         from github_miner_spark.graph.algorithms import louvain
 
         max_sweeps = int(opts.get("iterations", 3))
-        result = louvain(sub, max_sweeps=max_sweeps, early_exit=False).select(
+        result = _pin(louvain(sub, max_sweeps=max_sweeps, early_exit=False).select(
             "id", F.col("community").alias("value")
-        )
+        ))
         n = result.count()
         n_comm = result.select("value").distinct().count()
         compute_ms = int((time.perf_counter() - t1) * 1000)
@@ -138,9 +146,9 @@ def call_procedure(
         from github_miner_spark.graph.algorithms import label_propagation
 
         iterations = int(opts.get("iterations", 10))
-        result = label_propagation(sub, iterations=iterations).select(
+        result = _pin(label_propagation(sub, iterations=iterations).select(
             "id", F.col("community").alias("value")
-        )
+        ))
         n = result.count()
         compute_ms = int((time.perf_counter() - t1) * 1000)
         row = {"nodes": n, "iterations": iterations}

@@ -210,28 +210,30 @@ def _pagerank_readback_oracle() -> str:
     "cypher_pagerank_readback",
     oracle=_pagerank_readback_oracle(),
     description="The reference's full PageRank workflow "
-    "(documentation/queries.md:177-190): the algorithm WRITES the "
-    "pagerank property, then plain Cypher READS it back top-10. Here "
-    "the write is graph/mutations.py with_vertex_property — the "
-    "algorithm result joins on as a new vertex column of an immutable "
-    "graph — and the verbatim read-back query runs through cypher_lite "
-    "seeing real values. Oracle = the 20-CTE unrolled power iteration "
-    "with the read-back's own final projection.",
+    "(documentation/queries.md:177-190) through the PLAIN Cypher API, "
+    "exactly as a Neo4j user types it: run_cypher executes the CALL "
+    "algo.pageRank write:true statement (the write-back commits to "
+    "the graph object — Neo4j database-write semantics, r11 write:true "
+    "threading), then a second run_cypher on the SAME graph reads the "
+    "pagerank property back top-10. Underneath, the write is still "
+    "graph/mutations.py with_vertex_property joining the power "
+    "iteration on as a vertex column. Oracle = the 20-CTE unrolled "
+    "power iteration with the read-back's own final projection "
+    "(iterations:20 here vs the corpus text's 100 keeps the oracle "
+    "tractable; the workflow shape is verbatim).",
     tags=("cypher", "graph", "algorithm", "write-back"),
 )
 def cypher_pagerank_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from github_miner_spark.graph.algorithms import pagerank
-    from github_miner_spark.graph.mutations import with_vertex_property
-
     g = load_graph(spark, sf_dir)
-    ranks = pagerank(
-        g.module_dep_edges(), iterations=20, damping=0.85
-    ).select("id", F.round("rank", 6).alias("pagerank"))
-    written = with_vertex_property(g, "pagerank", ranks)
+    run_cypher(
+        g,
+        "CALL algo.pageRank('NodeModule', 'DEPENDS_ON', "
+        "{direction:'OUTGOING', iterations:20, dampingFactor:0.85, "
+        "write: true, writeProperty:'pagerank'}) "
+        "YIELD nodes, iterations, dampingFactor, write, writeProperty",
+    )
     return run_cypher(
-        written,
+        g,
         "MATCH (n:NodeModule) RETURN n.name AS name, n.pagerank AS pagerank "
         "ORDER BY pagerank DESC, name LIMIT 10",
     )

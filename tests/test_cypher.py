@@ -637,9 +637,15 @@ def test_reference_corpus_sweep(spark):
     assert len(qs) >= 41
     g = load_graph(spark, SF)
     ok, notimpl = 0, 0
+    import warnings as _warnings
+
+    caught: list = []
     for q in qs:
         try:
-            run_cypher(g, q.replace("’", "'")).limit(1).collect()
+            with _warnings.catch_warnings(record=True) as w:
+                _warnings.simplefilter("always")
+                run_cypher(g, q.replace("’", "'")).limit(1).collect()
+            caught.extend(w)
             ok += 1
         except NotImplementedError:
             notimpl += 1
@@ -664,6 +670,18 @@ def test_reference_corpus_sweep(spark):
     # with Neo4j's own error on this graph); notimpl must be zero
     assert notimpl == 0, (ok, notimpl)
     assert ok == len(qs), (ok, len(qs))
+    # r11: the sweep is WARNING-FREE — write:true CALLs commit the
+    # property write-back instead of warning-and-discarding, so the
+    # corpus's three write-backs are readable on this graph afterwards
+    # (exactly the state a Neo4j database is in after running the doc
+    # top to bottom; the teardown DELETEs never commit to the caller)
+    cypher_warnings = [
+        str(x.message) for x in caught if "run_cypher" in str(x.message)
+    ]
+    assert cypher_warnings == []
+    for prop in ("partition", "pagerank", "community"):
+        assert prop in g.vertices.columns, prop
+    assert g.vertices.filter(F.col("pagerank").isNotNull()).count() > 0
 
 
 def test_count_path_variable_counts_paths(spark):
@@ -1075,15 +1093,28 @@ def test_call_procedure_workflows_verbatim(spark):
 
     # scc: setCount/maxSetSize/minSetSize match the programmatic run.
     # Going through run_cypher (not apply_cypher_call) with write:true
-    # must WARN that the mutated graph is discarded (ADVICE r4) while
-    # still serving the YIELD summary.
-    with pytest.warns(UserWarning, match="discards the mutated graph"):
-        scc_row = run_cypher(
-            g,
-            "CALL algo.scc('NodeModule', 'DEPENDS_ON', "
-            "{write:true,writeProperty:'partition',concurrency:4, graph:'huge'}) "
-            "YIELD loadMillis, computeMillis, writeMillis, setCount, maxSetSize, minSetSize",
-        ).collect()[0]
+    # COMMITS the property write-back to the passed graph object (r11
+    # write:true threading; the r4 interim warned and discarded) — the
+    # follow-up MATCH read-back through run_cypher alone must match
+    # the explicit apply_cypher_call chaining.
+    scc_call = (
+        "CALL algo.scc('NodeModule', 'DEPENDS_ON', "
+        "{write:true,writeProperty:'partition',concurrency:4, graph:'huge'}) "
+        "YIELD loadMillis, computeMillis, writeMillis, setCount, maxSetSize, minSetSize"
+    )
+    scc_readback = (
+        "MATCH (n:NodeModule) RETURN n.partition AS partition, "
+        "count(*) AS size_of_partition "
+        "ORDER by size_of_partition DESC, partition LIMIT 10"
+    )
+    g_chain, _ = apply_cypher_call(g, scc_call)  # g itself untouched here
+    want_readback = run_cypher(g_chain, scc_readback).collect()
+    assert "partition" not in g.vertices.columns
+    scc_row = run_cypher(g, scc_call).collect()[0]
+    assert "partition" in g.vertices.columns  # committed in place
+    got_readback = run_cypher(g, scc_readback).collect()
+    assert got_readback == want_readback
+    assert any(r["partition"] is not None for r in got_readback)
     proj = g.edges.filter(
         (F.col("rel_type") == "DEPENDS_ON")
         & (F.col("src_label") == "NodeModule")
@@ -1114,6 +1145,66 @@ def test_call_procedure_workflows_verbatim(spark):
     # unknown procedure still refuses with a pointer
     with pytest.raises(NotImplementedError, match="procedures"):
         run_cypher(g, "CALL algo.betweenness('NodeModule', 'DEPENDS_ON', {})")
+
+
+def test_multi_statement_script_threads_writes(spark):
+    """The reference's two-step write workflows run as ONE ;-separated
+    script through the plain API (documentation/queries.md:86-98:
+    louvain step 1 ends in ';', step 2 reads community back): the CALL
+    write:true statement's graph threads into the MATCH read-back, and
+    run_cypher returns the LAST statement's frame. run_cypher_script
+    returns the threaded graph without touching the caller's object."""
+    from github_miner_spark.cypher import apply_cypher_call, run_cypher_script
+
+    g = load_graph(spark, SF)
+    call = (
+        "CALL algo.louvain.stream('NodeModule', 'DEPENDS_ON', { "
+        "write:true, writeProperty:'community' "
+        "}) YIELD nodes, communityCount, iterations"
+    )
+    readback = (
+        "MATCH (n:NodeModule) RETURN n.community as community, "
+        "count(*) as size_of_community "
+        "ORDER by size_of_community DESC, community LIMIT 10"
+    )
+    g_chain, _ = apply_cypher_call(g, call)
+    want = run_cypher(g_chain, readback).collect()
+
+    # run_cypher_script: threaded graph returned, caller's graph intact
+    g2 = load_graph(spark, SF)
+    out_g, frame = run_cypher_script(g2, call + ";\n" + readback)
+    assert frame.collect() == want
+    assert "community" in out_g.vertices.columns
+    assert "community" not in g2.vertices.columns
+
+    # run_cypher on the same script: returns the read-back frame and
+    # commits the write-back to the passed object
+    g3 = load_graph(spark, SF)
+    assert run_cypher(g3, call + "; " + readback).collect() == want
+    assert "community" in g3.vertices.columns
+
+    # two separate run_cypher calls — the verbatim two-step workflow
+    g4 = load_graph(spark, SF)
+    run_cypher(g4, call + ";")  # trailing ';' exactly as the corpus types it
+    assert run_cypher(g4, readback).collect() == want
+
+    # a delete statement never commits to the caller's graph, even when
+    # it threads inside the script it appears in
+    g5 = load_graph(spark, SF)
+    n_edges = g5.edges.count()
+    counters = run_cypher(
+        g5,
+        "MATCH (n:GitUser {id: 10}) DETACH DELETE n; "
+        "MATCH (n:GitUser) RETURN count(*) AS users",
+    )
+    assert counters.collect()[0]["users"] == (
+        g5.vertices.filter("label = 'GitUser'").count() - 1
+    )
+    assert g5.edges.count() == n_edges  # caller's graph untouched
+    # ...and a write-back mixed with a delete stays non-committing
+    g6 = load_graph(spark, SF)
+    run_cypher(g6, call + "; MATCH (n:GitUser {id: 10}) DETACH DELETE n")
+    assert "community" not in g6.vertices.columns
 
 
 def test_louvain_stream_yields_assignment_rows(spark):
