@@ -53,9 +53,14 @@ CLU_PROBES = (0, 1, 2, 3, 4)
 CLU_K = 5
 CLU_N_PROBE = 3  # IVF lists probed
 CLU_SHORTLIST = 100  # rerank shortlist
-# per-component quantization for the OPQ variance ranking: 1e5 keeps
-# n * sum(q^2) and sum(q)^2 inside BIGINT through sf10 while the
-# ranking stays exact integer algebra on both engines
+# per-component quantization for the OPQ variance ranking. The
+# per-element q fits BIGINT trivially (|nv[i]| <= 1 post-normalization
+# so |q| <= 1e5), but the RANKING statistic nn*s2 - s1^2 is bounded
+# only by n^2 * 1e10 in the worst case (a dimension with components
+# near 1) — BIGINT overflows at n ~ 30k vectors (ADVICE r10), so the
+# combine step runs in exact 128-bit algebra on BOTH engines (DuckDB
+# HUGEINT, Spark DECIMAL(38,0)): headroom to n ~ 1e14 vectors, same
+# integers, same order.
 VARQ_SCALE = 100_000
 # ADC_SCALE is IMPORTED from functions/pq_store.py — one convention,
 # one definition; the ladder must move with the store-backed family
@@ -180,8 +185,9 @@ _CLU_PQ_TOP = f""",
     )"""
 
 # OPQ permutation: per-dim variance from 1e5-quantized components
-# (n * sum(q^2) - sum(q)^2 — exact BIGINT), dims ranked desc, dealt
-# round-robin across the 4 subspaces (eigenvalue-allocation form)
+# (n * sum(q^2) - sum(q)^2 — exact 128-bit HUGEINT combine; the
+# BIGINT form overflows at n ~ 30k worst-case), dims ranked desc,
+# dealt round-robin across the 4 subspaces (eigenvalue-allocation form)
 _CLU_PNRM = f""",
     dimstats AS (
       SELECT i,
@@ -196,7 +202,8 @@ _CLU_PNRM = f""",
     permpos AS (
       SELECT i, ((r - 1) % 4) * 16 + ((r - 1) // 4) + 1 AS p
       FROM (SELECT i, row_number() OVER (
-                ORDER BY nn * s2 - s1 * s1 DESC, i ASC) AS r
+                ORDER BY CAST(nn AS HUGEINT) * s2
+                         - CAST(s1 AS HUGEINT) * s1 DESC, i ASC) AS r
             FROM dimstats)
     ),
     perm AS MATERIALIZED (SELECT list(i ORDER BY p) AS pi FROM permpos),
@@ -547,7 +554,7 @@ def _top5_by_scoreq(scored: DataFrame) -> DataFrame:
 def _clu_permuted(cnv: DataFrame) -> DataFrame:
     """(vec_id, nv) with dims permuted by the variance-balanced
     eigenvalue allocation: per-dim variance from 1e5-quantized
-    components (exact BIGINT algebra), dims ranked desc, dealt
+    components (exact 128-bit combine), dims ranked desc, dealt
     round-robin across subspaces. The 64-element permutation is one
     broadcast row — no collect, no UDF."""
     comp = cnv.select(
@@ -561,7 +568,11 @@ def _clu_permuted(cnv: DataFrame) -> DataFrame:
         F.sum("q").cast("bigint").alias("s1"),
         F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
     )
-    varq = F.col("nn") * F.col("s2") - F.col("s1") * F.col("s1")
+    # exact 128-bit combine (DECIMAL(38,0) here, HUGEINT in the
+    # oracle): nn*s2 and s1^2 are bounded by n^2 * 1e10 worst-case,
+    # past BIGINT at n ~ 30k vectors (ADVICE r10)
+    d = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    varq = d("nn") * d("s2") - d("s1") * d("s1")
     ranked = stats.select(
         "i",
         (

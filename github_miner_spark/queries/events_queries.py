@@ -936,14 +936,22 @@ COOC_USER_CAP = 64  # drop power users whose distinct-item fanout
       -- The engine side uses try_cast (one JSON parse, no regex on
       -- the hot scan — a regex gate measured 1.66x on this query);
       -- the oracle replicates Spark's EXACT try_cast(string->bigint)
-      -- semantics, which is trim + optional sign + digits only
-      -- (UTF8String.toLong): cheap here, where the corpus is
-      -- sf0.01-sized.
-      SELECT DISTINCT user_id, CAST(trim(ks) AS BIGINT) AS item FROM (
-        SELECT user_id, json_extract_string(props, '$.k') AS ks
-        FROM events
-      ) WHERE ks IS NOT NULL
-        AND regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+      -- semantics (UTF8String.trimAll + toLong): trim ALL chars
+      -- <= 0x20 (DuckDB's trim() strips only spaces, so '\t123' must
+      -- survive here exactly as Spark keeps it), then optional sign +
+      -- digits only, then TRY_CAST — on a regex-validated integer
+      -- literal TRY_CAST cannot round, and it nulls int64 OVERFLOW
+      -- ('9223372036854775808') exactly like Spark's try_cast where a
+      -- plain CAST would throw (ADVICE r10). Cheap here, where the
+      -- corpus is sf0.01-sized.
+      SELECT DISTINCT user_id, item FROM (
+        SELECT user_id, TRY_CAST(tks AS BIGINT) AS item FROM (
+          SELECT user_id,
+                 regexp_replace(json_extract_string(props, '$.k'),
+                                '^[\\x00-\\x20]+|[\\x00-\\x20]+$', '', 'g') AS tks
+          FROM events
+        ) WHERE tks IS NOT NULL AND regexp_matches(tks, '^[+-]?[0-9]+$')
+      ) WHERE item IS NOT NULL
     ),
     kept AS (
       SELECT user_id, item FROM ui

@@ -775,8 +775,14 @@ def test_item_cooccurrence_drops_malformed_k_identically(spark, tmp_path):
     13 while Spark's try_cast nulls it — the shipped integer-literal
     regex gate must behave identically on both engines. Crafted
     events: integral k (kept, incl. negative), decimal / scientific /
-    alpha / empty / null k (all dropped)."""
+    alpha / empty / null k (all dropped). ADVICE r10 classes: k with
+    tab/newline padding is KEPT (Spark's try_cast trims all chars
+    <= 0x20 — DuckDB's trim() strips only spaces, the oracle must
+    replicate the full set), and an over-int64 digit string passes
+    the integer-literal regex but must NULL out (Spark try_cast) on
+    both engines, never throw (DuckDB plain CAST would)."""
     import datetime
+    import json
 
     import duckdb
 
@@ -792,9 +798,15 @@ def test_item_cooccurrence_drops_malformed_k_identically(spark, tmp_path):
         (2, ["1", "2", "12.5", "abc"]),
         (3, ["1", "2", "1e3", ""]),
         (4, ["7", None, "00042"]),
+        # tab/newline-padded integrals KEPT (full <=0x20 trim);
+        # over-int64 literal passes the digit regex but nulls out
+        (5, ["\t1", "\n2", " 9223372036854775808 "]),
     ]:
         for i, k in enumerate(ks):
-            props = "{}" if k is None else '{"k": "%s"}' % k
+            # json.dumps escapes control chars (\t -> \\t) — the only
+            # VALID JSON encoding; both engines decode the escape back
+            # to the raw char before the trim-and-cast under test
+            props = "{}" if k is None else json.dumps({"k": k})
             rows.append((len(rows), ts, u, "click", 0.0, props))
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, "
@@ -806,8 +818,11 @@ def test_item_cooccurrence_drops_malformed_k_identically(spark, tmp_path):
     kept_items = {r["item_a"] for r in got} | {r["item_b"] for r in got}
     # only integral-literal k values survive; '00042' casts to 42
     assert kept_items <= {-3, 1, 2, 7, 42}
-    assert (1, 2) in {(r["item_a"], r["item_b"]) for r in got}
+    pair_counts = {(r["item_a"], r["item_b"]): r["co_users"] for r in got}
+    # co_users = 4 witnesses that user 5's '\t1' / '\n2' were KEPT
+    assert pair_counts.get((1, 2)) == 4
     assert all(i not in kept_items for i in (13, 1000, 12,)), kept_items
+    assert 9223372036854775807 not in kept_items  # overflow nulls, never throws
 
     con = duckdb.connect()
     con.sql(

@@ -219,8 +219,10 @@ def test_duplicated_spans_no_allpairs(spark):
 
 def test_span_removal_plan_no_joins(spark):
     # the removal plan is explode + two windows (first-occurrence rule
-    # on the hashed window key, run-merge per doc) — no join of any
-    # kind, so no pairwise doc work can hide anywhere
+    # on the RAW window text — dedup_queries.py makes text-not-hash a
+    # correctness requirement of the cut-list contract, a 64-bit hash
+    # collision would cut unique text — then run-merge per doc); no
+    # join of any kind, so no pairwise doc work can hide anywhere
     plan = _plan(spark, "duplicated_span_removal_plan")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
