@@ -175,6 +175,9 @@ HEADLINE = [
     "clustered_ivf_recall_at_k",
     "clustered_ivfpq_recall_at_k",
     "clustered_pq_rerank_recall_at_k",
+    # round 11: the end-to-end RAG composition (chunk plan -> hashed
+    # chunk vectors -> IVF store probed-list search)
+    "chunk_embedding_topk",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

@@ -108,30 +108,47 @@ def _ivf_search(
     k: int,
     n_probe: int,
 ) -> DataFrame:
+    q = assigned.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_search_queries(assigned, cents, q, k, n_probe, exclude_self=True)
+
+
+def ivf_search_queries(
+    assigned: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The probed-list search over an ARBITRARY query frame
+    (``query_id``, ``qvec``) — corpus probes and external vectors
+    (e.g. chunk-grain RAG queries, rag_queries.py) share one path:
+    probe selection against the broadcast centroid set, a scan of the
+    n_probe inverted lists only, per-query top-k. ``exclude_self``
+    drops neighbor rows whose vec_id equals the query_id (corpus
+    probes only — external query ids live in a different id space)."""
     from pyspark.sql.window import Window
 
     from github_miner_spark.functions.similarity import cosine
 
-    q = assigned.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
     qscore = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
     qw = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
     probes = (
-        q.crossJoin(F.broadcast(cents))
+        queries.crossJoin(F.broadcast(cents))
         .select("query_id", "qvec", "cid", qscore.alias("cscore"))
         .withColumn("rn", F.row_number().over(qw))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qvec", F.col("cid").alias("list_id"))
     )
-    scored = (
-        assigned.join(F.broadcast(probes), "list_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("score"),
-        )
+    scored = assigned.join(F.broadcast(probes), "list_id")
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -63,6 +63,7 @@ def load_all() -> None:
     import github_miner_spark.queries.cypher_queries  # noqa: F401
     import github_miner_spark.queries.curation_queries  # noqa: F401
     import github_miner_spark.queries.clustered_eval  # noqa: F401
+    import github_miner_spark.queries.rag_queries  # noqa: F401
 
 
 # The driver's correctness artifact covers the FIRST 50 registry

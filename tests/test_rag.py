@@ -1,0 +1,123 @@
+"""Chunk-level retrieval (rag_queries.py): encoder replay against a
+pure-Python reference, packing losslessness, and the plan pins that
+keep the search list-pruned at scale."""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_miner_spark import registry
+from github_miner_spark.queries.rag_queries import (
+    RAG_CHUNK,
+    RAG_DIMS,
+    RAG_MAX_CHUNKS,
+    RAG_OVERLAP,
+    RAG_STRIDE,
+    chunk_query_vectors,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_tokenize(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+
+
+def _py_chunks(toks: list[str]) -> list[list[str]]:
+    n = len(toks)
+    if n == 0:
+        return []
+    n_chunks = 1 if n <= RAG_CHUNK else -((-(n - RAG_OVERLAP)) // RAG_STRIDE)
+    out = []
+    for i in range(min(n_chunks, RAG_MAX_CHUNKS)):
+        start = i * RAG_STRIDE  # 0-based
+        out.append(toks[start : min(start + RAG_CHUNK, n)])
+    return out
+
+
+def _py_vec(ctoks: list[str]) -> list[float]:
+    v = [0] * RAG_DIMS
+    for t in ctoks:
+        dim = int(hashlib.md5(("fh|" + t).encode()).hexdigest()[:8], 16) % RAG_DIMS
+        sgn = 1 if int(hashlib.md5(("sg|" + t).encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+        v[dim] += sgn
+    return [float(x) for x in v]
+
+
+def test_chunk_encoder_matches_python_reference(spark):
+    """chunk_query_vectors == the pure-Python hashing-trick encoder on
+    crafted docs covering: single-chunk doc, exact-boundary doc (32
+    tokens), multi-chunk doc with the MAX_CHUNKS cut, and a doc whose
+    chunk signs fully cancel (dropped on both sides)."""
+    texts = {
+        1: "alpha beta gamma delta",  # 4 tokens -> 1 chunk
+        2: " ".join(f"tok{i}" for i in range(RAG_CHUNK)),  # boundary: 1 chunk
+        3: " ".join(f"word{i % 40} x{i}" for i in range(40)),  # 80 tokens -> 3 plan chunks, 2 kept
+        4: "",  # zero tokens -> no chunks
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): list(r["qvec"])
+        for r in chunk_query_vectors(docs).collect()
+    }
+    want = {}
+    for doc_id, text in texts.items():
+        for cid, ctoks in enumerate(_py_chunks(_py_tokenize(text))):
+            v = _py_vec(ctoks)
+            if any(x != 0 for x in v):  # zero-norm chunks are dropped
+                want[(doc_id, cid)] = v
+    assert got == want
+    assert (3, 2) not in got  # the MAX_CHUNKS cut held
+    assert sum(1 for (d, _c) in got if d == 3) == RAG_MAX_CHUNKS
+
+
+def test_chunk_vector_weights_are_signed_sums(spark):
+    """A chunk with a repeated token accumulates integer multiplicity
+    (the hashing trick sums, it does not binarize)."""
+    docs = spark.createDataFrame(
+        [(1, "same same same different")], "doc_id long, text string"
+    )
+    rows = chunk_query_vectors(docs).collect()
+    assert len(rows) == 1
+    v = rows[0]["qvec"]
+    dim_same = int(hashlib.md5(b"fh|same").hexdigest()[:8], 16) % RAG_DIMS
+    sgn_same = 1 if int(hashlib.md5(b"sg|same").hexdigest()[:8], 16) % 2 == 0 else -1
+    dim_diff = int(hashlib.md5(b"fh|different").hexdigest()[:8], 16) % RAG_DIMS
+    if dim_same != dim_diff:
+        assert v[dim_same] == 3.0 * sgn_same
+
+
+def test_chunk_retrieval_plan_is_list_pruned(spark):
+    """The inverted-list scan joins broadcast probes by hash on
+    list_id (never cartesian against the corpus), and the query-doc
+    filter is pushed to the documents scan."""
+    df = registry.all_specs()["chunk_embedding_topk"].spark(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # assignment x probes on list_id
+    assert re.search(r"PushedFilters: \[[^\]]*In\(doc_id", plan)
+
+
+def test_chunk_ids_pack_losslessly(spark):
+    """Every (doc_id, chunk_id) emitted by the search round-trips the
+    query_id packing, and ranks are a contiguous 1..k per chunk."""
+    df = registry.all_specs()["chunk_embedding_topk"].spark(spark, SF)
+    rows = df.collect()
+    assert rows, "retrieval returned no hits at smoke SF"
+    per_chunk: dict = {}
+    for r in rows:
+        assert 0 <= r["chunk_id"] < RAG_MAX_CHUNKS
+        per_chunk.setdefault((r["doc_id"], r["chunk_id"]), []).append(r["rank"])
+    for key, ranks in per_chunk.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), key
