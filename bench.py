@@ -176,8 +176,10 @@ HEADLINE = [
     "clustered_ivfpq_recall_at_k",
     "clustered_pq_rerank_recall_at_k",
     # round 11: the end-to-end RAG composition (chunk plan -> hashed
-    # chunk vectors -> IVF store probed-list search)
+    # chunk vectors -> IVF store probed-list search) and the span
+    # removal APPLY stage (cut-list execution + cleaned-corpus stats)
     "chunk_embedding_topk",
+    "span_removed_corpus_stats",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

@@ -302,3 +302,42 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def apply_span_removal(toks_df: DataFrame, spans_df: DataFrame) -> DataFrame:
+    """EXECUTE a removal cut list (Lee et al. 2022 ExactSubstr apply
+    step): given per-doc token arrays (``doc_id``, ``toks``) and the
+    removal plan's extents (``doc_id``, ``span_start``, ``span_end``
+    — 1-based inclusive, disjoint per doc by the run-merge
+    construction), return (doc_id, toks, kt, has_cuts) where ``kt``
+    is the surviving token array with every covered position cut.
+
+    100 TB shape: the cut list is tiny relative to the corpus (docs
+    with duplicated spans only) and collapses to one row per doc
+    before the join; the reassembly itself is a per-row array filter
+    — scan-shaped, no shuffle beyond the doc_id join."""
+    sp = spans_df.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    pos_toks = F.transform(
+        F.col("toks"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p"))
+    )
+    kept_expr = F.transform(
+        F.filter(
+            pos_toks,
+            lambda s: ~F.exists(
+                F.col("spans"),
+                lambda b: (s["p"] >= b["span_start"]) & (s["p"] <= b["span_end"]),
+            ),
+        ),
+        lambda s: s["t"],
+    )
+    return toks_df.join(sp, "doc_id", "left").select(
+        "doc_id",
+        *[c for c in toks_df.columns if c not in ("doc_id", "toks")],
+        "toks",
+        F.when(F.col("spans").isNull(), F.col("toks"))
+        .otherwise(kept_expr)
+        .alias("kt"),
+        F.col("spans").isNotNull().alias("has_cuts"),
+    )

@@ -768,6 +768,105 @@ def test_span_removal_plan_from_spec_replay(spark):
             assert e1 < s2  # maximal: no overlap, no touching runs left
 
 
+def test_span_removal_under_planted_hot_window(spark, tmp_path):
+    """SKEW fixture (VERDICT r10 item 4): one viral boilerplate 5-gram
+    planted in 35% of docs — the shape that sends every occurrence of
+    that window to ONE task of the first-occurrence sort at scale.
+    Pins (a) plan + apply correctness against a pure-Python replay on
+    the hot corpus, and (b) the apply-stage query against its own
+    DuckDB oracle on the same fixture. The zero-joins window form is
+    the documented plan choice (see _removal_spans); this fixture is
+    the tripwire that re-opens the min(struct)+skew-join alternative
+    if the sort ever binds."""
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    from github_miner_spark.functions.dedup import apply_span_removal
+    from github_miner_spark.functions.text import tokenize
+    from github_miner_spark.queries.dedup_queries import (
+        _removal_spans,
+        span_removed_corpus_stats,
+    )
+    from github_miner_spark.registry import all_specs
+
+    w = 5
+    hot = "click here to subscribe now"
+    rows = []
+    for d in range(40):
+        body = " ".join(f"u{d}w{i}" for i in range(12))
+        if d % 3 == 0:  # 14/40 docs carry the hot window (35%)
+            text = f"{body} {hot} tail{d} extra{d}"
+        else:
+            text = f"{body} tail{d} extra{d}"
+        rows.append((d, f"src{d % 2}", text))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python replay: plan
+    toks_by_doc = {
+        d: [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+        for d, _s, text in rows
+    }
+    occs = defaultdict(list)
+    for d in sorted(toks_by_doc):
+        toks = toks_by_doc[d]
+        for p in range(len(toks) - w + 1):
+            occs[" ".join(toks[p : p + w])].append((d, p + 1))
+    sites = defaultdict(list)
+    for sites_of_win in occs.values():
+        for d, pos in sorted(sites_of_win)[1:]:
+            sites[d].append(pos)
+    want_spans = []
+    for d in sorted(sites):
+        run = []
+        for pos in sorted(sites[d]):
+            if run and pos - run[-1] > w:
+                want_spans.append((d, run[0], run[-1] + w - 1))
+                run = []
+            run.append(pos)
+        if run:
+            want_spans.append((d, run[0], run[-1] + w - 1))
+    got_spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in _removal_spans(docs, w=w).collect()
+    )
+    assert got_spans == sorted(want_spans)
+    # the hot window produced a cut in every carrier except the first
+    carriers = [d for d in range(40) if d % 3 == 0]
+    assert {d for d, _s, _e in got_spans} >= set(carriers[1:])
+
+    # pure-Python replay: apply
+    cut = defaultdict(set)
+    for d, s, e in want_spans:
+        cut[d].update(range(s, e + 1))
+    want_kept = {
+        d: [t for i, t in enumerate(toks, start=1) if i not in cut[d]]
+        for d, toks in toks_by_doc.items()
+    }
+    t = docs.select("doc_id", "source", tokenize(F.col("text")).alias("toks"))
+    got_kept = {
+        r["doc_id"]: list(r["kt"])
+        for r in apply_span_removal(t, _removal_spans(docs, w=w)).collect()
+    }
+    assert got_kept == want_kept
+
+    # cross-engine on the hot fixture: the apply-stage query vs oracle
+    got_stats = sorted(
+        tuple(r) for r in span_removed_corpus_stats(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want_stats = sorted(
+        tuple(r) for r in con.sql(all_specs()["span_removed_corpus_stats"].oracle).fetchall()
+    )
+    assert got_stats == want_stats
+
+
 def test_item_cooccurrence_drops_malformed_k_identically(spark, tmp_path):
     """Malformed item props must be DROPPED, not crash and not round
     (ADVICE r9 / round-10 review): under the session's ANSI mode a
