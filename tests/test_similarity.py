@@ -587,8 +587,15 @@ def test_clustered_ladder_separation(spark):
 
     specs = registry.all_specs()
 
+    # sf0.01, not the smoke SF: the r10 separations were MEASURED at
+    # the driver's correctness scale (ivfpq 0.20 > pq 0.08 there; at
+    # sf0.001 the 200-vector corpus is too small for residual coding
+    # to pay and the two rungs invert — a fixture artifact, not a
+    # store property)
+    sf = "/root/testdata/sf0.01"
+
     def mean_recall(name: str) -> float:
-        rows = specs[name].spark(spark, SF).collect()
+        rows = specs[name].spark(spark, sf).collect()
         return sum(r.recall_at_5 for r in rows) / len(rows)
 
     pq = mean_recall("clustered_pq_recall_at_k")
@@ -597,9 +604,13 @@ def test_clustered_ladder_separation(spark):
     rerank = mean_recall("clustered_pq_rerank_recall_at_k")
     ivfpq = mean_recall("clustered_ivfpq_recall_at_k")
     lsh = mean_recall("clustered_lsh_recall_at_k")
-    assert ivf >= 0.8, ivf  # cluster-aligned lists recover the cluster
+    # r10-measured contracts (VERDICT r10 item 6): ivf 1.00, rerank
+    # 0.96, lsh 0.28, ivfpq 0.20, opq 0.16, pq 0.08 — a store change
+    # that collapses the ladder fails HERE, not at the driver window
+    assert ivf >= 0.9, ivf  # cluster-aligned lists recover the cluster
     assert rerank >= 0.9, rerank
     assert rerank > max(pq, opq, ivfpq), (rerank, pq, opq, ivfpq)
+    assert ivfpq > pq, (ivfpq, pq)  # residual coding beats flat PQ here
     assert opq > pq, (opq, pq)  # the adopted re-adjudication claim
     assert pq <= 0.3, pq  # the codebook-budget floor stays a floor
     assert 0.0 < lsh < 1.0, lsh  # bucket-only: selective, not exhaustive
