@@ -1260,6 +1260,27 @@ def _run_statement(
     raise AssertionError("unreachable")
 
 
+def _commit_write_back(graph: PropertyGraph, written: PropertyGraph) -> None:
+    """Adopt a procedure property write-back in place — the engine's
+    analog of a Neo4j plugin committing ``writeProperty`` to the
+    database (reference documentation/queries.md:122-125, 177-182:
+    ``CALL algo.* {write:true, writeProperty:...}`` followed by a
+    plain MATCH that reads the property). After ``run_cypher``
+    executes a write:true CALL, subsequent queries against the SAME
+    graph object see the written column, exactly as a follow-up Neo4j
+    query would. Only additive property write-backs commit this way
+    (the vertex id set and the edge table are unchanged — readers
+    holding the pre-write frames are unaffected); destructive writes
+    (DELETE) never mutate the caller's graph and chain via
+    graph.mutations or a multi-statement script instead. PropertyGraph
+    is a frozen dataclass, so the commit goes through
+    object.__setattr__ — this helper is the ONE sanctioned mutation
+    site, scoped to the Cypher front-end where the Neo4j database
+    semantics live."""
+    object.__setattr__(graph, "vertices", written.vertices)
+    object.__setattr__(graph, "edges", written.edges)
+
+
 def run_cypher_script(
     graph: PropertyGraph, script: str
 ) -> tuple[PropertyGraph, DataFrame]:
@@ -1288,7 +1309,7 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
     safe for an engine over immutable DataFrames: a ``CALL algo.*
     {write:true, writeProperty:...}`` statement commits the property
     write-back to the PASSED graph object in place
-    (PropertyGraph.commit_write_back — additive: new vertex column,
+    (:func:`_commit_write_back` — additive: new vertex column,
     same ids/edges), so the reference's two-step workflows
     (documentation/queries.md:122-125 scc → :137-143 read-back,
     :177-182 pageRank → :185-190 read-back) mutate-then-read through
@@ -1314,7 +1335,7 @@ def run_cypher(graph: PropertyGraph, query: str) -> DataFrame:
                 wrote_props = True
         g = g2
     if wrote_props and not has_delete and g is not graph:
-        graph.commit_write_back(g)
+        _commit_write_back(graph, g)
     return frame
 
 
