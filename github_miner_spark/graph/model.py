@@ -100,23 +100,6 @@ class PropertyGraph:
             & (e.dst_label == NODE_MODULE)
         ).select("src", "dst")
 
-    def commit_write_back(self, written: "PropertyGraph") -> None:
-        """Adopt a procedure property write-back in place — the
-        engine's analog of a Neo4j plugin committing ``writeProperty``
-        to the database (reference documentation/queries.md:122-125,
-        177-182: ``CALL algo.* {write:true, writeProperty:...}``
-        followed by a plain MATCH that reads the property). After
-        ``run_cypher`` executes a write:true CALL, subsequent queries
-        against THIS graph object see the written column, exactly as a
-        follow-up Neo4j query would. Only additive property
-        write-backs commit this way (the vertex id set and the edge
-        table are unchanged — readers holding the pre-write frames are
-        unaffected); destructive writes (DELETE) never mutate the
-        caller's graph and chain via graph.mutations or a
-        multi-statement script instead."""
-        object.__setattr__(self, "vertices", written.vertices)
-        object.__setattr__(self, "edges", written.edges)
-
 
 def _user_id(c):  # c_custkey -> GitUser id
     return (c * 10).cast("bigint")
