@@ -82,98 +82,79 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-10 window — the deliberately LOW-CHURN witness-hygiene
-    # round VERDICT r9 item 1 prescribed: the r9 equilibrium (48
-    # diff-touched rows/round) left no aging capacity, so round 10
-    # capped code churn at 15 touched queries and spends the other 35
-    # slots draining the witness backlog. Rotation discipline
-    # unchanged: this rotation is the round's LAST code-touching
-    # commit; tools/check_window_freshness.py verifies the ordering
-    # AND that every diff-touched query (AST coverage map) holds a
-    # slot below. 15 touched + 4 carried store-key debt + all 23 r04
-    # rows + the 8 alphabetically-first free r05 rows = 50 exactly;
-    # after this round the oldest driver witness is r05 (11 rows),
-    # meeting the verdict's "oldest >= r05" done-criterion.
-    # Re-pinned with the clustered-LSH literal-signs fix (the md5
-    # sign-expression form cost ~3.5s of Catalyst folding per plan;
-    # clustered_lsh_recall_at_k already holds its slot below), and
-    # again with the round-10 review fixes: the integer-literal regex
-    # gate for malformed co-occurrence item props (ANSI cast throws,
-    # DuckDB TRY_CAST rounds — both now drop identically), the
-    # text-keyed first-occurrence window in the removal plan (a hash
-    # collision must never plan a cut of unique text), and the
-    # ADC_SCALE single-definition import — every touched query
-    # already holds a slot above. Final re-pin: the regex gate
-    # measured 1.66x on the co-occurrence scan (A/B), so the engine
-    # side moved to try_cast (one JSON parse, no per-row regex) with
-    # the oracle replicating Spark's exact try_cast semantics.
-    # -- (a) new this round: the exact-substring removal plan and the
-    #        clustered ANN evaluation corpus + its recall ladder
-    #        (VERDICT r9 items 2 and 4) -----------------------------
-    "duplicated_span_removal_plan",
-    "clustered_corpus_profile",
-    "clustered_lsh_recall_at_k",
-    "clustered_pq_recall_at_k",
-    "clustered_opq_recall_at_k",
-    "clustered_ivf_recall_at_k",
-    "clustered_ivfpq_recall_at_k",
-    "clustered_pq_rerank_recall_at_k",
-    # -- (b) touched by the ADVICE r9 fixes: the ADC integer
-    #        quantization re-touches the whole PQ/IVFADC family
-    #        (pq_store/ivfpq_store score paths + their oracles), and
-    #        the TRY_CAST oracle hardening touches the co-occurrence
-    #        query ------------------------------------------------
-    "embedding_pq_topk",
-    "pq_recall_at_k",
-    "embedding_pq_rerank_topk",
-    "pq_rerank_recall_at_k",
-    "embedding_ivfpq_topk",
-    "ivfpq_recall_at_k",
-    "item_cooccurrence_topk",
-    # -- (c) VERDICT r9 item "What's missing #2": the store-key ANN/
-    #        dedup consumers carried two rounds — they lead the
-    #        backlog drain --------------------------------------------
+    # Round-11 window. Slot math: 22 touched-this-round + 9 r05 rows
+    # (the FULL remaining r05 tail — VERDICT r10 item 2's target,
+    # oldest witness moves to r06) + 19 alphabetically-first r06 rows
+    # = 50 exactly; 11 r06 rows remain for round 12
+    # (profit_by_nation_year .. vocab_coverage_stats). Rotation
+    # discipline unchanged: this rotation is the round's LAST
+    # code-touching commit; tools/check_window_freshness.py verifies
+    # the ordering AND that every diff-touched query (AST coverage
+    # map) holds a slot below.
+    # -- (a) new this round: the end-to-end RAG composition and the
+    #        span-removal APPLY stage (VERDICT r10 items 3 and 5) ----
+    "chunk_embedding_topk",
+    "span_removed_corpus_stats",
+    # -- (b) touched by the run_cypher write:true threading (VERDICT
+    #        r10 item 1 — the whole cypher_* family re-witnesses; the
+    #        pagerank readback now runs the verbatim two-step through
+    #        the plain API) -----------------------------------------
+    "cypher_closure_from_anchor",
+    "cypher_collect_unwind_roundtrip",
+    "cypher_community_readback",
+    "cypher_delete_counters",
+    "cypher_hosted_on_outer",
+    "cypher_meta_graph_call",
+    "cypher_pagerank_readback",
+    "cypher_scc_readback",
+    "cypher_subdeps_per_devdep",
+    "cypher_top_used_modules",
+    "cypher_unhosted_dependency_count",
+    "cypher_with_chain_fanout",
+    "cypher_with_topk_pipeline",
+    # -- (c) touched by this round's other code motion: the ivf_store
+    #        probed-list search generalization (ivf_search_queries),
+    #        the try_cast oracle whitespace/overflow fix (ADVICE r10),
+    #        the 128-bit OPQ variance combine (ADVICE r10), and the
+    #        _removal_spans refactor --------------------------------
     "embedding_ivf_topk",
     "ivf_recall_at_k",
     "embedding_ivf_lloyd_topk",
     "semantic_dedup_candidates",
-    # -- (d) the full r04 witness tail (23 rows — every query whose
-    #        latest driver witness is CORRECTNESS_r04; untouched since,
-    #        locally green in every all-registry sweep) ----------------
-    "clustering_coefficient_summary",
-    "corpus_mixture_report",
-    "degree_assortativity",
-    "doc_repetition_signals",
-    "doc_unigram_surprisal",
-    "events_asof_last_purchase",
-    "events_daily_active_users",
-    "events_error_anomaly_scores",
-    "events_funnel",
-    "events_json_extract",
-    "events_purchase_attribution",
-    "events_session_windows",
-    "events_sessionization",
-    "events_sliding_windows",
-    "events_top_purchasers",
-    "events_tumbling_hourly",
-    "events_weekly_retention",
-    "lineitem_price_quantiles",
-    "minhash_decontamination",
-    "multimodal_frame_stats",
-    "priority_order_counts",
-    "sequence_packing_plan",
-    "two_hop_dependencies",
-    # -- (e) the oldest r05 rows (8 of the 19; the debt rows in (c)
-    #        cover 2 more; the remaining 11 r05 rows lead round 11's
-    #        aging section) -------------------------------------------
-    "corpus_zipf_fit",
-    "customer_order_distribution",
-    "doc_bigram_surprisal",
-    "doc_chunk_plan",
-    "doc_classifier_scores",
-    "dormant_rich_customers",
-    "duplicated_span_stats",
-    "embedding_decontamination",
+    "item_cooccurrence_topk",
+    "clustered_opq_recall_at_k",
+    "duplicated_span_removal_plan",
+    # -- (d) the full remaining r05 witness tail (9 rows; locally
+    #        green in every all-registry sweep since) ----------------
+    "events_type_trend",
+    "forecast_revenue_change",
+    "large_order_customers",
+    "mixture_temperature_resample",
+    "near_dup_rate_by_source",
+    "pii_redaction_stats",
+    "quality_logreg_weights",
+    "shuffled_export_order",
+    "small_quantity_revenue",
+    # -- (e) the 19 alphabetically-first r06 rows ---------------------
+    "bigram_pmi_collocations",
+    "binned_quantile_estimates",
+    "bloom_decontamination_prefilter",
+    "boilerplate_ngram_stats",
+    "customer_spend_deciles",
+    "events_gap_filled_hourly",
+    "events_ks_drift",
+    "events_trending_topk",
+    "idempotent_merge",
+    "important_stock_by_nation",
+    "incremental_minhash_dedup",
+    "late_shipment_priority_counts",
+    "market_share_by_year",
+    "min_cost_supplier",
+    "nation_volume_shipping",
+    "order_priority_checking",
+    "parts_supplier_relationship",
+    "potential_part_promotion",
+    "priority_sample_summary",
 )
 
 
