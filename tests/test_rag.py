@@ -121,3 +121,83 @@ def test_chunk_ids_pack_losslessly(spark):
         per_chunk.setdefault((r["doc_id"], r["chunk_id"]), []).append(r["rank"])
     for key, ranks in per_chunk.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), key
+
+
+def test_ivf_search_queries_matches_numpy_replay(spark):
+    """The generalized probed-list search (external query vectors, the
+    chunk retrieval's core) against a from-scratch numpy replay of the
+    WHOLE path — centroid probe selection (rounded cosine, cid
+    tiebreak), inverted-list scan restricted to the probed lists,
+    per-query top-k with neighbor_id tiebreak — on a crafted corpus
+    with deliberate ties (duplicated vectors) and a query aimed
+    between two lists."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.functions.ivf_store import ivf_search_queries
+    from github_miner_spark.functions.similarity import assign_lists
+
+    rng = np.random.RandomState(7)
+    n, dims = 60, 8
+    vecs = rng.randn(n, dims)
+    vecs[13] = vecs[7]  # exact duplicate -> rounded-score tie
+    vecs[29] = vecs[7]
+    corpus = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    cents = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = assign_lists(emb, cents)
+
+    qvecs = [
+        (100, [float(x) for x in vecs[3] + 0.05 * rng.randn(dims)]),
+        (101, [float(x) for x in (vecs[0] + vecs[10]) / 2.0]),  # between lists
+        (102, [float(x) for x in vecs[7]]),  # lands on the tie triplet
+    ]
+    queries = spark.createDataFrame(qvecs, "query_id long, qvec array<double>")
+    k, n_probe = 4, 2
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+        for r in ivf_search_queries(assigned, cents, queries, k, n_probe).collect()
+    )
+
+    def rcos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    cent_rows = sorted((i, vecs[i]) for i in range(0, n, 10))
+    # replay assignment: argmax rounded cosine, smallest cid on ties
+    lists = {}
+    for i in range(n):
+        best = max(cent_rows, key=lambda c: (rcos(vecs[i], c[1]), -c[0]))
+        lists.setdefault(best[0], []).append(i)
+    want = []
+    for qid, qv in qvecs:
+        qv = np.array(qv)
+        probes = sorted(cent_rows, key=lambda c: (-rcos(qv, c[1]), c[0]))[:n_probe]
+        cand = [i for cid, _ in probes for i in lists.get(cid, [])]
+        ranked = sorted(cand, key=lambda i: (-rcos(qv, vecs[i]), i))[:k]
+        for rank, i in enumerate(ranked, start=1):
+            want.append((qid, rank, i, rcos(qv, vecs[i])))
+    assert got == sorted(want)
+
+
+def test_run_cypher_script_split_respects_string_literals(spark):
+    """A ';' inside a Cypher string literal must not split the script
+    (the quote-aware top-level splitter), and an all-whitespace script
+    refuses loudly."""
+    import pytest
+
+    from github_miner_spark.cypher import run_cypher
+    from github_miner_spark.graph.store import load_graph
+
+    g = load_graph(spark, "/root/testdata/sf0.001")
+    row = g.vertices.filter("label = 'NodeModule'").limit(1).collect()[0]
+    # name with no ';' — but the literal predicate contains one
+    out = run_cypher(
+        g,
+        f"MATCH (n:NodeModule) WHERE n.name <> 'a;b' AND n.id = {row['id']} "
+        "RETURN n.name AS name",
+    ).collect()
+    assert out[0]["name"] == row["name"]
+    with pytest.raises(ValueError, match="empty Cypher"):
+        run_cypher(g, "  ;  ; ")
