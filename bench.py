@@ -176,10 +176,12 @@ HEADLINE = [
     "clustered_ivfpq_recall_at_k",
     "clustered_pq_rerank_recall_at_k",
     # round 11: the end-to-end RAG composition (chunk plan -> hashed
-    # chunk vectors -> IVF store probed-list search) and the span
-    # removal APPLY stage (cut-list execution + cleaned-corpus stats)
+    # chunk vectors -> IVF store probed-list search), the span removal
+    # APPLY stage (cut-list execution + cleaned-corpus stats), and the
+    # hybrid BM25 + vector RRF fusion ranker
     "chunk_embedding_topk",
     "span_removed_corpus_stats",
+    "hybrid_retrieval_rrf_topk",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

@@ -242,3 +242,157 @@ def chunk_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     ).orderBy("doc_id", "chunk_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# vector (IVF probed-list) legs — the standard production RAG ranker
+# (Cormack et al. 2009 RRF; every hybrid search stack ships this).
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the canonical RRF constant
+HYBRID_LEG_K = 20  # depth of each retrieval leg
+HYBRID_TOPK = 10
+
+
+def _hybrid_oracle() -> str:
+    from github_miner_spark.queries.text_queries import BM25_TERMS, _bm25_oracle_sql
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    par AS (
+      SELECT CAST(ceil(count(*) / floor(sqrt(count(*)))) AS BIGINT) AS stride FROM e
+    ),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cid, ev AS cvec FROM e
+      WHERE vec_id % (SELECT stride FROM par) = 0
+    ),
+    asg AS MATERIALIZED (
+      SELECT vec_id, ev, cid AS list_id FROM (
+        SELECT e.vec_id, e.ev, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dcos('e.ev', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    lex AS (
+      SELECT doc_id, rank AS rank_lex
+      FROM ({_bm25_oracle_sql(HYBRID_LEG_K)}) bm
+    ),
+    qt AS (SELECT unnest([{terms}]) AS tok),
+    qcomp AS (
+      SELECT CAST(('0x' || substr(md5('fh|' || tok), 1, 8))::BIGINT
+                  % {RAG_DIMS} AS INTEGER) AS dim,
+             CASE WHEN ('0x' || substr(md5('sg|' || tok), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM qt
+    ),
+    qwv AS (SELECT dim, CAST(sum(sgn) AS BIGINT) AS w FROM qcomp GROUP BY dim),
+    qdense AS (
+      SELECT d.d, CAST(coalesce(w.w, 0) AS DOUBLE) AS x
+      FROM (SELECT unnest(range(0, {RAG_DIMS})) AS d) d
+      LEFT JOIN qwv w ON w.dim = d.d
+    ),
+    qv AS (SELECT list(x ORDER BY d) AS qvec FROM qdense),
+    probes AS (
+      SELECT qvec, cid AS list_id FROM (
+        SELECT q.qvec, c.cid,
+               row_number() OVER (ORDER BY {_dcos('q.qvec', 'c.cvec')} DESC, c.cid)
+                 AS rn
+        FROM qv q CROSS JOIN cents c
+      ) WHERE rn <= {RAG_N_PROBE}
+    ),
+    vscored AS (
+      SELECT a.vec_id AS doc_id, {_dcos('p.qvec', 'a.ev')} AS score
+      FROM asg a JOIN probes p ON a.list_id = p.list_id
+    ),
+    vec AS (
+      SELECT doc_id, rank_vec FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS rank_vec
+        FROM vscored
+      ) WHERE rank_vec <= {HYBRID_LEG_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.rank_lex, v.rank_vec,
+             round(coalesce(1.0 / ({RRF_K} + l.rank_lex), 0)
+                   + coalesce(1.0 / ({RRF_K} + v.rank_vec), 0), 6) AS rrf_score
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_vec, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOPK}
+    """
+
+
+@register(
+    "hybrid_retrieval_rrf_topk",
+    oracle=_hybrid_oracle(),
+    description="Hybrid retrieval via reciprocal-rank fusion (Cormack "
+    "et al. 2009, K=60) — the production RAG ranker that fuses BOTH "
+    "retrieval legs this engine already serves: BM25 lexical top-20 "
+    "(bm25_retrieval_topk's exact integer-quantized scoring, same "
+    "query terms) and the vector leg, which embeds the query text "
+    "with the chunk encoder (64-dim hashing trick, exact integer "
+    "weights) and searches the materialized IVF store's probed-list "
+    "path top-20. rrf = 1/(60+rank_lex) + 1/(60+rank_vec), a fixed "
+    "two-term expression evaluated identically on both engines (no "
+    "order-sensitive accumulation); docs reached by only one leg "
+    "keep a NULL rank on the other. 100 TB shape: each leg is its "
+    "own already-audited bounded plan (term-filtered scan + "
+    "TakeOrdered; list-pruned integer-keyed index scan); the fusion "
+    "is a full-outer join of two k-row frames — constant-size work "
+    "regardless of corpus scale.",
+    tags=("similarity", "retrieval", "rag", "rrf", "hybrid", "topk"),
+)
+def hybrid_retrieval_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from github_miner_spark.functions.ivf_store import (
+        ivf_search_queries,
+        load_ivf_index,
+    )
+    from github_miner_spark.queries.text_queries import (
+        BM25_TERMS,
+        bm25_retrieval_topk,
+    )
+
+    lex = bm25_retrieval_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rank_lex")
+    )
+    # the query text embeds through the SAME encoder chunk retrieval
+    # uses — one row, one chunk (|terms| << chunk size)
+    qdoc = spark.createDataFrame(
+        [(0, " ".join(BM25_TERMS))], "doc_id long, text string"
+    )
+    queries = chunk_query_vectors(qdoc).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("query_id"), "qvec"
+    )
+    assigned, cents = load_ivf_index(spark, sf_dir)
+    vec = ivf_search_queries(
+        assigned, cents, queries, k=HYBRID_LEG_K, n_probe=RAG_N_PROBE,
+        exclude_self=False,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_vec"))
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), "doc_id").limit(HYBRID_TOPK)
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_score"), "doc_id"))
+            .cast("int"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+    )

@@ -82,19 +82,21 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-11 window. Slot math: 22 touched-this-round + 9 r05 rows
+    # Round-11 window. Slot math: 23 touched-this-round + 9 r05 rows
     # (the FULL remaining r05 tail — VERDICT r10 item 2's target,
-    # oldest witness moves to r06) + 19 alphabetically-first r06 rows
-    # = 50 exactly; 11 r06 rows remain for round 12
-    # (profit_by_nation_year .. vocab_coverage_stats). Rotation
-    # discipline unchanged: this rotation is the round's LAST
-    # code-touching commit; tools/check_window_freshness.py verifies
-    # the ordering AND that every diff-touched query (AST coverage
-    # map) holds a slot below.
-    # -- (a) new this round: the end-to-end RAG composition and the
-    #        span-removal APPLY stage (VERDICT r10 items 3 and 5) ----
+    # oldest witness moves to r06) + 18 alphabetically-first r06 rows
+    # = 50 exactly; 12 r06 rows remain for round 12
+    # (priority_sample_summary, profit_by_nation_year ..
+    # vocab_coverage_stats). Rotation discipline unchanged: this
+    # rotation is the round's LAST code-touching commit;
+    # tools/check_window_freshness.py verifies the ordering AND that
+    # every diff-touched query (AST coverage map) holds a slot below.
+    # -- (a) new this round: the end-to-end RAG composition, the
+    #        span-removal APPLY stage (VERDICT r10 items 3 and 5),
+    #        and the hybrid BM25+vector RRF fusion ranker ------------
     "chunk_embedding_topk",
     "span_removed_corpus_stats",
+    "hybrid_retrieval_rrf_topk",
     # -- (b) touched by the run_cypher write:true threading (VERDICT
     #        r10 item 1 — the whole cypher_* family re-witnesses; the
     #        pagerank readback now runs the verbatim two-step through
@@ -135,7 +137,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "quality_logreg_weights",
     "shuffled_export_order",
     "small_quantity_revenue",
-    # -- (e) the 19 alphabetically-first r06 rows ---------------------
+    # -- (e) the 18 alphabetically-first r06 rows ---------------------
     "bigram_pmi_collocations",
     "binned_quantile_estimates",
     "bloom_decontamination_prefilter",
@@ -154,7 +156,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "order_priority_checking",
     "parts_supplier_relationship",
     "potential_part_promotion",
-    "priority_sample_summary",
 )
 
 

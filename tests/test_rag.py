@@ -201,3 +201,64 @@ def test_run_cypher_script_split_respects_string_literals(spark):
     assert out[0]["name"] == row["name"]
     with pytest.raises(ValueError, match="empty Cypher"):
         run_cypher(g, "  ;  ; ")
+
+
+def test_hybrid_rrf_fusion_matches_python_reference(spark):
+    """RRF fusion replayed in pure Python from the two legs' own
+    outputs: collect BM25 top-20 and the vector leg's top-20
+    independently, fuse with 1/(60+r) in Python, and compare the
+    registered query row-for-row — plus the structural invariants
+    (both-legs docs outrank equal-rank single-leg docs; ranks are
+    contiguous; every emitted doc appears in at least one leg)."""
+    from pyspark.sql import functions as F
+
+    from github_miner_spark.functions.ivf_store import (
+        ivf_search_queries,
+        load_ivf_index,
+    )
+    from github_miner_spark.queries.rag_queries import (
+        HYBRID_LEG_K,
+        HYBRID_TOPK,
+        RAG_N_PROBE,
+        RRF_K,
+        chunk_query_vectors,
+        hybrid_retrieval_rrf_topk,
+    )
+    from github_miner_spark.queries.text_queries import (
+        BM25_TERMS,
+        bm25_retrieval_topk,
+    )
+
+    lex = {
+        r["doc_id"]: r["rank"]
+        for r in bm25_retrieval_topk(spark, SF).collect()
+    }
+    qdoc = spark.createDataFrame(
+        [(0, " ".join(BM25_TERMS))], "doc_id long, text string"
+    )
+    queries = chunk_query_vectors(qdoc).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("query_id"), "qvec"
+    )
+    assigned, cents = load_ivf_index(spark, SF)
+    vec = {
+        r["neighbor_id"]: r["rank"]
+        for r in ivf_search_queries(
+            assigned, cents, queries, k=HYBRID_LEG_K, n_probe=RAG_N_PROBE
+        ).collect()
+    }
+    fused = {
+        d: round(
+            (1.0 / (RRF_K + lex[d]) if d in lex else 0.0)
+            + (1.0 / (RRF_K + vec[d]) if d in vec else 0.0),
+            6,
+        )
+        for d in set(lex) | set(vec)
+    }
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:HYBRID_TOPK]
+    got = hybrid_retrieval_rrf_topk(spark, SF).collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    for r in got:
+        assert r["rank_lex"] == lex.get(r["doc_id"])
+        assert r["rank_vec"] == vec.get(r["doc_id"])
+        assert r["rank_lex"] is not None or r["rank_vec"] is not None
