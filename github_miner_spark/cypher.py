@@ -113,7 +113,8 @@ _EDGE_LEFT_RE = re.compile(r"^<-\s*" + _EDGE_BODY + r"\s*-(?!>)")
 _EDGE_UND_RE = re.compile(r"^-\s*" + _EDGE_BODY + r"\s*-(?!>)")
 _STAR_RE = re.compile(r"^\*\s*(?P<lo>\d+)?\s*(?:(?P<dots>\.\.)\s*(?P<hi>\d+)?)?$")
 _LIT_RE = re.compile(
-    r"^(?:'(?P<str>[^']*)'|\"(?P<dstr>[^\"]*)\"|(?P<num>-?\d+(?:\.\d+)?))$"
+    r"^(?:'(?P<str>(?:[^'\\]|\\.)*)'|\"(?P<dstr>(?:[^\"\\]|\\.)*)\""
+    r"|(?P<num>-?\d+(?:\.\d+)?))$"
 )
 
 
@@ -147,10 +148,14 @@ def _literal(tok: str):
     m = _LIT_RE.match(tok.strip())
     if not m:
         raise ValueError(f"unsupported literal: {tok!r}")
+    # quote/backslash escapes only (Neo4j's \' \" \\); other backslash
+    # pairs pass through verbatim — matching _split_top_level's escape
+    # tracking so a literal like 'it\'s; fine' survives the ';' script
+    # split AND parses to the intended value (ADVICE r11)
     if m.group("str") is not None:
-        return m.group("str")
+        return re.sub(r"\\(['\"\\])", r"\1", m.group("str"))
     if m.group("dstr") is not None:
-        return m.group("dstr")
+        return re.sub(r"\\(['\"\\])", r"\1", m.group("dstr"))
     n = m.group("num")
     return float(n) if "." in n else int(n)
 
@@ -163,6 +168,14 @@ def _split_top_level(text: str, sep: str) -> list[str]:
         ch = text[i]
         if quote:
             cur.append(ch)
+            if ch == "\\" and i + 1 < len(text):
+                # backslash escape inside a string literal: consume the
+                # escaped character too, so 'it\'s; fine' neither closes
+                # the quote early nor splits on the embedded ';'
+                # (ADVICE r11 — run_cypher splits every query on ';')
+                cur.append(text[i + 1])
+                i += 2
+                continue
             if ch == quote:
                 quote = ""
         elif ch in "'\"":
@@ -403,6 +416,11 @@ def _scan_clauses(q: str) -> list[tuple[str, str]]:
     while i < len(q):
         ch = q[i]
         if quote:
+            if ch == "\\":
+                # skip the escaped character — same escape tracking as
+                # _split_top_level (ADVICE r11)
+                i += 2
+                continue
             if ch == quote:
                 quote = ""
             i += 1

@@ -403,13 +403,23 @@ def with_vertex_property(
     reads of ``n.<prop>`` see REAL values instead of Neo4j's
     missing-property NULL. Vertices absent from ``values`` keep NULL —
     exactly what Neo4j returns for nodes outside the algorithm's
-    projection. Left join on the vertex id; committing the result is a
-    store rewrite (graph/store.py save_graph)."""
+    projection. A pre-existing ``prop`` column is DROPPED before the
+    join — Neo4j's property-overwrite semantics: re-running the same
+    ``CALL algo.* {write:true}`` on one graph object (legal in Neo4j,
+    which overwrites) must replace the column, not join a second
+    identically-named one that poisons every later read with
+    AMBIGUOUS_REFERENCE (ADVICE r11). One documented divergence:
+    vertices outside the NEW projection reset to NULL rather than
+    keeping a stale prior value — repeat writes in the reference
+    corpus reuse the same (Label, REL) projection, where the two
+    semantics coincide. Left join on the vertex id; committing the
+    result is a store rewrite (graph/store.py save_graph)."""
     val_col = val_col or prop
     cols = values.columns
     if id_col not in cols or val_col not in cols:
         raise ValueError(f"values needs columns ({id_col!r}, {val_col!r}); has {cols}")
     payload = values.select(F.col(id_col).alias("id"), F.col(val_col).alias(prop))
-    return PropertyGraph(
-        vertices=graph.vertices.join(payload, "id", "left"), edges=graph.edges
-    )
+    verts = graph.vertices
+    if prop in verts.columns:
+        verts = verts.drop(prop)
+    return PropertyGraph(vertices=verts.join(payload, "id", "left"), edges=graph.edges)

@@ -1602,6 +1602,11 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = sgp.groupBy(F.col("context").alias("negative")).agg(
         F.sum("n_pairs").cast("bigint").alias("cnt")
     )
+    # single-partition window, bounded: `dist` is one row per DISTINCT
+    # context node (graph-vocabulary-sized, never pair- or walk-sized);
+    # at open-domain 100 TB vocab the same cumulative bounds come from
+    # repartitionByRange + per-shard offsets (corpus_zipf_fit's
+    # distributed-rank pattern)
     wcum = Window.orderBy("negative").rowsBetween(Window.unboundedPreceding, 0)
     cum2 = dist.select(
         "negative", "cnt", F.sum("cnt").over(wcum).cast("bigint").alias("hi")

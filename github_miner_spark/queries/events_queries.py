@@ -1044,6 +1044,9 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pb), "item_b")
         .select("item_a", "item_b", "co_users", cosine.alias("cosine"))
     )
+    # bounded single-partition window: TakeOrderedAndProject caps the
+    # frame to 20 rows BEFORE the rank window runs (same audit note as
+    # the BM25 leg's post-limit rank)
     top = scored.orderBy(F.desc("cosine"), "item_a", "item_b").limit(20)
     return (
         top.withColumn(

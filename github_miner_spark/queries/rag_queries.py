@@ -364,7 +364,16 @@ def hybrid_retrieval_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("rank").alias("rank_lex")
     )
     # the query text embeds through the SAME encoder chunk retrieval
-    # uses — one row, one chunk (|terms| << chunk size)
+    # uses — one row, one chunk. The oracle models EXACTLY ONE query
+    # vector, so the single-chunk contract is ENFORCED, not implied
+    # (ADVICE r11): a BM25_TERMS that outgrew RAG_CHUNK would emit a
+    # second chunk_id, fan out the full-outer join with duplicate
+    # doc_id rows, and silently diverge from the single-vector oracle.
+    if len(BM25_TERMS) > RAG_CHUNK:
+        raise ValueError(
+            f"hybrid_retrieval_rrf_topk requires len(BM25_TERMS)="
+            f"{len(BM25_TERMS)} <= RAG_CHUNK={RAG_CHUNK} (one query chunk)"
+        )
     qdoc = spark.createDataFrame(
         [(0, " ".join(BM25_TERMS))], "doc_id long, text string"
     )
@@ -386,6 +395,10 @@ def hybrid_retrieval_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rrf_score"),
     )
+    # bounded single-partition window: the rank runs AFTER the
+    # limit(HYBRID_TOPK) — it only ever sees <= 10 rows at any corpus
+    # scale (each leg is already k-row), same audit note as the BM25
+    # leg's post-limit rank
     top = fused.orderBy(F.desc("rrf_score"), "doc_id").limit(HYBRID_TOPK)
     return (
         top.withColumn(

@@ -1501,3 +1501,75 @@ def test_unwind_empty_literal_is_zero_rows(spark):
     assert run_cypher(g, "UNWIND [] AS x RETURN x").collect() == []
     n = run_cypher(g, "UNWIND [] AS x RETURN count(*) AS n").collect()[0]["n"]
     assert n == 0
+
+
+def test_repeat_write_true_call_overwrites_property(spark):
+    """ADVICE r11 (medium): re-running the same CALL algo.* write:true
+    on ONE graph object is legal in Neo4j, which OVERWRITES the
+    property. The second commit must replace the vertex column, not
+    left-join a second identically-named one that poisons every later
+    property read with AMBIGUOUS_REFERENCE."""
+    g = load_graph(spark, SF)
+    call = (
+        "CALL algo.scc('NodeModule', 'DEPENDS_ON', "
+        "{write:true, writeProperty:'partition'}) YIELD setCount"
+    )
+    readback = (
+        "MATCH (n:NodeModule) RETURN n.partition AS partition, "
+        "count(*) AS n ORDER BY n DESC, partition LIMIT 5"
+    )
+    run_cypher(g, call)
+    want = run_cypher(g, readback).collect()
+    run_cypher(g, call)  # the repeat write — reproduced the r11 failure
+    assert g.vertices.columns.count("partition") == 1
+    assert run_cypher(g, readback).collect() == want
+
+    # direct with_vertex_property repeats behave the same way
+    from github_miner_spark.graph.mutations import with_vertex_property
+
+    vals1 = g.vertices.select("id", F.lit(1).alias("mark"))
+    vals2 = g.vertices.select("id", F.lit(2).alias("mark")).limit(1)
+    g2 = with_vertex_property(load_graph(spark, SF), "mark", vals1)
+    g2 = with_vertex_property(g2, "mark", vals2)
+    assert g2.vertices.columns.count("mark") == 1
+    # overwrite semantics: vertices outside the NEW values frame reset
+    # to NULL (documented divergence from Neo4j's per-node retention)
+    marks = set(r["mark"] for r in g2.vertices.select("mark").distinct().collect())
+    assert marks == {2, None}
+
+
+def test_escaped_quotes_survive_script_split(spark):
+    """ADVICE r11 (low): a string literal containing a backslash-escaped
+    quote must not close the quote early in _split_top_level — a ';'
+    inside the literal is content, not a statement separator — and the
+    literal parses to its unescaped value."""
+    from github_miner_spark.cypher import _literal, _split_top_level
+    from github_miner_spark.graph.model import PropertyGraph
+
+    stmts = _split_top_level(
+        "MATCH (n {name: 'it\\'s; fine'}) RETURN n.name AS x; RETURN 1 AS y", ";"
+    )
+    assert len(stmts) == 2
+    assert "it\\'s; fine" in stmts[0]
+    assert _literal("'it\\'s; fine'") == "it's; fine"
+    assert _literal('"a\\\\b"') == "a\\b"
+    # unescaped backslashes that do not precede a quote pass through
+    assert _literal("'a\\b'") == "a\\b"
+
+    # end to end: the props-map equality predicate sees the unescaped
+    # value, and the script still splits into two statements
+    vdf = spark.createDataFrame(
+        [(1, "X", "it's; fine"), (2, "X", "other")],
+        "id bigint, label string, name string",
+    )
+    edf = spark.createDataFrame(
+        [],
+        "src bigint, dst bigint, rel_type string, src_label string, dst_label string, version string",
+    )
+    g = PropertyGraph(vdf, edf)
+    got = run_cypher(
+        g,
+        "MATCH (n {name: 'it\\'s; fine'}) RETURN count(*) AS n; "
+        "MATCH (n {name: 'it\\'s; fine'}) RETURN n.name AS name",
+    ).collect()
+    assert [r["name"] for r in got] == ["it's; fine"]
