@@ -980,9 +980,12 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_SCALE = 1_000_000  # per-item quantization for the five OLS sums
+
+
 @register(
     "corpus_zipf_fit",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT list_filter(str_split(regexp_replace(lower(text),
                '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS toks
@@ -995,10 +998,22 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
              ln(c::DOUBLE) AS ly
       FROM freq
     ),
-    m AS (
-      SELECT count(*)::DOUBLE AS n, avg(lx) AS mx, avg(ly) AS my,
-             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+    q AS (
+      SELECT CAST(round(lx * {ZIPF_SCALE}, 0) AS BIGINT) AS qx,
+             CAST(round(ly * {ZIPF_SCALE}, 0) AS BIGINT) AS qy,
+             CAST(round(lx * ly * {ZIPF_SCALE}, 0) AS BIGINT) AS qxy,
+             CAST(round(lx * lx * {ZIPF_SCALE}, 0) AS BIGINT) AS qxx,
+             CAST(round(ly * ly * {ZIPF_SCALE}, 0) AS BIGINT) AS qyy
       FROM ranked
+    ),
+    m AS (
+      SELECT count(*)::DOUBLE AS n,
+             CAST(sum(qx) AS DOUBLE) / ({ZIPF_SCALE} * count(*)) AS mx,
+             CAST(sum(qy) AS DOUBLE) / ({ZIPF_SCALE} * count(*)) AS my,
+             CAST(sum(qxy) AS DOUBLE) / {ZIPF_SCALE} AS sxy,
+             CAST(sum(qxx) AS DOUBLE) / {ZIPF_SCALE} AS sxx,
+             CAST(sum(qyy) AS DOUBLE) / {ZIPF_SCALE} AS syy
+      FROM q
     )
     SELECT CAST(n AS BIGINT) AS n_terms,
            round((sxy - n * mx * my) / (sxx - n * mx * mx), 6) AS zipf_slope,
@@ -1012,9 +1027,16 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classic corpus-health diagnostic (natural text fits log-freq ~ "
     "-1 * log-rank with high r2; template/generated corpora deviate). "
     "Closed-form OLS as ONE aggregation over the ranked frequency "
-    "table: slope = cov/var from five running sums — no iterative "
-    "fitting, no collect; the rank window runs on the term-frequency "
-    "rollup (vocabulary-sized), never the token stream.",
+    "table: slope = cov/var from five sums — no iterative fitting, no "
+    "collect. The global frequency rank is DISTRIBUTED (VERDICT r11 "
+    "item 4): repartitionByRange on the unique (freq desc, term) "
+    "order, per-shard row_number, plus broadcast per-shard offsets "
+    "from a shard-count rollup — no single-partition sort of the "
+    "vocabulary (10^8-10^9 rows at open-domain 100 TB; the only "
+    "unpartitioned window left is the 32-row shard-offset cumsum). "
+    "The five OLS terms are quantized per item to BIGINT (1e6 scale) "
+    "so the sums are order-independent under any partitioning — the "
+    "cross-engine exactness recipe the sketch family uses.",
     tags=("text", "statistics", "corpus"),
 )
 def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,18 +1045,66 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
     freq = tok.groupBy("term").agg(F.count("*").alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("term"))
-    ranked = freq.select(
-        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+    # distributed global rank over the unique total order (c desc,
+    # term): range-partition, rank locally per shard, add the
+    # cumulative count of the preceding shards (range partitions are
+    # ordered by construction, so shard id order IS the sort order)
+    n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # eager pin: the ranked shards feed TWO consumers (local ranks +
+    # shard counts) and range-partitioner boundaries are sampled per
+    # plan instantiation — without the pin the two subtrees could
+    # range-split differently and desync lrn from off (the same
+    # two-consumer carve-out as procedures.py _pin; vocabulary-sized,
+    # one skinny column pair)
+    parts = (
+        freq.repartitionByRange(n_shards, F.desc("c"), F.asc("term"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    local = parts.withColumn(
+        "lrn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.desc("c"), F.asc("term"))
+        ),
+    )
+    # shard offsets: one row per shard — the cumsum window is bounded
+    # by the shard count, never the vocabulary
+    offs = (
+        parts.groupBy("pid")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            "pid",
+            (
+                F.sum("n_rows").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("off"),
+        )
+    )
+    ranked = local.join(F.broadcast(offs), "pid").select(
+        F.log(
+            (F.col("lrn") + F.coalesce(F.col("off"), F.lit(0))).cast("double")
+        ).alias("lx"),
         F.log(F.col("c").cast("double")).alias("ly"),
     )
-    m = ranked.agg(
+    # per-item BIGINT quantization -> order-independent exact sums
+    qz = lambda e: F.round(e * ZIPF_SCALE, 0).cast("bigint")  # noqa: E731
+    q = ranked.select(
+        qz(F.col("lx")).alias("qx"),
+        qz(F.col("ly")).alias("qy"),
+        qz(F.col("lx") * F.col("ly")).alias("qxy"),
+        qz(F.col("lx") * F.col("lx")).alias("qxx"),
+        qz(F.col("ly") * F.col("ly")).alias("qyy"),
+    )
+    m = q.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg("lx").alias("mx"),
-        F.avg("ly").alias("my"),
-        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
-        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
-        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        (F.sum("qx").cast("double") / (F.lit(ZIPF_SCALE) * F.count("*"))).alias("mx"),
+        (F.sum("qy").cast("double") / (F.lit(ZIPF_SCALE) * F.count("*"))).alias("my"),
+        (F.sum("qxy").cast("double") / ZIPF_SCALE).alias("sxy"),
+        (F.sum("qxx").cast("double") / ZIPF_SCALE).alias("sxx"),
+        (F.sum("qyy").cast("double") / ZIPF_SCALE).alias("syy"),
     )
     slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
         F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")

@@ -670,3 +670,25 @@ def test_clustered_eval_plans_stay_broadcast_shaped(spark):
         for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
             assert m.group(1) in ("Cross", "LeftOuter"), (name, m.group(1))
         assert "SortMergeJoin" not in plan, name
+
+
+def test_zipf_rank_is_distributed(spark):
+    """VERDICT r11 item 4: corpus_zipf_fit's vocabulary rank must not
+    be a single-partition sort of the term-frequency rollup. The
+    range-partitioned shards are pinned once (localCheckpoint — both
+    consumers must see identical shard boundaries), the
+    vocabulary-sized rank window partitions by pid, and the only
+    unpartitioned window left is the shard-offset cumsum, bounded by
+    the shard count, then broadcast. Both consumers scan the SAME
+    pinned RDD."""
+    plan = _plan(spark, "corpus_zipf_fit")
+    # the vocab-sized rank window is keyed by the shard id
+    assert re.search(
+        r"windowspecdefinition\(pid#\d+, c#\d+L DESC", plan
+    ), plan
+    # the shard-offset side joins back via broadcast, never a shuffle
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # one pinned RDD feeds both consumers (rank + offsets): the two
+    # ExistingRDD scans reference the same checkpointed RDD id
+    rdd_ids = set(re.findall(r"(MapPartitionsRDD\[\d+\]) at localCheckpoint", plan))
+    assert len(rdd_ids) == 1, rdd_ids
