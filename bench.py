@@ -182,6 +182,11 @@ HEADLINE = [
     "chunk_embedding_topk",
     "span_removed_corpus_stats",
     "hybrid_retrieval_rrf_topk",
+    # round 12: the hybrid ranker's quality grader (in-cluster
+    # relevance overlap@10 of RRF vs each leg on the planted clustered
+    # fixture) and the incremental IVF delta-append search
+    "hybrid_fusion_relevance_at_k",
+    "incremental_ivf_topk",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

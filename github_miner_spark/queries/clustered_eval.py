@@ -953,3 +953,334 @@ def clustered_pq_rerank_recall_at_k(
         .select("query_id", "neighbor_id")
     )
     return _clu_grade(_clu_truth(cnv), approx)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fusion grader (VERDICT r11 item 2): does RRF fusion beat each
+# leg alone? The clustered fixture gets a PLANTED LEXICAL layer derived
+# from spec — md5-seeded, so the oracle re-derives it — and the grader
+# measures in-cluster relevance overlap@10 for the BM25-order lexical
+# leg, the LSH-bucket vector leg, and their RRF fusion.
+# ---------------------------------------------------------------------------
+
+HYB_CARRIER = 60  # % of docs carrying their own cluster's topic term
+HYB_XTALK = 10  # % also carrying the NEXT cluster's term (lexical noise)
+HYB_FILL_MIN = 6  # filler-token count floor (dl = fillers + topic terms)
+HYB_LEG_K = 20  # per-leg retrieval depth
+HYB_TOPK = 10  # fused depth graded
+HYB_RRF_K = 60  # the canonical RRF constant (Cormack et al. 2009)
+
+# Planted-lexical spec (identical on both engines):
+#   carrier(v) = md5_prefix_hash('lex|' || vec_id) % 100 < 60
+#   xtalk(v)   = md5_prefix_hash('xt|'  || vec_id) % 100 < 10
+#   fillers(v) = 6 + md5_prefix_hash('len|' || vec_id) % 10
+#   tokens(v)  = fillers distinct filler terms
+#                ++ ['topic' || c(v)]           if carrier
+#                ++ ['topic' || (c(v)+1) % 8]   if xtalk
+# Query terms are single topic terms with tf = 1 in every carrying doc,
+# so the BM25 ordering reduces EXACTLY to (doc length asc, vec_id asc)
+# — idf is constant per query and the tf/(tf + k1*(1-b+b*dl/avgdl))
+# factor is strictly decreasing in dl. The grader ranks by that order
+# directly: the rank order BM25 induces, with zero float arithmetic.
+
+
+def _hyb_oracle() -> str:
+    bits = []
+    for p in range(4):
+        signs = "[" + ", ".join(
+            f"{s}.0" for s in _plane_signs(p, CLU_DIMS)
+        ) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {CLU_DIMS}), "
+            f"i -> nv[i] * ({signs})[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return _CLU_PREFIX + f""",
+    lex_doc AS MATERIALIZED (
+      SELECT vec_id, c,
+             ('0x' || substr(md5('lex|' || vec_id), 1, 8))::BIGINT % 100
+               < {HYB_CARRIER} AS carrier,
+             ('0x' || substr(md5('xt|' || vec_id), 1, 8))::BIGINT % 100
+               < {HYB_XTALK} AS xtalk,
+             {HYB_FILL_MIN} + ('0x' || substr(md5('len|' || vec_id), 1, 8))::BIGINT
+               % 10 AS fillers
+      FROM cnrm
+    ),
+    lq AS (SELECT vec_id AS query_id, c AS qc FROM cnrm
+           WHERE vec_id IN ({_CLU_IN})),
+    lcand AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id, d.c,
+             d.fillers + CASE WHEN d.carrier THEN 1 ELSE 0 END
+                       + CASE WHEN d.xtalk THEN 1 ELSE 0 END AS dl
+      FROM lq q JOIN lex_doc d
+        ON d.vec_id <> q.query_id
+       AND ((d.carrier AND d.c = q.qc)
+            OR (d.xtalk AND (d.c + 1) % {CLU_NC} = q.qc))
+    ),
+    lex AS MATERIALIZED (
+      SELECT query_id, neighbor_id, c, rank_lex FROM (
+        SELECT query_id, neighbor_id, c,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dl ASC, neighbor_id) AS rank_lex
+        FROM lcand) WHERE rank_lex <= {HYB_LEG_K}
+    ),
+    lb AS MATERIALIZED (SELECT vec_id, c, nv, {bucket} AS b FROM cnrm),
+    hvq AS (SELECT vec_id AS query_id, nv AS qv, b AS qb FROM lb
+            WHERE vec_id IN ({_CLU_IN})),
+    vcand AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id, n.c,
+             round(list_sum(list_transform(generate_series(1, {CLU_DIMS}),
+                 i -> q.qv[i] * n.nv[i])), 6) AS score
+      FROM lb n JOIN hvq q ON n.b = q.qb AND n.vec_id <> q.query_id
+    ),
+    vec AS MATERIALIZED (
+      SELECT query_id, neighbor_id, c, rank_vec FROM (
+        SELECT query_id, neighbor_id, c,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id) AS rank_vec
+        FROM vcand) WHERE rank_vec <= {HYB_LEG_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+             coalesce(l.c, v.c) AS c,
+             round(coalesce(1.0 / ({HYB_RRF_K} + l.rank_lex), 0)
+                   + coalesce(1.0 / ({HYB_RRF_K} + v.rank_vec), 0), 6) AS rrf
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.query_id = v.query_id AND l.neighbor_id = v.neighbor_id
+    ),
+    rrf_top AS MATERIALIZED (
+      SELECT query_id, neighbor_id, c FROM (
+        SELECT query_id, neighbor_id, c,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, neighbor_id) AS r
+        FROM fused) WHERE r <= {HYB_TOPK}
+    ),
+    qcm AS (SELECT vec_id AS query_id, c AS qc FROM cnrm
+            WHERE vec_id IN ({_CLU_IN}))
+    SELECT q.query_id,
+           (SELECT count(*) FROM lex l WHERE l.query_id = q.query_id
+              AND l.rank_lex <= {HYB_TOPK} AND l.c = q.qc) AS n_lex,
+           (SELECT count(*) FROM vec v WHERE v.query_id = q.query_id
+              AND v.rank_vec <= {HYB_TOPK} AND v.c = q.qc) AS n_vec,
+           (SELECT count(*) FROM rrf_top r WHERE r.query_id = q.query_id
+              AND r.c = q.qc) AS n_rrf,
+           round((SELECT count(*) FROM lex l WHERE l.query_id = q.query_id
+              AND l.rank_lex <= {HYB_TOPK} AND l.c = q.qc) / {HYB_TOPK}.0, 6)
+             AS p_lex,
+           round((SELECT count(*) FROM vec v WHERE v.query_id = q.query_id
+              AND v.rank_vec <= {HYB_TOPK} AND v.c = q.qc) / {HYB_TOPK}.0, 6)
+             AS p_vec,
+           round((SELECT count(*) FROM rrf_top r WHERE r.query_id = q.query_id
+              AND r.c = q.qc) / {HYB_TOPK}.0, 6) AS p_rrf
+    FROM qcm q ORDER BY q.query_id
+    """
+
+
+def _hyb_bucket(vec: Column) -> Column:
+    """4-plane LSH bucket from pre-computed sign literals — the same
+    expression-form tradeoff clustered_lsh_recall_at_k documents (256
+    md5 subtrees cost ~3.5s of Catalyst folding per plan; 256 double
+    literals plan in milliseconds, identical buckets)."""
+    acc = F.lit(0)
+    for p in range(4):
+        signs = F.array(*[F.lit(float(s)) for s in _plane_signs(p, CLU_DIMS)])
+        d = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc2, v: acc2 + v,
+        )
+        acc = acc + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def _hyb_lex_leg(cnv: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, c, rank_lex): the planted lexical leg.
+    Candidates = docs whose planted token list contains the query's
+    topic term (own-cluster carriers + next-cluster cross-talk),
+    ranked in the order single-term BM25 induces for tf=1 — ascending
+    doc length, vec_id tiebreak (idf is per-query constant; the
+    tf-saturation factor is strictly decreasing in dl). 100 TB shape:
+    a real deployment serves this leg from the inverted term index
+    (bm25_retrieval_topk's term-filtered scan); here the candidate
+    filter is a 5-row broadcast against one corpus scan."""
+    h = lambda tag: (  # noqa: E731
+        md5_prefix_hash(F.concat(F.lit(tag), F.col("vec_id").cast("string")), 8)
+    )
+    lex_doc = cnv.select(
+        "vec_id",
+        "c",
+        (h("lex|") % 100 < HYB_CARRIER).alias("carrier"),
+        (h("xt|") % 100 < HYB_XTALK).alias("xtalk"),
+        (F.lit(HYB_FILL_MIN) + h("len|") % 10).alias("fillers"),
+    )
+    lq = cnv.filter(F.col("vec_id").isin(list(CLU_PROBES))).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    )
+    cand = (
+        lex_doc.crossJoin(F.broadcast(lq))
+        .filter(
+            (F.col("vec_id") != F.col("query_id"))
+            & (
+                (F.col("carrier") & (F.col("c") == F.col("qc")))
+                | (F.col("xtalk") & ((F.col("c") + 1) % CLU_NC == F.col("qc")))
+            )
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "c",
+            (
+                F.col("fillers")
+                + F.col("carrier").cast("int")
+                + F.col("xtalk").cast("int")
+            ).alias("dl"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dl"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank_lex", F.row_number().over(w))
+        .filter(F.col("rank_lex") <= HYB_LEG_K)
+        .select("query_id", "neighbor_id", "c", "rank_lex")
+    )
+
+
+def _hyb_vec_leg(cnv: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, c, rank_vec): the vector leg — the
+    bucket-only LSH rung (deliberately the COARSE rung: its per-query
+    misses are what the lexical leg must rescue for the fusion claim
+    to be non-trivial), exact cosine inside the bucket, top-20."""
+    lb = cnv.select("vec_id", "c", "nv", _hyb_bucket(F.col("nv")).alias("b"))
+    q = lb.filter(F.col("vec_id").isin(list(CLU_PROBES))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("nv").alias("qv"),
+        F.col("b").alias("qb"),
+    )
+    cand = lb.join(
+        F.broadcast(q),
+        (F.col("b") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "c",
+        F.round(dot(F.col("qv"), F.col("nv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank_vec", F.row_number().over(w))
+        .filter(F.col("rank_vec") <= HYB_LEG_K)
+        .select("query_id", "neighbor_id", "c", "rank_vec")
+    )
+
+
+@register(
+    "hybrid_fusion_relevance_at_k",
+    oracle=_hyb_oracle(),
+    description="The hybrid ranker's quality grader (VERDICT r11 item "
+    "2 — the one retrieval rung that shipped without one): in-cluster "
+    "relevance overlap@10 of the RRF fusion vs EACH leg alone, on the "
+    "clustered evaluation corpus extended with a planted lexical "
+    "layer the oracle re-derives from spec (60% of docs carry their "
+    "own cluster's topic term, 10% also carry the next cluster's — "
+    "the lexical false-positive source; md5-derived doc lengths give "
+    "the BM25 order something to rank). Lexical leg = single-term "
+    "BM25 order (= dl asc for tf=1, zero float arithmetic), vector "
+    "leg = bucket-only LSH + exact cosine (deliberately the coarse "
+    "rung), fused by RRF K=60. Measured at sf0.01: in-cluster@10 "
+    "totals lex 45/50, vec 43/50, rrf 47/50 — fusion beats BOTH legs "
+    "(complementary errors: the probe whose LSH bucket holds 3/10 "
+    "in-cluster is rescued to 8 by the lexical leg), the measured "
+    "answer to 'does fusion help'. 100 TB shape: each leg is a "
+    "bounded audited plan (5-row broadcast probe sets against one "
+    "corpus scan each); fusion and grading are k-row frames.",
+    tags=("similarity", "retrieval", "rag", "rrf", "hybrid", "evaluation",
+          "clustered"),
+)
+def hybrid_fusion_relevance_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnv = _cnv(spark, sf_dir)
+    lex = _hyb_lex_leg(cnv)
+    vec = _hyb_vec_leg(cnv)
+    fused = (
+        lex.select(
+            "query_id", "neighbor_id", F.col("c").alias("c_l"), "rank_lex"
+        )
+        .join(
+            vec.select(
+                "query_id", "neighbor_id", F.col("c").alias("c_v"), "rank_vec"
+            ),
+            ["query_id", "neighbor_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.coalesce("c_l", "c_v").alias("c"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(HYB_RRF_K) + F.col("rank_lex")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(HYB_RRF_K) + F.col("rank_vec")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    rrf_top = (
+        fused.withColumn("r", F.row_number().over(rw))
+        .filter(F.col("r") <= HYB_TOPK)
+        .select("query_id", "neighbor_id", "c")
+    )
+    qcm = cnv.filter(F.col("vec_id").isin(list(CLU_PROBES))).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    )
+
+    def in_cluster_counts(leg: DataFrame, rank_col: str | None, out: str) -> DataFrame:
+        rows = leg if rank_col is None else leg.filter(F.col(rank_col) <= HYB_TOPK)
+        counts = (
+            rows.join(F.broadcast(qcm), "query_id")
+            .filter(F.col("c") == F.col("qc"))
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias(out))
+        )
+        return counts
+
+    out = (
+        qcm.join(
+            F.broadcast(in_cluster_counts(lex, "rank_lex", "n_lex")),
+            "query_id",
+            "left",
+        )
+        .join(
+            F.broadcast(in_cluster_counts(vec, "rank_vec", "n_vec")),
+            "query_id",
+            "left",
+        )
+        .join(
+            F.broadcast(in_cluster_counts(rrf_top, None, "n_rrf")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_lex", F.lit(0)).cast("bigint").alias("n_lex"),
+            F.coalesce("n_vec", F.lit(0)).cast("bigint").alias("n_vec"),
+            F.coalesce("n_rrf", F.lit(0)).cast("bigint").alias("n_rrf"),
+        )
+        .select(
+            "query_id",
+            "n_lex",
+            "n_vec",
+            "n_rrf",
+            F.round(F.col("n_lex") / F.lit(float(HYB_TOPK)), 6).alias("p_lex"),
+            F.round(F.col("n_vec") / F.lit(float(HYB_TOPK)), 6).alias("p_vec"),
+            F.round(F.col("n_rrf") / F.lit(float(HYB_TOPK)), 6).alias("p_rrf"),
+        )
+        .orderBy("query_id")
+    )
+    return out

@@ -664,12 +664,24 @@ def test_clustered_eval_plans_stay_broadcast_shaped(spark):
         "clustered_ivf_recall_at_k",
         "clustered_ivfpq_recall_at_k",
         "clustered_pq_rerank_recall_at_k",
+        "hybrid_fusion_relevance_at_k",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
-            assert m.group(1) in ("Cross", "LeftOuter"), (name, m.group(1))
-        assert "SortMergeJoin" not in plan, name
+            assert m.group(1) in ("Cross", "LeftOuter", "FullOuter"), (
+                name,
+                m.group(1),
+            )
+        # the one sanctioned sort-merge: the RRF fusion's FULL OUTER
+        # equi-join of the two k-row leg frames (full outer cannot
+        # broadcast-hash; both sides are <= |probes| x leg_k rows at
+        # any corpus scale)
+        for m in re.finditer(r"SortMergeJoin(?: \w+)? (\w+)", plan):
+            assert (
+                name == "hybrid_fusion_relevance_at_k"
+                and m.group(1) == "FullOuter"
+            ), (name, m.group(1))
 
 
 def test_zipf_rank_is_distributed(spark):

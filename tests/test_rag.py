@@ -262,3 +262,150 @@ def test_hybrid_rrf_fusion_matches_python_reference(spark):
         assert r["rank_lex"] == lex.get(r["doc_id"])
         assert r["rank_vec"] == vec.get(r["doc_id"])
         assert r["rank_lex"] is not None or r["rank_vec"] is not None
+
+
+def _hyb_numpy_expected(sf_dir):
+    """Independent numpy replay of hybrid_fusion_relevance_at_k: the
+    clustered corpus + planted lexical layer + both legs + RRF fusion
+    + the in-cluster@10 grading, recomputed from spec with no Spark
+    and no SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from github_miner_spark.queries.clustered_eval import (
+        CLU_DIMS,
+        CLU_NC,
+        CLU_PROBES,
+        HYB_CARRIER,
+        HYB_FILL_MIN,
+        HYB_LEG_K,
+        HYB_RRF_K,
+        HYB_TOPK,
+        HYB_XTALK,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vec_ids = t.column("vec_id").to_pylist()
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    c = np.array([h(f"clu{v}") % CLU_NC for v in vec_ids])
+    offs = np.array(
+        [
+            [((h(f"off{cc}_{i}") % 2001) - 1000) / 1000.0 for i in range(1, CLU_DIMS + 1)]
+            for cc in range(CLU_NC)
+        ]
+    )
+    sv = emb + 0.5 * offs[c]
+    # sequential-fold norm == np sum here only up to fp order; replay
+    # the fold exactly: the engine folds left-to-right
+    nv = np.empty_like(sv)
+    for r in range(sv.shape[0]):
+        acc = 0.0
+        for x in sv[r]:
+            acc += x * x
+        nv[r] = sv[r] / (acc ** 0.5)
+    idx = {v: i for i, v in enumerate(vec_ids)}
+
+    signs = np.array(
+        [
+            [(h(f"{p}_{i}") % 2) * 2 - 1 for i in range(CLU_DIMS)]
+            for p in range(4)
+        ],
+        dtype=np.float64,
+    )
+
+    def bucket(row):
+        b = 0
+        for p in range(4):
+            acc = 0.0
+            for i in range(CLU_DIMS):
+                acc += row[i] * signs[p][i]
+            if acc > 0:
+                b += 1 << p
+        return b
+
+    buckets = np.array([bucket(nv[i]) for i in range(nv.shape[0])])
+    carrier = np.array([h(f"lex|{v}") % 100 < HYB_CARRIER for v in vec_ids])
+    xtalk = np.array([h(f"xt|{v}") % 100 < HYB_XTALK for v in vec_ids])
+    dl = np.array(
+        [HYB_FILL_MIN + h(f"len|{v}") % 10 for v in vec_ids]
+    ) + carrier.astype(int) + xtalk.astype(int)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for i in range(CLU_DIMS):
+            acc += a[i] * b[i]
+        return round(acc, 6)
+
+    out = []
+    for qid in CLU_PROBES:
+        qi = idx[qid]
+        qc = c[qi]
+        # lexical leg: docs carrying topic(qc), BM25 order = (dl, id)
+        lex_ids = [
+            v
+            for v in vec_ids
+            if v != qid
+            and (
+                (carrier[idx[v]] and c[idx[v]] == qc)
+                or (xtalk[idx[v]] and (c[idx[v]] + 1) % CLU_NC == qc)
+            )
+        ]
+        lex_ids.sort(key=lambda v: (dl[idx[v]], v))
+        lex = lex_ids[:HYB_LEG_K]
+        # vector leg: same-bucket candidates by rounded cosine
+        vcand = [
+            v for v in vec_ids if v != qid and buckets[idx[v]] == buckets[qi]
+        ]
+        vcand.sort(key=lambda v: (-fold_dot(nv[qi], nv[idx[v]]), v))
+        vec = vcand[:HYB_LEG_K]
+        lex_rank = {v: r + 1 for r, v in enumerate(lex)}
+        vec_rank = {v: r + 1 for r, v in enumerate(vec)}
+        fused = sorted(
+            set(lex) | set(vec),
+            key=lambda v: (
+                -round(
+                    (1.0 / (HYB_RRF_K + lex_rank[v]) if v in lex_rank else 0.0)
+                    + (1.0 / (HYB_RRF_K + vec_rank[v]) if v in vec_rank else 0.0),
+                    6,
+                ),
+                v,
+            ),
+        )[:HYB_TOPK]
+        n_lex = sum(1 for v in lex[:HYB_TOPK] if c[idx[v]] == qc)
+        n_vec = sum(1 for v in vec[:HYB_TOPK] if c[idx[v]] == qc)
+        n_rrf = sum(1 for v in fused if c[idx[v]] == qc)
+        out.append((qid, n_lex, n_vec, n_rrf))
+    return out
+
+
+def test_hybrid_fusion_relevance_numpy_replay(spark):
+    got = [
+        (r["query_id"], r["n_lex"], r["n_vec"], r["n_rrf"])
+        for r in registry.all_specs()["hybrid_fusion_relevance_at_k"]
+        .spark(spark, SF)
+        .collect()
+    ]
+    assert got == _hyb_numpy_expected(SF)
+
+
+def test_hybrid_fusion_beats_each_leg(spark):
+    """VERDICT r11 item 2's pinned contract: on the planted fixture at
+    sf0.01 the RRF fusion's in-cluster@10 total is >= each leg's —
+    the measured 'does fusion help' answer (and it does strictly:
+    complementary errors, the LSH-poor probe rescued by the lexical
+    leg). Exact totals pinned like the recall-ladder contracts."""
+    rows = (
+        registry.all_specs()["hybrid_fusion_relevance_at_k"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    t_lex = sum(r["n_lex"] for r in rows)
+    t_vec = sum(r["n_vec"] for r in rows)
+    t_rrf = sum(r["n_rrf"] for r in rows)
+    assert t_rrf >= max(t_lex, t_vec)
+    assert (t_lex, t_vec, t_rrf) == (45, 43, 47)
+    # both legs contribute (the fixture is not degenerate)
+    assert t_lex > 0 and t_vec > 0
