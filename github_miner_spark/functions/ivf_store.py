@@ -317,3 +317,149 @@ def ivf_lloyd_topk_from_store(
     assigned = spark.read.parquet(os.path.join(lloyd, "assignment.parquet"))
     cents = spark.read.parquet(os.path.join(lloyd, "centroids.parquet"))
     return _ivf_search(assigned, cents, query_ids, k, n_probe)
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (VERDICT r11 item 3): the nightly-ingest
+# shape for the ANN store, mirroring incremental_minhash_dedup. The
+# quantizer is FROZEN at base-build time; a new document batch is
+# assigned to the EXISTING centroids by a job that scans ONLY the delta
+# rows — no re-clustering, no full-corpus rescan, no rewrite of the
+# base assignment. Reference analog in spirit: the memoized npm cache
+# (src/Neo4jClient.ts:516-549) — never re-fetch what the store already
+# holds.
+# ---------------------------------------------------------------------------
+
+# the deterministic base/delta split both engines can derive from spec:
+# "yesterday's corpus" = vec_id % 10 != 9, "tonight's batch" = the rest
+INCR_MOD = 10
+INCR_REM = 9
+
+
+def _incr_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    return (
+        emb.filter((F.col("vec_id") % INCR_MOD) != INCR_REM),
+        emb.filter((F.col("vec_id") % INCR_MOD) == INCR_REM),
+    )
+
+
+def materialize_incremental_ivf_base(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """The base-corpus index with a frozen quantizer: centroids are the
+    stride sample of the BASE rows only (stride from the base count —
+    exactly the plain store's spec applied to yesterday's corpus), and
+    the assignment covers base rows only. Lives under the
+    content-addressed store dir (built first, so the plain builder's
+    whole-dir rename can never race an half-made nested dir — the
+    lloyd-store nesting pattern); staged + single-renamed."""
+    from github_miner_spark.functions.similarity import assign_lists
+    from github_miner_spark.io.tables import load_table
+
+    base = materialize_ivf_index(spark, sf_dir, force=force)
+    final = os.path.join(base, "incr_base")
+    if os.path.isdir(final) and not force:
+        return base
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    b, _delta = _incr_split(emb)
+    n = b.count()
+    stride = math.ceil(n / max(1, math.isqrt(n)))
+    cents = b.filter((F.col("vec_id") % stride) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(base, "building_incr_base-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    stage = os.path.join(base, f"building_incr_base-{os.getpid()}")
+    cents.write.mode("overwrite").parquet(os.path.join(stage, "centroids.parquet"))
+    frozen = spark.read.parquet(os.path.join(stage, "centroids.parquet"))
+    assign_lists(b, frozen).sortWithinPartitions("list_id").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "base_assignment.parquet"))
+    if os.path.isdir(final):  # force=True, or a concurrent build won
+        shutil.rmtree(final)
+    try:
+        os.rename(stage, final)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
+    return base
+
+
+def delta_assignment_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELTA JOB's plan: assign only the delta rows to the frozen
+    store centroids. Input = one embeddings scan filtered to the delta
+    predicate + the (broadcast) centroid parquet; the base assignment
+    is NEVER read — the property the plan-pin test asserts."""
+    from github_miner_spark.functions.similarity import assign_lists
+    from github_miner_spark.io.tables import load_table
+
+    base = materialize_incremental_ivf_base(spark, sf_dir)
+    frozen = spark.read.parquet(
+        os.path.join(base, "incr_base", "centroids.parquet")
+    )
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    _b, delta = _incr_split(emb)
+    return assign_lists(delta, frozen)
+
+
+def ivf_delta_append(spark: SparkSession, sf_dir: str, force: bool = False) -> str:
+    """Append tonight's batch to the incremental index: run the delta
+    job and land its list-sorted assignment BESIDE the base one as its
+    own parquet dir (staged + single rename — a write-mode-append into
+    the base dir would grow the index too, but a crash mid-append
+    leaves partial part-files; a sibling delta dir keeps the
+    all-or-nothing rename guarantee and the same read shape, a union
+    of two list-sorted scans). With a frozen quantizer the assignment
+    is per-row independent, so delta-append search is EXACTLY
+    full-assignment search — pinned by test and by the
+    incremental_ivf_topk oracle, which re-derives the whole chain."""
+    base = materialize_incremental_ivf_base(spark, sf_dir, force=force)
+    final = os.path.join(base, "incr_delta")
+    if os.path.isdir(final) and not force:
+        return base
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(base, "building_incr_delta-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    stage = os.path.join(base, f"building_incr_delta-{os.getpid()}")
+    delta_assignment_frame(spark, sf_dir).sortWithinPartitions(
+        "list_id"
+    ).write.mode("overwrite").parquet(os.path.join(stage, "delta_assignment.parquet"))
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    try:
+        os.rename(stage, final)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
+    return base
+
+
+def load_incremental_ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(assignment, centroids) of the incrementally-maintained index:
+    the base assignment UNION the delta-appended one, both list-sorted
+    at rest, served against the frozen centroid set."""
+    base = ivf_delta_append(spark, sf_dir)
+    asg = spark.read.parquet(
+        os.path.join(base, "incr_base", "base_assignment.parquet")
+    ).unionByName(
+        spark.read.parquet(
+            os.path.join(base, "incr_delta", "delta_assignment.parquet")
+        )
+    )
+    cents = spark.read.parquet(
+        os.path.join(base, "incr_base", "centroids.parquet")
+    )
+    return asg, cents

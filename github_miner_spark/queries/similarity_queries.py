@@ -1293,3 +1293,92 @@ def ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance (VERDICT r11 item 3): the delta-append
+# search — probes answered against the base index + the appended delta,
+# with the oracle re-deriving the whole frozen-quantizer chain.
+# ---------------------------------------------------------------------------
+
+# probes from BOTH sides of the split: 0 and 23 live in the base
+# index, 9 and 49 arrived with the delta batch (vec_id % 10 == 9)
+INCR_PROBE_IDS = (0, 9, 23, 49)
+
+
+def _incr_ivf_oracle(n_probe: int = 3, k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in INCR_PROBE_IDS)
+    return f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    b AS (SELECT vec_id, ev FROM e WHERE vec_id % 10 <> 9),
+    par AS (
+      SELECT CAST(ceil(count(*) / floor(sqrt(count(*)))) AS BIGINT) AS stride FROM b
+    ),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cid, ev AS cvec FROM b
+      WHERE vec_id % (SELECT stride FROM par) = 0
+    ),
+    asg AS MATERIALIZED (
+      SELECT vec_id, ev, cid AS list_id FROM (
+        SELECT e.vec_id, e.ev, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dcos('e.ev', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id IN ({ids})),
+    probes AS (
+      SELECT query_id, qv, cid AS list_id FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_dcos('q.qv', 'c.cvec')} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_dcos('p.qv', 'a.ev')} AS score
+      FROM asg a JOIN probes p ON a.list_id = p.list_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "incremental_ivf_topk",
+    oracle=_incr_ivf_oracle(),
+    description="IVF search over the INCREMENTALLY-MAINTAINED index "
+    "(VERDICT r11 item 3 — the nightly-ingest shape the dedup family "
+    "already has): the quantizer is frozen at base-build time "
+    "(centroids stride-sampled from the base 90% of the corpus), and "
+    "the delta batch (vec_id % 10 == 9) is appended by a job that "
+    "scans ONLY the delta rows against the broadcast frozen centroids "
+    "— no re-clustering, no full rescan, no rewrite of the base "
+    "assignment (plan-pinned in tests). With a frozen quantizer the "
+    "assignment is per-row independent, so delta-append search is "
+    "EXACTLY full-assignment search — the oracle re-derives the whole "
+    "chain and the engine equivalence is pinned by test. Probes come "
+    "from both sides of the split (two base rows, two delta rows). "
+    "At 100 TB with daily ingest this is the difference between a "
+    "delta-sized job and re-touching the corpus; the search path is "
+    "unchanged: broadcast probe selection + a scan of 3 inverted "
+    "lists over the unioned list-sorted parquet.",
+    tags=("similarity", "ann", "ivf", "incremental", "topk"),
+)
+def incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.ivf_store import (
+        _ivf_search,
+        load_incremental_ivf_index,
+    )
+
+    asg, cents = load_incremental_ivf_index(spark, sf_dir)
+    return _ivf_search(asg, cents, list(INCR_PROBE_IDS), 5, 3).orderBy(
+        "query_id", "rank"
+    )
