@@ -387,8 +387,9 @@ def run_compare(sha: str) -> None:
         for n in qnames
         if old_samples[n] and new_samples[n]
     }
+    # untracked default for the same reason as the main lane's side file
     side_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SAMPLES", os.path.join(REPO, "BENCH_ab.json")
+        "SPARK_GRAFT_BENCH_SAMPLES", os.path.join(REPO, "BENCH_ab.latest.json")
     )
     payload = {
         "mode": "interleaved_ab",
@@ -782,8 +783,12 @@ def main() -> None:
             "results": scaling,
         },
     }
+    # default side path is UNTRACKED (.latest) so driver verify runs and
+    # ad-hoc invocations never dirty the committed round close; the close
+    # protocol sets SPARK_GRAFT_BENCH_SAMPLES=BENCH_samples.json explicitly
+    # (VERDICT r11 item 5 — the r11 close was clobbered by a later verify)
     side_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SAMPLES", os.path.join(REPO, "BENCH_samples.json")
+        "SPARK_GRAFT_BENCH_SAMPLES", os.path.join(REPO, "BENCH_samples.latest.json")
     )
     with open(side_path, "w") as f:
         json.dump(side, f, indent=1)
