@@ -82,25 +82,26 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-11 window. Slot math: 23 touched-this-round + 9 r05 rows
-    # (the FULL remaining r05 tail — VERDICT r10 item 2's target,
-    # oldest witness moves to r06) + 18 alphabetically-first r06 rows
-    # = 50 exactly; 12 r06 rows remain for round 12
-    # (priority_sample_summary, profit_by_nation_year ..
-    # vocab_coverage_stats). Rotation discipline unchanged: this
-    # rotation is the round's LAST code-touching commit;
-    # tools/check_window_freshness.py verifies the ordering AND that
-    # every diff-touched query (AST coverage map) holds a slot below.
-    # -- (a) new this round: the end-to-end RAG composition, the
-    #        span-removal APPLY stage (VERDICT r10 items 3 and 5),
-    #        and the hybrid BM25+vector RRF fusion ranker ------------
-    "chunk_embedding_topk",
-    "span_removed_corpus_stats",
-    "hybrid_retrieval_rrf_topk",
-    # -- (b) touched by the run_cypher write:true threading (VERDICT
-    #        r10 item 1 — the whole cypher_* family re-witnesses; the
-    #        pagerank readback now runs the verbatim two-step through
-    #        the plain API) -----------------------------------------
+    # Round-12 window. Slot math: 19 diff-touched (per the AST
+    # coverage map: 2 new + the 13-query cypher family re-witnessing
+    # the escaped-quote/overwrite fixes + 4 touched by the zipf
+    # de-straggler, the hybrid single-chunk guard and the two
+    # boundedness comments) + the FULL remaining r06 witness tail
+    # (12 rows — VERDICT r11 item 1, oldest witness moves to r07)
+    # + the 19 alphabetically-first r07 rows = 50 exactly; 17 r07
+    # rows remain for round 13 (kll_quantile_merge,
+    # language_id_confusion .. self_loops). Rotation discipline
+    # unchanged: this rotation is the round's LAST code-touching
+    # commit; tools/check_window_freshness.py verifies the ordering
+    # AND that every diff-touched query holds a slot below.
+    # -- (a) new this round: the hybrid ranker's quality grader and
+    #        the incremental IVF delta-append search (VERDICT r11
+    #        items 2 and 3) ------------------------------------------
+    "hybrid_fusion_relevance_at_k",
+    "incremental_ivf_topk",
+    # -- (b) touched by the ADVICE r11 cypher fixes (escaped-quote
+    #        script splitting + repeat write:true property overwrite
+    #        — the whole run_cypher family re-witnesses) -------------
     "cypher_closure_from_anchor",
     "cypher_collect_unwind_roundtrip",
     "cypher_community_readback",
@@ -114,48 +115,48 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "cypher_unhosted_dependency_count",
     "cypher_with_chain_fanout",
     "cypher_with_topk_pipeline",
-    # -- (c) touched by this round's other code motion: the ivf_store
-    #        probed-list search generalization (ivf_search_queries),
-    #        the try_cast oracle whitespace/overflow fix (ADVICE r10),
-    #        the 128-bit OPQ variance combine (ADVICE r10), and the
-    #        _removal_spans refactor --------------------------------
-    "embedding_ivf_topk",
-    "ivf_recall_at_k",
-    "embedding_ivf_lloyd_topk",
-    "semantic_dedup_candidates",
+    # -- (c) touched by this round's other code motion: the Zipf
+    #        distributed-rank rewrite (VERDICT r11 item 4), the
+    #        hybrid single-chunk guard (ADVICE r11), and the two
+    #        window-boundedness comments -----------------------------
+    "corpus_zipf_fit",
+    "hybrid_retrieval_rrf_topk",
     "item_cooccurrence_topk",
-    "clustered_opq_recall_at_k",
-    "duplicated_span_removal_plan",
-    # -- (d) the full remaining r05 witness tail (9 rows; locally
-    #        green in every all-registry sweep since) ----------------
-    "events_type_trend",
-    "forecast_revenue_change",
-    "large_order_customers",
-    "mixture_temperature_resample",
-    "near_dup_rate_by_source",
-    "pii_redaction_stats",
-    "quality_logreg_weights",
-    "shuffled_export_order",
-    "small_quantity_revenue",
-    # -- (e) the 18 alphabetically-first r06 rows ---------------------
-    "bigram_pmi_collocations",
-    "binned_quantile_estimates",
-    "bloom_decontamination_prefilter",
-    "boilerplate_ngram_stats",
-    "customer_spend_deciles",
-    "events_gap_filled_hourly",
-    "events_ks_drift",
-    "events_trending_topk",
-    "idempotent_merge",
-    "important_stock_by_nation",
-    "incremental_minhash_dedup",
-    "late_shipment_priority_counts",
-    "market_share_by_year",
-    "min_cost_supplier",
-    "nation_volume_shipping",
-    "order_priority_checking",
-    "parts_supplier_relationship",
-    "potential_part_promotion",
+    "skipgram_negative_samples",
+    # -- (d) the FULL remaining r06 witness tail (VERDICT r11 item 1;
+    #        locally green in every all-registry sweep since) --------
+    "priority_sample_summary",
+    "profit_by_nation_year",
+    "promo_revenue_share",
+    "regional_revenue",
+    "returned_item_customers",
+    "shipping_priority",
+    "span_corruption_plan",
+    "suppliers_kept_waiting",
+    "top_dependants_modules",
+    "top_supplier_revenue",
+    "top_value_part_types",
+    "vocab_coverage_stats",
+    # -- (e) the 19 alphabetically-first r07 rows ---------------------
+    "benchmark_decontamination",
+    "brand_discount_revenue",
+    "closeness_centrality_sample",
+    "customer_order_stats_outer",
+    "customers_with_open_orders",
+    "degree_breakdown",
+    "dependants_by_endpoint_label",
+    "detach_delete_impact",
+    "distinct_order_profiles",
+    "doc_bpe_token_counts",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "doc_shingle_profile",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "embedding_similarity_buckets",
+    "embedding_topk_bruteforce",
+    "exact_dedup_summary",
+    "hosted_on_outer",
 )
 
 
