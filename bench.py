@@ -229,6 +229,10 @@ DISTRIBUTED_LANE = [
     "betweenness_centrality_sample",
     # round 6 close: the weighted SSSP relaxation loop
     "weighted_shortest_distances",
+    # round 12: the zipf hybrid dispatch — the forced-distributed lane
+    # times the range-partitioned shard-rank path (the 100 TB shape);
+    # the main lane's default is the gated single-task rank
+    "corpus_zipf_fit",
 ]
 
 # Iterative multi-barrier queries whose wall-clock is dominated by

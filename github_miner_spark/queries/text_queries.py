@@ -981,6 +981,30 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ZIPF_SCALE = 1_000_000  # per-item quantization for the five OLS sums
+# corpora at or below this doc count rank their vocabulary in one
+# bounded task; above it the distributed shard rank takes over (the
+# r12 A/B measured the distributed machinery at +0.75s of pure
+# overhead on a bench-sized vocabulary — overhead worth paying only
+# once the vocabulary can actually straggle a task)
+ZIPF_SINGLE_TASK_DOCS = 1_000_000
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count straight from parquet footers (driver-side metadata
+    read, ~1ms — no Spark job): the dispatch gate must not cost a
+    corpus pass. Handles both a single parquet file and a directory
+    of part files."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(path):
+        return sum(
+            _pq.ParquetFile(_os.path.join(path, f)).metadata.num_rows
+            for f in _os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return _pq.ParquetFile(path).metadata.num_rows
 
 
 @register(
@@ -1028,83 +1052,116 @@ ZIPF_SCALE = 1_000_000  # per-item quantization for the five OLS sums
     "-1 * log-rank with high r2; template/generated corpora deviate). "
     "Closed-form OLS as ONE aggregation over the ranked frequency "
     "table: slope = cov/var from five sums — no iterative fitting, no "
-    "collect. The global frequency rank is DISTRIBUTED (VERDICT r11 "
-    "item 4): repartitionByRange on the unique (freq desc, term) "
-    "order, per-shard row_number, plus broadcast per-shard offsets "
-    "from a shard-count rollup — no single-partition sort of the "
-    "vocabulary (10^8-10^9 rows at open-domain 100 TB; the only "
-    "unpartitioned window left is the 32-row shard-offset cumsum). "
+    "collect. The global frequency rank runs a HYBRID DISPATCH "
+    "(VERDICT r11 item 4, priced by the r12 A/B): corpora under the "
+    "gate rank with one bounded single-task window (the distributed "
+    "machinery measured +0.75s of pure overhead at bench SF), while "
+    "larger corpora — or SPARK_GRAFT_FORCE_DISTRIBUTED=1, which the "
+    "bench distributed lane and tests set — use repartitionByRange on "
+    "the unique (freq desc, term) order, per-shard row_number, plus "
+    "broadcast per-shard offsets from a shard-count rollup: no "
+    "single-partition sort of the vocabulary (10^8-10^9 rows at "
+    "open-domain 100 TB; the only unpartitioned window left is the "
+    "32-row shard-offset cumsum). Both paths produce identical ranks. "
     "The five OLS terms are quantized per item to BIGINT (1e6 scale) "
     "so the sums are order-independent under any partitioning — the "
     "cross-engine exactness recipe the sketch family uses.",
     tags=("text", "statistics", "corpus"),
 )
 def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
     from pyspark.sql.window import Window
 
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
     freq = tok.groupBy("term").agg(F.count("*").alias("c"))
-    # distributed global rank over the unique total order (c desc,
-    # term): range-partition, rank locally per shard, add the
-    # cumulative count of the preceding shards (range partitions are
-    # ordered by construction, so shard id order IS the sort order)
-    n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # eager pin: the ranked shards feed TWO consumers (local ranks +
-    # shard counts) and range-partitioner boundaries are sampled per
-    # plan instantiation — without the pin the two subtrees could
-    # range-split differently and desync lrn from off (the same
-    # two-consumer carve-out as procedures.py _pin; vocabulary-sized,
-    # one skinny column pair)
-    parts = (
-        freq.repartitionByRange(n_shards, F.desc("c"), F.asc("term"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # hybrid dispatch, the graph-family _gate convention: the gate is
+    # a parquet-FOOTER row count (driver-side metadata, no Spark job —
+    # a docs.count() gate measured ~0.9s/build, defeating its own
+    # purpose), and the forced-distributed override keeps the scale
+    # path timed and tested without touching call sites
+    gate = (
+        0
+        if _os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED")
+        else ZIPF_SINGLE_TASK_DOCS
     )
-    local = parts.withColumn(
-        "lrn",
-        F.row_number().over(
-            Window.partitionBy("pid").orderBy(F.desc("c"), F.asc("term"))
-        ),
-    )
-    # shard offsets: one row per shard — the cumsum window is bounded
-    # by the shard count, never the vocabulary
-    offs = (
-        parts.groupBy("pid")
-        .agg(F.count("*").alias("n_rows"))
-        .select(
-            "pid",
-            (
-                F.sum("n_rows").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                )
-            ).alias("off"),
+    if _parquet_num_rows(_os.path.join(sf_dir, "documents.parquet")) <= gate:
+        # bounded single-task rank: the vocabulary of a sub-gate
+        # corpus fits one task comfortably
+        w = Window.orderBy(F.desc("c"), F.asc("term"))
+        ranked = freq.select(
+            F.log(F.row_number().over(w).cast("double")).alias("lx"),
+            F.log(F.col("c").cast("double")).alias("ly"),
         )
+    else:
+        # distributed global rank over the unique total order (c desc,
+        # term): range-partition, rank locally per shard, add the
+        # cumulative count of the preceding shards (range partitions
+        # are ordered by construction, so shard id order IS the sort
+        # order)
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # eager pin: the ranked shards feed TWO consumers (local ranks
+        # + shard counts) and range-partitioner boundaries are sampled
+        # per plan instantiation — without the pin the two subtrees
+        # could range-split differently and desync lrn from off (the
+        # same two-consumer carve-out as procedures.py _pin;
+        # vocabulary-sized, one skinny column pair)
+        parts = (
+            freq.repartitionByRange(n_shards, F.desc("c"), F.asc("term"))
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        local = parts.withColumn(
+            "lrn",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(F.desc("c"), F.asc("term"))
+            ),
+        )
+        # shard offsets: one row per shard — the cumsum window is
+        # bounded by the shard count, never the vocabulary
+        offs = (
+            parts.groupBy("pid")
+            .agg(F.count("*").alias("n_rows"))
+            .select(
+                "pid",
+                (
+                    F.sum("n_rows").over(
+                        Window.orderBy("pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    )
+                ).alias("off"),
+            )
+        )
+        local = local.join(F.broadcast(offs), "pid")
+        ranked = local.select(
+            F.log(
+                (F.col("lrn") + F.coalesce(F.col("off"), F.lit(0))).cast(
+                    "double"
+                )
+            ).alias("lx"),
+            F.log(F.col("c").cast("double")).alias("ly"),
+        )
+    # per-item BIGINT quantization -> order-independent exact sums.
+    # Built as expression STRINGS, one py4j call per clause: the
+    # Column-object form costs ~30ms per py4j op driver-side (the r9
+    # plan-build lesson) and priced this query at +1s in the r12 A/B
+    S = ZIPF_SCALE
+    q = ranked.selectExpr(
+        f"cast(round(lx * {S}, 0) as bigint) as qx",
+        f"cast(round(ly * {S}, 0) as bigint) as qy",
+        f"cast(round(lx * ly * {S}, 0) as bigint) as qxy",
+        f"cast(round(lx * lx * {S}, 0) as bigint) as qxx",
+        f"cast(round(ly * ly * {S}, 0) as bigint) as qyy",
     )
-    ranked = local.join(F.broadcast(offs), "pid").select(
-        F.log(
-            (F.col("lrn") + F.coalesce(F.col("off"), F.lit(0))).cast("double")
-        ).alias("lx"),
-        F.log(F.col("c").cast("double")).alias("ly"),
-    )
-    # per-item BIGINT quantization -> order-independent exact sums
-    qz = lambda e: F.round(e * ZIPF_SCALE, 0).cast("bigint")  # noqa: E731
-    q = ranked.select(
-        qz(F.col("lx")).alias("qx"),
-        qz(F.col("ly")).alias("qy"),
-        qz(F.col("lx") * F.col("ly")).alias("qxy"),
-        qz(F.col("lx") * F.col("lx")).alias("qxx"),
-        qz(F.col("ly") * F.col("ly")).alias("qyy"),
-    )
-    m = q.agg(
-        F.count("*").cast("double").alias("n"),
-        (F.sum("qx").cast("double") / (F.lit(ZIPF_SCALE) * F.count("*"))).alias("mx"),
-        (F.sum("qy").cast("double") / (F.lit(ZIPF_SCALE) * F.count("*"))).alias("my"),
-        (F.sum("qxy").cast("double") / ZIPF_SCALE).alias("sxy"),
-        (F.sum("qxx").cast("double") / ZIPF_SCALE).alias("sxx"),
-        (F.sum("qyy").cast("double") / ZIPF_SCALE).alias("syy"),
+    m = q.groupBy().agg(
+        F.expr("cast(count(*) as double) as n"),
+        F.expr(f"cast(sum(qx) as double) / ({S} * count(*)) as mx"),
+        F.expr(f"cast(sum(qy) as double) / ({S} * count(*)) as my"),
+        F.expr(f"cast(sum(qxy) as double) / {S} as sxy"),
+        F.expr(f"cast(sum(qxx) as double) / {S} as sxx"),
+        F.expr(f"cast(sum(qyy) as double) / {S} as syy"),
     )
     slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
         F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")

@@ -684,15 +684,19 @@ def test_clustered_eval_plans_stay_broadcast_shaped(spark):
             ), (name, m.group(1))
 
 
-def test_zipf_rank_is_distributed(spark):
+def test_zipf_rank_is_distributed(spark, monkeypatch):
     """VERDICT r11 item 4: corpus_zipf_fit's vocabulary rank must not
-    be a single-partition sort of the term-frequency rollup. The
-    range-partitioned shards are pinned once (localCheckpoint — both
+    straggle one task at scale. Above the gate (forced here the way
+    the bench distributed lane forces it) the rank is distributed:
+    range-partitioned shards pinned once (localCheckpoint — both
     consumers must see identical shard boundaries), the
-    vocabulary-sized rank window partitions by pid, and the only
-    unpartitioned window left is the shard-offset cumsum, bounded by
-    the shard count, then broadcast. Both consumers scan the SAME
-    pinned RDD."""
+    vocabulary-sized rank window partitioned by pid, the only
+    unpartitioned window the shard-count-bounded offset cumsum,
+    joined back via broadcast. Below the gate the single bounded
+    window stays (the r12 A/B measured the distributed machinery at
+    +0.75s of pure overhead at bench SF), and both paths produce
+    identical results."""
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
     plan = _plan(spark, "corpus_zipf_fit")
     # the vocab-sized rank window is keyed by the shard id
     assert re.search(
@@ -704,3 +708,14 @@ def test_zipf_rank_is_distributed(spark):
     # ExistingRDD scans reference the same checkpointed RDD id
     rdd_ids = set(re.findall(r"(MapPartitionsRDD\[\d+\]) at localCheckpoint", plan))
     assert len(rdd_ids) == 1, rdd_ids
+    forced = registry.all_specs()["corpus_zipf_fit"].spark(spark, SF).collect()
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED")
+    default_plan = _plan(spark, "corpus_zipf_fit")
+    # bench-SF default: the bounded single-task rank, no checkpoint
+    assert "localCheckpoint" not in default_plan
+    # the two dispatch paths agree exactly (shared quantized algebra)
+    assert (
+        registry.all_specs()["corpus_zipf_fit"].spark(spark, SF).collect()
+        == forced
+    )
