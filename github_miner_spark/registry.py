@@ -116,9 +116,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "cypher_with_chain_fanout",
     "cypher_with_topk_pipeline",
     # -- (c) touched by this round's other code motion: the Zipf
-    #        distributed-rank rewrite (VERDICT r11 item 4), the
-    #        hybrid single-chunk guard (ADVICE r11), and the two
-    #        window-boundedness comments -----------------------------
+    #        distributed-rank rewrite + its size-gated dispatch and
+    #        pre-folded OLS algebra (VERDICT r11 item 4, priced by the
+    #        r12 A/B), the hybrid single-chunk guard (ADVICE r11), and
+    #        the two window-boundedness comments ---------------------
     "corpus_zipf_fit",
     "hybrid_retrieval_rrf_topk",
     "item_cooccurrence_topk",
