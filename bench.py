@@ -187,6 +187,10 @@ HEADLINE = [
     # fixture) and the incremental IVF delta-append search
     "hybrid_fusion_relevance_at_k",
     "incremental_ivf_topk",
+    # round 12 (second wave): the full Gopher Table-A1 n-gram
+    # repetition family and DSIR importance resampling
+    "gopher_repetition_stats",
+    "dsir_importance_weights",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

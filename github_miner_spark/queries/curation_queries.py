@@ -1254,3 +1254,197 @@ def priority_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_total") - F.col("true_total")) / F.col("true_total"), 6
         ).alias("rel_error"),
     )
+
+
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Hashed n-gram features (unigrams + bigrams into
+# DSIR_BUCKETS buckets via the md5-prefix hash) fit two smoothed
+# bag-of-buckets models — the TARGET domain (a fixed source subset
+# standing in for the high-quality corpus) and the RAW corpus — and
+# every document scores the sum of per-feature log importance ratios
+# ln(p_target(b)/p_raw(b)). Selection is Gumbel top-k on the scores
+# (sampling without replacement from the importance distribution, the
+# paper's resampling step) with md5-derived uniforms as the shared
+# randomness. Per-bucket log-ratios and per-doc Gumbel noise are
+# quantized to micro-nats (BIGINT) before any order-sensitive sum or
+# ranking — the unigram-LM store's ln-quantization recipe — so both
+# engines rank identical integers.
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCES = ("src0", "src1")
+DSIR_KEEP_K = 100
+DSIR_SCALE = 1_000_000
+
+_DSIR_DUCK_TOKENS = (
+    "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
+    " ' '), x -> x <> '')"
+)
+_DSIR_TGT = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+_DSIR_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DSIR_DUCK_TOKENS} AS toks FROM documents
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, source, unnest(list_concat(
+          toks,
+          CASE WHEN len(toks) >= 2
+               THEN list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat(toks[i], ' ', toks[i+1]))
+               ELSE [] END)) AS f
+        FROM t)
+    ),
+    cr AS (SELECT b, count(*) AS cr FROM occ GROUP BY b),
+    ct AS (SELECT b, count(*) AS ct FROM occ
+           WHERE source IN ({_DSIR_TGT}) GROUP BY b),
+    tots AS (
+      SELECT (SELECT count(*) FROM occ) AS r_tot,
+             (SELECT count(*) FROM occ WHERE source IN ({_DSIR_TGT})) AS t_tot
+    ),
+    lam AS (
+      SELECT cr.b,
+             CAST(round((ln((coalesce(ct.ct, 0) + 1.0)
+                            / (tots.t_tot + {DSIR_BUCKETS}.0))
+                         - ln((cr.cr + 1.0)
+                              / (tots.r_tot + {DSIR_BUCKETS}.0)))
+                        * {DSIR_SCALE}, 0) AS BIGINT) AS lq
+      FROM cr LEFT JOIN ct USING (b), tots
+    ),
+    w AS (
+      SELECT o.doc_id, o.source, CAST(sum(l.lq) AS BIGINT) AS w
+      FROM occ o JOIN lam l USING (b) GROUP BY o.doc_id, o.source
+    ),
+    sc AS (
+      SELECT doc_id, source, w,
+             w + CAST(round(-ln(-ln(
+                   (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+                      1, 8))::BIGINT + 1) / 4294967297.0))
+                 * {DSIR_SCALE}, 0) AS BIGINT) AS s
+      FROM w
+    ),
+    k AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+      FROM sc
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN k.rn <= {DSIR_KEEP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept,
+           round(sum(w) / ({DSIR_SCALE}.0 * count(*)), 6) AS avg_weight_nats,
+           round(max(w) / {DSIR_SCALE}.0, 6) AS max_weight_nats
+    FROM sc JOIN k USING (doc_id)
+    GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_ORACLE,
+    description="DSIR data selection (Xie et al. 2023): hashed "
+    "unigram+bigram bag-of-buckets importance weights "
+    "ln(p_target/p_raw) per document against a fixed target-domain "
+    "source subset, Gumbel-top-k resampling with md5-derived "
+    "uniforms, reported per source (docs, kept-in-top-k, avg/max "
+    "weight in nats). The feature model is DSIR_BUCKETS rows — "
+    "broadcast; the corpus side is one explode + one bucket join + "
+    "one (doc_id)-keyed rollup, O(corpus tokens). The top-k is "
+    "TakeOrderedAndProject (k rows, never a global sort) and its "
+    "membership broadcast-joins back. Per-bucket log-ratios and "
+    "Gumbel noise are micro-nat-quantized BIGINTs, so ranking and "
+    "sums are exact integer algebra on both engines.",
+    tags=("curation", "mixture", "sampling", "dsir"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import (
+        md5_prefix_hash,
+        token_hash60,
+        tokenize,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    feats = F.expr(
+        "concat(toks, CASE WHEN size(toks) >= 2 THEN transform("
+        "sequence(1, size(toks) - 1), "
+        "i -> array_join(slice(toks, i, 2), ' ')) ELSE array() END)"
+    )
+    occ = (
+        docs.select(
+            "doc_id", "source", tokenize(F.col("text")).alias("toks")
+        )
+        .select("doc_id", "source", F.explode(feats).alias("f"))
+        .select(
+            "doc_id",
+            "source",
+            (token_hash60(F.col("f")) % DSIR_BUCKETS).alias("b"),
+        )
+        # the explode output feeds three aggregations (raw counts,
+        # target counts, per-doc weights) — pin it once
+        .localCheckpoint(eager=False)
+    )
+    tgt = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    counts = occ.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.when(tgt, 1).otherwise(0)).alias("ct"),
+    )
+    tots = occ.agg(
+        F.count("*").alias("r_tot"),
+        F.sum(F.when(tgt, 1).otherwise(0)).alias("t_tot"),
+    )
+    lam = counts.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("ct") + 1.0) / (F.col("t_tot") + float(DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cr") + 1.0) / (F.col("r_tot") + float(DSIR_BUCKETS))
+                )
+            )
+            * DSIR_SCALE,
+            0,
+        )
+        .cast("bigint")
+        .alias("lq"),
+    )
+    w = (
+        occ.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lq").cast("bigint").alias("w"))
+    )
+    u = (
+        md5_prefix_hash(
+            F.concat(F.lit("dsir:"), F.col("doc_id").cast("string")), 8
+        )
+        + 1
+    ) / 4294967297.0
+    sc = w.withColumn(
+        "s",
+        F.col("w")
+        + F.round(-F.log(-F.log(u)) * DSIR_SCALE, 0).cast("bigint"),
+    )
+    # Gumbel top-k: TakeOrderedAndProject bounds the kept set to K rows
+    # before it broadcast-joins back — no global sort, no rank window
+    kept = (
+        sc.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(DSIR_KEEP_K)
+        .select("doc_id", F.lit(1).alias("is_kept"))
+    )
+    return (
+        sc.join(F.broadcast(kept), "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum(F.coalesce(F.col("is_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("kept"),
+            F.round(
+                F.sum("w") / (float(DSIR_SCALE) * F.count("*")), 6
+            ).alias("avg_weight_nats"),
+            F.round(F.max("w") / float(DSIR_SCALE), 6).alias(
+                "max_weight_nats"
+            ),
+        )
+        .orderBy("source")
+    )

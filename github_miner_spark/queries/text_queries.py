@@ -2561,3 +2561,231 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_q"), "doc_id")
     )
+
+
+# Gopher repetition filters (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1). The
+# corpus has no line structure, so the n-gram family applies: the
+# fraction of a document's characters covered by its single most
+# frequent word n-gram (n = 2, 3, 4; thresholds 0.20 / 0.18 / 0.16)
+# and the fraction of n-gram occurrences that are duplicates (n = 5,
+# 6; thresholds 0.15 / 0.14). Stats are per-doc exact rationals
+# (integer char counts / integer totals), quantized to micro-units
+# before the order-sensitive per-source average (the repo's
+# cross-engine summation recipe).
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14}
+
+
+def _duck_gram_counts(n: int) -> str:
+    """DuckDB twin of the per-n (doc_id, gram-hash) count relation."""
+    return f"""(
+      SELECT doc_id, h, max(gc) AS gc, count(*) AS cnt FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT AS h,
+               length(g) - {n - 1} AS gc
+        FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(toks) >= {n}
+                   THEN list_transform(
+                          generate_series(1, len(toks) - {n} + 1),
+                          i -> array_to_string(toks[i:i+{n - 1}], ' '))
+                   ELSE [] END) AS g
+          FROM t)
+      ) GROUP BY doc_id, h
+    )"""
+
+
+_GOPHER_ORACLE = (
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, source,
+             coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+               AS tchars
+      FROM t
+    ),
+    """
+    + ",\n    ".join(
+        f"""top{n} AS (
+      SELECT doc_id, (-(b.nc)) * b.gc AS chars FROM (
+        SELECT doc_id, min(struct_pack(nc := -cnt, h := h, gc := gc)) AS b
+        FROM {_duck_gram_counts(n)} GROUP BY doc_id)
+    )"""
+        for n in GOPHER_TOP_THRESHOLDS
+    )
+    + ",\n    "
+    + ",\n    ".join(
+        f"""dup{n} AS (
+      SELECT doc_id,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ,
+             sum(cnt) AS tot_occ
+      FROM {_duck_gram_counts(n)} GROUP BY doc_id
+    )"""
+        for n in GOPHER_DUP_THRESHOLDS
+    )
+    + """,
+    pd AS (
+      SELECT b.source,
+             coalesce(t2.chars, 0) * 1.0 / b.tchars AS f2,
+             coalesce(t3.chars, 0) * 1.0 / b.tchars AS f3,
+             coalesce(t4.chars, 0) * 1.0 / b.tchars AS f4,
+             CASE WHEN coalesce(d5.tot_occ, 0) > 0
+                  THEN d5.dup_occ * 1.0 / d5.tot_occ ELSE 0.0 END AS f5,
+             CASE WHEN coalesce(d6.tot_occ, 0) > 0
+                  THEN d6.dup_occ * 1.0 / d6.tot_occ ELSE 0.0 END AS f6
+      FROM base b
+      LEFT JOIN top2 t2 USING (doc_id)
+      LEFT JOIN top3 t3 USING (doc_id)
+      LEFT JOIN top4 t4 USING (doc_id)
+      LEFT JOIN dup5 d5 USING (doc_id)
+      LEFT JOIN dup6 d6 USING (doc_id)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      round(sum(CAST(round(f2 * 1000000, 0) AS BIGINT))
+            / (1000000.0 * count(*)), 6) AS top2_frac,
+      round(sum(CAST(round(f3 * 1000000, 0) AS BIGINT))
+            / (1000000.0 * count(*)), 6) AS top3_frac,
+      round(sum(CAST(round(f4 * 1000000, 0) AS BIGINT))
+            / (1000000.0 * count(*)), 6) AS top4_frac,
+      round(sum(CAST(round(f5 * 1000000, 0) AS BIGINT))
+            / (1000000.0 * count(*)), 6) AS dup5_frac,
+      round(sum(CAST(round(f6 * 1000000, 0) AS BIGINT))
+            / (1000000.0 * count(*)), 6) AS dup6_frac,
+      CAST(sum(CASE WHEN f2 > 0.20 OR f3 > 0.18 OR f4 > 0.16
+                      OR f5 > 0.15 OR f6 > 0.14
+               THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+    FROM pd GROUP BY source ORDER BY source
+    """
+)
+
+
+def _gram_counts(base: DataFrame, n: int) -> DataFrame:
+    """Per-doc (gram-hash) occurrence counts for word n-grams of size
+    ``n``: one explode + one (doc_id, 60-bit-hash)-keyed rollup — the
+    gram TEXT never shuffles (the boilerplate_ngram_stats discipline);
+    ``gc`` carries the gram's character count (token chars only, the
+    n-1 joiner spaces subtracted). The CASE guards Spark's descending
+    sequence(1, 0) on docs shorter than n tokens."""
+    from github_miner_spark.functions.text import token_hash60
+
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN transform("
+        f"sequence(1, size(toks) - {n} + 1), "
+        f"i -> array_join(slice(toks, i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+    return (
+        base.select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            token_hash60(F.col("g")).alias("h"),
+            (F.length("g") - (n - 1)).alias("gc"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("cnt"), F.max("gc").alias("gc"))
+    )
+
+
+@register(
+    "gopher_repetition_stats",
+    oracle=_GOPHER_ORACLE,
+    description="Gopher repetition filters (Rae et al. 2021 Table A1, "
+    "n-gram family): per-source averages of each doc's "
+    "top-{2,3,4}-gram character fraction and duplicate-{5,6}-gram "
+    "occurrence fraction, plus the count of docs breaching any "
+    "threshold (0.20/0.18/0.16 top, 0.15/0.14 dup). Five passes, each "
+    "one explode + one (doc_id, hash)-keyed rollup; the per-doc "
+    "argmax is a map-side-combinable min(struct(-cnt, h, gc)) — no "
+    "windows, no corpus-global state; per-doc frames are "
+    "doc-count-sized and join co-keyed on doc_id. O(corpus tokens) "
+    "end to end at any scale.",
+    tags=("text", "curation", "quality", "repetition"),
+)
+def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "source",
+        tokenize(F.col("text")).alias("toks"),
+    ).withColumn(
+        "tchars", F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+    )
+
+    tops = {
+        n: _gram_counts(base, n)
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("h").alias("h"),
+                    F.col("gc").alias("gc"),
+                )
+            ).alias("b")
+        )
+        .select("doc_id", ((-F.col("b.nc")) * F.col("b.gc")).alias(f"chars{n}"))
+        for n in GOPHER_TOP_THRESHOLDS
+    }
+    dups = {
+        n: _gram_counts(base, n)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                f"dup_occ{n}"
+            ),
+            F.sum("cnt").alias(f"tot_occ{n}"),
+        )
+        for n in GOPHER_DUP_THRESHOLDS
+    }
+
+    pd = base.select("doc_id", "source", "tchars")
+    for n in GOPHER_TOP_THRESHOLDS:
+        pd = pd.join(tops[n], "doc_id", "left_outer")
+    for n in GOPHER_DUP_THRESHOLDS:
+        pd = pd.join(dups[n], "doc_id", "left_outer")
+    pd = pd.select(
+        "source",
+        (F.coalesce(F.col("chars2"), F.lit(0)) * 1.0 / F.col("tchars")).alias("f2"),
+        (F.coalesce(F.col("chars3"), F.lit(0)) * 1.0 / F.col("tchars")).alias("f3"),
+        (F.coalesce(F.col("chars4"), F.lit(0)) * 1.0 / F.col("tchars")).alias("f4"),
+        F.when(
+            F.coalesce(F.col("tot_occ5"), F.lit(0)) > 0,
+            F.col("dup_occ5") * 1.0 / F.col("tot_occ5"),
+        )
+        .otherwise(0.0)
+        .alias("f5"),
+        F.when(
+            F.coalesce(F.col("tot_occ6"), F.lit(0)) > 0,
+            F.col("dup_occ6") * 1.0 / F.col("tot_occ6"),
+        )
+        .otherwise(0.0)
+        .alias("f6"),
+    )
+
+    def _qavg(c: str, out: str):
+        q = F.sum(F.round(F.col(c) * 1000000, 0).cast("bigint"))
+        return F.round(q / (1000000.0 * F.count("*")), 6).alias(out)
+
+    breach = (
+        (F.col("f2") > 0.20)
+        | (F.col("f3") > 0.18)
+        | (F.col("f4") > 0.16)
+        | (F.col("f5") > 0.15)
+        | (F.col("f6") > 0.14)
+    )
+    return (
+        pd.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            _qavg("f2", "top2_frac"),
+            _qavg("f3", "top3_frac"),
+            _qavg("f4", "top4_frac"),
+            _qavg("f5", "dup5_frac"),
+            _qavg("f6", "dup6_frac"),
+            F.sum(F.when(breach, 1).otherwise(0)).cast("bigint").alias("flagged"),
+        )
+        .orderBy("source")
+    )

@@ -934,3 +934,203 @@ def test_item_cooccurrence_drops_malformed_k_identically(spark, tmp_path):
         for r in got
     )
     assert want == sorted(tuple(r) for r in oracle)
+
+
+def test_gopher_repetition_crafted_corpus(spark, tmp_path):
+    """gopher_repetition_stats on a crafted corpus that exercises every
+    branch the synthetic tables don't: a doc dominated by one repeated
+    2-gram (top2 breach), a doc with a duplicated 5-gram run (dup5 >
+    0), and a clean doc — engine vs the DuckDB oracle on the same
+    parquet AND vs a from-scratch pure-Python reference (tokenize,
+    per-n Counter, md5-hash tie-break, micro-unit quantization)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from github_miner_spark.registry import all_specs
+
+    docs = [
+        # one 2-gram "spam ham" repeated -> top2 chars = 14/21 > 0.20
+        (1, "srcA", "spam ham spam ham spam ham extra"),
+        # a 5-gram repeated twice among 10 5-grams -> dup5 > 0
+        (2, "srcA", "a b c d e a b c d e x y z w v u t s q r"),
+        # no repetition at all
+        (3, "srcB", "alpha beta gamma delta epsilon zeta eta theta"),
+        # too short for 5-grams (dup5 = 0 via the empty-gram guard)
+        (4, "srcB", "one two three"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, s, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["source"]: r.asDict()
+        for r in all_specs()["gopher_repetition_stats"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+
+    def h60(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    def py_doc(text):
+        toks = [
+            t
+            for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ")
+            if t
+        ]
+        tchars = sum(len(t) for t in toks)
+        fr = {}
+        for n in (2, 3, 4):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if grams and tchars:
+                c = Counter(grams)
+                nc, _, gc = min((-v, h60(g), len(g) - (n - 1)) for g, v in c.items())
+                fr[n] = (-nc) * gc / tchars
+            else:
+                fr[n] = 0.0
+        for n in (5, 6):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if grams:
+                c = Counter(grams)
+                fr[n] = sum(v for v in c.values() if v > 1) / len(grams)
+            else:
+                fr[n] = 0.0
+        return fr
+
+    per_source: dict[str, list[dict]] = {}
+    for _, s, t in docs:
+        per_source.setdefault(s, []).append(py_doc(t))
+    for s, frs in per_source.items():
+        row = got[s]
+        assert row["docs"] == len(frs)
+        for n, col in ((2, "top2_frac"), (3, "top3_frac"), (4, "top4_frac"),
+                       (5, "dup5_frac"), (6, "dup6_frac")):
+            want = sum(math.floor(f[n] * 1_000_000 + 0.5) for f in frs) / (
+                1_000_000.0 * len(frs)
+            )
+            assert abs(row[col] - want) < 1e-6, (s, col, row[col], want)
+        flagged = sum(
+            1
+            for f in frs
+            if f[2] > 0.20 or f[3] > 0.18 or f[4] > 0.16
+            or f[5] > 0.15 or f[6] > 0.14
+        )
+        assert row["flagged"] == flagged, (s, row["flagged"], flagged)
+    # the crafted corpus actually exercises the branches
+    assert got["srcA"]["flagged"] >= 1
+    assert got["srcA"]["dup5_frac"] > 0.0
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r for r in con.sql(all_specs()["gopher_repetition_stats"].oracle).fetchall()
+    }
+    for s, row in got.items():
+        assert tuple(row.values()) == oracle[s], (s, row, oracle[s])
+
+
+def test_dsir_weights_python_replay(spark):
+    """dsir_importance_weights at sf0.01 (500 docs — the Gumbel top-100
+    actually selects) against a from-scratch pure-Python replay of the
+    whole DSIR chain: hashed unigram+bigram bucketing, add-one
+    smoothed target/raw models, micro-nat-quantized per-bucket
+    log-ratios, integer doc weights, md5-uniform Gumbel noise, top-K
+    by (score desc, doc_id)."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from github_miner_spark.queries.curation_queries import (
+        DSIR_BUCKETS,
+        DSIR_KEEP_K,
+        DSIR_SCALE,
+        DSIR_TARGET_SOURCES,
+    )
+    from github_miner_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["source"]: r.asDict()
+        for r in all_specs()["dsir_importance_weights"].spark(spark, sf).collect()
+    }
+
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    import re
+
+    def feats(text):
+        toks = [
+            t
+            for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ")
+            if t
+        ]
+        return toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    occ = []  # (doc_id, source, bucket)
+    for _, r in pdf.iterrows():
+        for f in feats(r["text"]):
+            occ.append((int(r["doc_id"]), r["source"], bucket(f)))
+    cr = Counter(b for _, _, b in occ)
+    ct = Counter(b for _, s, b in occ if s in DSIR_TARGET_SOURCES)
+    r_tot, t_tot = len(occ), sum(1 for _, s, _ in occ if s in DSIR_TARGET_SOURCES)
+
+    def q(x):
+        return int(math.floor(x * DSIR_SCALE + 0.5)) if x >= 0 else -int(
+            math.floor(-x * DSIR_SCALE + 0.5)
+        )
+
+    lq = {
+        b: q(
+            math.log((ct.get(b, 0) + 1.0) / (t_tot + DSIR_BUCKETS))
+            - math.log((c + 1.0) / (r_tot + DSIR_BUCKETS))
+        )
+        for b, c in cr.items()
+    }
+    w: dict[int, int] = defaultdict(int)
+    src: dict[int, str] = {}
+    for d, s, b in occ:
+        w[d] += lq[b]
+        src[d] = s
+    def gum(d):
+        u = (int(hashlib.md5(f"dsir:{d}".encode()).hexdigest()[:8], 16) + 1) / 4294967297.0
+        return q(-math.log(-math.log(u)))
+    s_by_doc = {d: w[d] + gum(d) for d in w}
+    kept = set(
+        d
+        for d, _ in sorted(s_by_doc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :DSIR_KEEP_K
+        ]
+    )
+    per_source: dict[str, list[int]] = defaultdict(list)
+    for d in w:
+        per_source[src[d]].append(d)
+    assert set(got) == set(per_source)
+    for s, ds in per_source.items():
+        row = got[s]
+        assert row["docs"] == len(ds)
+        assert row["kept"] == sum(1 for d in ds if d in kept), s
+        want_avg = sum(w[d] for d in ds) / (DSIR_SCALE * 1.0 * len(ds))
+        want_max = max(w[d] for d in ds) / (DSIR_SCALE * 1.0)
+        assert abs(row["avg_weight_nats"] - want_avg) < 1e-6, s
+        assert abs(row["max_weight_nats"] - want_max) < 1e-6, s
+    # the target stands out: its avg importance weight is the corpus max
+    tgt_avg = max(got[s]["avg_weight_nats"] for s in DSIR_TARGET_SOURCES)
+    assert tgt_avg >= max(
+        v["avg_weight_nats"] for s, v in got.items()
+        if s not in DSIR_TARGET_SOURCES
+    )
