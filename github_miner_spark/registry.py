@@ -82,15 +82,16 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-12 window. Slot math: 19 diff-touched (per the AST
-    # coverage map: 2 new + the 13-query cypher family re-witnessing
-    # the escaped-quote/overwrite fixes + 4 touched by the zipf
-    # de-straggler, the hybrid single-chunk guard and the two
-    # boundedness comments) + the FULL remaining r06 witness tail
+    # Round-12 window. Slot math: 21 diff-touched (per the AST
+    # coverage map: 4 new — the VERDICT items 2-3 pair plus the
+    # second-wave gopher/DSIR pair — + the 13-query cypher family
+    # re-witnessing the escaped-quote/overwrite fixes + 4 touched by
+    # the zipf de-straggler, the hybrid single-chunk guard and the
+    # two boundedness comments) + the FULL remaining r06 witness tail
     # (12 rows — VERDICT r11 item 1, oldest witness moves to r07)
-    # + the 19 alphabetically-first r07 rows = 50 exactly; 17 r07
-    # rows remain for round 13 (kll_quantile_merge,
-    # language_id_confusion .. self_loops). Rotation discipline
+    # + the 17 alphabetically-first r07 rows = 50 exactly; 19 r07
+    # rows remain for round 13 (exact_dedup_summary, hosted_on_outer,
+    # kll_quantile_merge .. self_loops). Rotation discipline
     # unchanged: this rotation is the round's LAST code-touching
     # commit; tools/check_window_freshness.py verifies the ordering
     # AND that every diff-touched query holds a slot below.
@@ -99,6 +100,11 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #        items 2 and 3) ------------------------------------------
     "hybrid_fusion_relevance_at_k",
     "incremental_ivf_topk",
+    # -- (a2) new in the round's second wave: the Gopher Table-A1
+    #         n-gram repetition family and DSIR importance
+    #         resampling --------------------------------------------
+    "gopher_repetition_stats",
+    "dsir_importance_weights",
     # -- (b) touched by the ADVICE r11 cypher fixes (escaped-quote
     #        script splitting + repeat write:true property overwrite
     #        — the whole run_cypher family re-witnesses) -------------
@@ -138,7 +144,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "top_supplier_revenue",
     "top_value_part_types",
     "vocab_coverage_stats",
-    # -- (e) the 19 alphabetically-first r07 rows ---------------------
+    # -- (e) the 17 alphabetically-first r07 rows ---------------------
     "benchmark_decontamination",
     "brand_discount_revenue",
     "closeness_centrality_sample",
@@ -156,8 +162,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "doc_token_stats",
     "embedding_similarity_buckets",
     "embedding_topk_bruteforce",
-    "exact_dedup_summary",
-    "hosted_on_outer",
 )
 
 
