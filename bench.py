@@ -188,9 +188,11 @@ HEADLINE = [
     "hybrid_fusion_relevance_at_k",
     "incremental_ivf_topk",
     # round 12 (second wave): the full Gopher Table-A1 n-gram
-    # repetition family and DSIR importance resampling
+    # repetition family, DSIR importance resampling, and margin-based
+    # bitext mining over shared IVF lists
     "gopher_repetition_stats",
     "dsir_importance_weights",
+    "bitext_mining_margin_topk",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

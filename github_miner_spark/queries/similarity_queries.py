@@ -1382,3 +1382,157 @@ def incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(asg, cents, list(INCR_PROBE_IDS), 5, 3).orderBy(
         "query_id", "rank"
     )
+
+
+# Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+# Parallel Corpus Mining with Multilingual Sentence Embeddings"): a
+# cross-lingual pair (x, y) scores cos(x,y) scaled by the mean
+# similarity of each side's k nearest neighbours in the OTHER
+# language — the ratio margin that separates true translations from
+# hubs that are merely close to everything. Like the paper's FAISS
+# setup, neighbourhoods are ANN-bounded: candidates and kNN means
+# both come from shared IVF lists (the SemDeDup discipline), so the
+# pair space is sum-of-squared-list-sizes, never |X| x |Y|.
+# Similarities are shifted to s = 1 + cos (in [0, 2]) and quantized
+# to micro-units BEFORE the kNN sums, so denominators stay positive
+# and both engines rank identical integers.
+BITEXT_KNN_K = 4
+BITEXT_SRC_LANG = "en"
+BITEXT_TGT_LANG = "zh"
+
+_BITEXT_ORACLE = f"""
+    WITH e AS (SELECT vec_id, {_DUCK_EMB} AS ev FROM embeddings),
+    par AS (
+      SELECT CAST(ceil(count(*) / floor(sqrt(count(*)))) AS BIGINT) AS stride FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cid, ev AS cvec FROM e
+      WHERE vec_id % (SELECT stride FROM par) = 0
+    ),
+    asg AS MATERIALIZED (
+      SELECT vec_id, ev, cid AS list_id FROM (
+        SELECT e.vec_id, e.ev, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dcos('e.ev', 'c.cvec')} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    lx AS (
+      SELECT a.vec_id, a.ev, a.list_id FROM asg a
+      JOIN documents d ON d.doc_id = a.vec_id WHERE d.lang = '{BITEXT_SRC_LANG}'
+    ),
+    ly AS (
+      SELECT a.vec_id, a.ev, a.list_id FROM asg a
+      JOIN documents d ON d.doc_id = a.vec_id WHERE d.lang = '{BITEXT_TGT_LANG}'
+    ),
+    cand AS MATERIALIZED (
+      SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+             {_dcos('x.ev', 'y.ev')} AS cos_sim,
+             CAST(round((1.0 + {_dcos('x.ev', 'y.ev')}) * 1000000, 0)
+                  AS BIGINT) AS smu
+      FROM lx x JOIN ly y USING (list_id)
+    ),
+    kx AS (
+      SELECT x_id, sum(smu) AS sx, count(*) AS nx FROM (
+        SELECT x_id, smu,
+               row_number() OVER (PARTITION BY x_id
+                                  ORDER BY smu DESC, y_id) AS rn
+        FROM cand) WHERE rn <= {BITEXT_KNN_K} GROUP BY x_id
+    ),
+    ky AS (
+      SELECT y_id, sum(smu) AS sy, count(*) AS ny FROM (
+        SELECT y_id, smu,
+               row_number() OVER (PARTITION BY y_id
+                                  ORDER BY smu DESC, x_id) AS rn
+        FROM cand) WHERE rn <= {BITEXT_KNN_K} GROUP BY y_id
+    )
+    SELECT c.x_id, c.y_id, c.cos_sim,
+           round(c.smu * 2.0
+                 / (kx.sx * 1.0 / kx.nx + ky.sy * 1.0 / ky.ny), 6) AS margin
+    FROM cand c JOIN kx USING (x_id) JOIN ky USING (y_id)
+    ORDER BY margin DESC, x_id, y_id LIMIT 20
+    """
+
+
+@register(
+    "bitext_mining_margin_topk",
+    oracle=_BITEXT_ORACLE,
+    description="Margin-based bitext mining (Artetxe & Schwenk 2019): "
+    "top cross-lingual en->zh document pairs by the ratio margin "
+    "2*s(x,y) / (mean_k s(x, NN_Y(x)) + mean_k s(y, NN_X(y))) with "
+    "s = 1 + cos quantized to micro-units. Candidates AND both kNN "
+    "neighbourhoods are bounded to shared IVF lists served from the "
+    "materialized store (the paper's FAISS-ANN practice and the "
+    "SemDeDup pair discipline) — pair work is sum of squared list "
+    "sizes; the kNN windows partition by doc and only ever see "
+    "in-list candidates. TakeOrdered bounds the result to 20 rows.",
+    tags=("similarity", "crosslingual", "bitext", "ivf"),
+)
+def bitext_mining_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from github_miner_spark.functions.ivf_store import load_ivf_index
+    from github_miner_spark.functions.similarity import cosine
+
+    asg, _cents = load_ivf_index(spark, sf_dir)
+    langs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    sides = asg.join(langs, asg.vec_id == langs.doc_id).select(
+        "vec_id", "embedding", "list_id", "lang"
+    )
+    x = sides.filter(F.col("lang") == BITEXT_SRC_LANG).select(
+        F.col("vec_id").alias("x_id"),
+        F.col("embedding").alias("xv"),
+        "list_id",
+    )
+    y = sides.filter(F.col("lang") == BITEXT_TGT_LANG).select(
+        F.col("vec_id").alias("y_id"),
+        F.col("embedding").alias("yv"),
+        "list_id",
+    )
+    cos = F.round(cosine(F.col("xv"), F.col("yv")), 6)
+    cand = (
+        x.join(y, "list_id")
+        .select(
+            "x_id",
+            "y_id",
+            cos.alias("cos_sim"),
+            F.round((1.0 + cos) * 1000000, 0).cast("bigint").alias("smu"),
+        )
+        # three consumers (pair scores + both kNN rollups) — pin once
+        .localCheckpoint(eager=False)
+    )
+    # each window partition holds one doc's IN-LIST candidates only —
+    # bounded by the largest list, never the corpus
+    wx = Window.partitionBy("x_id").orderBy(F.desc("smu"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("smu"), F.asc("x_id"))
+    kx = (
+        cand.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= BITEXT_KNN_K)
+        .groupBy("x_id")
+        .agg(F.sum("smu").alias("sx"), F.count("*").alias("nx"))
+    )
+    ky = (
+        cand.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= BITEXT_KNN_K)
+        .groupBy("y_id")
+        .agg(F.sum("smu").alias("sy"), F.count("*").alias("ny"))
+    )
+    return (
+        cand.join(kx, "x_id")
+        .join(ky, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos_sim",
+            F.round(
+                F.col("smu") * 2.0
+                / (
+                    F.col("sx") * 1.0 / F.col("nx")
+                    + F.col("sy") * 1.0 / F.col("ny")
+                ),
+                6,
+            ).alias("margin"),
+        )
+        .orderBy(F.desc("margin"), "x_id", "y_id")
+        .limit(20)
+    )

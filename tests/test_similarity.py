@@ -717,3 +717,115 @@ def test_ivf_delta_job_scans_only_delta(spark):
     assert "centroids.parquet" in plan and "BroadcastExchange" in plan
     # exactly one embeddings scan feeds the job
     assert len(re.findall(r"embeddings\.parquet", plan)) == 1, plan
+
+
+def test_bitext_margin_numpy_replay_crafted(spark, tmp_path):
+    """bitext_mining_margin_topk on a crafted two-language corpus:
+    a planted near-copy translation pair, a 'hub' target vector that
+    is moderately close to EVERY source doc, and filler vectors —
+    engine output vs a from-scratch numpy replay of the whole chain
+    (stride centroids, rounded-cos/cid-tiebreak assignment, in-list
+    pairs, micro-unit shift-quantization, per-side kNN means, ratio
+    margins). Also pins the paper's point: the planted pair tops the
+    margin ranking while the hub's neighbourhood mean is the largest
+    in Y (the quantity that demotes hub pairs)."""
+    import math
+
+    import numpy as np
+
+    from github_miner_spark.queries.similarity_queries import (
+        BITEXT_KNN_K,
+        BITEXT_SRC_LANG,
+        BITEXT_TGT_LANG,
+    )
+    from github_miner_spark.registry import all_specs
+
+    dims = 8
+    rng = np.random.RandomState(42)
+    base = np.zeros(dims); base[0] = 1.0
+    vecs = {}
+    # sources (en): ids 0..7 — base direction plus distinct tilts.
+    # The planted side of the pair is x1, a NON-centroid id (ids 0, 4,
+    # 8, 12 are the stride centroids; a centroid is always its own
+    # nearest list, which would strand the pair across two lists).
+    for i in range(8):
+        v = base.copy()
+        v[1 + (i % 7)] += 0.3
+        v += 0.02 * rng.randn(dims)
+        vecs[i] = v
+    # targets (zh): 9 = hub (close to the shared base direction, so
+    # close to ALL en docs), 10 = near-copy of source 1 (the planted
+    # translation, both non-centroids), rest = base-plus-noise filler
+    hub = base.copy(); hub[7] += 0.3
+    vecs[9] = hub
+    for i in (8, 11, 12, 13, 14, 15):
+        vecs[i] = base + 0.3 * rng.randn(dims)
+    vecs[10] = 0.97 * vecs[1] + 0.01 * rng.randn(dims)
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(16)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i}", BITEXT_SRC_LANG if i < 8 else BITEXT_TGT_LANG,
+             "srcA", 5)
+            for i in range(16)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = [
+        (r["x_id"], r["y_id"], r["cos_sim"], r["margin"])
+        for r in all_specs()["bitext_mining_margin_topk"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    ]
+
+    # ---- numpy replay (float32 at rest, double in the algebra, the
+    # engine's cast chain) ------------------------------------------
+    V = {i: np.asarray(vecs[i], dtype=np.float32).astype(np.float64)
+         for i in range(16)}
+
+    def rcos(a, b):
+        return round(float(np.dot(a, b) / (math.sqrt(float(np.dot(a, a)))
+                                           * math.sqrt(float(np.dot(b, b))))), 6)
+
+    n = 16
+    stride = math.ceil(n / math.isqrt(n))
+    cent_ids = [i for i in range(n) if i % stride == 0]
+    assign = {
+        i: min(cent_ids, key=lambda c: (-rcos(V[i], V[c]), c)) for i in range(n)
+    }
+    cand = {}
+    for xi in range(8):
+        for yi in range(8, 16):
+            if assign[xi] == assign[yi]:
+                c = rcos(V[xi], V[yi])
+                cand[(xi, yi)] = (c, int(math.floor((1.0 + c) * 1_000_000 + 0.5)))
+    def knn_mean(side_id, axis):
+        ss = sorted(
+            ((smu, other) for (xi, yi), (_, smu) in cand.items()
+             for other in [yi if axis == 0 else xi]
+             if (xi if axis == 0 else yi) == side_id),
+            key=lambda t: (-t[0], t[1]),
+        )[:BITEXT_KNN_K]
+        return sum(s for s, _ in ss) / len(ss)
+    want = sorted(
+        (
+            (xi, yi, c,
+             round(smu * 2.0 / (knn_mean(xi, 0) + knn_mean(yi, 1)), 6))
+            for (xi, yi), (c, smu) in cand.items()
+        ),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:20]
+    assert got == want, (got[:5], want[:5])
+    # the planted translation wins the margin ranking...
+    assert got[0][0] == 1 and got[0][1] == 10
+    # ...and the hub has the largest target-side neighbourhood mean —
+    # the denominator that demotes its pairs
+    hub_mean = knn_mean(9, 1)
+    assert hub_mean == max(knn_mean(y, 1) for y in range(8, 16)
+                           if any(yi == y for _, yi in cand))
