@@ -719,3 +719,42 @@ def test_zipf_rank_is_distributed(spark, monkeypatch):
         registry.all_specs()["corpus_zipf_fit"].spark(spark, SF).collect()
         == forced
     )
+
+
+def test_gopher_repetition_no_windows_no_global_sort(spark):
+    """gopher_repetition_stats: five explode+keyed-rollup passes with
+    a map-side-combinable min(struct) argmax — the plan must contain
+    NO Window operator (the r11 span-removal lesson: windows are the
+    skew-prone alternative here) and no sort-merge machinery for the
+    doc-keyed joins at test SF; the gram text never appears as an
+    exchange key (only 60-bit hashes shuffle)."""
+    plan = _plan(spark, "gopher_repetition_stats")
+    assert "Window" not in plan, plan
+    # per-doc frames broadcast at this SF; at scale they shuffle on
+    # doc_id — either way no cartesian anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcast_model_and_takeordered(spark):
+    """dsir_importance_weights: the 64-row feature model and the
+    Gumbel top-k membership must BROADCAST onto the corpus side, and
+    the top-k itself must be TakeOrderedAndProject (k rows), never a
+    global Sort."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bitext_margin_list_bounded_and_takeordered(spark):
+    """bitext_mining_margin_topk: the pair space is the IVF list join
+    (sum of squared list sizes — never a cartesian |X| x |Y|), the
+    kNN windows partition by doc id, and the final top-20 is
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "bitext_mining_margin_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # both kNN rank windows are partitioned (by x_id / y_id) — no
+    # unpartitioned window anywhere in this plan
+    assert re.search(r"windowspecdefinition\((?:x|y)_id#\d+L", plan), plan
+    assert not re.search(r"windowspecdefinition\(s", plan), plan
