@@ -193,6 +193,10 @@ HEADLINE = [
     "gopher_repetition_stats",
     "dsir_importance_weights",
     "bitext_mining_margin_topk",
+    # round 12 (third wave): CCNet perplexity terciles off the binned
+    # sample histogram and distinct-n corpus diversity
+    "ccnet_perplexity_buckets",
+    "distinct_ngram_diversity",
 ]
 
 # The per-family core whose medians ride in the compact final line (one

@@ -2789,3 +2789,244 @@ def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "distinct_ngram_diversity",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    g AS (
+      SELECT source, n, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT source, n.n AS n,
+               unnest(CASE WHEN len(toks) >= n.n
+                 THEN list_transform(generate_series(1, len(toks) - n.n + 1),
+                        i -> array_to_string(toks[i:i+n.n-1], ' '))
+                 ELSE [] END) AS g
+        FROM t, (SELECT unnest([1, 2, 3]) AS n) n)
+    ),
+    agg AS (
+      SELECT source, n, count(*) AS occ, count(DISTINCT h) AS types
+      FROM g GROUP BY source, n
+    )
+    SELECT source,
+           CAST(max(CASE WHEN n = 1 THEN occ END) AS BIGINT) AS tokens,
+           round(max(CASE WHEN n = 1 THEN types * 1.0 / occ END), 6)
+             AS distinct1_ratio,
+           round(max(CASE WHEN n = 2 THEN types * 1.0 / occ END), 6)
+             AS distinct2_ratio,
+           round(max(CASE WHEN n = 3 THEN types * 1.0 / occ END), 6)
+             AS distinct3_ratio
+    FROM agg GROUP BY source ORDER BY source
+    """,
+    description="Distinct-n diversity (Li et al. 2016): per-source "
+    "ratio of distinct {1,2,3}-gram types to total occurrences — the "
+    "corpus-diversity complement of the per-doc Gopher repetition "
+    "filters (a source can pass every per-doc check and still be "
+    "template spam corpus-wide; low distinct-n exposes it). One "
+    "explode per n over 60-bit gram hashes (gram text never "
+    "shuffles), count-distinct on the (source, n, hash) rollup — "
+    "integer counts, so the ratios are exact rationals on both "
+    "engines. O(corpus tokens) at any scale.",
+    tags=("text", "curation", "diversity", "repetition"),
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select("source", tokenize(F.col("text")).alias("toks"))
+    per_n = []
+    for n in (1, 2, 3):
+        grams = F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN transform("
+            f"sequence(1, size(toks) - {n} + 1), "
+            f"i -> array_join(slice(toks, i, {n}), ' ')) "
+            "ELSE array() END"
+        )
+        per_n.append(
+            base.select("source", F.explode(grams).alias("g")).select(
+                "source",
+                F.lit(n).alias("n"),
+                token_hash60(F.col("g")).alias("h"),
+            )
+        )
+    g = per_n[0].unionByName(per_n[1]).unionByName(per_n[2])
+    agg = g.groupBy("source", "n").agg(
+        F.count("*").alias("occ"),
+        F.countDistinct("h").alias("types"),
+    )
+
+    def _ratio(n: int, out: str):
+        return F.round(
+            F.max(F.when(F.col("n") == n, F.col("types") * 1.0 / F.col("occ"))),
+            6,
+        ).alias(out)
+
+    return (
+        agg.groupBy("source")
+        .agg(
+            F.max(F.when(F.col("n") == 1, F.col("occ")))
+            .cast("bigint")
+            .alias("tokens"),
+            _ratio(1, "distinct1_ratio"),
+            _ratio(2, "distinct2_ratio"),
+            _ratio(3, "distinct3_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+# per-language head/middle/tail terciles of LM perplexity, computed
+# the repo's scale-honest way — tercile CUTOFFS come from a
+# deterministic md5-gated document sample summarized into a fixed-bin
+# histogram (3200 bins x 0.005 nats covering [0, 16) — fine enough to
+# resolve this corpus's ~0.03-nat tercile gaps; the
+# binned_quantile_estimates discipline: O(1) state per language, no
+# rank window over the corpus), then every document buckets by
+# broadcast cutoff comparison. Per-doc mean KN surprisal is
+# micro-nat-quantized before binning, so bin ids and cutoffs are
+# exact integer algebra.
+PPL_BIN_MICRO_NATS = 5_000  # 0.005 nats per bin
+PPL_N_BINS = 3200
+PPL_SAMPLE_MOD, PPL_SAMPLE_KEEP = 10, 3  # ~30% md5-gated sample
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {_KN_SCORED_CTES},
+    kn AS (
+      SELECT doc_id,
+             CAST(round(sum(s) / count(*) * 1000000, 0) AS BIGINT) AS mq
+      FROM scored GROUP BY doc_id
+    ),
+    sb AS MATERIALIZED (
+      SELECT k.doc_id, d.lang,
+             least({PPL_N_BINS - 1}, greatest(0,
+               CAST(floor(k.mq / {PPL_BIN_MICRO_NATS}.0) AS BIGINT))) AS bin
+      FROM kn k JOIN documents d ON d.doc_id = k.doc_id
+    ),
+    samp AS (
+      SELECT * FROM sb
+      WHERE ('0x' || substr(md5('pplq:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            ::BIGINT % {PPL_SAMPLE_MOD} < {PPL_SAMPLE_KEEP}
+    ),
+    hist AS (SELECT lang, bin, count(*) AS c FROM samp GROUP BY lang, bin),
+    ns AS (SELECT lang, count(*) AS ns FROM samp GROUP BY lang),
+    cum AS (
+      SELECT h.lang, h.bin,
+             sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.bin) AS cum,
+             ns.ns
+      FROM hist h JOIN ns USING (lang)
+    ),
+    cuts AS (
+      SELECT lang,
+             min(CASE WHEN 3 * cum >= ns THEN bin END) AS c1,
+             min(CASE WHEN 3 * cum >= 2 * ns THEN bin END) AS c2
+      FROM cum GROUP BY lang
+    ),
+    b AS (
+      SELECT sb.lang,
+             CASE WHEN sb.bin <= coalesce(c.c1, {PPL_N_BINS - 1}) THEN 'head'
+                  WHEN sb.bin <= coalesce(c.c2, {PPL_N_BINS - 1}) THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sb LEFT JOIN cuts c USING (lang)
+    ),
+    tot AS (SELECT lang, count(*) AS lt FROM b GROUP BY lang)
+    SELECT b.lang, b.bucket, CAST(count(*) AS BIGINT) AS docs,
+           round(count(*) * 1.0 / max(t.lt), 6) AS share
+    FROM b JOIN tot t USING (lang)
+    GROUP BY b.lang, b.bucket ORDER BY b.lang, b.bucket
+    """,
+    description="CCNet perplexity bucketing (Wenzek et al. 2020): "
+    "per-language head/middle/tail terciles of per-doc mean KN "
+    "surprisal — the standard LM-quality stratification run before "
+    "mixture weighting (head = lowest perplexity). Tercile cutoffs "
+    "derive from an md5-gated ~30% sample summarized into a 64-bin "
+    "fixed-width histogram (language-keyed, 64 rows of state per "
+    "language — the binned_quantile_estimates discipline; the only "
+    "window runs over that 64-row frame, never the corpus), then "
+    "every doc buckets via a broadcast cutoff join. Reuses the "
+    "_kn_scored relation, so the LM itself is the already-witnessed "
+    "hash-keyed KN model.",
+    tags=("text", "curation", "quality", "lm", "ccnet"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from github_miner_spark.functions.text import md5_prefix_hash
+
+    kn = (
+        _kn_scored(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s") / F.count("*") * 1000000, 0)
+            .cast("bigint")
+            .alias("mq")
+        )
+    )
+    langs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    sb = (
+        kn.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.least(
+                F.lit(PPL_N_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(F.col("mq") / float(PPL_BIN_MICRO_NATS)).cast(
+                        "bigint"
+                    ),
+                ),
+            ).alias("bin"),
+        )
+        # two consumers (sample histogram + full bucketing) — pin once
+        .localCheckpoint(eager=False)
+    )
+    samp = sb.filter(
+        md5_prefix_hash(
+            F.concat(F.lit("pplq:"), F.col("doc_id").cast("string")), 8
+        )
+        % PPL_SAMPLE_MOD
+        < PPL_SAMPLE_KEEP
+    )
+    hist = samp.groupBy("lang", "bin").agg(F.count("*").alias("c"))
+    ns = samp.groupBy("lang").agg(F.count("*").alias("ns"))
+    # the cumulative runs over the per-language fixed-bin histogram —
+    # a <= PPL_N_BINS-row partition regardless of corpus size
+    cum = hist.join(ns, "lang").withColumn(
+        "cum",
+        F.sum("c").over(Window.partitionBy("lang").orderBy("bin")),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("ns"), F.col("bin"))).alias("c1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("ns"), F.col("bin"))).alias(
+            "c2"
+        ),
+    )
+    b = sb.join(F.broadcast(cuts), "lang", "left_outer").select(
+        "lang",
+        F.when(
+            F.col("bin") <= F.coalesce(F.col("c1"), F.lit(PPL_N_BINS - 1)),
+            "head",
+        )
+        .when(
+            F.col("bin") <= F.coalesce(F.col("c2"), F.lit(PPL_N_BINS - 1)),
+            "middle",
+        )
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    tot = b.groupBy("lang").agg(F.count("*").alias("lt"))
+    return (
+        b.join(tot, "lang")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.round(F.count("*") * 1.0 / F.max("lt"), 6).alias("share"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -1134,3 +1134,114 @@ def test_dsir_weights_python_replay(spark):
         v["avg_weight_nats"] for s, v in got.items()
         if s not in DSIR_TARGET_SOURCES
     )
+
+
+def test_ccnet_buckets_replay_from_scored_docs(spark):
+    """ccnet_perplexity_buckets replayed compositionally: take the
+    per-doc mean KN surprisal from the already-witnessed
+    doc_kneser_ney_scores query, then re-derive the md5-gated sample,
+    the fixed-bin histogram, the tercile cutoffs and the bucket
+    counts in pure Python — pinning the NEW machinery (binning,
+    sampling, cutoff extraction, broadcast bucketing) independently
+    of the LM itself."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from github_miner_spark.queries.text_queries import (
+        PPL_BIN_MICRO_NATS,
+        PPL_N_BINS,
+        PPL_SAMPLE_KEEP,
+        PPL_SAMPLE_MOD,
+    )
+    from github_miner_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    scores = {
+        r["doc_id"]: r["mean_kn_surprisal"]
+        for r in all_specs()["doc_kneser_ney_scores"].spark(spark, sf).collect()
+    }
+    langs = dict(
+        pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "lang"]].values
+    )
+
+    def binof(mean6):
+        mq = int(round(mean6 * 1_000_000))
+        return min(PPL_N_BINS - 1, max(0, mq // PPL_BIN_MICRO_NATS))
+
+    sb = {d: (langs[d], binof(m)) for d, m in scores.items()}
+    samp = [
+        d
+        for d in sb
+        if int(hashlib.md5(f"pplq:{d}".encode()).hexdigest()[:8], 16)
+        % PPL_SAMPLE_MOD
+        < PPL_SAMPLE_KEEP
+    ]
+    hist = defaultdict(Counter)
+    for d in samp:
+        lang, b = sb[d]
+        hist[lang][b] += 1
+    cuts = {}
+    for lang, h in hist.items():
+        ns = sum(h.values())
+        cum = 0
+        c1 = c2 = None
+        for b in sorted(h):
+            cum += h[b]
+            if c1 is None and 3 * cum >= ns:
+                c1 = b
+            if c2 is None and 3 * cum >= 2 * ns:
+                c2 = b
+        cuts[lang] = (c1, c2)
+    want = defaultdict(Counter)
+    for d, (lang, b) in sb.items():
+        c1, c2 = cuts.get(lang, (PPL_N_BINS - 1, PPL_N_BINS - 1))
+        c1 = PPL_N_BINS - 1 if c1 is None else c1
+        c2 = PPL_N_BINS - 1 if c2 is None else c2
+        want[lang]["head" if b <= c1 else "middle" if b <= c2 else "tail"] += 1
+
+    got = all_specs()["ccnet_perplexity_buckets"].spark(spark, sf).collect()
+    for r in got:
+        assert want[r["lang"]][r["bucket"]] == r["docs"], r
+        lt = sum(want[r["lang"]].values())
+        assert abs(r["share"] - r["docs"] / lt) < 1e-6, r
+    assert sum(r["docs"] for r in got) == len(scores)
+
+
+def test_distinct_ngram_diversity_python_replay(spark):
+    """distinct_ngram_diversity at sf0.001 vs a from-scratch pure-
+    Python reference (tokenize, n-gram sets and occurrence counts per
+    source)."""
+    import re
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from github_miner_spark.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r.asDict()
+        for r in all_specs()["distinct_ngram_diversity"].spark(spark, sf).collect()
+    }
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")
+    occ = defaultdict(lambda: defaultdict(int))
+    types = defaultdict(lambda: defaultdict(set))
+    for _, r in pdf.iterrows():
+        toks = [
+            t
+            for t in re.sub(r"[^a-z0-9]+", " ", r["text"].lower()).split(" ")
+            if t
+        ]
+        for n in (1, 2, 3):
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                occ[r["source"]][n] += 1
+                types[r["source"]][n].add(g)
+    assert set(got) == set(occ)
+    for s, row in got.items():
+        assert row["tokens"] == occ[s][1]
+        for n, col in ((1, "distinct1_ratio"), (2, "distinct2_ratio"),
+                       (3, "distinct3_ratio")):
+            assert abs(row[col] - len(types[s][n]) / occ[s][n]) < 1e-6, (s, col)
