@@ -82,17 +82,19 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-12 window. Slot math: 22 diff-touched (per the AST
-    # coverage map: 5 new — the VERDICT items 2-3 pair plus the
-    # second-wave gopher/DSIR/bitext trio — + the 13-query cypher
-    # family re-witnessing the escaped-quote/overwrite fixes + 4
-    # touched by the zipf de-straggler, the hybrid single-chunk guard
-    # and the two boundedness comments) + the FULL remaining r06
-    # witness tail (12 rows — VERDICT r11 item 1, oldest witness
-    # moves to r07) + the 16 alphabetically-first r07 rows = 50
-    # exactly; 20 r07 rows remain for round 13 (embedding_topk_
-    # bruteforce, exact_dedup_summary, hosted_on_outer,
-    # kll_quantile_merge .. self_loops). Rotation discipline
+    # Round-12 window. Slot math: 24 diff-touched (per the AST
+    # coverage map: 7 new — the VERDICT items 2-3 pair, the
+    # second-wave gopher/DSIR/bitext trio, and the third-wave
+    # ccnet/distinct-n pair — + the 13-query cypher family
+    # re-witnessing the escaped-quote/overwrite fixes + 4 touched by
+    # the zipf de-straggler, the hybrid single-chunk guard and the
+    # two boundedness comments) + the FULL remaining r06 witness
+    # tail (12 rows — VERDICT r11 item 1, oldest witness moves to
+    # r07) + the 14 alphabetically-first r07 rows = 50 exactly; 22
+    # r07 rows remain for round 13 (doc_token_stats,
+    # embedding_similarity_buckets, embedding_topk_bruteforce,
+    # exact_dedup_summary, hosted_on_outer, kll_quantile_merge ..
+    # self_loops). Rotation discipline
     # unchanged: this rotation is the round's LAST code-touching
     # commit; tools/check_window_freshness.py verifies the ordering
     # AND that every diff-touched query holds a slot below.
@@ -107,6 +109,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "gopher_repetition_stats",
     "dsir_importance_weights",
     "bitext_mining_margin_topk",
+    # -- (a3) new in the round's third wave: CCNet perplexity
+    #         terciles and distinct-n corpus diversity ---------------
+    "ccnet_perplexity_buckets",
+    "distinct_ngram_diversity",
     # -- (b) touched by the ADVICE r11 cypher fixes (escaped-quote
     #        script splitting + repeat write:true property overwrite
     #        — the whole run_cypher family re-witnesses) -------------
@@ -146,7 +152,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "top_supplier_revenue",
     "top_value_part_types",
     "vocab_coverage_stats",
-    # -- (e) the 16 alphabetically-first r07 rows ---------------------
+    # -- (e) the 14 alphabetically-first r07 rows ---------------------
     "benchmark_decontamination",
     "brand_discount_revenue",
     "closeness_centrality_sample",
@@ -161,8 +167,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "doc_quality_scores",
     "doc_shingle_profile",
     "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "embedding_similarity_buckets",
 )
 
 
