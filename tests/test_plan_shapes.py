@@ -758,3 +758,25 @@ def test_bitext_margin_list_bounded_and_takeordered(spark):
     # unpartitioned window anywhere in this plan
     assert re.search(r"windowspecdefinition\((?:x|y)_id#\d+L", plan), plan
     assert not re.search(r"windowspecdefinition\(s", plan), plan
+
+
+def test_ccnet_buckets_window_bounded_to_histogram(spark):
+    """ccnet_perplexity_buckets: the only window in the plan is the
+    per-language cumulative over the fixed-bin histogram (keyed by
+    lang), never a corpus-wide rank; the cutoffs broadcast back; one
+    pinned scan feeds both the sample histogram and the full
+    bucketing."""
+    plan = _plan(spark, "ccnet_perplexity_buckets")
+    wins = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert wins and set(wins) == {"lang"}, wins
+    assert "BroadcastHashJoin" in plan, plan
+    rdd_ids = set(re.findall(r"(MapPartitionsRDD\[\d+\]) at localCheckpoint", plan))
+    assert len(rdd_ids) == 1, rdd_ids
+
+
+def test_distinct_ngram_no_windows(spark):
+    """distinct_ngram_diversity: three explode passes + one
+    count-distinct rollup — no Window operator, no cartesian."""
+    plan = _plan(spark, "distinct_ngram_diversity")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
