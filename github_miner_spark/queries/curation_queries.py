@@ -1387,9 +1387,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cr"),
         F.sum(F.when(tgt, 1).otherwise(0)).alias("ct"),
     )
-    tots = occ.agg(
-        F.count("*").alias("r_tot"),
-        F.sum(F.when(tgt, 1).otherwise(0)).alias("t_tot"),
+    # totals fold over the DSIR_BUCKETS-row rollup, not a second
+    # corpus-scale pass over occ (the buckets partition occ exactly)
+    tots = counts.agg(
+        F.sum("cr").alias("r_tot"),
+        F.sum("ct").alias("t_tot"),
     )
     lam = counts.crossJoin(F.broadcast(tots)).select(
         "b",
