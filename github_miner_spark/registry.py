@@ -94,7 +94,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # r07 rows remain for round 13 (doc_token_stats,
     # embedding_similarity_buckets, embedding_topk_bruteforce,
     # exact_dedup_summary, hosted_on_outer, kll_quantile_merge ..
-    # self_loops). Rotation discipline
+    # self_loops). The late DSIR totals fold (one fewer corpus pass)
+    # changed dsir_importance_weights only — it already holds its
+    # section (a2) slot. Rotation discipline
     # unchanged: this rotation is the round's LAST code-touching
     # commit; tools/check_window_freshness.py verifies the ordering
     # AND that every diff-touched query holds a slot below.
