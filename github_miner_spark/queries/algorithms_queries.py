@@ -1442,6 +1442,33 @@ def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("start_module", "seed")
 
 
+def _skipgram_pairs_exploded(state: DataFrame) -> DataFrame:
+    """(center, context, d): forward pairs within a 2-position window
+    along each walk, generated by re-slicing each walk's own node
+    array — ONE explode over the walk corpus, no join anywhere. The
+    per-walk self-join form paid two exchanges of the exploded
+    position relation plus the join itself to recover pairs that are
+    adjacency inside a single row's array; d = ib - ia ∈ {1, 2} falls
+    out of the slice offset."""
+    arr = F.split(F.col("path"), "->")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.lit(2)),
+                lambda y, j: F.struct(
+                    x.cast("bigint").alias("center"),
+                    y.cast("bigint").alias("context"),
+                    (j + F.lit(1)).alias("d"),
+                ),
+            ),
+        )
+    )
+    return state.select(F.explode(pairs).alias("p")).select(
+        "p.center", "p.context", "p.d"
+    )
+
+
 @register(
     "walk_skipgram_pairs",
     oracle=GRAPH_ORACLE_CTES
@@ -1472,10 +1499,10 @@ def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "examples for graph-embedding training (DeepWalk/node2vec phase "
     "2): forward pairs within a 2-position window along each walk, "
     "rolled up to (center, context) with the raw pair count and the "
-    "standard 1/distance position weight. The pair generation is one "
-    "per-walk keyed self-join on (start, seed) with the position gap "
-    "as a join-condition band (never a cartesian — walks join only to "
-    "themselves), and the rollup is a map-side-combinable hashed "
+    "standard 1/distance position weight. Pair generation re-slices "
+    "each walk's own node array in ONE explode (a pair is adjacency "
+    "within a single row — no join, no exchange needed to form it), "
+    "and the rollup is a map-side-combinable hashed "
     "aggregation over pair keys, so at 100 TB this is walk-corpus "
     "linear with no driver state. The oracle reuses the walk CTEs "
     "verbatim and expands positions arithmetically, so a walk-step "
@@ -1484,28 +1511,12 @@ def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _walk_corpus(spark, sf_dir)
-    rows = (
-        state.select(
-            "start",
-            "seed",
-            F.posexplode(F.split(F.col("path"), "->")).alias("i", "node"),
-        )
-        .select("start", "seed", "i", F.col("node").cast("bigint").alias("node"))
-    )
-    a = rows.select(
-        "start", "seed", F.col("i").alias("ia"), F.col("node").alias("center")
-    )
-    b = rows.select(
-        "start", "seed", F.col("i").alias("ib"), F.col("node").alias("context")
-    )
-    pairs = a.join(b, ["start", "seed"]).filter(
-        (F.col("ib") - F.col("ia")).between(1, 2)
-    )
+    pairs = _skipgram_pairs_exploded(state)
     return (
         pairs.groupBy("center", "context")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(F.sum(1.0 / (F.col("ib") - F.col("ia"))), 6).alias("w"),
+            F.round(F.sum(1.0 / F.col("d")), 6).alias("w"),
         )
         .orderBy("center", "context")
     )
@@ -1579,23 +1590,10 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_miner_spark.functions.text import md5_prefix_hash
 
     state = _walk_corpus(spark, sf_dir)
-    rows = (
-        state.select(
-            "start",
-            "seed",
-            F.posexplode(F.split(F.col("path"), "->")).alias("i", "node"),
-        )
-        .select("start", "seed", "i", F.col("node").cast("bigint").alias("node"))
-    )
-    a = rows.select(
-        "start", "seed", F.col("i").alias("ia"), F.col("node").alias("center")
-    )
-    b = rows.select(
-        "start", "seed", F.col("i").alias("ib"), F.col("node").alias("context")
-    )
+    # join-free pair generation: the same in-array slice explode the
+    # pair-extraction query uses (_skipgram_pairs_exploded)
     sgp = (
-        a.join(b, ["start", "seed"])
-        .filter((F.col("ib") - F.col("ia")).between(1, 2))
+        _skipgram_pairs_exploded(state)
         .groupBy("center", "context")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )

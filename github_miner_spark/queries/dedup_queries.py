@@ -436,18 +436,35 @@ def duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = toks.select(
         "doc_id", F.explode(token_windows(F.col("toks"), 5)).alias("win")
     ).select("doc_id", F.xxhash64("win").alias("wh"))
+    # fold the raw occurrences into one (wh, doc_id) rollup FIRST and
+    # pin it: the duplicated-window detection (count of distinct docs
+    # per wh) and the per-doc counts both read the pinned rollup, so
+    # the tokenize+explode corpus pass runs ONCE — the previous shape
+    # fed the countDistinct partial-agg and the join probe side two
+    # different subtrees, paying the corpus pass twice (ReuseExchange
+    # cannot dedupe them: the tokenizer's lambda-bound HOF expressions
+    # defeat plan canonicalization)
+    wd = (
+        wins.groupBy("wh", "doc_id")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
     dupw = (
-        wins.groupBy("wh")
-        .agg(F.countDistinct("doc_id").alias("c"))
+        wd.groupBy("wh")
+        .agg(F.count("*").alias("c"))  # wd is unique per (wh, doc_id)
         .filter(F.col("c") >= 2)
         .select("wh", F.lit(1).alias("is_dup"))
     )
     per = (
-        wins.join(dupw, "wh", "left")
+        wd.join(dupw, "wh", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
-            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.sum("k").cast("bigint").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dup") == 1, F.col("k"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_windows"),
         )
     )
     return (

@@ -9,7 +9,7 @@ equality at sf0.01 is what proves the two implementations agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from github_miner_spark.functions.text import (
@@ -1386,13 +1386,22 @@ def _kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.lit(0.75) * F.col("types_from") / F.col("pc"))
         * (F.col("cont") / F.col("t"))
     )
-    return (
-        bg.join(bfreq.select("bh", "c"), "bh")
-        .join(pstats, "ph")
+    # the score is a function of the bigram TYPE alone (bh determines
+    # ph/sh, and c/pc/types_from/cont/t are all type-level stats), so
+    # the model joins (pstats on ph, cstats on sh, the scalar t) fold
+    # over the TYPE table — |bigram types| rows — and the corpus-scale
+    # relation pays exactly ONE join back, on bh, carrying only
+    # (doc_id, bh). The occurrence-level form joined the full corpus
+    # relation three times (bh, ph, sh) and shuffled ph/sh alongside
+    # every row; the per-type double s is the identical expression on
+    # identical inputs, so scores are bit-equal.
+    scores = (
+        bfreq.join(pstats, "ph")
         .join(cstats, "sh")
         .crossJoin(F.broadcast(tt))
-        .select("doc_id", (-F.log(p)).alias("s"))
+        .select("bh", (-F.log(p)).alias("s"))
     )
+    return bg.select("doc_id", "bh").join(scores, "bh").select("doc_id", "s")
 
 
 _KN_KEEP_THRESHOLD = 3.4
@@ -1503,15 +1512,33 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens PROJECTED before use (see doc_bigram_surprisal's note:
     # nested tokenize re-inlines into every window reference)
     tdocs = docs.select(tokenize(F.col("text")).alias("toks"))
-    ufreq = (
-        tdocs.select(F.explode(F.col("toks")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("uc"))
+    # ONE corpus explode for BOTH distributions: unigrams tagged k=1
+    # and bigrams tagged k=2 ride the same (k, g)-keyed rollup, which
+    # is pinned so every downstream consumer (u1, u2, bfreq and the
+    # two totals) reads the vocabulary-sized counts instead of
+    # re-running the corpus pass — the two-explode form paid the
+    # scan+tokenize once per distribution and once per consumer
+    tagged = F.concat(
+        F.transform(
+            F.col("toks"), lambda x: F.struct(F.lit(1).alias("k"), x.alias("g"))
+        ),
+        F.transform(
+            token_windows(F.col("toks"), 2),
+            lambda w: F.struct(F.lit(2).alias("k"), w.alias("g")),
+        ),
     )
-    bfreq = (
-        tdocs.select(F.explode(token_windows(F.col("toks"), 2)).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count("*").alias("bc"))
+    freq = (
+        tdocs.select(F.explode(tagged).alias("t"))
+        .select(F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+        .groupBy("k", "g")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    ufreq = freq.filter(F.col("k") == 1).select(
+        F.col("g").alias("tok"), F.col("c").alias("uc")
+    )
+    bfreq = freq.filter(F.col("k") == 2).select(
+        F.col("g").alias("bigram"), F.col("c").alias("bc")
     )
     n_uni = ufreq.agg(F.sum("uc").alias("n_uni"))
     n_bi = bfreq.agg(F.sum("bc").alias("n_bi"))
@@ -1576,7 +1603,20 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select(
         "source", F.explode(tokenize(F.col("text"))).alias("tok")
     )
-    ufreq = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    # fold the corpus explode into ONE (source, tok) rollup first and
+    # pin it: the vocabulary ranking and the per-source coverage both
+    # read the pinned vocabulary-sized rollup, so the
+    # scan+tokenize+explode corpus pass runs once — the previous shape
+    # fed the token rollup and the coverage join two different
+    # subtrees, paying the corpus pass twice (ReuseExchange cannot
+    # dedupe them: the tokenizer's lambda-bound HOF expressions defeat
+    # plan canonicalization)
+    st = (
+        uni.groupBy("source", "tok")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    ufreq = st.groupBy("tok").agg(F.sum("k").alias("c"))
     # top-k, not a global rank: orderBy+limit compiles to distributed
     # TakeOrderedAndProject (per-partition heaps), identical
     # deterministic result without the one-task sort a partitionless
@@ -1587,11 +1627,11 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     return (
-        uni.join(F.broadcast(vocab), "tok", "left")
+        st.join(F.broadcast(vocab), "tok", "left")
         .groupBy("source")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            F.sum("k").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("k")).otherwise(0))
             .cast("bigint")
             .alias("oov_tokens"),
         )
@@ -2662,30 +2702,17 @@ _GOPHER_ORACLE = (
 )
 
 
-def _gram_counts(base: DataFrame, n: int) -> DataFrame:
-    """Per-doc (gram-hash) occurrence counts for word n-grams of size
-    ``n``: one explode + one (doc_id, 60-bit-hash)-keyed rollup — the
-    gram TEXT never shuffles (the boilerplate_ngram_stats discipline);
-    ``gc`` carries the gram's character count (token chars only, the
-    n-1 joiner spaces subtracted). The CASE guards Spark's descending
-    sequence(1, 0) on docs shorter than n tokens."""
-    from github_miner_spark.functions.text import token_hash60
-
-    grams = F.expr(
+def _tagged_gram_array(n: int) -> Column:
+    """Array of (n, gram-text) structs for word n-grams of size ``n``
+    over the ``toks`` column — concat-able across sizes so ONE explode
+    emits every requested n-gram family in a single corpus pass. The
+    CASE guards Spark's descending sequence(1, 0) on docs shorter than
+    n tokens."""
+    return F.expr(
         f"CASE WHEN size(toks) >= {n} THEN transform("
         f"sequence(1, size(toks) - {n} + 1), "
-        f"i -> array_join(slice(toks, i, {n}), ' ')) "
+        f"i -> struct({n}L AS n, array_join(slice(toks, i, {n}), ' ') AS g)) "
         "ELSE array() END"
-    )
-    return (
-        base.select("doc_id", F.explode(grams).alias("g"))
-        .select(
-            "doc_id",
-            token_hash60(F.col("g")).alias("h"),
-            (F.length("g") - (n - 1)).alias("gc"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.count("*").alias("cnt"), F.max("gc").alias("gc"))
     )
 
 
@@ -2696,56 +2723,88 @@ def _gram_counts(base: DataFrame, n: int) -> DataFrame:
     "n-gram family): per-source averages of each doc's "
     "top-{2,3,4}-gram character fraction and duplicate-{5,6}-gram "
     "occurrence fraction, plus the count of docs breaching any "
-    "threshold (0.20/0.18/0.16 top, 0.15/0.14 dup). Five passes, each "
-    "one explode + one (doc_id, hash)-keyed rollup; the per-doc "
-    "argmax is a map-side-combinable min(struct(-cnt, h, gc)) — no "
-    "windows, no corpus-global state; per-doc frames are "
-    "doc-count-sized and join co-keyed on doc_id. O(corpus tokens) "
-    "end to end at any scale.",
+    "threshold (0.20/0.18/0.16 top, 0.15/0.14 dup). ONE explode pass "
+    "emitting every n-gram family tagged with n, one "
+    "(doc_id, n, hash)-keyed rollup, one per-doc conditional pivot; "
+    "the per-doc argmax is a map-side-combinable "
+    "min(struct(-cnt, h, gc)) — no windows, no corpus-global state. "
+    "O(corpus tokens) end to end at any scale, with a single corpus "
+    "scan where the per-n form paid six.",
     tags=("text", "curation", "quality", "repetition"),
 )
 def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_miner_spark.functions.text import token_hash60
+
     docs = load_table(spark, "documents", sf_dir)
+    # ONE tokenize pass, pinned: both consumers (the tagged-gram
+    # explode and the per-doc base frame the pivot joins back onto)
+    # read the checkpointed token arrays — the per-n form re-ran
+    # tokenize six times (five gram passes + the base frame)
     base = docs.select(
         "doc_id",
         "source",
         tokenize(F.col("text")).alias("toks"),
     ).withColumn(
         "tchars", F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+    ).localCheckpoint(eager=False)
+
+    # ONE explode emits every (n, gram) family tagged with n; the
+    # rollup keys on (doc_id, n, 60-bit hash) so the gram text never
+    # shuffles, and the per-doc per-n stats (argmax struct for the
+    # top-n fractions, dup/total occurrence sums) come from one keyed
+    # aggregation instead of five
+    all_ns = sorted(GOPHER_TOP_THRESHOLDS) + sorted(GOPHER_DUP_THRESHOLDS)
+    ex = base.select(
+        "doc_id",
+        F.explode(F.concat(*[_tagged_gram_array(n) for n in all_ns])).alias("t"),
+    ).select(
+        "doc_id",
+        F.col("t.n").alias("n"),
+        token_hash60(F.col("t.g")).alias("h"),
+        (F.length("t.g") - (F.col("t.n") - 1)).alias("gc"),
+    )
+    cnts = ex.groupBy("doc_id", "n", "h").agg(
+        F.count("*").alias("cnt"), F.max("gc").alias("gc")
+    )
+    pern = cnts.groupBy("doc_id", "n").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("h").alias("h"),
+                F.col("gc").alias("gc"),
+            )
+        ).alias("b"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_occ"
+        ),
+        F.sum("cnt").alias("tot_occ"),
+    )
+    # conditional pivot to one row per doc — the five doc-keyed joins
+    # of the per-n form collapse into this single aggregation
+    piv = pern.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("n") == n, (-F.col("b.nc")) * F.col("b.gc"))
+            ).alias(f"chars{n}")
+            for n in GOPHER_TOP_THRESHOLDS
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_occ"))).alias(
+                f"dup_occ{n}"
+            )
+            for n in GOPHER_DUP_THRESHOLDS
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("tot_occ"))).alias(
+                f"tot_occ{n}"
+            )
+            for n in GOPHER_DUP_THRESHOLDS
+        ],
     )
 
-    tops = {
-        n: _gram_counts(base, n)
-        .groupBy("doc_id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("nc"),
-                    F.col("h").alias("h"),
-                    F.col("gc").alias("gc"),
-                )
-            ).alias("b")
-        )
-        .select("doc_id", ((-F.col("b.nc")) * F.col("b.gc")).alias(f"chars{n}"))
-        for n in GOPHER_TOP_THRESHOLDS
-    }
-    dups = {
-        n: _gram_counts(base, n)
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
-                f"dup_occ{n}"
-            ),
-            F.sum("cnt").alias(f"tot_occ{n}"),
-        )
-        for n in GOPHER_DUP_THRESHOLDS
-    }
-
-    pd = base.select("doc_id", "source", "tchars")
-    for n in GOPHER_TOP_THRESHOLDS:
-        pd = pd.join(tops[n], "doc_id", "left_outer")
-    for n in GOPHER_DUP_THRESHOLDS:
-        pd = pd.join(dups[n], "doc_id", "left_outer")
+    pd = base.select("doc_id", "source", "tchars").join(
+        piv, "doc_id", "left_outer"
+    )
     pd = pd.select(
         "source",
         (F.coalesce(F.col("chars2"), F.lit(0)) * 1.0 / F.col("tchars")).alias("f2"),
@@ -2823,9 +2882,11 @@ def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratio of distinct {1,2,3}-gram types to total occurrences — the "
     "corpus-diversity complement of the per-doc Gopher repetition "
     "filters (a source can pass every per-doc check and still be "
-    "template spam corpus-wide; low distinct-n exposes it). One "
-    "explode per n over 60-bit gram hashes (gram text never "
-    "shuffles), count-distinct on the (source, n, hash) rollup — "
+    "template spam corpus-wide; low distinct-n exposes it). ONE "
+    "explode of the n-tagged gram families over 60-bit gram hashes "
+    "(gram text never shuffles; a single corpus scan where the "
+    "union-of-three form paid three), count-distinct on the "
+    "(source, n, hash) rollup — "
     "integer counts, so the ratios are exact rationals on both "
     "engines. O(corpus tokens) at any scale.",
     tags=("text", "curation", "diversity", "repetition"),
@@ -2835,22 +2896,18 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     base = docs.select("source", tokenize(F.col("text")).alias("toks"))
-    per_n = []
-    for n in (1, 2, 3):
-        grams = F.expr(
-            f"CASE WHEN size(toks) >= {n} THEN transform("
-            f"sequence(1, size(toks) - {n} + 1), "
-            f"i -> array_join(slice(toks, i, {n}), ' ')) "
-            "ELSE array() END"
-        )
-        per_n.append(
-            base.select("source", F.explode(grams).alias("g")).select(
-                "source",
-                F.lit(n).alias("n"),
-                token_hash60(F.col("g")).alias("h"),
-            )
-        )
-    g = per_n[0].unionByName(per_n[1]).unionByName(per_n[2])
+    # ONE explode of the concatenated (n, gram) tagged arrays — the
+    # union-of-three form re-ran the scan + tokenize once per n
+    g = base.select(
+        "source",
+        F.explode(F.concat(*[_tagged_gram_array(n) for n in (1, 2, 3)])).alias(
+            "t"
+        ),
+    ).select(
+        "source",
+        F.col("t.n").alias("n"),
+        token_hash60(F.col("t.g")).alias("h"),
+    )
     agg = g.groupBy("source", "n").agg(
         F.count("*").alias("occ"),
         F.countDistinct("h").alias("types"),
@@ -3020,13 +3077,18 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
-    tot = b.groupBy("lang").agg(F.count("*").alias("lt"))
+    # per-language totals fold over the (lang, bucket) rollup — at most
+    # 3 rows per language — instead of a second corpus-scale pass over
+    # b joined back (the DSIR totals-fold discipline: the buckets
+    # partition b exactly, so the window sum equals the direct count)
+    g = b.groupBy("lang", "bucket").agg(F.count("*").alias("docs_l"))
+    lt = F.sum("docs_l").over(Window.partitionBy("lang"))
     return (
-        b.join(tot, "lang")
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count("*").cast("bigint").alias("docs"),
-            F.round(F.count("*") * 1.0 / F.max("lt"), 6).alias("share"),
+        g.select(
+            "lang",
+            "bucket",
+            F.col("docs_l").cast("bigint").alias("docs"),
+            F.round(F.col("docs_l") * 1.0 / lt, 6).alias("share"),
         )
         .orderBy("lang", "bucket")
     )
