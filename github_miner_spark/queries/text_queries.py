@@ -2702,16 +2702,20 @@ _GOPHER_ORACLE = (
 )
 
 
-def _tagged_gram_array(n: int) -> Column:
-    """Array of (n, gram-text) structs for word n-grams of size ``n``
-    over the ``toks`` column — concat-able across sizes so ONE explode
-    emits every requested n-gram family in a single corpus pass. The
-    CASE guards Spark's descending sequence(1, 0) on docs shorter than
-    n tokens."""
+def _gram_array(n: int) -> Column:
+    """Array of word n-grams of size ``n`` over the ``toks`` column.
+    The CASE guards Spark's descending sequence(1, 0) on docs shorter
+    than n tokens. Multi-n consumers UNION one explode per n over a
+    lazily checkpointed token relation rather than exploding a
+    concat() of these arrays: concat physically copies every family
+    into a fresh array per row, which an interleaved noop-sink
+    micro-benchmark priced at 1.7-2x the whole query (the union form
+    measured FASTER than both the concat form and the
+    re-tokenize-per-n form)."""
     return F.expr(
         f"CASE WHEN size(toks) >= {n} THEN transform("
         f"sequence(1, size(toks) - {n} + 1), "
-        f"i -> struct({n}L AS n, array_join(slice(toks, i, {n}), ' ') AS g)) "
+        f"i -> array_join(slice(toks, i, {n}), ' ')) "
         "ELSE array() END"
     )
 
@@ -2723,13 +2727,14 @@ def _tagged_gram_array(n: int) -> Column:
     "n-gram family): per-source averages of each doc's "
     "top-{2,3,4}-gram character fraction and duplicate-{5,6}-gram "
     "occurrence fraction, plus the count of docs breaching any "
-    "threshold (0.20/0.18/0.16 top, 0.15/0.14 dup). ONE explode pass "
-    "emitting every n-gram family tagged with n, one "
-    "(doc_id, n, hash)-keyed rollup, one per-doc conditional pivot; "
-    "the per-doc argmax is a map-side-combinable "
-    "min(struct(-cnt, h, gc)) — no windows, no corpus-global state. "
-    "O(corpus tokens) end to end at any scale, with a single corpus "
-    "scan where the per-n form paid six.",
+    "threshold (0.20/0.18/0.16 top, 0.15/0.14 dup). ONE scan+tokenize "
+    "pass pinned by a lazy checkpoint, one tagged explode per n over "
+    "the pinned token arrays, one (doc_id, n, hash)-keyed rollup, one "
+    "per-doc conditional pivot; the per-doc argmax is a "
+    "map-side-combinable min(struct(-cnt, h, gc)) — no windows, no "
+    "corpus-global state. O(corpus tokens) end to end at any scale, "
+    "with a single corpus scan+tokenize where the per-n form paid six "
+    "and five doc-keyed joins collapsed into the pivot.",
     tags=("text", "curation", "quality", "repetition"),
 )
 def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2748,20 +2753,28 @@ def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tchars", F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
     ).localCheckpoint(eager=False)
 
-    # ONE explode emits every (n, gram) family tagged with n; the
-    # rollup keys on (doc_id, n, 60-bit hash) so the gram text never
-    # shuffles, and the per-doc per-n stats (argmax struct for the
-    # top-n fractions, dup/total occurrence sums) come from one keyed
-    # aggregation instead of five
+    # one explode per n over the CHECKPOINTED token arrays, unioned
+    # with the family tag — no re-tokenize per family, and no concat()
+    # of the gram arrays (see _gram_array: the concat copy measured
+    # 1.7-2x). The rollup keys on (doc_id, n, 60-bit hash) so the gram
+    # text never shuffles, and the per-doc per-n stats (argmax struct
+    # for the top-n fractions, dup/total occurrence sums) come from
+    # one keyed aggregation instead of five
     all_ns = sorted(GOPHER_TOP_THRESHOLDS) + sorted(GOPHER_DUP_THRESHOLDS)
-    ex = base.select(
+    branches = [
+        base.select(
+            "doc_id", F.lit(n).alias("n"), F.explode(_gram_array(n)).alias("g")
+        )
+        for n in all_ns
+    ]
+    ex0 = branches[0]
+    for br in branches[1:]:
+        ex0 = ex0.unionByName(br)
+    ex = ex0.select(
         "doc_id",
-        F.explode(F.concat(*[_tagged_gram_array(n) for n in all_ns])).alias("t"),
-    ).select(
-        "doc_id",
-        F.col("t.n").alias("n"),
-        token_hash60(F.col("t.g")).alias("h"),
-        (F.length("t.g") - (F.col("t.n") - 1)).alias("gc"),
+        "n",
+        token_hash60(F.col("g")).alias("h"),
+        (F.length("g") - (F.col("n") - 1)).alias("gc"),
     )
     cnts = ex.groupBy("doc_id", "n", "h").agg(
         F.count("*").alias("cnt"), F.max("gc").alias("gc")
@@ -2883,9 +2896,10 @@ def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-diversity complement of the per-doc Gopher repetition "
     "filters (a source can pass every per-doc check and still be "
     "template spam corpus-wide; low distinct-n exposes it). ONE "
-    "explode of the n-tagged gram families over 60-bit gram hashes "
-    "(gram text never shuffles; a single corpus scan where the "
-    "union-of-three form paid three), count-distinct on the "
+    "scan+tokenize pass pinned by a lazy checkpoint, one tagged "
+    "explode per n over the pinned arrays and 60-bit gram hashes "
+    "(gram text never shuffles; the plain union form re-ran the "
+    "scan+regex per n), count-distinct on the "
     "(source, n, hash) rollup — "
     "integer counts, so the ratios are exact rationals on both "
     "engines. O(corpus tokens) at any scale.",
@@ -2896,17 +2910,24 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     base = docs.select("source", tokenize(F.col("text")).alias("toks"))
-    # ONE explode of the concatenated (n, gram) tagged arrays — the
-    # union-of-three form re-ran the scan + tokenize once per n
-    g = base.select(
-        "source",
-        F.explode(F.concat(*[_tagged_gram_array(n) for n in (1, 2, 3)])).alias(
-            "t"
-        ),
-    ).select(
-        "source",
-        F.col("t.n").alias("n"),
-        token_hash60(F.col("t.g")).alias("h"),
+    # one explode per n over the CHECKPOINTED token relation, unioned
+    # — tokenize runs once where the plain union form re-ran the
+    # scan + regex per n (concat-of-arrays single-explode rejected by
+    # measurement, see _gram_array; the checkpointed-union form
+    # measured fastest of the three: 1.275s vs 1.65s plain union vs
+    # 2.45s concat, interleaved noop medians at sf0.1)
+    base = base.localCheckpoint(eager=False)
+    per_n = [
+        base.select(
+            "source", F.lit(n).alias("n"), F.explode(_gram_array(n)).alias("g")
+        )
+        for n in (1, 2, 3)
+    ]
+    g = (
+        per_n[0]
+        .unionByName(per_n[1])
+        .unionByName(per_n[2])
+        .select("source", "n", token_hash60(F.col("g")).alias("h"))
     )
     agg = g.groupBy("source", "n").agg(
         F.count("*").alias("occ"),
