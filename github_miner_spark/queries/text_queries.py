@@ -1510,26 +1510,28 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     # tokens PROJECTED before use (see doc_bigram_surprisal's note:
-    # nested tokenize re-inlines into every window reference)
-    tdocs = docs.select(tokenize(F.col("text")).alias("toks"))
-    # ONE corpus explode for BOTH distributions: unigrams tagged k=1
-    # and bigrams tagged k=2 ride the same (k, g)-keyed rollup, which
-    # is pinned so every downstream consumer (u1, u2, bfreq and the
-    # two totals) reads the vocabulary-sized counts instead of
-    # re-running the corpus pass — the two-explode form paid the
-    # scan+tokenize once per distribution and once per consumer
-    tagged = F.concat(
-        F.transform(
-            F.col("toks"), lambda x: F.struct(F.lit(1).alias("k"), x.alias("g"))
-        ),
-        F.transform(
-            token_windows(F.col("toks"), 2),
-            lambda w: F.struct(F.lit(2).alias("k"), w.alias("g")),
-        ),
+    # nested tokenize re-inlines into every window reference) and
+    # PINNED: one scan+tokenize pass feeds both explode branches —
+    # the per-n union over a lazily checkpointed token relation, the
+    # form the gopher/distinct-n measurement settled on (concat() of
+    # tagged struct arrays physically copies both families into a
+    # fresh array per row: interleaved noop medians at sf0.1 read
+    # 0.179s union-over-checkpoint vs 0.223s concat vs 1.083s for the
+    # two-independent-explode form that re-ran the corpus pass per
+    # distribution and per consumer)
+    tdocs = docs.select(tokenize(F.col("text")).alias("toks")).localCheckpoint(
+        eager=False
     )
+    uni_b = tdocs.select(F.lit(1).alias("k"), F.explode(F.col("toks")).alias("g"))
+    bi_b = tdocs.select(
+        F.lit(2).alias("k"),
+        F.explode(token_windows(F.col("toks"), 2)).alias("g"),
+    )
+    # the (k, g)-keyed rollup is pinned too: u1, u2, bfreq and the two
+    # totals all read the vocabulary-sized counts instead of
+    # re-running the corpus pass
     freq = (
-        tdocs.select(F.explode(tagged).alias("t"))
-        .select(F.col("t.k").alias("k"), F.col("t.g").alias("g"))
+        uni_b.unionByName(bi_b)
         .groupBy("k", "g")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=False)
@@ -1610,7 +1612,15 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fed the token rollup and the coverage join two different
     # subtrees, paying the corpus pass twice (ReuseExchange cannot
     # dedupe them: the tokenizer's lambda-bound HOF expressions defeat
-    # plan canonicalization)
+    # plan canonicalization). Measured adjudication (r12): under the
+    # bench's count() action this shape reads ~+0.17s vs the two-pass
+    # form, but ONLY because count() can prove the old shape's
+    # left-join droppable and prune the whole vocab subtree — i.e. the
+    # old bench number measured less work than the query does. Under
+    # the noop sink (every column computed — what collect/driver
+    # correctness pays) this shape is 2.2x FASTER (0.392s vs 0.850s
+    # interleaved medians at sf0.1), and at 100 TB it is one corpus
+    # pass instead of two.
     st = (
         uni.groupBy("source", "tok")
         .agg(F.count("*").alias("k"))
