@@ -1515,10 +1515,13 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-n union over a lazily checkpointed token relation, the
     # form the gopher/distinct-n measurement settled on (concat() of
     # tagged struct arrays physically copies both families into a
-    # fresh array per row: interleaved noop medians at sf0.1 read
-    # 0.179s union-over-checkpoint vs 0.223s concat vs 1.083s for the
-    # two-independent-explode form that re-ran the corpus pass per
-    # distribution and per consumer)
+    # fresh array per row). Interleaved end-to-end medians at sf0.1
+    # (construction + count — a lazy localCheckpoint EXECUTES its
+    # subtree at construction under AQE, so only the full protocol
+    # prices these shapes fairly): 1.148s union-over-checkpoint vs
+    # 1.36s concat vs 1.15s for the two-independent-explode form —
+    # i.e. at par with the two-pass form locally, minus the concat
+    # copy, and ONE corpus scan+tokenize instead of two at 100 TB
     tdocs = docs.select(tokenize(F.col("text")).alias("toks")).localCheckpoint(
         eager=False
     )
@@ -1612,15 +1615,18 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fed the token rollup and the coverage join two different
     # subtrees, paying the corpus pass twice (ReuseExchange cannot
     # dedupe them: the tokenizer's lambda-bound HOF expressions defeat
-    # plan canonicalization). Measured adjudication (r12): under the
-    # bench's count() action this shape reads ~+0.17s vs the two-pass
-    # form, but ONLY because count() can prove the old shape's
-    # left-join droppable and prune the whole vocab subtree — i.e. the
-    # old bench number measured less work than the query does. Under
-    # the noop sink (every column computed — what collect/driver
-    # correctness pays) this shape is 2.2x FASTER (0.392s vs 0.850s
-    # interleaved medians at sf0.1), and at 100 TB it is one corpus
-    # pass instead of two.
+    # plan canonicalization). Measured adjudication (r12, end-to-end
+    # construction+count protocol — a lazy localCheckpoint EXECUTES
+    # its subtree at construction under AQE, so partial timings
+    # mislead here): this shape prices at 0.608s vs 0.438s for the
+    # two-pass form at sf0.1 — the +0.17s is the rollup
+    # materialization, kept deliberately because at 100 TB one
+    # corpus scan+tokenize plus a vocabulary-sized checkpoint beats
+    # two corpus scans, and part of the old number was count()
+    # pruning the droppable vocab left-join rather than work saved.
+    # A single-chain variant (collect_list + global rank window, no
+    # checkpoint) measured 0.599s — no better, and it adds an
+    # unpartitioned window; rejected.
     st = (
         uni.groupBy("source", "tok")
         .agg(F.count("*").alias("k"))
