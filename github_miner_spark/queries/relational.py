@@ -1387,18 +1387,26 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
-    ps = li.select(
-        F.col("l_partkey").alias("p_partkey"), F.col("l_suppkey").alias("suppkey")
-    ).distinct()
     bad = s.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("suppkey"))
     pdim = p.filter(
         (F.col("p_brand") != "Brand#13")
         & ~F.col("p_type").startswith("MEDIUM")
         & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    # count_distinct(suppkey) per (brand, type, size) group already
+    # dedupes, so the former (partkey, suppkey).distinct() pre-pass was
+    # a redundant corpus-scale Exchange; joining the broadcast part
+    # filter FIRST also shrinks the one remaining shuffle to the
+    # qualifying-part rows (r12: the full-lineitem distinct Exchange is
+    # gone from the plan; clean-window interleaved count-protocol
+    # medians at sf0.1: 0.938s -> 0.469s)
     return (
-        ps.join(F.broadcast(bad), "suppkey", "left_anti")
-        .join(pdim, "p_partkey")
+        li.select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .join(F.broadcast(bad), "suppkey", "left_anti")
+        .join(F.broadcast(pdim), "p_partkey")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
