@@ -2032,6 +2032,53 @@ def cms_heavy_hitter_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 128
 
 
+def _kmv_sketch(
+    spark: SparkSession, uni: DataFrame, n_uni_rows: int
+) -> DataFrame:
+    """Per-source k-minimum-values sketch: the K smallest kh per
+    source. The single-window form sorts each SOURCE's whole distinct-
+    shingle set in one window task (sources are few, so each partition
+    is vocabulary-scale — the corpus_zipf_fit straggler class). Same
+    hybrid dispatch as zipf: below the gate the single window is
+    fastest (the two-level form measured 0.654s -> 1.122s at sf0.1,
+    the extra exchange dominating); above it, a per-shard top-K bounds
+    every sort (shard = kh mod shuffle-partitions, <= K rows survive
+    per shard) and the second window ranks <= K*shards rows per
+    source. Top-K of per-shard top-Ks is exactly the global top-K, so
+    the two paths are row-identical (proven at all three SFs; pinned
+    in test_plan_shapes.py)."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    gate = (
+        0
+        if _os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED")
+        else ZIPF_SINGLE_TASK_DOCS
+    )
+    src = uni
+    if n_uni_rows > gate:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        src = (
+            uni.withColumn("shard", F.pmod(F.col("kh"), F.lit(n_shards)))
+            .withColumn(
+                "r1",
+                F.row_number().over(
+                    Window.partitionBy("source", "shard").orderBy("kh")
+                ),
+            )
+            .filter(F.col("r1") <= _KMV_K)
+            .select("source", "kh")
+        )
+    return (
+        src.withColumn(
+            "r", F.row_number().over(Window.partitionBy("source").orderBy("kh"))
+        )
+        .filter(F.col("r") <= _KMV_K)
+        .select("source", "kh")
+    )
+
+
 @register(
     "kmv_set_operation_estimates",
     oracle=f"""
@@ -2151,15 +2198,23 @@ def kmv_set_operation_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was the slowest watch entry's per-run cost); the oracle keeps
     # re-deriving all of them from spec, so a stale rollup fails the
     # driver hash instead of silently passing
-    uni, sizes, inter = load_source_overlap(spark, sf_dir)
-    sk = (
-        uni.withColumn(
-            "r", F.row_number().over(Window.partitionBy("source").orderBy("kh"))
-        )
-        .filter(F.col("r") <= _KMV_K)
-        .select("source", "kh")
-        .localCheckpoint(eager=False)
+    import os as _os
+
+    from github_miner_spark.functions.text_store import (
+        materialize_source_overlap,
     )
+
+    uni, sizes, inter = load_source_overlap(spark, sf_dir)
+    # gate input from the rollup parquet's FOOTER (driver metadata, no
+    # Spark job — the zipf gate discipline); two consumers downstream
+    # (pair-union probe + membership flags) — pin once
+    n_uni = _parquet_num_rows(
+        _os.path.join(
+            materialize_source_overlap(spark, sf_dir),
+            "source_shingles.parquet",
+        )
+    )
+    sk = _kmv_sketch(spark, uni, n_uni).localCheckpoint(eager=False)
     # EVERY source pair, including disjoint ones (a zero-overlap pair
     # is the informative case for mixture planning) — the bounded
     # sources frame self-pairs under a broadcast, never a cartesian

@@ -721,6 +721,61 @@ def test_zipf_rank_is_distributed(spark, monkeypatch):
     )
 
 
+def test_kmv_sketch_topk_is_distributed(spark, monkeypatch):
+    """r12: kmv_set_operation_estimates' k-minimum-values selection
+    must not sort a whole SOURCE's distinct-shingle vocabulary in one
+    window task at scale (sources are few, so each window partition is
+    vocabulary-sized — the corpus_zipf_fit straggler class). Above the
+    gate the selection is two-level: a per-(source, shard) top-K
+    bounds every sort, then the per-source window ranks only the
+    <= K*shards survivors; top-K of per-shard top-Ks is exactly the
+    global top-K. Below the gate the single window stays (the r12 A/B
+    measured the extra exchange at ~+0.47s of pure overhead at bench
+    SF). Both dispatch paths must produce identical rows."""
+    import contextlib
+    import io
+
+    from github_miner_spark.functions.text_store import load_source_overlap
+    from github_miner_spark.queries.text_queries import _kmv_sketch
+
+    uni, _, _ = load_source_overlap(spark, SF)
+
+    def sketch_plan():
+        # drive the pre-checkpoint sketch subtree directly: the
+        # registered query pins it behind a lazy localCheckpoint, so
+        # its windows never appear in the full query's final plan
+        df = _kmv_sketch(spark, uni, n_uni_rows=uni.count())
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    plan = sketch_plan()
+    # the vocabulary-scale sort is keyed by (source, shard), never by
+    # source alone; the survivor rank runs after the r1 filter
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, shard#\d+L", plan
+    ), plan
+    forced = (
+        registry.all_specs()["kmv_set_operation_estimates"]
+        .spark(spark, SF)
+        .collect()
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED")
+    default_plan = sketch_plan()
+    # bench-SF default: the single bounded window, no shard machinery
+    assert "shard" not in default_plan
+    # the two dispatch paths agree exactly
+    assert (
+        registry.all_specs()["kmv_set_operation_estimates"]
+        .spark(spark, SF)
+        .collect()
+        == forced
+    )
+
+
 def test_gopher_repetition_no_windows_no_global_sort(spark):
     """gopher_repetition_stats: five explode+keyed-rollup passes with
     a map-side-combinable min(struct) argmax — the plan must contain
