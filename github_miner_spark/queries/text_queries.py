@@ -1911,9 +1911,17 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_st"))
         .localCheckpoint(eager=False)
     )
+    # c_t rides a window keyed by the 8-byte hash — per-kh partitions
+    # are <= |sources| rows, scale-safe. tot_s does NOT: a window
+    # partitioned by the handful of sources co-locates each source's
+    # whole vocabulary on one task (the kmv/zipf straggler class), so
+    # the per-source totals fold over a groupBy rollup and broadcast-
+    # join back instead — exact bigint sums, bit-identical under any
+    # partitioning (the DSIR totals-fold discipline)
+    tot_s = cst.groupBy("source").agg(F.sum("c_st").alias("tot_s"))
     en = cst.withColumn(
         "c_t", F.sum("c_st").over(Window.partitionBy("kh"))
-    ).withColumn("tot_s", F.sum("c_st").over(Window.partitionBy("source")))
+    ).join(F.broadcast(tot_s), "source")
     tot = cst.agg(F.sum("c_st").cast("double").alias("tot"))
     terms = en.crossJoin(F.broadcast(tot)).select(
         "source",
