@@ -82,66 +82,72 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-12 window. Slot math: 24 diff-touched (per the AST
-    # coverage map: 7 new — the VERDICT items 2-3 pair, the
-    # second-wave gopher/DSIR/bitext trio, and the third-wave
-    # ccnet/distinct-n pair — + the 13-query cypher family
-    # re-witnessing the escaped-quote/overwrite fixes + 4 touched by
-    # the zipf de-straggler, the hybrid single-chunk guard and the
-    # two boundedness comments) + the FULL remaining r06 witness
-    # tail (12 rows — VERDICT r11 item 1, oldest witness moves to
-    # r07) + the 14 alphabetically-first r07 rows = 50 exactly; 22
-    # r07 rows remain for round 13 (doc_token_stats,
-    # embedding_similarity_buckets, embedding_topk_bruteforce,
-    # exact_dedup_summary, hosted_on_outer, kll_quantile_merge ..
-    # self_loops). The late DSIR totals fold (one fewer corpus pass)
-    # changed dsir_importance_weights only — it already holds its
-    # section (a2) slot. Rotation discipline
-    # unchanged: this rotation is the round's LAST code-touching
-    # commit; tools/check_window_freshness.py verifies the ordering
-    # AND that every diff-touched query holds a slot below.
-    # -- (a) new this round: the hybrid ranker's quality grader and
-    #        the incremental IVF delta-append search (VERDICT r11
-    #        items 2 and 3) ------------------------------------------
+    # Round-12 FINAL window, re-rotated after the optimization pass.
+    # The optimization waves (corpus-pass collapses, Q16/Q21 distinct
+    # elisions, DSIR/PMI union form, KMV scale gate, KL totals fold)
+    # touch 39 registered queries per tools/check_window_freshness.py's
+    # AST coverage map — every one holds a slot below (sections a-d),
+    # witnessing each post-change. The 11 remaining slots go to the 3
+    # round-12 registrations that have NEVER had a driver witness
+    # (section e) and the 8 alphabetically-first of the remaining r06-
+    # witness-tail rows (section f — VERDICT r11 item 1). Explicit
+    # witness debt carried to round 13, in priority order:
+    # top_supplier_revenue + top_value_part_types (the last two r06
+    # rows), the 13-query cypher family (r11 witnesses; the round-12
+    # escaped-quote/overwrite fixes are pinned by the 41-block corpus
+    # sweep in tests/test_cypher.py), and the 14-row r07 alphabetical
+    # drain. Rotation discipline unchanged: this rotation is the
+    # round's LAST code-touching commit; tools/check_window_freshness
+    # verifies ordering AND touched-query coverage.
+    # -- (a) optimization-touched: text/KN/perplexity family ----------
+    "bigram_pmi_collocations",
+    "boilerplate_ngram_stats",
+    "ccnet_perplexity_buckets",
+    "cms_heavy_hitter_estimates",
+    "corpus_zipf_fit",
+    "distinct_ngram_diversity",
+    "doc_bigram_surprisal",
+    "doc_kneser_ney_scores",
+    "doc_token_stats",
+    "doc_unigram_surprisal",
+    "duplicated_span_stats",
+    "gopher_repetition_stats",
+    "hll_shingle_estimates",
+    "hll_vocab_estimates",
+    "kmv_set_operation_estimates",
+    "kn_perplexity_filter_rates",
+    "language_id_confusion",
+    "source_unigram_kl",
+    "vocab_coverage_stats",
+    # -- (b) optimization-touched: tokenizer-store consumers ----------
+    "bpe_merge_candidates",
+    "bpe_segmentation_stats",
+    "bpe_vocab_induction",
+    "unigram_lm_segmentation_stats",
+    "unigram_lm_vocab_induction",
+    "wordpiece_segmentation_stats",
+    "wordpiece_vocab_induction",
+    # -- (c) optimization-touched: retrieval/dedup/curation/walks -----
+    "bm25_retrieval_topk",
+    "corpus_filter_funnel",
+    "doc_bpe_token_counts",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "doc_shingle_profile",
+    "doc_tfidf_top_terms",
+    "dsir_importance_weights",
+    "hybrid_retrieval_rrf_topk",
+    "skipgram_negative_samples",
+    "walk_skipgram_pairs",
+    # -- (d) optimization-touched: relational -------------------------
+    "parts_supplier_relationship",
+    "suppliers_kept_waiting",
+    # -- (e) round-12 registrations with no driver witness yet --------
     "hybrid_fusion_relevance_at_k",
     "incremental_ivf_topk",
-    # -- (a2) new in the round's second wave: the Gopher Table-A1
-    #         n-gram repetition family, DSIR importance resampling,
-    #         and margin-based bitext mining -------------------------
-    "gopher_repetition_stats",
-    "dsir_importance_weights",
     "bitext_mining_margin_topk",
-    # -- (a3) new in the round's third wave: CCNet perplexity
-    #         terciles and distinct-n corpus diversity ---------------
-    "ccnet_perplexity_buckets",
-    "distinct_ngram_diversity",
-    # -- (b) touched by the ADVICE r11 cypher fixes (escaped-quote
-    #        script splitting + repeat write:true property overwrite
-    #        — the whole run_cypher family re-witnesses) -------------
-    "cypher_closure_from_anchor",
-    "cypher_collect_unwind_roundtrip",
-    "cypher_community_readback",
-    "cypher_delete_counters",
-    "cypher_hosted_on_outer",
-    "cypher_meta_graph_call",
-    "cypher_pagerank_readback",
-    "cypher_scc_readback",
-    "cypher_subdeps_per_devdep",
-    "cypher_top_used_modules",
-    "cypher_unhosted_dependency_count",
-    "cypher_with_chain_fanout",
-    "cypher_with_topk_pipeline",
-    # -- (c) touched by this round's other code motion: the Zipf
-    #        distributed-rank rewrite + its size-gated dispatch and
-    #        pre-folded OLS algebra (VERDICT r11 item 4, priced by the
-    #        r12 A/B), the hybrid single-chunk guard (ADVICE r11), and
-    #        the two window-boundedness comments ---------------------
-    "corpus_zipf_fit",
-    "hybrid_retrieval_rrf_topk",
-    "item_cooccurrence_topk",
-    "skipgram_negative_samples",
-    # -- (d) the FULL remaining r06 witness tail (VERDICT r11 item 1;
-    #        locally green in every all-registry sweep since) --------
+    # -- (f) r06-witness tail, 8 alphabetically-first of the 10 not
+    #        already seated above (VERDICT r11 item 1) ----------------
     "priority_sample_summary",
     "profit_by_nation_year",
     "promo_revenue_share",
@@ -149,26 +155,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "returned_item_customers",
     "shipping_priority",
     "span_corruption_plan",
-    "suppliers_kept_waiting",
     "top_dependants_modules",
-    "top_supplier_revenue",
-    "top_value_part_types",
-    "vocab_coverage_stats",
-    # -- (e) the 14 alphabetically-first r07 rows ---------------------
-    "benchmark_decontamination",
-    "brand_discount_revenue",
-    "closeness_centrality_sample",
-    "customer_order_stats_outer",
-    "customers_with_open_orders",
-    "degree_breakdown",
-    "dependants_by_endpoint_label",
-    "detach_delete_impact",
-    "distinct_order_profiles",
-    "doc_bpe_token_counts",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "doc_shingle_profile",
-    "doc_tfidf_top_terms",
 )
 
 
