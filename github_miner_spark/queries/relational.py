@@ -1531,9 +1531,6 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, "supplier", sf_dir)
     n = load_table(spark, "nation", sf_dir)
     r = load_table(spark, "region", sf_dir)
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
     eur_nat = n.join(
         F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
         n.n_regionkey == F.col("r_regionkey"),
@@ -1546,7 +1543,27 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    cand = ps.join(pdim, "l_partkey").join(eur, "l_suppkey")
+    # the part-dimension filter joins BELOW the (partkey, suppkey)
+    # aggregation: ~1.7% of lineitem rows carry a qualifying part, so
+    # aggregating first shuffled the whole fact table into a near-
+    # useless rollup (591k groups from 600k rows at sf0.1) before the
+    # filter dropped 98% of it. Joining first is exactly equivalent
+    # (an inner equi-join on the grouping-key prefix commutes with the
+    # per-(partkey, suppkey) min), and the aggregation reuses the
+    # join's l_partkey partitioning when the dim side is too big to
+    # broadcast — one corpus-scale exchange either way, but it now
+    # carries qualifying rows only.
+    ps = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(pdim, "l_partkey")
+        .groupBy("l_partkey", "l_suppkey", "p_brand")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supplycost"
+            )
+        )
+    )
+    cand = ps.join(eur, "l_suppkey")
     # decorrelated per-part min, joined back as an equality filter —
     # one small agg instead of a correlated subquery per candidate
     best = cand.groupBy("l_partkey").agg(F.min("supplycost").alias("best"))

@@ -415,12 +415,15 @@ def test_late_round6_additions_no_allpairs(spark):
 def test_q2_min_is_decorrelated(spark):
     """min_cost_supplier must compute the per-part minimum as ONE
     aggregate joined back, not a correlated per-row subquery: the plan
-    carries BOTH a (l_partkey, l_suppkey)-keyed aggregate (the derived
-    relation) and a l_partkey-only-keyed min aggregate (the
-    decorrelated best), joined back to the candidates."""
+    carries BOTH a (l_partkey, l_suppkey[, p_brand])-keyed aggregate
+    (the derived relation — p_brand rides the grouping since r12's
+    part-filter pushdown joins the dim BELOW the aggregate; it is
+    functionally determined by l_partkey, so groups are unchanged)
+    and a l_partkey-only-keyed min aggregate (the decorrelated best),
+    joined back to the candidates."""
     plan = _plan(spark, "min_cost_supplier")
     assert "Join" in plan
-    assert re.search(r"Keys \[2\]: \[l_partkey[^\]]*l_suppkey", plan), "derived relation agg missing"
+    assert re.search(r"Keys \[[23]\]: \[l_partkey[^\]]*l_suppkey", plan), "derived relation agg missing"
     assert re.search(r"Keys \[1\]: \[l_partkey[^\]]*\]", plan), "decorrelated per-part min missing"
 
 
