@@ -362,7 +362,17 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # pin the (doc, term) frequency rollup: its two consumers (the df
+    # rollup and the score join) each re-derived the whole
+    # scan+tokenize+explode+aggregate chain (3 parquet scans in the
+    # r12 audit — the HOF-lambda tokenizer defeats ReuseExchange).
+    # One corpus pass; everything downstream reads the doc-term-sized
+    # pin.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     total = docs.agg(F.count("*").alias("n"))
     scored = (
@@ -420,9 +430,18 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # pin the exploded token relation: the HOF-lambda tokenizer defeats
+    # plan canonicalization, so without the checkpoint the corpus was
+    # scanned+tokenized THREE times (freq for the join, freq again for
+    # the total, tok for scoring — 3 parquet scans in the r12 audit).
+    # One corpus pass now feeds all consumers (the same
+    # one-write-for-N-rescans call _kn_scored makes); a second pin on
+    # the freq rollup measured WORSE (0.84 vs 0.64 end-to-end at
+    # sf0.1) — the re-agg over the pinned tokens is cheaper than a
+    # second checkpoint round-trip.
     tok = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
-    )
+    ).localCheckpoint(eager=False)
     freq = tok.groupBy("term").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
@@ -953,11 +972,18 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its argument once per window position, and Catalyst re-inlines a
     # nested tokenize() into every reference (measured 11x slower at
     # sf0.1); the projection boundary evaluates the regex once per doc
+    # pin the exploded bigram relation and the bigram-type rollup: the
+    # tokenizer's HOF lambdas defeat canonicalization, so the un-pinned
+    # form scanned+tokenized the corpus three times (bfreq for pfreq,
+    # bfreq again for the score join, bg for scoring — 3 parquet scans
+    # in the r12 audit). One corpus pass + one vocabulary-sized pin.
     bg = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).select(
         "doc_id",
         F.explode(token_windows(F.col("toks"), 2)).alias("bigram"),
+    ).localCheckpoint(eager=False)
+    bfreq = bg.groupBy("bigram").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
     )
-    bfreq = bg.groupBy("bigram").agg(F.count("*").alias("c"))
     pfreq = (
         bfreq.groupBy(F.split(F.col("bigram"), " ")[0].alias("prefix"))
         .agg(F.sum("c").alias("pc"))
@@ -1220,13 +1246,18 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # pin the exploded shingle relation: its two consumers (the DF
+    # rollup feeding the boilerplate set and the per-doc join) each
+    # re-ran scan+tokenize+shingle+explode (3 parquet scans in the
+    # r12 audit; the remaining second scan is the zero-column corpus
+    # count, which parquet serves from footer metadata).
     ex = docs.select(
         "doc_id", "source", tokenize(F.col("text")).alias("toks")
     ).select(
         "doc_id",
         "source",
         F.explode(shingle_hashes_of_tokens(F.col("toks"))).alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     # corpus size as a broadcast one-row frame, not a driver-side
     # docs.count(): the whole query stays one Spark job
     nd = docs.agg(F.count("*").alias("n_docs"))
