@@ -1165,11 +1165,21 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
     )
     late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
-    l1 = (
+    # pin the late-lines-of-finished-orders relation ONCE: the anti
+    # probe's build side is the identical lineitem-join-filter subtree
+    # as l1 itself, and without the pin it re-ran the scan + orders
+    # join + lateness filter (3 lineitem scans in the r12 audit -> 2:
+    # this pin plus the raw scan the semi build side genuinely needs).
+    # Narrowed to the two join keys before pinning — shipdate is
+    # consumed by the filter.
+    late_lines = (
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(finished, "l_orderkey")
         .filter(late)
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=False)
     )
+    l1 = late_lines
     # the semi/anti probes take the per-order supplier sets RAW:
     # existence joins are invariant to build-side duplicates, and the
     # former .distinct() pre-passes cost a corpus-scale Exchange +
@@ -1186,11 +1196,8 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # l1 rows all belong to finished orders, so the anti side only needs
     # late lines of finished orders — same result, smaller build side
-    late_other = (
-        li.select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(finished, "l_orderkey")
-        .filter(late)
-        .select("l_orderkey", F.col("l_suppkey").alias("other_supp"))
+    late_other = late_lines.select(
+        "l_orderkey", F.col("l_suppkey").alias("other_supp")
     )
     l1 = l1.join(
         late_other,

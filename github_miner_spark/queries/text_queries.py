@@ -2646,7 +2646,15 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", tokenize(F.col("text")).alias("toks")
     ).filter(F.size("toks") >= 1)
-    d = d.select("doc_id", "toks", F.size("toks").cast("bigint").alias("dl"))
+    # pin the tokenized corpus: its two consumers (the corpus-stats
+    # aggregate and the term-filtered hits explode) each re-ran
+    # scan+tokenize, and dfreq re-derived hits a third time (3 parquet
+    # scans in the r12 audit — the HOF-lambda tokenizer defeats
+    # ReuseExchange). The pin makes the description's "ONE corpus
+    # scan" literally true; measured 0.97x end-to-end at sf0.1.
+    d = d.select(
+        "doc_id", "toks", F.size("toks").cast("bigint").alias("dl")
+    ).localCheckpoint(eager=False)
     stats = d.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("dl").cast("bigint").alias("sdl"),
