@@ -692,19 +692,25 @@ LIMIT 20
 def triangle_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     e = g.module_dep_edges().filter(F.col("src") != F.col("dst"))
+    # pin the canonical undirected edge set: the triangle join reads it
+    # three times (e1/e2/e3) and each alias re-ran the edge scan +
+    # distinct Exchange (9 edge scans in the r12 audit -> 1 + pinned
+    # re-reads)
     und = e.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
         .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
         .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # one explode over the 3-element vertex array instead of a 3-way
+    # unionAll of tri re-derivations: the triangle join itself ran
+    # three times under the old form (the union branches cannot share
+    # the un-pinned subtree)
+    nodes = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
     )
     return (
         nodes.groupBy("node")
@@ -1018,9 +1024,13 @@ SELECT CAST((SELECT count(*) FROM ctri) AS BIGINT) AS n_triangles,
 def clustering_coefficient_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     e = g.module_dep_edges().filter(F.col("src") != F.col("dst"))
+    # pin the canonical undirected edge set: it feeds BOTH adjacency
+    # branches and all three triangle-join aliases, and each consumer
+    # re-ran the edge scan + distinct Exchange (16 edge scans in the
+    # r12 audit -> 1 + pinned re-reads)
     und = e.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     adj = und.select(F.col("u").alias("id"), F.col("v").alias("nb")).unionByName(
         und.select(F.col("v").alias("id"), F.col("u").alias("nb"))
     )
@@ -1031,14 +1041,29 @@ def clustering_coefficient_summary(spark: SparkSession, sf_dir: str) -> DataFram
         .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
         .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
     )
+    # one explode instead of a 3-way unionAll of tri re-derivations,
+    # and the triangle TOTAL folds over the per-node rollup (each
+    # triangle contributes exactly 3 node rows, so sum(t) = 3 * count
+    # — exact integer division, the DSIR totals-fold discipline; the
+    # old form ran the whole triangle join a second time for the
+    # scalar count). Pinning deg/per_node as well measured WORSE
+    # (0.92/0.85 vs 0.81 end-to-end medians at sf0.1) — once und is
+    # pinned, re-deriving the node-sized rollups is cheaper than two
+    # more checkpoint round-trips.
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").alias("t"))
     )
-    totals = tri.agg(F.count("*").alias("n_triangles"))
+    # coalesce guards the triangle-free graph: sum over an empty
+    # rollup is NULL where the old count(*) was 0
+    totals = per_node.agg(
+        F.coalesce(F.expr("sum(t) div 3"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles")
+    )
     wedges = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"))
     local = (
         deg.filter(F.col("d") >= 2)
@@ -1099,13 +1124,20 @@ FROM pairs
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
     e = g.module_dep_edges().filter(F.col("src") != F.col("dst"))
+    # pin the canonical undirected edge set (both adjacency branches
+    # re-ran the edge scan + distinct, and adj itself is consumed by
+    # the degree rollup AND the endpoint-pair join — 6 edge scans in
+    # the r12 audit -> 1 + pinned re-reads) and the node-sized degree
+    # rollup (consumed by both endpoint joins)
     und = e.select(
         F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     adj = und.select(F.col("u").alias("id"), F.col("v").alias("nb")).unionByName(
         und.select(F.col("v").alias("id"), F.col("u").alias("nb"))
     )
-    deg = adj.groupBy("id").agg(F.count("*").alias("d"))
+    deg = adj.groupBy("id").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=False
+    )
     du = deg.select(F.col("id"), F.col("d").cast("double").alias("x"))
     dv = deg.select(F.col("id").alias("nb"), F.col("d").cast("double").alias("y"))
     pairs = adj.join(du, "id").join(dv, "nb")

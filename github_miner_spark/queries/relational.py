@@ -1714,12 +1714,17 @@ def important_stock_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def binned_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     x = F.col("l_extendedprice")
+    # pin the per-group bounds aggregate: it is a <=|groups|-row frame
+    # consumed three times (the binning join, the crossing join, the
+    # final select), and each consumer re-derived it from a FULL
+    # lineitem scan + aggregate (5 lineitem scans in the r12 audit ->
+    # 3: bounds once, binning, and the exact grading twin)
     b = li.groupBy(F.col("l_returnflag").alias("g")).agg(
         F.min(x).alias("mn"),
         F.max(x).alias("mx"),
         F.count("*").cast("bigint").alias("n"),
         ((F.max(x) - F.min(x)) / F.lit(1024.0)).alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     # w == 0 (single-valued group) would make (x-mn)/w a 0/0 whose
     # NULL-vs-NaN resolution differs across engines; such a group is
     # all bin 0 and interpolates to est == mn exactly
