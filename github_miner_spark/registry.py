@@ -142,20 +142,31 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # -- (d) optimization-touched: relational -------------------------
     "parts_supplier_relationship",
     "suppliers_kept_waiting",
+    # -- (d2) second-optimization-session touches: the Q2 pushdown,
+    #        the bounds-pin, and the graph-topology scan collapses
+    #        (every touched query must hold a slot; these five were
+    #        new touches this session) --------------------------------
+    "min_cost_supplier",
+    "binned_quantile_estimates",
+    "triangle_counts_top",
+    "clustering_coefficient_summary",
+    "degree_assortativity",
     # -- (e) round-12 registrations with no driver witness yet --------
     "hybrid_fusion_relevance_at_k",
     "incremental_ivf_topk",
     "bitext_mining_margin_topk",
-    # -- (f) r06-witness tail, 8 alphabetically-first of the 10 not
-    #        already seated above (VERDICT r11 item 1) ----------------
-    "priority_sample_summary",
+    # -- (f) r06-witness tail: the 3 of the previous rotation's 8 with
+    #        NO other standing driver exposure (the five evicted to
+    #        seat section d2 — priority_sample_summary,
+    #        regional_revenue, returned_item_customers,
+    #        shipping_priority, top_dependants_modules — are all
+    #        driver-bench-timed every round, and top_dependants is
+    #        additionally the entry() smoke query; explicit witness
+    #        debt carried to round 13 alongside top_supplier_revenue +
+    #        top_value_part_types and the r07 drain) ------------------
     "profit_by_nation_year",
     "promo_revenue_share",
-    "regional_revenue",
-    "returned_item_customers",
-    "shipping_priority",
     "span_corruption_plan",
-    "top_dependants_modules",
 )
 
 
