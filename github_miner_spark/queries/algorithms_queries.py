@@ -767,7 +767,11 @@ LIMIT 25
 )
 def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
-    e = g.module_dep_edges().distinct()
+    # pin the distinct edge set: its four consumers (in/out degree
+    # rollups and both sides of the co-occurrence self-join) each
+    # re-ran the edge scan + distinct Exchange (5 edge scans in the
+    # r12 audit -> 1 + pinned re-reads)
+    e = g.module_dep_edges().distinct().localCheckpoint(eager=False)
     indeg = e.groupBy(F.col("dst").alias("z")).agg(F.count("*").alias("dz"))
     outdeg = e.groupBy(F.col("src").alias("m")).agg(F.count("*").alias("dm"))
     from github_miner_spark.functions.skew import spread_width
@@ -1623,11 +1627,16 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state = _walk_corpus(spark, sf_dir)
     # join-free pair generation: the same in-array slice explode the
-    # pair-extraction query uses (_skipgram_pairs_exploded)
+    # pair-extraction query uses (_skipgram_pairs_exploded). The
+    # pair-vocabulary rollup is PINNED: its two consumers (the
+    # negative distribution and the draw generator) each re-ran the
+    # walk-store scan + explode + rollup (4 walks_det scans in the
+    # r12 audit -> 1 + pinned re-reads).
     sgp = (
         _skipgram_pairs_exploded(state)
         .groupBy("center", "context")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .localCheckpoint(eager=False)
     )
     dist = sgp.groupBy(F.col("context").alias("negative")).agg(
         F.sum("n_pairs").cast("bigint").alias("cnt")

@@ -893,10 +893,27 @@ def unigram_lm_segmentation_stats(
     toks = docs.select(
         "source", F.explode(tokenize(F.col("text"))).alias("word")
     )
-    j = toks.join(F.broadcast(segs), "word")
+    # ONE corpus pass into a pinned (source, word, c) rollup, then
+    # everything downstream is vocabulary-sized: the old shape joined
+    # the exploded corpus tokens to the broadcast dictionary and
+    # consumed that corpus-scale join twice (the per-source rollup and
+    # the distinct-pieces explode — 2 documents + 2 word_segs scans in
+    # the r12 audit). Equivalences are exact: tokens = sum(c) over
+    # surviving words (inner-join semantics unchanged), pieces_total
+    # = sum(c * n_pieces), and distinct pieces never depended on word
+    # multiplicity — the piece explode now runs per distinct
+    # (source, word), not per token occurrence.
+    wr = (
+        toks.groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    j = wr.join(F.broadcast(segs), "word")
     per_source = j.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("tokens"),
-        F.sum("n_pieces").cast("bigint").alias("pieces_total"),
+        F.sum("c").cast("bigint").alias("tokens"),
+        F.sum(F.col("c") * F.col("n_pieces")).cast("bigint").alias(
+            "pieces_total"
+        ),
     )
     distinct_pieces = (
         j.select("source", F.explode(F.split("seg", "[|]")).alias("piece"))
