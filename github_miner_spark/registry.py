@@ -151,6 +151,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "triangle_counts_top",
     "clustering_coefficient_summary",
     "degree_assortativity",
+    "link_prediction_scores",
     # -- (e) round-12 registrations with no driver witness yet --------
     "hybrid_fusion_relevance_at_k",
     "incremental_ivf_topk",
@@ -163,8 +164,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #        driver-bench-timed every round, and top_dependants is
     #        additionally the entry() smoke query; explicit witness
     #        debt carried to round 13 alongside top_supplier_revenue +
-    #        top_value_part_types and the r07 drain) ------------------
-    "profit_by_nation_year",
+    #        top_value_part_types and the r07 drain;
+    #        profit_by_nation_year joined the debt when
+    #        link_prediction_scores was touched late in the session) --
     "promo_revenue_share",
     "span_corruption_plan",
 )
