@@ -614,8 +614,18 @@ LIMIT 25
 )
 def node_similarity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = load_graph(spark, sf_dir)
-    e = g.module_dep_edges().distinct()
-    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    # pin the distinct edge set and the node-sized degree rollup: the
+    # degree legs (da/db) and both co-occurrence join sides otherwise
+    # each re-ran the scan + distinct Exchange (4 edge scans + 4
+    # distinct aggregate trees in the r12 audit, ReusedExchange 0 ->
+    # 1 scan + 1 distinct + pinned re-reads; the triangle_counts_top /
+    # degree_assortativity discipline)
+    e = g.module_dep_edges().distinct().localCheckpoint(eager=False)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     from github_miner_spark.functions.skew import spread_width
 
     # spread the probe side across the session width before the

@@ -912,10 +912,17 @@ def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_miner_spark.functions.text import tokenize
 
     docs = load_table(spark, "documents", sf_dir)
+    # pin the per-source rollup: its three consumers (tot, z, the final
+    # projection) each re-ran the tokenizing corpus pass otherwise — the
+    # HOF-lambda tokenizer defeats ReuseExchange canonicalization, so the
+    # description's "one tokenizing scan" was only true per consumer
+    # (4 documents scans in the r12 audit -> 1 + pinned re-reads of a
+    # <= |sources|-row relation). Exact bigint sums: bit-identical.
     per = (
         docs.select("source", F.size(tokenize(F.col("text"))).alias("n_tokens"))
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
     p = per.crossJoin(F.broadcast(tot)).withColumn(

@@ -838,3 +838,26 @@ def test_distinct_ngram_no_windows(spark):
     plan = _plan(spark, "distinct_ngram_diversity")
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mixture_resample_single_pinned_corpus_pass(spark):
+    """mixture_temperature_resample: the tokenizing corpus pass runs
+    exactly once, into the pinned per-source rollup; every consumer
+    (the token total, the tau normalizer, the final projection) reads
+    the one checkpointed relation — dropping the pin re-inlines the
+    tokenize pass into all of them (4 parquet scans in the r12 audit)."""
+    plan = _plan(spark, "mixture_temperature_resample")
+    assert "Scan parquet" not in plan, plan
+    rdd_ids = set(re.findall(r"(MapPartitionsRDD\[\d+\]) at localCheckpoint", plan))
+    assert len(rdd_ids) == 1, rdd_ids
+
+
+def test_node_similarity_single_pinned_edge_set(spark):
+    """node_similarity_jaccard: the distinct module-dep edge set and
+    the node-sized degree rollup are each pinned once; the degree legs
+    and both co-occurrence join sides read the pins — dropping them
+    re-runs the scan + distinct Exchange four times (the r12 audit)."""
+    plan = _plan(spark, "node_similarity_jaccard")
+    assert "Scan parquet" not in plan, plan
+    rdd_ids = set(re.findall(r"(MapPartitionsRDD\[\d+\]) at localCheckpoint", plan))
+    assert len(rdd_ids) == 2, rdd_ids  # the edge pin + the degree pin
