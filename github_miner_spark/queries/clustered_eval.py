@@ -1200,8 +1200,16 @@ def _hyb_vec_leg(cnv: DataFrame) -> DataFrame:
 )
 def hybrid_fusion_relevance_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnv = _cnv(spark, sf_dir)
-    lex = _hyb_lex_leg(cnv)
-    vec = _hyb_vec_leg(cnv)
+    # each leg is a <= |probes| x HYB_LEG_K-row frame with TWO consumers
+    # (the RRF fusion and its own in-cluster grading); unpinned, each
+    # consumer re-derived the whole leg — a corpus-scale candidate join
+    # + rank window per re-derivation (the grader ran 12 embeddings
+    # scans in one plan). Pinning the k-row frames runs each leg once:
+    # 12 scans -> 5, of which two are the 5-row pushed-filter probe
+    # lookups. (_cnv itself stays unpinned per its own note — the
+    # saved work here is the leg derivations, not the cheap scan.)
+    lex = _hyb_lex_leg(cnv).localCheckpoint(eager=False)
+    vec = _hyb_vec_leg(cnv).localCheckpoint(eager=False)
     fused = (
         lex.select(
             "query_id", "neighbor_id", F.col("c").alias("c_l"), "rank_lex"
@@ -1236,8 +1244,11 @@ def hybrid_fusion_relevance_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= HYB_TOPK)
         .select("query_id", "neighbor_id", "c")
     )
-    qcm = cnv.filter(F.col("vec_id").isin(list(CLU_PROBES))).select(
-        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    # 5 rows, four consumers (three grading joins + the output base)
+    qcm = (
+        cnv.filter(F.col("vec_id").isin(list(CLU_PROBES)))
+        .select(F.col("vec_id").alias("query_id"), F.col("c").alias("qc"))
+        .localCheckpoint(eager=False)
     )
 
     def in_cluster_counts(leg: DataFrame, rank_col: str | None, out: str) -> DataFrame:
