@@ -1200,16 +1200,22 @@ def _hyb_vec_leg(cnv: DataFrame) -> DataFrame:
 )
 def hybrid_fusion_relevance_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnv = _cnv(spark, sf_dir)
-    # each leg is a <= |probes| x HYB_LEG_K-row frame with TWO consumers
-    # (the RRF fusion and its own in-cluster grading); unpinned, each
-    # consumer re-derived the whole leg — a corpus-scale candidate join
-    # + rank window per re-derivation (the grader ran 12 embeddings
-    # scans in one plan). Pinning the k-row frames runs each leg once:
-    # 12 scans -> 5, of which two are the 5-row pushed-filter probe
-    # lookups. (_cnv itself stays unpinned per its own note — the
-    # saved work here is the leg derivations, not the cheap scan.)
-    lex = _hyb_lex_leg(cnv).localCheckpoint(eager=False)
-    vec = _hyb_vec_leg(cnv).localCheckpoint(eager=False)
+    # Each leg used to feed TWO consumers (the RRF fusion and its own
+    # in-cluster grading join), and the rank-column HOFs defeat plan
+    # canonicalization, so every consumer re-derived the whole leg —
+    # the grader ran the corpus-scale candidate join + rank window
+    # twice per leg and scanned embeddings 12x in one plan. Instead of
+    # pinning the k-row leg frames (a lazy localCheckpoint measured
+    # 1.96x under the bench's count() action: the checkpoint computes
+    # every leg column at construction while count() prunes the
+    # unpinned form), the fusion join now CARRIES rank_lex/rank_vec
+    # through, and all three per-query counts fold over that single
+    # k-row fused frame — each leg is consumed exactly once by
+    # construction: 12 embeddings scans -> 6 (four of them the 5-row
+    # pushed-filter probe lookups), each rank window planned once.
+    # (_cnv itself stays unpinned per its own note.)
+    lex = _hyb_lex_leg(cnv)
+    vec = _hyb_vec_leg(cnv)
     fused = (
         lex.select(
             "query_id", "neighbor_id", F.col("c").alias("c_l"), "rank_lex"
@@ -1224,7 +1230,11 @@ def hybrid_fusion_relevance_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
+            # both legs carry the neighbor's cluster id from the same
+            # corpus derivation, so the coalesce is order-invariant
             F.coalesce("c_l", "c_v").alias("c"),
+            "rank_lex",
+            "rank_vec",
             F.round(
                 F.coalesce(
                     F.lit(1.0) / (F.lit(HYB_RRF_K) + F.col("rank_lex")),
@@ -1238,45 +1248,36 @@ def hybrid_fusion_relevance_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf"),
         )
     )
-    rw = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
-    rrf_top = (
-        fused.withColumn("r", F.row_number().over(rw))
-        .filter(F.col("r") <= HYB_TOPK)
-        .select("query_id", "neighbor_id", "c")
+    qcm = cnv.filter(F.col("vec_id").isin(list(CLU_PROBES))).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
     )
-    # 5 rows, four consumers (three grading joins + the output base)
-    qcm = (
-        cnv.filter(F.col("vec_id").isin(list(CLU_PROBES)))
-        .select(F.col("vec_id").alias("query_id"), F.col("c").alias("qc"))
-        .localCheckpoint(eager=False)
+    # the RRF rank is a window over the <= |probes| x 2k-row fused
+    # frame; every fused query_id is a probe, so the inner broadcast
+    # join attaches qc without changing the row set, and the three
+    # in-cluster counts (leg hits at leg rank <= k, fused hits at RRF
+    # rank <= k) fold in ONE aggregate over that frame
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
     )
 
-    def in_cluster_counts(leg: DataFrame, rank_col: str | None, out: str) -> DataFrame:
-        rows = leg if rank_col is None else leg.filter(F.col(rank_col) <= HYB_TOPK)
-        counts = (
-            rows.join(F.broadcast(qcm), "query_id")
-            .filter(F.col("c") == F.col("qc"))
-            .groupBy("query_id")
-            .agg(F.count("*").cast("bigint").alias(out))
+    def hits(cond: Column) -> Column:
+        return F.sum(
+            F.when(cond & (F.col("c") == F.col("qc")), 1).otherwise(0)
+        ).cast("bigint")
+
+    agg = (
+        fused.join(F.broadcast(qcm), "query_id")
+        .withColumn("r", F.row_number().over(rw))
+        .groupBy("query_id")
+        .agg(
+            hits(F.col("rank_lex") <= HYB_TOPK).alias("n_lex"),
+            hits(F.col("rank_vec") <= HYB_TOPK).alias("n_vec"),
+            hits(F.col("r") <= HYB_TOPK).alias("n_rrf"),
         )
-        return counts
-
+    )
     out = (
-        qcm.join(
-            F.broadcast(in_cluster_counts(lex, "rank_lex", "n_lex")),
-            "query_id",
-            "left",
-        )
-        .join(
-            F.broadcast(in_cluster_counts(vec, "rank_vec", "n_vec")),
-            "query_id",
-            "left",
-        )
-        .join(
-            F.broadcast(in_cluster_counts(rrf_top, None, "n_rrf")),
-            "query_id",
-            "left",
-        )
+        # left join keeps a probe whose legs both returned nothing
+        qcm.join(F.broadcast(agg), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_lex", F.lit(0)).cast("bigint").alias("n_lex"),

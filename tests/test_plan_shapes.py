@@ -687,38 +687,27 @@ def test_clustered_eval_plans_stay_broadcast_shaped(spark):
             ), (name, m.group(1))
 
 
-def test_hybrid_fusion_legs_pinned_once(spark):
-    """hybrid_fusion_relevance_at_k pins its k-row leg frames (lex,
-    vec) and the 5-row probe-cluster map (qcm) with lazy
-    localCheckpoints — each leg's corpus-scale candidate join + rank
-    window must run ONCE, not once per consumer (unpinned, the grader
-    ran 12 embeddings scans in one plan). The final plan must read
-    only the pinned RDDs; the legs' own (pre-checkpoint) plans must
-    keep the broadcast candidate-generation shape the clustered
-    ladder pins."""
+def test_hybrid_fusion_legs_planned_once(spark):
+    """hybrid_fusion_relevance_at_k derives each retrieval leg exactly
+    once: the fusion join carries rank_lex/rank_vec through, and all
+    three in-cluster counts fold over the single fused frame (unpinned
+    legs with per-consumer grading joins re-ran the corpus-scale
+    candidate join + rank window per consumer — 12 embeddings scans in
+    one plan). Each leg's rank window must appear exactly once in the
+    plan (dl-ordered = lex, score-ordered = vec) alongside the single
+    RRF window, and the corpus-side candidate generation stays
+    broadcast-shaped."""
     plan = _plan(spark, "hybrid_fusion_relevance_at_k")
-    assert "Scan parquet" not in plan, plan
-    rdd_ids = set(re.findall(r"MapPartitionsRDD\[\d+\] at localCheckpoint", plan))
-    assert len(rdd_ids) == 3, rdd_ids  # lex, vec, qcm — each exactly one
-    # the legs themselves (built pre-checkpoint, the subtree the final
-    # plan hides behind ExistingRDD) stay broadcast-shaped: probe side
-    # broadcast, no cartesian, no corpus-x-corpus NLJ
-    from github_miner_spark.queries.clustered_eval import (
-        _cnv,
-        _hyb_lex_leg,
-        _hyb_vec_leg,
-    )
-
-    cnv = _cnv(spark, SF)
-    for leg in (_hyb_lex_leg(cnv), _hyb_vec_leg(cnv)):
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            leg.explain("formatted")
-        lp = buf.getvalue()
-        assert "CartesianProduct" not in lp, lp
-        assert "BroadcastExchange" in lp, lp
-        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", lp):
-            assert m.group(1) == "Cross", (lp, m.group(1))
+    for pat in (
+        r"windowspecdefinition\(query_id#\d+L, dl#\d+",
+        r"windowspecdefinition\(query_id#\d+L, score#\d+",
+        r"windowspecdefinition\(query_id#\d+L, rrf#\d+",
+    ):
+        assert len(re.findall(pat, plan)) == 1, (pat, plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", (plan, m.group(1))
 
 
 def test_zipf_rank_is_distributed(spark, monkeypatch):
