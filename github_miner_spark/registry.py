@@ -157,7 +157,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     #        touched query must hold a slot) --------------------------
     "mixture_temperature_resample",
     "node_similarity_jaccard",
-    # -- (e) round-12 registrations with no driver witness yet --------
+    # -- (e) round-12 registrations with no driver witness yet; the
+    #        fourth optimization session touched the first of them
+    #        (the fused-counting rewrite of the hybrid grader), so its
+    #        slot now doubles as that touch's witness slot ------------
     "hybrid_fusion_relevance_at_k",
     "incremental_ivf_topk",
     "bitext_mining_margin_topk",
