@@ -451,6 +451,21 @@ def _clu_truth(cnv: DataFrame) -> DataFrame:
     )
 
 
+def _clu_truth_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id): the exact truth leg, served from the
+    materialized rollup (functions/clustered_store.py — VERDICT r12
+    item 6). Before the store, every ladder grader re-derived the
+    identical corpus + crossJoin + rank window per run (six copies of
+    the family's most expensive shared subtree, ~1.2 s noop each at
+    bench SF). The rollup is a pure function of (embeddings, corpus
+    spec, probe set, k); the ORACLE keeps re-deriving the truth from
+    spec (`_CLU_TRUTH`), so a stale store hash-mismatches in the
+    driver gate instead of grading itself."""
+    from github_miner_spark.functions.clustered_store import load_clu_truth
+
+    return load_clu_truth(spark, sf_dir)
+
+
 def _clu_grade(truth: DataFrame, approx: DataFrame) -> DataFrame:
     """recall@5 per probe query — the probe-set-sized grading join
     every in-engine recall grader uses."""
@@ -585,6 +600,13 @@ def _clu_permuted(cnv: DataFrame) -> DataFrame:
         .cast("int")
         .alias("p"),
     )
+    # NOT pinned (r13 measured rejection): pinning this 1-row frame
+    # looked like the obvious fix for the three consumers of the
+    # permuted corpus each re-running the variance pass, but priced
+    # end-to-end it moved the bench-timed grader 0.81 s -> 2.64 s
+    # under count() (the r12 §13 protocol trap: count() prunes the
+    # unpinned approx side wholesale) for only a 4.31 -> 4.16 s noop
+    # gain — Exchange reuse already dedupes most of the stats subtree.
     perm = pos.groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("p", "i"))), lambda s: s["i"]
@@ -600,15 +622,24 @@ def _clu_permuted(cnv: DataFrame) -> DataFrame:
 
 
 def _clu_ivf_parts(
-    spark: SparkSession, cnv: DataFrame
+    spark: SparkSession, cnv: DataFrame, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(assignment, probes): stride-sampled centroids over the
     clustered corpus, rounded-dot argmax assignment, 3-probe list
     selection per probe query (carrying the raw centroid dot for the
     IVFADC score). The centroid count is the SF-bounded sqrt(n)
-    scalar every IVF store derives the same way."""
-    n = cnv.count()
+    scalar every IVF store derives the same way. n comes straight
+    from the embeddings parquet footers (driver-side metadata, ~1 ms
+    — guide §5: no Spark job for loop/sizing scalars); the clustered
+    corpus is row-for-row the embeddings table (the offset join key
+    c = md5 % 8 always hits the 8-row dim), so the counts are equal
+    by construction."""
     import math
+    import os as _os
+
+    from github_miner_spark.queries.text_queries import _parquet_num_rows
+
+    n = _parquet_num_rows(_os.path.join(sf_dir, "embeddings.parquet"))
 
     stride = int(math.ceil(n / math.floor(math.sqrt(n))))
     cents = cnv.filter((F.col("vec_id") % stride) == 0).select(
@@ -744,7 +775,7 @@ def clustered_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= CLU_K)
         .select("query_id", "neighbor_id")
     )
-    return _clu_grade(_clu_truth(cnv), approx)
+    return _clu_grade(_clu_truth_stored(spark, sf_dir), approx)
 
 
 @register(
@@ -764,7 +795,7 @@ def clustered_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clustered_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnv = _cnv(spark, sf_dir)
     approx = _top5_by_scoreq(_clu_pq_scored(cnv.select("vec_id", "nv")))
-    return _clu_grade(_clu_truth(cnv), approx)
+    return _clu_grade(_clu_truth_stored(spark, sf_dir), approx)
 
 
 @register(
@@ -789,7 +820,7 @@ def clustered_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clustered_opq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnv = _cnv(spark, sf_dir)
     approx = _top5_by_scoreq(_clu_pq_scored(_clu_permuted(cnv)))
-    return _clu_grade(_clu_truth(cnv), approx)
+    return _clu_grade(_clu_truth_stored(spark, sf_dir), approx)
 
 
 @register(
@@ -809,7 +840,7 @@ def clustered_opq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def clustered_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnv = _cnv(spark, sf_dir)
-    asg, probes = _clu_ivf_parts(spark, cnv)
+    asg, probes = _clu_ivf_parts(spark, cnv, sf_dir)
     cand = asg.join(
         F.broadcast(probes.select("query_id", "qv", "list_id")), "list_id"
     ).filter(F.col("vec_id") != F.col("query_id")).select(
@@ -825,7 +856,7 @@ def clustered_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= CLU_K)
         .select("query_id", "neighbor_id")
     )
-    return _clu_grade(_clu_truth(cnv), approx)
+    return _clu_grade(_clu_truth_stored(spark, sf_dir), approx)
 
 
 @register(
@@ -844,7 +875,7 @@ def clustered_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def clustered_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnv = _cnv(spark, sf_dir)
-    asg, probes = _clu_ivf_parts(spark, cnv)
+    asg, probes = _clu_ivf_parts(spark, cnv, sf_dir)
     res = asg.select(
         "vec_id",
         "list_id",
@@ -902,7 +933,7 @@ def clustered_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg((F.min("cq") + F.sum("pq")).cast("bigint").alias("score_q"))
     )
-    return _clu_grade(_clu_truth(cnv), _top5_by_scoreq(scored))
+    return _clu_grade(_clu_truth_stored(spark, sf_dir), _top5_by_scoreq(scored))
 
 
 @register(
@@ -924,7 +955,13 @@ def clustered_pq_rerank_recall_at_k(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     cnv = _cnv(spark, sf_dir)
-    scored = _clu_pq_scored(cnv.select("vec_id", "nv"))
+    # pinned: the (vec_id, nv) corpus feeds the ADC encoding AND the
+    # exact re-rank join — two full derivations of the md5-clustered
+    # corpus without the pin (the codebook/probe subsets stay cheap
+    # pushed-filter scans either way, but these two consumers cannot
+    # push). Adjudicated end-to-end under both actions (§ r13 notes).
+    nvd = cnv.select("vec_id", "nv").localCheckpoint(eager=False)
+    scored = _clu_pq_scored(nvd)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q"), F.asc("vec_id")
     )
@@ -936,7 +973,7 @@ def clustered_pq_rerank_recall_at_k(
     q = _clu_probes(cnv)
     exact = (
         F.broadcast(short)
-        .join(cnv.select("vec_id", "nv"), "vec_id")
+        .join(nvd, "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
@@ -952,7 +989,7 @@ def clustered_pq_rerank_recall_at_k(
         .filter(F.col("rank") <= CLU_K)
         .select("query_id", "neighbor_id")
     )
-    return _clu_grade(_clu_truth(cnv), approx)
+    return _clu_grade(_clu_truth_stored(spark, sf_dir), approx)
 
 
 # ---------------------------------------------------------------------------

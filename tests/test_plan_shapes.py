@@ -884,3 +884,30 @@ def test_node_similarity_single_pinned_edge_set(spark):
     assert "Scan parquet" not in plan, plan
     rdd_ids = set(re.findall(r"(MapPartitionsRDD\[\d+\]) at localCheckpoint", plan))
     assert len(rdd_ids) == 2, rdd_ids  # the edge pin + the degree pin
+
+
+def test_clustered_graders_grade_against_stored_truth(spark):
+    """VERDICT r12 item 6: the six clustered-ladder graders share ONE
+    materialized brute-force truth leg (functions/clustered_store.py)
+    instead of each re-deriving the corpus + crossJoin + rank window —
+    the family's most expensive shared subtree (~1.2 s noop per grader
+    at bench SF). Each grader's plan must read clu_truth.parquet and
+    must NOT contain the truth leg's probe-broadcast crossJoin rank
+    window a second time; the rerank grader additionally pins the
+    (vec_id, nv) corpus it consumes twice (ADC encoding + exact
+    re-rank join)."""
+    for name in (
+        "clustered_lsh_recall_at_k",
+        "clustered_pq_recall_at_k",
+        "clustered_opq_recall_at_k",
+        "clustered_ivf_recall_at_k",
+        "clustered_ivfpq_recall_at_k",
+        "clustered_pq_rerank_recall_at_k",
+    ):
+        plan = _plan(spark, name)
+        assert "clu_truth.parquet" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # the pinned rerank corpus: exactly one embeddings scan remains
+    # (the probe/codebook subsets read the pinned relation too)
+    rerank = _plan(spark, "clustered_pq_rerank_recall_at_k")
+    assert len(re.findall(r"embeddings\.parquet", rerank)) <= 2, rerank
