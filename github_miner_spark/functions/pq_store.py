@@ -241,8 +241,8 @@ def pq_rerank_topk_from_store(
 
     codes, codebook = load_pq_codes(spark, sf_dir)
     ids = [int(i) for i in query_ids]
-    nrm = _normalized(load_table(spark, "embeddings", sf_dir))
-    q = nrm.filter(F.col("vec_id").isin(ids)).select(
+    raw = load_table(spark, "embeddings", sf_dir)
+    q = _normalized(raw.filter(F.col("vec_id").isin(ids))).select(
         F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
     )
     qsub = _subspaces(q, "qv").select("query_id", "j", F.col("sv").alias("qsv"))
@@ -263,14 +263,25 @@ def pq_rerank_topk_from_store(
         .filter(F.col("r") <= shortlist)
         .select("query_id", "vec_id")
     )
+    # normalization DEFERRED below the shortlist join (r13, guide
+    # §2.3 compute-late): joining the broadcast |q| x shortlist id set
+    # against the RAW embeddings first means the cast + norm + divide
+    # run on the ~|q| x shortlist surviving rows only, not the whole
+    # corpus (the old Project-below-Join shape normalized every row
+    # before the join filtered them — ~1.0 s of the query's 2.1 s noop
+    # at bench SF, and a full float pass at 100 TB). The per-row
+    # expressions are byte-identical to _normalized, so scores, ties
+    # and rounding are unchanged.
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nvx = F.transform(ev, lambda x: x / norm(ev))
     exact = (
         F.broadcast(short)
-        .join(nrm, "vec_id")
+        .join(raw.select("vec_id", "embedding"), "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("score"),
+            F.round(dot(F.col("qv"), nvx), 6).alias("score"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(

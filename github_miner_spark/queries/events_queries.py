@@ -375,14 +375,27 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = stage(s1, "view", "t1", "t2")
     s3 = stage(s2, "click", "t2", "t3")
     s4 = stage(s3, "purchase", "t3", "t4")
-    counts = [
-        df.agg(F.count("*").alias(name))
-        for df, name in ((s1, "n_signup"), (s2, "n_viewed"), (s3, "n_clicked"), (s4, "n_purchased"))
-    ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.crossJoin(c)
-    return out.select(
+    # ONE per-user funnel frame, all four counts folded in ONE
+    # aggregate (r13): the old form counted each stage as its own
+    # crossJoined scalar aggregate, so s1..s3's subtrees were re-run
+    # inside every later stage's count — 10 events scans in one plan
+    # (scan audit r12; stage N's lineage embeds stages 1..N-1, and the
+    # four separate count branches defeated exchange reuse). The left
+    # joins ride the same user_id partitioning the stage aggregates
+    # establish (guide §2.4 "share one exchange"): stage sets shrink
+    # monotonically (every tN user is a tN-1 user), so count(tN) over
+    # the joined frame equals count(*) of stage N exactly.
+    funnel = (
+        s1.join(s2, "user_id", "left_outer")
+        .join(s3, "user_id", "left_outer")
+        .join(s4, "user_id", "left_outer")
+    )
+    return funnel.agg(
+        F.count("*").alias("n_signup"),
+        F.count("t2").alias("n_viewed"),
+        F.count("t3").alias("n_clicked"),
+        F.count("t4").alias("n_purchased"),
+    ).select(
         "n_signup",
         "n_viewed",
         "n_clicked",
