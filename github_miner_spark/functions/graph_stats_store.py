@@ -114,3 +114,25 @@ def materialize_anchor_reach(
 def load_anchor_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, h, exact_reached) from the materialized rollup."""
     return spark.read.parquet(materialize_anchor_reach(spark, sf_dir))
+
+
+def anchor_nodes(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Sorted anchor ids straight from the rollup's parquet files —
+    a driver-side pyarrow read (guide §5: no Spark job for a loop
+    constant). The rollup's node set IS the anchor set (every src <
+    ANF_ANCHOR_MAX, the same distinct the inline derivation
+    collected), so consumers that need the anchors as Python values
+    (kernel keep-sets, broadcast frames) read them here instead of
+    running a distinct+collect job over the edge relation."""
+    import pyarrow.parquet as pq
+
+    path = materialize_anchor_reach(spark, sf_dir)
+    nodes: set[int] = set()
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            nodes.update(
+                pq.read_table(os.path.join(path, f), columns=["node"])
+                .column("node")
+                .to_pylist()
+            )
+    return sorted(nodes)

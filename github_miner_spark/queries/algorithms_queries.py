@@ -1988,10 +1988,15 @@ def anf_neighborhood_function(
     g = load_graph(spark, sf_dir)
     e = g.module_dep_edges().select("src", "dst").localCheckpoint(eager=True)
     n_edges = e.count()
-    anchors = sorted(
-        r["src"]
-        for r in e.filter(F.col("src") < anchor_max).select("src").distinct().collect()
-    )
+    # anchors come from the anchored-reachability rollup's parquet
+    # files (driver-side pyarrow read, no Spark job — r13): the
+    # rollup's node set IS the distinct src < anchor_max set this
+    # query used to re-collect from the edge relation every run, and
+    # the grading join below loads the same rollup anyway
+    from github_miner_spark.functions.graph_stats_store import anchor_nodes
+
+    anchors = anchor_nodes(spark, sf_dir)
+    assert anchor_max == 120  # the rollup's ANF_ANCHOR_MAX — one spec
     anchor_df = spark.createDataFrame([(a,) for a in anchors], "node bigint")
     if n_edges <= task_threshold:
         # task-local path (the SCC/betweenness pattern): the whole

@@ -20,8 +20,20 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+# Scale-adaptive default (VERDICT r12 item 2): one initial shuffle
+# partition per core, explicit env override wins. A constant 32 was a
+# local[32] tune — at 8 cores it spent scheduling overhead on 4x more
+# tasks than slots, and on a real cluster the initial number should
+# track total cores (AQE coalescing then sizes the actual partitions
+# by bytes either way). At the harness default CPUS=32 this resolves
+# to the same 32 every prior round ran, so bench comparability holds.
+_SHUFFLE_ENV = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+DEFAULT_SHUFFLE_PARTITIONS = (
+    int(_SHUFFLE_ENV)
+    if _SHUFFLE_ENV
+    else (int(DEFAULT_CPUS) if DEFAULT_CPUS.isdigit() else 32)
+)
 
 
 def get_spark(
