@@ -960,7 +960,11 @@ def clustered_pq_rerank_recall_at_k(
     # corpus without the pin (the codebook/probe subsets stay cheap
     # pushed-filter scans either way, but these two consumers cannot
     # push). Adjudicated end-to-end under both actions (§ r13 notes).
-    nvd = cnv.select("vec_id", "nv").localCheckpoint(eager=False)
+    # CORPUS-SCALE pin: pin() routes it to replicated checkpoint
+    # storage under SPARK_GRAFT_RELIABLE_PIN=1 (VERDICT r12 item 4).
+    from github_miner_spark.functions.pin import pin
+
+    nvd = pin(cnv.select("vec_id", "nv"))
     scored = _clu_pq_scored(nvd)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_q"), F.asc("vec_id")

@@ -1171,13 +1171,17 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join + lateness filter (3 lineitem scans in the r12 audit -> 2:
     # this pin plus the raw scan the semi build side genuinely needs).
     # Narrowed to the two join keys before pinning — shipdate is
-    # consumed by the filter.
-    late_lines = (
+    # consumed by the filter. CORPUS-SCALE pin (lineitem fact rows):
+    # pinned via pin() so SPARK_GRAFT_RELIABLE_PIN=1 lands it in
+    # replicated checkpoint storage at cluster scale instead of
+    # non-replicated executor blocks (VERDICT r12 item 4).
+    from github_miner_spark.functions.pin import pin
+
+    late_lines = pin(
         li.select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(finished, "l_orderkey")
         .filter(late)
         .select("l_orderkey", "l_suppkey")
-        .localCheckpoint(eager=False)
     )
     l1 = late_lines
     # the semi/anti probes take the per-order supplier sets RAW:

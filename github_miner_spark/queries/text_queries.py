@@ -1403,23 +1403,30 @@ def _kn_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1); the projection boundary evaluates the regex once per doc
     from github_miner_spark.functions.skew import spread_to_session_width
 
-    bg = spread_to_session_width(docs).select(
-        "doc_id", tokenize(F.col("text")).alias("toks")
-    ).select(
-        "doc_id",
-        F.explode(token_windows(F.col("toks"), 2)).alias("bigram"),
-    ).select(
-        "doc_id",
-        token_hash(F.col("bigram")).alias("bh"),
-        token_hash(F.split(F.col("bigram"), " ")[0]).alias("ph"),
-        token_hash(F.split(F.col("bigram"), " ")[1]).alias("sh"),
-    ).localCheckpoint(eager=False)
-    # the lazy checkpoint materializes the hashed-bigram relation on
+    from github_miner_spark.functions.pin import pin
+
+    bg = pin(
+        spread_to_session_width(docs).select(
+            "doc_id", tokenize(F.col("text")).alias("toks")
+        ).select(
+            "doc_id",
+            F.explode(token_windows(F.col("toks"), 2)).alias("bigram"),
+        ).select(
+            "doc_id",
+            token_hash(F.col("bigram")).alias("bh"),
+            token_hash(F.split(F.col("bigram"), " ")[0]).alias("ph"),
+            token_hash(F.split(F.col("bigram"), " ")[1]).alias("sh"),
+        )
+    )
+    # the lazy pin materializes the hashed-bigram relation on
     # first action and REUSES it for the model's three aggregations
     # and the scoring join, instead of re-running tokenize+explode
     # per consumer (4 corpus passes -> 1 at bench SF; at 100 TB the
     # checkpoint trades one corpus-sized write for three re-scans,
-    # the same call the simhash band index makes)
+    # the same call the simhash band index makes). CORPUS-SCALE pin
+    # (one row per bigram occurrence): pin() routes it to replicated
+    # checkpoint storage under SPARK_GRAFT_RELIABLE_PIN=1 (VERDICT
+    # r12 item 4) instead of non-replicated executor blocks.
     # bh functionally determines (ph, sh), so this is one agg keyed by
     # the bigram hash that keeps the prefix/suffix hashes available for
     # the model's two marginal aggregations.
