@@ -82,103 +82,82 @@ def load_all() -> None:
 # registry stays pinned by the local every-query oracle sweep
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # Round-12 FINAL window, re-rotated after the optimization pass.
-    # The optimization waves (corpus-pass collapses, Q16/Q21 distinct
-    # elisions, DSIR/PMI union form, KMV scale gate, KL totals fold)
-    # touch 39 registered queries per tools/check_window_freshness.py's
-    # AST coverage map — every one holds a slot below (sections a-d),
-    # witnessing each post-change. The 11 remaining slots go to the 3
-    # round-12 registrations that have NEVER had a driver witness
-    # (section e) and the 8 alphabetically-first of the remaining r06-
-    # witness-tail rows (section f — VERDICT r11 item 1). Explicit
-    # witness debt carried to round 13, in priority order:
-    # top_supplier_revenue + top_value_part_types (the last two r06
-    # rows), the 13-query cypher family (r11 witnesses; the round-12
-    # escaped-quote/overwrite fixes are pinned by the 41-block corpus
-    # sweep in tests/test_cypher.py), and the 14-row r07 alphabetical
-    # drain. Rotation discipline unchanged: this rotation is the
-    # round's LAST code-touching commit; tools/check_window_freshness
-    # verifies ordering AND touched-query coverage.
-    # -- (a) optimization-touched: text/KN/perplexity family ----------
-    "bigram_pmi_collocations",
-    "boilerplate_ngram_stats",
+    # Round-13 window, rotated as the round's LAST code-touching
+    # commit. Composition, per tools/check_window_freshness.py and
+    # VERDICT r12 items 3 (debt first) + the r8 rotation policy:
+    # (a) the 14 queries the round-13 optimization touched (every
+    #     touched query gets a post-change driver witness),
+    # (b) the 14-row priority witness debt VERDICT r12 item 3 ordered
+    #     seated FIRST among non-touched rows: the 13-query cypher
+    #     family (last witnessed r11; their round-12 write-back/
+    #     escaped-quote fixes were pinned only by the local 41-block
+    #     corpus sweep until now) + item_cooccurrence_topk,
+    # (c) the 10-row r06 witness tail (oldest driver witnesses, all
+    #     carried explicitly since the r12 rotation),
+    # (d) 12 of the 27-row r07 drain, alphabetically first; the
+    #     remaining 15 r07 rows (hosted_on_outer, kll_quantile_merge,
+    #     lineitem_describe, manifest_dependency_totals, meta_graph,
+    #     modules_per_repo_list, ngram_jaccard_dups,
+    #     one_hop_neighborhood, parts_never_ordered,
+    #     preferential_attachment, quantity_histogram, revenue_rollup,
+    #     scalar_function_showcase, schema_histograms, self_loops —
+    #     the drain continues next round) are the explicit
+    #     witness debt carried forward, every one locally pinned each
+    #     round by tests/test_oracle_parity.py.
+    # -- (a) round-13 optimization-touched --------------------------
+    "anf_neighborhood_function",
     "ccnet_perplexity_buckets",
-    "cms_heavy_hitter_estimates",
-    "corpus_zipf_fit",
-    "distinct_ngram_diversity",
-    "doc_bigram_surprisal",
+    "clustered_ivf_recall_at_k",
+    "clustered_ivfpq_recall_at_k",
+    "clustered_lsh_recall_at_k",
+    "clustered_opq_recall_at_k",
+    "clustered_pq_recall_at_k",
+    "clustered_pq_rerank_recall_at_k",
     "doc_kneser_ney_scores",
-    "doc_token_stats",
-    "doc_unigram_surprisal",
-    "duplicated_span_stats",
-    "gopher_repetition_stats",
-    "hll_shingle_estimates",
-    "hll_vocab_estimates",
-    "kmv_set_operation_estimates",
+    "embedding_pq_rerank_topk",
+    "events_funnel",
     "kn_perplexity_filter_rates",
-    "language_id_confusion",
-    "source_unigram_kl",
-    "vocab_coverage_stats",
-    # -- (b) optimization-touched: tokenizer-store consumers ----------
-    "bpe_merge_candidates",
-    "bpe_segmentation_stats",
-    "bpe_vocab_induction",
-    "unigram_lm_segmentation_stats",
-    "unigram_lm_vocab_induction",
-    "wordpiece_segmentation_stats",
-    "wordpiece_vocab_induction",
-    # -- (c) optimization-touched: retrieval/dedup/curation/walks -----
-    "bm25_retrieval_topk",
-    "corpus_filter_funnel",
-    "doc_bpe_token_counts",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "doc_shingle_profile",
-    "doc_tfidf_top_terms",
-    "dsir_importance_weights",
-    "hybrid_retrieval_rrf_topk",
-    "skipgram_negative_samples",
-    "walk_skipgram_pairs",
-    # -- (d) optimization-touched: relational -------------------------
-    "parts_supplier_relationship",
+    "pq_rerank_recall_at_k",
     "suppliers_kept_waiting",
-    # -- (d2) second-optimization-session touches: the Q2 pushdown,
-    #        the bounds-pin, and the graph-topology scan collapses
-    #        (every touched query must hold a slot; these five were
-    #        new touches this session) --------------------------------
-    "min_cost_supplier",
-    "binned_quantile_estimates",
-    "triangle_counts_top",
-    "clustering_coefficient_summary",
-    "degree_assortativity",
-    "link_prediction_scores",
-    # -- (d3) third-optimization-session touches: the two remaining
-    #        slot-affordable repeated-derivation collapses (every
-    #        touched query must hold a slot) --------------------------
-    "mixture_temperature_resample",
-    "node_similarity_jaccard",
-    # -- (e) round-12 registrations with no driver witness yet; the
-    #        fourth optimization session touched the first of them
-    #        (the fused-counting rewrite of the hybrid grader), so its
-    #        slot now doubles as that touch's witness slot ------------
-    "hybrid_fusion_relevance_at_k",
-    "incremental_ivf_topk",
-    "bitext_mining_margin_topk",
-    # -- (f) r06-witness tail: emptied this session — seating the d3
-    #        pair displaced its last two rows (promo_revenue_share,
-    #        span_corruption_plan), which join the explicit witness
-    #        debt carried to round 13, alongside the five evicted for
-    #        section d2 (priority_sample_summary, regional_revenue,
-    #        returned_item_customers, shipping_priority,
-    #        top_dependants_modules — all driver-bench-timed every
-    #        round, top_dependants additionally the entry() smoke
-    #        query), profit_by_nation_year (evicted for the late
-    #        link_prediction touch), top_supplier_revenue +
-    #        top_value_part_types, the r11-witnessed cypher family
-    #        (its round-12 fixes are pinned by the 41-block corpus
-    #        sweep in tests/test_cypher.py), and the 14-row r07
-    #        alphabetical drain. Every debt row stays locally pinned
-    #        each round by tests/test_oracle_parity.py. --------------
+    # -- (b) priority witness debt (VERDICT r12 item 3) -------------
+    "cypher_closure_from_anchor",
+    "cypher_collect_unwind_roundtrip",
+    "cypher_community_readback",
+    "cypher_delete_counters",
+    "cypher_hosted_on_outer",
+    "cypher_meta_graph_call",
+    "cypher_pagerank_readback",
+    "cypher_scc_readback",
+    "cypher_subdeps_per_devdep",
+    "cypher_top_used_modules",
+    "cypher_unhosted_dependency_count",
+    "cypher_with_chain_fanout",
+    "cypher_with_topk_pipeline",
+    "item_cooccurrence_topk",
+    # -- (c) r06 witness tail ----------------------------------------
+    "priority_sample_summary",
+    "profit_by_nation_year",
+    "promo_revenue_share",
+    "regional_revenue",
+    "returned_item_customers",
+    "shipping_priority",
+    "span_corruption_plan",
+    "top_dependants_modules",
+    "top_supplier_revenue",
+    "top_value_part_types",
+    # -- (d) r07 drain, alphabetically first -------------------------
+    "benchmark_decontamination",
+    "brand_discount_revenue",
+    "closeness_centrality_sample",
+    "customer_order_stats_outer",
+    "customers_with_open_orders",
+    "degree_breakdown",
+    "dependants_by_endpoint_label",
+    "detach_delete_impact",
+    "distinct_order_profiles",
+    "embedding_similarity_buckets",
+    "embedding_topk_bruteforce",
+    "exact_dedup_summary",
 )
 
 
