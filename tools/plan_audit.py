@@ -43,7 +43,7 @@ for n in [x for x in HEADLINE if x in specs]:
         "rdd_scans": plan.count("Scan ExistingRDD"),
         "sort": len(re.findall(r"\(\d+\) Sort", plan)),
     }
-with open("/tmp/plan_audit.json", "w") as f:
+with open("/root/repo/plans/r13/plan_audit.json", "w") as f:
     json.dump(out, f, indent=1)
 print("queries audited:", len(out))
 print("\n-- py eval nodes (expect 0) --")

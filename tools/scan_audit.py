@@ -13,7 +13,7 @@ doc_tfidf_top_terms, boilerplate_ngram_stats, bm25_retrieval_topk,
 suppliers_kept_waiting, triangle/clustering/assortativity,
 binned_quantile_estimates).
 
-Writes plans/r12/scan_audit.json and prints every multi-scan query.
+Writes plans/<round>/scan_audit.json and prints every multi-scan query.
 Driver-side only (plans are built, nothing executes beyond the lazy
 checkpoints' construction-time materialization).
 """
@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r12",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     "scan_audit.json",
 )
 
