@@ -83,7 +83,7 @@ def load_all() -> None:
 # (tests/test_oracle_parity.py) regardless of window membership.
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # Round-13 window, rotated as the round's LAST code-touching
-    # commit. Composition, per tools/check_window_freshness.py and
+    # commit (re-pinned after the bench witness-lane isolation). Composition, per tools/check_window_freshness.py and
     # VERDICT r12 items 3 (debt first) + the r8 rotation policy:
     # (a) the 14 queries the round-13 optimization touched (every
     #     touched query gets a post-change driver witness),
